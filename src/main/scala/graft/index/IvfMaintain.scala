@@ -1,0 +1,155 @@
+package graft.index
+
+import graft.vector.{KMeans, VectorMean}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import scala.collection.mutable
+
+/** Hotness-driven split / nearest-pair merge maintenance (reference
+  * `maintain`, quake_min.py:170-210 ∥ adaptive_ivf.mjs:306-362).
+  *
+  * Reproduced quirks (deliberate — behavioral fidelity, SURVEY.md §4):
+  *  - hotness = `hits − last_split_at` compares a hit COUNT against a
+  *    query-counter TIMESTAMP (quake_min.py:173);
+  *  - dynamic threshold `split_size / max(1, hotness/2000)` clamped to
+  *    `[split_size/1.5, split_size·2]` (quake_min.py:174-175);
+  *  - split children start with `hits = 0` but `last_split_at =
+  *    query_counter` (fresh dataclass, quake_min.py:180-188), and the new
+  *    sibling is NEVER added to a coarse cell's routing list
+  *    (quake_min.py:183-184);
+  *  - the merge loop's `used` set is never populated (quake_min.py:190-200),
+  *    so every tiny partition greedily absorbs its CURRENT nearest tiny
+  *    partner in sequence — absorption chains included;
+  *  - merged-away partitions remain as zero-row husks with stale centroids
+  *    (quake_min.py:209-210) and keep their hit counters.
+  *
+  * Spark shape: all split 2-means run as ONE grouped k-means pass
+  * ([[graft.vector.KMeans.fitGrouped]], group = partition_id); the merge
+  * pairing runs driver-side over the tiny metadata set (tiny by
+  * construction) and applies as a single broadcast remap of
+  * `partition_id` — no shuffle of the vector payload beyond the remapped
+  * rows' new grouping.
+  */
+object IvfMaintain {
+  val SplitSize = 3000L
+  val MergeSize = 300L
+  val HotSplitMultiplier = 1.5
+  val HotQpsWindow = 2000.0
+
+  def maintain(model: IvfModel, hotQpsWindow: Double = HotQpsWindow): IvfModel = {
+    val afterSplit = splitHot(model, hotQpsWindow)
+    mergeTiny(afterSplit)
+  }
+
+  /** Split phase (quake_min.py:171-188). */
+  private[index] def splitHot(model: IvfModel, hotQpsWindow: Double): IvfModel = {
+    val toSplit = model.partitions.filter { p =>
+      val hotness = (p.hits - p.lastSplitAt).toDouble
+      val raw = SplitSize / math.max(1.0, hotness / hotQpsWindow)
+      val thresh = math.max(SplitSize / HotSplitMultiplier, math.min(SplitSize * 2.0, raw))
+      p.size >= thresh && p.size >= 16
+    }
+    if (toSplit.isEmpty) return model
+
+    val splitPids = toSplit.map(_.pid).toSet
+    val subset = model.vectors.filter(col("partition_id").isInCollection(splitPids)).cache()
+    val (assigned, _) = KMeans.fitGrouped(
+      subset, "partition_id", "vec_id", "embedding",
+      kFor = splitPids.map(_ -> 2).toMap, iters = 8, seed = 17L)
+
+    val halves = assigned
+      .groupBy("partition_id", "cluster")
+      .agg(VectorMean.fn(col("embedding")).as("centroid"), count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getSeq[Float](2).toArray, r.getLong(3)))
+      .toMap
+
+    // Only partitions whose BOTH halves are non-empty actually split
+    // (quake_min.py:179); iterate ascending pid like the reference's
+    // enumerate loop so new sibling pids append in the same order.
+    var parts = model.partitions
+    val siblingOf = mutable.Map.empty[Long, Long] // parent pid -> new sibling pid
+    toSplit.sortBy(_.pid).foreach { p =>
+      (halves.get((p.pid, 0)), halves.get((p.pid, 1))) match {
+        case (Some((c0, n0)), Some((c1, n1))) =>
+          val newPid = parts.length.toLong
+          siblingOf(p.pid) = newPid
+          parts = parts
+            .updated(p.pid.toInt, PartitionMeta(p.pid, p.coarseId, c0, n0, hits = 0L, lastSplitAt = model.queryCounter))
+            .appended(PartitionMeta(newPid, p.coarseId, c1, n1, hits = 0L, lastSplitAt = model.queryCounter))
+        case _ => // degenerate 2-means; leave as-is
+      }
+    }
+    if (siblingOf.isEmpty) { subset.unpersist(); return model }
+
+    val sibB = subset.sparkSession.sparkContext.broadcast(siblingOf.toMap)
+    val remap = udf { (pid: Long, cluster: Int) =>
+      sibB.value.get(pid) match {
+        case Some(sib) if cluster == 1 => sib
+        case _                         => pid
+      }
+    }
+    val keep = model.vectors.filter(!col("partition_id").isInCollection(splitPids))
+    val moved = assigned
+      .withColumn("partition_id", remap(col("partition_id"), col("cluster")))
+      .select("vec_id", "embedding", "partition_id")
+    model.copy(vectors = keep.unionByName(moved), partitions = parts)
+  }
+
+  /** Merge phase (quake_min.py:189-210): exact sequential greedy replay on
+    * driver-side metadata, then one distributed pid remap. */
+  private[index] def mergeTiny(model: IvfModel): IvfModel = {
+    val metas = mutable.ArrayBuffer.from(model.partitions)
+    val tiny = metas.filter(_.size <= MergeSize).map(_.pid).toVector
+    if (tiny.size < 2) return model
+
+    // home(origPid) = pid currently holding that partition's vectors
+    val home = mutable.Map.from(metas.map(p => p.pid -> p.pid))
+
+    def sqDist(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i).toDouble - b(i); s += d * d; i += 1 }
+      s
+    }
+
+    for (i <- tiny) {
+      val ci = metas(i.toInt).centroid
+      var bestJ = -1L
+      var bestD = Double.PositiveInfinity
+      for (j <- tiny if j != i) {
+        val d = sqDist(ci, metas(j.toInt).centroid)
+        if (d < bestD) { bestD = d; bestJ = j }
+      }
+      if (bestJ >= 0) {
+        val pi = metas(i.toInt)
+        val pj = metas(bestJ.toInt)
+        val n = pi.size + pj.size
+        val c =
+          if (n == 0) pi.centroid
+          else {
+            val out = new Array[Float](pi.centroid.length)
+            var d = 0
+            while (d < out.length) {
+              out(d) = ((pi.centroid(d).toDouble * pi.size + pj.centroid(d).toDouble * pj.size) / n).toFloat
+              d += 1
+            }
+            out
+          }
+        metas(i.toInt) = pi.copy(centroid = c, size = n)
+        metas(bestJ.toInt) = pj.copy(size = 0L) // husk: stale centroid, hits kept
+        // vectors currently homed at j move to i (chains reproduce the
+        // reference's unpopulated `used` set)
+        home.keys.foreach { k => if (home(k) == bestJ) home(k) = i }
+      }
+    }
+
+    val moves = home.filter { case (k, v) => k != v }.toMap
+    if (moves.isEmpty) return model
+    val movesB = model.vectors.sparkSession.sparkContext.broadcast(moves)
+    val remap = udf { pid: Long => movesB.value.getOrElse(pid, pid) }
+    model.copy(
+      vectors = model.vectors.withColumn("partition_id", remap(col("partition_id"))),
+      partitions = metas.toVector)
+  }
+}

@@ -1,0 +1,119 @@
+package graft.index
+
+import graft.vector.VectorOps._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batched Adaptive Partition Scanning search — the reference's flagship
+  * query path (`search` → `_partition_scores` → `_choose_nprobe`,
+  * quake_min.py:127-168), re-expressed as one declarative plan over a
+  * whole BATCH of queries (the reference is one query at a time; batching
+  * is what makes the operator throughput-scale on a cluster).
+  *
+  * Stages (all built-in Spark, no custom physical operators needed —
+  * SURVEY.md §4):
+  *  1. score: queries × broadcast(partition metadata) cross join; per-query
+  *     exact `median` temperature, size-aware logits
+  *     `-√d2/τ + 0.5·ln(size+1)` and a max-shift-stable softmax
+  *     (quake_min.py:131-134), all as window aggregates over `query_id`.
+  *  2. probe choice (APS, quake_min.py:139-145): order by probability
+  *     descending, keep the minimal prefix whose cumulative mass reaches
+  *     `targetRecall`, capped at `maxProbe` — a running-sum window.
+  *  3. gather + rank: probed set joined to the vectors table on
+  *     `partition_id` (on disk this join prunes Parquet partitions),
+  *     distance expression, per-query top-k via `row_number`.
+  *
+  * At 100 TB: stage 1/2 touch only metadata (KB–MB, broadcast); the only
+  * big-data work is stage 3, which scans exactly the probed partitions and
+  * shuffles one k-row heap per query.
+  */
+object IvfSearch {
+
+  final case class Params(k: Int = 10, targetRecall: Double = 0.9, maxProbe: Int = 64)
+
+  /** Stage 1+2: per-query probed partition set.
+    *
+    * @param queries `(query_id long, qvec array<float>)`
+    * @return `(query_id, partition_id, p, psize, qvec)` — the probe set,
+    *         probability-descending rank ≤ maxProbe
+    */
+  def chooseProbes(model: IvfModel, queries: DataFrame, params: Params): DataFrame = {
+    val spark = queries.sparkSession
+    val parts = model.partitionsDf(spark).select("partition_id", "centroid", "psize")
+
+    val wq = Window.partitionBy("query_id")
+    // Reference quirk reproduced: tau already includes +1e-6, and the logit
+    // divides by (tau + 1e-6) again (quake_min.py:131-132).
+    val scored = queries
+      .crossJoin(broadcast(parts))
+      .withColumn("cd", l2Dist(col("qvec"), col("centroid")))
+      .withColumn("tau", median(col("cd")).over(wq) + lit(1e-6))
+      .withColumn("logit", -col("cd") / (col("tau") + lit(1e-6)) + lit(0.5) * log(col("psize") + lit(1.0)))
+      .withColumn("m", max(col("logit")).over(wq))
+      .withColumn("e", exp(col("logit") - col("m")))
+      .withColumn("p", col("e") / sum(col("e")).over(wq))
+
+    val wOrd = wq.orderBy(col("p").desc, col("partition_id").asc)
+    scored
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("cum", sum(col("p")).over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      // keep the prefix through the first row whose cumulative mass crosses
+      // the target: previous cum (cum - p) < target (quake_min.py:140-143)
+      .filter(col("cum") - col("p") < params.targetRecall && col("rn") <= params.maxProbe)
+      .select("query_id", "partition_id", "p", "psize", "qvec")
+  }
+
+  /** Full APS search over a query batch.
+    *
+    * @return `(query_id, rank, vec_id, dist2)` — rank 1..k ascending dist2
+    */
+  def search(model: IvfModel, queries: DataFrame, params: Params): DataFrame =
+    topkOverCandidates(
+      chooseProbes(model, queries, params)
+        .select("query_id", "partition_id", "qvec")
+        .join(model.vectors, Seq("partition_id")),
+      params.k)
+
+  /** Per-query probe metrics (reference result `meta`, quake_min.py:168):
+    * `(query_id, nprobe, scanned)`. */
+  def probeMetrics(probes: DataFrame): DataFrame =
+    probes
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("nprobe"), sum(col("psize")).as("scanned"))
+
+  /** Brute-force exact top-k over the whole collection (reference
+    * `exact_topk`, quake_min.py:212-215) — the ground-truth oracle. */
+  def exactTopK(vectors: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    topkOverCandidates(vectors.crossJoin(broadcast(queries)), k)
+
+  /** Distance + per-query top-k (`l2_batch` + `topk_indices`,
+    * quake_min.py:161-163). Candidate rows carry query_id, qvec, vec_id,
+    * embedding. Ties broken by vec_id for determinism. */
+  private def topkOverCandidates(cands: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("query_id").orderBy(col("dist2").asc, col("vec_id").asc)
+    cands
+      .withColumn("dist2", l2Sq(col("qvec"), col("embedding")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "dist2")
+  }
+
+  /** recall@k of `results` against `exact` (both `(query_id, rank, vec_id, …)`),
+    * reference quake_min.py:164-167. */
+  def recallAtK(results: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    val inter = results
+      .select("query_id", "vec_id")
+      .join(exact.select("query_id", "vec_id"), Seq("query_id", "vec_id"))
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_inter"))
+    val denom = exact
+      .groupBy("query_id")
+      .agg(least(count(lit(1)), lit(k)).as("denom"))
+    denom
+      .join(inter, Seq("query_id"), "left")
+      .select(
+        col("query_id"),
+        (coalesce(col("n_inter"), lit(0L)).cast("double") / col("denom")).as("recall"))
+  }
+}

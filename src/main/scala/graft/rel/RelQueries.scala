@@ -1,0 +1,342 @@
+package graft.rel
+
+import graft.{NamedQuery, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** [engine-added] Relational operator inventory over the driver fixture
+  * tables (SURVEY.md §2.B): scans with pushed filters, projections, every
+  * join flavor (inner, broadcast, semi, anti), hash aggregation with
+  * partial/map-side combine, ranking + running-window functions, set
+  * operations, rollup, top-k (`TakeOrderedAndProject`), scalar
+  * string/date/JSON functions, and a scalar subquery. Every query here is
+  * hash-checked against a DuckDB oracle by the driver.
+  *
+  * Determinism rules (driver compares row/schema/hash): every floating
+  * aggregate is `round()`ed identically on both sides, every output is
+  * fully `ORDER BY`-determined with unique tie-breakers, dates are
+  * formatted to strings, and column names/aliases match the oracle SQL
+  * exactly.
+  *
+  * Scale notes: fact-to-fact joins key on the join column and let AQE pick
+  * shuffle vs broadcast; dimension joins (`nation`, `region`, `customer`,
+  * `supplier`) are explicitly `broadcast()` — at 100 TB the fact side never
+  * shuffles for those. Filters sit directly on the scan so Parquet gets
+  * them pushed (`PushedFilters` in explain).
+  */
+object RelQueries {
+  import Tables.t
+
+  val defs: Seq[NamedQuery] = Seq(
+    // --- scan + filter + aggregate (TPC-H Q1 shape) ------------------
+    NamedQuery(
+      "q01_pricing_summary",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            round(sum("l_quantity"), 2).as("sum_qty"),
+            round(sum("l_extendedprice"), 2).as("sum_base_price"),
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2)
+              .as("sum_charge"),
+            round(avg("l_quantity"), 4).as("avg_qty"),
+            round(avg("l_extendedprice"), 4).as("avg_price"),
+            round(avg("l_discount"), 4).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus"),
+      Some(
+        "SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty, " +
+          "round(sum(l_extendedprice),2) AS sum_base_price, " +
+          "round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price, " +
+          "round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge, " +
+          "round(avg(l_quantity),4) AS avg_qty, round(avg(l_extendedprice),4) AS avg_price, " +
+          "round(avg(l_discount),4) AS avg_disc, count(*) AS count_order " +
+          "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' " +
+          "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus")),
+
+    // --- tight predicate pushdown (TPC-H Q6 shape) -------------------
+    NamedQuery(
+      "q02_revenue_forecast",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .filter(
+            col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+              col("l_discount") >= 0.03 && col("l_discount") <= 0.07 &&
+              col("l_quantity") < 24)
+          .agg(
+            round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+            count(lit(1)).as("n_rows")),
+      Some(
+        "SELECT round(sum(l_extendedprice*l_discount),2) AS revenue, count(*) AS n_rows " +
+          "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01' " +
+          "AND l_discount >= 0.03 AND l_discount <= 0.07 AND l_quantity < 24")),
+
+    // --- 3-way join + agg + top-k (TPC-H Q3 shape) -------------------
+    NamedQuery(
+      "q03_top_orders",
+      (s, dir) => {
+        val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        val o = t(s, dir, "orders").filter(col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+        val l = t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1996-07-01").cast("timestamp"))
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .groupBy("o_orderkey")
+          .agg(
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+            first(date_format(col("o_orderdate"), "yyyy-MM-dd")).as("orderdate"))
+          .orderBy(col("revenue").desc, col("o_orderkey"))
+          .limit(10)
+      },
+      Some(
+        "SELECT o_orderkey, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue, " +
+          "strftime(any_value(o_orderdate), '%Y-%m-%d') AS orderdate " +
+          "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+          "JOIN customer ON o_custkey = c_custkey " +
+          "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1996-07-01' " +
+          "AND l_shipdate > TIMESTAMP '1996-07-01' " +
+          "GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey LIMIT 10")),
+
+    // --- semi join (EXISTS) ------------------------------------------
+    NamedQuery(
+      "q04_priority_with_big_items",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val big = t(s, dir, "lineitem").filter(col("l_quantity") >= 48).select("l_orderkey")
+        o.join(big, col("o_orderkey") === col("l_orderkey"), "left_semi")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy("o_orderpriority")
+      },
+      Some(
+        "SELECT o_orderpriority, count(*) AS order_count FROM orders " +
+          "WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 48) " +
+          "GROUP BY o_orderpriority ORDER BY o_orderpriority")),
+
+    // --- star join through two broadcast dims (TPC-H Q5 flavor) ------
+    NamedQuery(
+      "q05_nation_revenue",
+      (s, dir) => {
+        val l = t(s, dir, "lineitem")
+        val sup = t(s, dir, "supplier")
+        val n = t(s, dir, "nation")
+        val r = t(s, dir, "region")
+        l.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy("r_name", "n_name")
+          .agg(
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy("r_name", "n_name")
+      },
+      Some(
+        "SELECT r_name, n_name, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue, count(*) AS n_items " +
+          "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +
+          "JOIN nation ON s_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey " +
+          "GROUP BY r_name, n_name ORDER BY r_name, n_name")),
+
+    // --- ranking window ----------------------------------------------
+    NamedQuery(
+      "q06_top3_orders_per_segment",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val c = t(s, dir, "customer")
+        val w = Window
+          .partitionBy("c_mktsegment")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select(col("c_mktsegment"), col("rnk"), col("o_orderkey"), col("o_totalprice"))
+          .orderBy("c_mktsegment", "rnk")
+      },
+      Some(
+        "SELECT c_mktsegment, rnk, o_orderkey, o_totalprice FROM (" +
+          "SELECT c_mktsegment, o_orderkey, o_totalprice, " +
+          "row_number() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk " +
+          "FROM orders JOIN customer ON o_custkey = c_custkey) " +
+          "WHERE rnk <= 3 ORDER BY c_mktsegment, rnk")),
+
+    // --- running-total window ----------------------------------------
+    NamedQuery(
+      "q07_customer_running_spend",
+      (s, dir) => {
+        val w = Window
+          .partitionBy("o_custkey")
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "orders")
+          .filter(col("o_custkey") <= 100)
+          .withColumn("running_spend", round(sum(col("o_totalprice")).over(w), 2))
+          .select("o_custkey", "o_orderkey", "running_spend")
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some(
+        "SELECT o_custkey, o_orderkey, round(sum(o_totalprice) OVER (" +
+          "PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS running_spend " +
+          "FROM orders WHERE o_custkey <= 100 ORDER BY o_custkey, o_orderkey")),
+
+    // --- anti join (NOT EXISTS) --------------------------------------
+    NamedQuery(
+      "q08_customers_without_orders",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders").select("o_custkey")
+        c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name")
+          .orderBy("c_custkey")
+      },
+      Some(
+        "SELECT c_custkey, c_name FROM customer " +
+          "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey")),
+
+    // --- set operations ----------------------------------------------
+    NamedQuery(
+      "q09_segment_set_algebra",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val rich = c.filter(col("c_acctbal") > 8000).select("c_custkey")
+        val open = t(s, dir, "orders")
+          .filter(col("o_orderstatus") === "O")
+          .select(col("o_custkey").as("c_custkey"))
+        val machinery = c.filter(col("c_mktsegment") === "MACHINERY").select("c_custkey")
+        rich.union(open).distinct().except(machinery).orderBy("c_custkey")
+      },
+      Some(
+        "(SELECT c_custkey FROM customer WHERE c_acctbal > 8000 " +
+          "UNION SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O') " +
+          "EXCEPT SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY' ORDER BY c_custkey")),
+
+    // --- rollup --------------------------------------------------------
+    NamedQuery(
+      "q10_returnflag_rollup",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .rollup("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("n_rows"), round(sum("l_quantity"), 2).as("sum_qty"))
+          .select(
+            coalesce(col("l_returnflag"), lit("(all)")).as("rf"),
+            coalesce(col("l_linestatus"), lit("(all)")).as("ls"),
+            col("n_rows"),
+            col("sum_qty"))
+          .orderBy("rf", "ls"),
+      Some(
+        "SELECT coalesce(l_returnflag,'(all)') AS rf, coalesce(l_linestatus,'(all)') AS ls, " +
+          "count(*) AS n_rows, round(sum(l_quantity),2) AS sum_qty " +
+          "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY rf, ls")),
+
+    // --- distinct aggregation ----------------------------------------
+    NamedQuery(
+      "q11_nation_customer_profile",
+      (s, dir) =>
+        t(s, dir, "customer")
+          .groupBy("c_nationkey")
+          .agg(
+            count(lit(1)).as("n_customers"),
+            countDistinct(col("c_mktsegment")).as("n_segments"),
+            round(sum("c_acctbal"), 2).as("total_bal"))
+          .orderBy("c_nationkey"),
+      Some(
+        "SELECT c_nationkey, count(*) AS n_customers, count(DISTINCT c_mktsegment) AS n_segments, " +
+          "round(sum(c_acctbal),2) AS total_bal FROM customer GROUP BY c_nationkey ORDER BY c_nationkey")),
+
+    // --- scalar string functions -------------------------------------
+    NamedQuery(
+      "q12_part_strings",
+      (s, dir) =>
+        t(s, dir, "part")
+          .select(
+            col("p_partkey"),
+            upper(col("p_brand")).as("brand_uc"),
+            substring(col("p_name"), 1, 8).as("name_pfx"),
+            length(col("p_name")).as("name_len"),
+            concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+            regexp_replace(col("p_type"), " ", "_").as("type_snake"),
+            col("p_name").like("%a%").as("has_a"))
+          .orderBy("p_partkey")
+          .limit(50),
+      Some(
+        "SELECT p_partkey, upper(p_brand) AS brand_uc, substring(p_name,1,8) AS name_pfx, " +
+          "length(p_name) AS name_len, concat_ws('|', p_brand, p_type) AS brand_type, " +
+          "replace(p_type, ' ', '_') AS type_snake, p_name LIKE '%a%' AS has_a " +
+          "FROM part ORDER BY p_partkey LIMIT 50")),
+
+    // --- date functions + agg ----------------------------------------
+    NamedQuery(
+      "q13_orders_by_month",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("order_month"))
+          .agg(
+            count(lit(1)).as("n_orders"),
+            round(sum("o_totalprice"), 2).as("total"),
+            round(avg("o_totalprice"), 4).as("avg_price"))
+          .orderBy("order_month"),
+      Some(
+        "SELECT strftime(o_orderdate, '%Y-%m') AS order_month, count(*) AS n_orders, " +
+          "round(sum(o_totalprice),2) AS total, round(avg(o_totalprice),4) AS avg_price " +
+          "FROM orders GROUP BY 1 ORDER BY order_month")),
+
+    // --- JSON extraction ---------------------------------------------
+    NamedQuery(
+      "q14_json_props",
+      (s, dir) =>
+        t(s, dir, "events")
+          .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+          .groupBy((col("k") % 10).as("k_bucket"))
+          .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
+          .orderBy("k_bucket"),
+      Some(
+        "SELECT CAST(json_extract_string(props,'$.k') AS BIGINT) % 10 AS k_bucket, " +
+          "count(*) AS n_events, round(sum(value),2) AS total_value " +
+          "FROM events GROUP BY 1 ORDER BY k_bucket")),
+
+    // --- event-time tumbling windows (batch form) --------------------
+    NamedQuery(
+      "q15_daily_event_stats",
+      (s, dir) =>
+        t(s, dir, "events")
+          .groupBy(
+            date_format(col("ts"), "yyyy-MM-dd").as("day"),
+            col("event_type"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            round(sum("value"), 2).as("sum_value"),
+            round(min("value"), 2).as("min_value"),
+            round(max("value"), 2).as("max_value"))
+          .orderBy("day", "event_type"),
+      Some(
+        "SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS n_events, " +
+          "round(sum(value),2) AS sum_value, round(min(value),2) AS min_value, round(max(value),2) AS max_value " +
+          "FROM events GROUP BY 1, 2 ORDER BY day, event_type")),
+
+    // --- scalar subquery ---------------------------------------------
+    NamedQuery(
+      "q16_above_average_orders",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val a = o.agg(avg("o_totalprice").as("ap"))
+        o.crossJoin(a)
+          .filter(col("o_totalprice") > col("ap"))
+          .agg(count(lit(1)).as("n_above"), round(sum("o_totalprice"), 2).as("sum_above"))
+      },
+      Some(
+        "SELECT count(*) AS n_above, round(sum(o_totalprice),2) AS sum_above FROM orders " +
+          "WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)")),
+
+    // --- global top-k (TakeOrderedAndProject) ------------------------
+    NamedQuery(
+      "q17_most_expensive_items",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_extendedprice")
+          .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+          .limit(20),
+      Some(
+        "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem " +
+          "ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20")))
+}
