@@ -71,10 +71,9 @@ object IvfBuild {
       .sortBy(_.getLong(0))
     val pidOf: Map[Long, Long] = stats.map(_.getLong(0)).zipWithIndex.map { case (pk, i) => pk -> i.toLong }.toMap
 
-    val bc = spark.sparkContext.broadcast(pidOf)
-    val pidUdf = udf { pk: Long => bc.value(pk) }
+    // Map-literal lookup instead of a UDF: stays in codegen, no boxing.
     val vectors = l2c
-      .withColumn("partition_id", pidUdf(col("__pk")))
+      .withColumn("partition_id", try_element_at(typedLit(pidOf), col("__pk")))
       .select("vec_id", "embedding", "partition_id")
       .cache()
     vectors.count()

@@ -83,16 +83,15 @@ object IvfMaintain {
     }
     if (siblingOf.isEmpty) { subset.unpersist(); return model }
 
-    val sibB = subset.sparkSession.sparkContext.broadcast(siblingOf.toMap)
-    val remap = udf { (pid: Long, cluster: Int) =>
-      sibB.value.get(pid) match {
-        case Some(sib) if cluster == 1 => sib
-        case _                         => pid
-      }
-    }
+    // Map-literal remap instead of a UDF: cluster-1 rows move to the new
+    // sibling pid, everything else keeps its pid.
+    val sibLit = typedLit(siblingOf.toMap)
     val keep = model.vectors.filter(!col("partition_id").isInCollection(splitPids))
     val moved = assigned
-      .withColumn("partition_id", remap(col("partition_id"), col("cluster")))
+      .withColumn(
+        "partition_id",
+        when(col("cluster") === 1, coalesce(try_element_at(sibLit, col("partition_id")), col("partition_id")))
+          .otherwise(col("partition_id")))
       .select("vec_id", "embedding", "partition_id")
     model.copy(vectors = keep.unionByName(moved), partitions = parts)
   }
@@ -146,10 +145,10 @@ object IvfMaintain {
 
     val moves = home.filter { case (k, v) => k != v }.toMap
     if (moves.isEmpty) return model
-    val movesB = model.vectors.sparkSession.sparkContext.broadcast(moves)
-    val remap = udf { pid: Long => movesB.value.getOrElse(pid, pid) }
     model.copy(
-      vectors = model.vectors.withColumn("partition_id", remap(col("partition_id"))),
+      vectors = model.vectors.withColumn(
+        "partition_id",
+        coalesce(try_element_at(typedLit(moves), col("partition_id")), col("partition_id"))),
       partitions = metas.toVector)
   }
 }

@@ -1,6 +1,6 @@
 package graft.index
 
-import graft.vector.{KMeans, VectorMean}
+import graft.vector.{VectorMean, VectorOps}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -11,10 +11,11 @@ import org.apache.spark.sql.functions._
   * Inserts route through the two-level centroid hierarchy exactly like the
   * reference (coarse argmin → base argmin within the cell's routing list,
   * quake_min.py:93-104, including the empty-cell → new partition branch,
-  * quake_min.py:96-102). Deletes are anti-joins — unknown ids are
-  * naturally no-ops (quake_min.py:113). Touched partitions get their
-  * centroid recomputed as the exact mean of remaining members, matching
-  * `np.mean` recompute (quake_min.py:108, 122).
+  * quake_min.py:96-102). Routing is pure broadcast-join + `min_by` — no
+  * UDF, so the plan stays inside whole-stage codegen. Deletes are
+  * anti-joins — unknown ids are naturally no-ops (quake_min.py:113).
+  * Touched partitions get their centroid recomputed as the exact mean of
+  * remaining members, matching `np.mean` recompute (quake_min.py:108, 122).
   */
 object IvfMutate {
 
@@ -34,41 +35,70 @@ object IvfMutate {
   }
 
   /** Batch insert.
+    *
+    * Wrong-dimension vectors are rejected up front (the reference would
+    * crash on them mid-broadcast, quake_min.py:106; silently accepting them
+    * would poison top-k with NULL distances). Empty coarse cells spawn one
+    * new partition per cell — but, unlike a pre-assignment scheme, pids are
+    * handed out only to cells that actually RECEIVED vectors in this batch,
+    * numbered densely from `partitions.length` in cell order, so the
+    * pid-equals-index invariant of [[IvfModel.partitions]] always holds.
+    *
     * @param adds `(vec_id long, embedding array<float>)`, ids fresh. */
   def insert(model: IvfModel, adds: DataFrame): IvfModel = {
     val spark = adds.sparkSession
-    val sc = spark.sparkContext
+    import spark.implicits._
 
-    // Empty coarse cells spawn one new partition per cell for this batch
-    // (the reference spawns one per inserted row since it inserts
-    // row-at-a-time, quake_min.py:96-102 — batch granularity here).
-    val emptyCells = model.coarseCentroids.indices
-      .map(_.toLong)
-      .filter(c => model.coarseBaseIds.getOrElse(c, Vector.empty).isEmpty)
-    val newPidFor: Map[Long, Long] =
-      emptyCells.zipWithIndex.map { case (c, i) => c -> (model.partitions.length + i).toLong }.toMap
-
-    val coarseB = sc.broadcast(model.coarseCentroids)
-    val routesB = sc.broadcast(
-      model.coarseBaseIds.map { case (c, pids) =>
-        c -> pids.map(p => (p, model.partitions(p.toInt).centroid)).toArray
-      })
-    val newPidB = sc.broadcast(newPidFor)
-
-    val routeUdf = udf { v: Seq[Float] =>
-      val cIdx = KMeans.nearest(coarseB.value, v).toLong
-      val routes = routesB.value.getOrElse(cIdx, Array.empty[(Long, Array[Float])])
-      if (routes.isEmpty) newPidB.value(cIdx)
-      else routes(KMeans.nearest(routes.map(_._2), v))._1
-    }
-
-    val routed = adds
+    val clean = adds
       .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
-      .withColumn("partition_id", routeUdf(col("embedding")))
+      .filter(VectorOps.hasDim(col("embedding"), model.dim))
+
+    // Broadcast centroid tables (metadata-sized even at 100 TB).
+    val coarseDf = model.coarseCentroids.zipWithIndex.toSeq
+      .map { case (c, i) => (i.toLong, c.toSeq) }
+      .toDF("coarse_id", "ccent")
+    // Routing list per the reference's CoarseCell.base_ids (split-born
+    // siblings are deliberately absent — quake_min.py:183-184 quirk).
+    val routesDf = model.coarseBaseIds.toSeq
+      .flatMap { case (c, pids) => pids.map(p => (c, p, model.partitions(p.toInt).centroid.toSeq)) }
+      .toDF("coarse_id", "pid", "pcent")
+
+    // Stage 1: nearest coarse cell (ties → lowest id, like np.argmin).
+    val withCell = clean
+      .crossJoin(broadcast(coarseDf))
+      .withColumn("cd", VectorOps.l2Sq(col("embedding"), col("ccent")))
+      .groupBy("vec_id")
+      .agg(
+        any_value(col("embedding")).as("embedding"),
+        min_by(col("coarse_id"), struct(col("cd"), col("coarse_id"))).as("coarse_id"))
+
+    // Stage 2: nearest base partition within the cell's routing list; cells
+    // with an empty routing list get a NULL pid here (new-partition branch).
+    val routed = withCell
+      .join(broadcast(routesDf), Seq("coarse_id"), "left")
+      .withColumn("pd", when(col("pid").isNotNull, VectorOps.l2Sq(col("embedding"), col("pcent"))))
+      .groupBy("vec_id")
+      .agg(
+        any_value(col("embedding")).as("embedding"),
+        any_value(col("coarse_id")).as("coarse_id"),
+        min_by(col("pid"), struct(col("pd"), col("pid"))).as("pid0"))
       .cache()
 
-    val newVectors = model.vectors.unionByName(routed).cache()
-    val touched = routed.select("partition_id").distinct().collect().map(_.getLong(0)).toSet
+    // Dense pids for empty cells that actually received vectors this batch.
+    val hitEmptyCells = routed.filter(col("pid0").isNull)
+      .select("coarse_id").distinct().collect().map(_.getLong(0)).sorted
+    val newPidFor: Map[Long, Long] =
+      hitEmptyCells.zipWithIndex.map { case (c, i) => c -> (model.partitions.length + i).toLong }.toMap
+    val pidExpr =
+      if (newPidFor.isEmpty) col("pid0")
+      else coalesce(col("pid0"), try_element_at(typedLit(newPidFor), col("coarse_id")))
+
+    val newRows = routed
+      .withColumn("partition_id", pidExpr)
+      .select("vec_id", "embedding", "partition_id")
+
+    val newVectors = model.vectors.unionByName(newRows).cache()
+    val touched = newRows.select("partition_id").distinct().collect().map(_.getLong(0)).toSet
     val updated = recomputeStats(newVectors, touched)
     routed.unpersist()
 
@@ -76,10 +106,9 @@ object IvfMutate {
     val existing = model.partitions.map { p =>
       updated.get(p.pid).map { case (c, n) => p.copy(centroid = c, size = n) }.getOrElse(p)
     }
-    val fresh = newPidFor.toVector.sortBy(_._2).flatMap { case (cell, pid) =>
-      updated.get(pid).map { case (c, n) =>
-        PartitionMeta(pid, cell, c, n, hits = 0L, lastSplitAt = 0L)
-      }
+    val fresh = newPidFor.toVector.sortBy(_._2).map { case (cell, pid) =>
+      val (c, n) = updated(pid)
+      PartitionMeta(pid, cell, c, n, hits = 0L, lastSplitAt = 0L)
     }
     val baseIds = fresh.foldLeft(model.coarseBaseIds) { case (m, p) =>
       m.updated(p.coarseId, m.getOrElse(p.coarseId, Vector.empty) :+ p.pid)

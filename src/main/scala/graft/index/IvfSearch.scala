@@ -91,7 +91,9 @@ object IvfSearch {
     * quake_min.py:161-163). Candidate rows carry query_id, qvec, vec_id,
     * embedding. Ties broken by vec_id for determinism. */
   private def topkOverCandidates(cands: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy("query_id").orderBy(col("dist2").asc, col("vec_id").asc)
+    // nulls LAST: a NULL distance (e.g. a corrupt/wrong-dim row that slipped
+    // in) must never outrank a real neighbor.
+    val w = Window.partitionBy("query_id").orderBy(col("dist2").asc_nulls_last, col("vec_id").asc)
     cands
       .withColumn("dist2", l2Sq(col("qvec"), col("embedding")))
       .withColumn("rank", row_number().over(w))
@@ -100,8 +102,12 @@ object IvfSearch {
   }
 
   /** recall@k of `results` against `exact` (both `(query_id, rank, vec_id, …)`),
-    * reference quake_min.py:164-167. */
-  def recallAtK(results: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    * reference quake_min.py:164-167: denominator `max(1, min(k, |exact|))`,
+    * and EVERY query in `queries` gets a recall row — a query with no exact
+    * rows or no probed candidates scores 0, it is not silently dropped.
+    *
+    * @param queries the full query batch `(query_id, …)` */
+  def recallAtK(results: DataFrame, exact: DataFrame, k: Int, queries: DataFrame): DataFrame = {
     val inter = results
       .select("query_id", "vec_id")
       .join(exact.select("query_id", "vec_id"), Seq("query_id", "vec_id"))
@@ -109,11 +115,14 @@ object IvfSearch {
       .agg(count(lit(1)).as("n_inter"))
     val denom = exact
       .groupBy("query_id")
-      .agg(least(count(lit(1)), lit(k)).as("denom"))
-    denom
+      .agg(least(count(lit(1)), lit(k)).as("nd"))
+    queries
+      .select("query_id").distinct()
+      .join(denom, Seq("query_id"), "left")
       .join(inter, Seq("query_id"), "left")
       .select(
         col("query_id"),
-        (coalesce(col("n_inter"), lit(0L)).cast("double") / col("denom")).as("recall"))
+        (coalesce(col("n_inter"), lit(0L)).cast("double") /
+          greatest(lit(1L), coalesce(col("nd"), lit(0L)))).as("recall"))
   }
 }

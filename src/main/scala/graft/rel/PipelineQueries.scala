@@ -1,0 +1,419 @@
+package graft.rel
+
+import graft.{NamedQuery, Tables}
+import graft.index.{IvfBuild, IvfModel, IvfSearch}
+import graft.multimodal.MultimodalOps
+import graft.text.{Dedup, TextOps}
+import graft.vector.VectorMean
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** [engine-added] Vector-search, dedup, text-analysis and multimodal
+  * queries over the `embeddings`/`documents` fixtures — the LLM-pipeline
+  * operator inventory (SURVEY.md §2.B) exposed through the driver contract.
+  *
+  * Determinism notes:
+  *  - every float output that crosses the DuckDB hash-compare is forced
+  *    through float32 (`cast("float").cast("double")`) before rounding, and
+  *    the oracle SQL applies the identical `CAST(… AS REAL)` squeeze — a
+  *    1e-15 summation-order wobble cannot survive a float32 quantization,
+  *    so both engines round the same value;
+  *  - dedup queries PLANT deterministic duplicates derived from the fixture
+  *    (the synthetic corpus has none) so the operators demonstrably fire;
+  *  - MinHash/SimHash/LSH queries hash with seeded `xxhash64`, which DuckDB
+  *    does not implement → registered without oracle (rows-only check),
+  *    with ScalaTest oracles covering their semantics instead.
+  */
+object PipelineQueries {
+  import Tables.t
+
+  /** One shared IVF index per fixture dir per JVM — Verify/Bench run many
+    * queries in one session; rebuilding the index per query would be waste. */
+  private val indexCache = scala.collection.concurrent.TrieMap.empty[String, IvfModel]
+  def indexFor(s: SparkSession, dir: String): IvfModel =
+    indexCache.getOrElseUpdate(dir, {
+      val emb = t(s, dir, "embeddings")
+      val dim = emb.select(size(col("embedding"))).head().getInt(0)
+      IvfBuild.build(emb, dim)
+    })
+
+  private def embQueries(s: SparkSession, dir: String, n: Int): DataFrame =
+    t(s, dir, "embeddings")
+      .filter(col("vec_id") < n)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+
+  /** float32-squeeze + round: the cross-engine-stable float projection. */
+  private def f32round(c: org.apache.spark.sql.Column, d: Int) =
+    round(c.cast("float").cast("double"), d)
+
+  // DuckDB-side L2 between two list<float> columns, double accumulation
+  // (mirrors VectorOps.l2Sq: cast each element to double BEFORE subtracting).
+  private def duckL2(a: String, b: String): String =
+    s"list_sum(list_transform(generate_series(1, len($a)), i -> " +
+      s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))))"
+
+  private def duckDot(a: String, b: String): String =
+    s"list_sum(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
+  private def duckNorm(a: String): String =
+    s"sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+
+  // DuckDB-side tokens-of-lowered-text (mirrors TextOps.tokens).
+  private val duckToks = """list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)"""
+
+  val defs: Seq[NamedQuery] = Seq(
+
+    // =====================================================================
+    // Vector / similarity search
+    // =====================================================================
+
+    // Brute-force exact k-NN join (reference exact_topk, quake_min.py:212-215,
+    // batched as queries × corpus) — the ground-truth oracle of the IVF path.
+    NamedQuery(
+      "v01_exact_knn",
+      (s, dir) =>
+        IvfSearch
+          .exactTopK(
+            t(s, dir, "embeddings").select("vec_id", "embedding"),
+            embQueries(s, dir, 5),
+            k = 10)
+          .select(
+            col("query_id"),
+            col("rank").cast("int").as("rnk"),
+            col("vec_id"),
+            f32round(col("dist2"), 3).as("dist2"))
+          .orderBy("query_id", "rnk"),
+      Some(
+        "WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5), " +
+          s"d AS (SELECT q.query_id, e.vec_id, ${duckL2("q.qvec", "e.embedding")} AS dist2 " +
+          "FROM q CROSS JOIN embeddings e), " +
+          "r AS (SELECT query_id, vec_id, dist2, CAST(row_number() OVER " +
+          "(PARTITION BY query_id ORDER BY dist2 ASC, vec_id ASC) AS INTEGER) AS rnk FROM d) " +
+          "SELECT query_id, rnk, vec_id, round(CAST(CAST(dist2 AS REAL) AS DOUBLE), 3) AS dist2 " +
+          "FROM r WHERE rnk <= 10 ORDER BY query_id, rnk")),
+
+    // IVF APS search (reference search, quake_min.py:147-168) over the
+    // two-level index — deterministic build, but the probe math is not
+    // SQL-portable → rows-only check; recall is asserted by v06 + tests.
+    NamedQuery(
+      "v02_ivf_search",
+      (s, dir) =>
+        IvfSearch
+          .search(indexFor(s, dir), embQueries(s, dir, 20), IvfSearch.Params(k = 10, targetRecall = 0.9, maxProbe = 64))
+          .select(col("query_id"), col("rank").cast("int").as("rnk"), col("vec_id"))
+          .orderBy("query_id", "rnk"),
+      None),
+
+    // Per-label centroids via the VectorMean partial aggregator (O5) —
+    // projected to the first 8 dims so DuckDB can check element-wise.
+    NamedQuery(
+      "v03_label_centroids",
+      (s, dir) => {
+        val c = t(s, dir, "embeddings")
+          .groupBy(col("label").cast("int").as("label"))
+          .agg(count(lit(1)).as("n_vecs"), VectorMean.fn(col("embedding")).as("c"))
+        c.select(
+          col("label") +: col("n_vecs") +:
+            (1 to 8).map(i => f32round(element_at(col("c"), i), 3).as(s"d$i")): _*)
+          .orderBy("label")
+      },
+      Some(
+        "SELECT CAST(label AS INTEGER) AS label, count(*) AS n_vecs, " +
+          (1 to 8)
+            .map(i => s"round(CAST(CAST(avg(CAST(embedding[$i] AS DOUBLE)) AS REAL) AS DOUBLE), 3) AS d$i")
+            .mkString(", ") +
+          " FROM embeddings GROUP BY 1 ORDER BY label")),
+
+    // Brute-force cosine top-k (the similarity-search baseline the brief
+    // asks for; IVF/LSH variants are the scale path).
+    NamedQuery(
+      "v04_cosine_topk",
+      (s, dir) => {
+        import graft.vector.VectorOps
+        val cands = t(s, dir, "embeddings")
+          .crossJoin(broadcast(embQueries(s, dir, 5)))
+          .filter(col("vec_id") =!= col("query_id"))
+          .withColumn("cos", VectorOps.cosine(col("qvec"), col("embedding")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy(col("cos").desc_nulls_last, col("vec_id").asc)
+        cands
+          .withColumn("rnk", row_number().over(w).cast("int"))
+          .filter(col("rnk") <= 10)
+          .select(col("query_id"), col("rnk"), col("vec_id"), f32round(col("cos"), 4).as("cos"))
+          .orderBy("query_id", "rnk")
+      },
+      Some(
+        "WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5), " +
+          s"d AS (SELECT q.query_id, e.vec_id, ${duckDot("q.qvec", "e.embedding")} / " +
+          s"(${duckNorm("q.qvec")} * ${duckNorm("e.embedding")}) AS cos " +
+          "FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id), " +
+          "r AS (SELECT query_id, vec_id, cos, CAST(row_number() OVER " +
+          "(PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rnk FROM d) " +
+          "SELECT query_id, rnk, vec_id, round(CAST(CAST(cos AS REAL) AS DOUBLE), 4) AS cos " +
+          "FROM r WHERE rnk <= 10 ORDER BY query_id, rnk")),
+
+    // Embedding near-dup via random-hyperplane LSH + exact cosine verify —
+    // the bucketed (non-all-pairs) scale path. Plane hashes aren't
+    // SQL-portable → rows-only.
+    NamedQuery(
+      "v05_cosine_lsh_pairs",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+        val dim = emb.select(size(col("embedding"))).head().getInt(0)
+        // The synthetic corpus has no near-identical pairs (max pairwise
+        // cosine ≈ 0.51; the embeddings are unit-normalized), so plant
+        // them: each vector rejoined under vec_id+100000 with a small
+        // deterministic ±0.005 perturbation (cos ≈ 0.9992) — the LSH must
+        // recover these pairs. 32 planes / 8-row bands → 256 buckets per
+        // band, so candidate generation stays sub-quadratic.
+        val perturbed = emb.select(
+          (col("vec_id") + 100000L).as("vec_id"),
+          transform(
+            col("embedding"),
+            (x, i) => x + when(pmod(i, lit(2)) === 0, lit(0.005f)).otherwise(lit(-0.005f))).as("embedding"))
+        Dedup
+          .cosineLshPairs(emb.unionByName(perturbed), dim, nPlanes = 32, bands = 4, minCosine = 0.99)
+          .select(col("id_a"), col("id_b"), f32round(col("cosine"), 4).as("cosine"))
+          .orderBy("id_a", "id_b")
+      },
+      None),
+
+    // IVF recall vs the exact oracle — the reference's own acceptance bar
+    // (recall ≥ 0.9 at target 0.9; notebook cell-3 achieved 0.968).
+    NamedQuery(
+      "v06_ivf_recall",
+      (s, dir) => {
+        val model = indexFor(s, dir)
+        val qs = embQueries(s, dir, 20)
+        val params = IvfSearch.Params(k = 10, targetRecall = 0.9, maxProbe = 64)
+        val res = IvfSearch.search(model, qs, params)
+        val exact = IvfSearch.exactTopK(t(s, dir, "embeddings").select("vec_id", "embedding"), qs, 10)
+        IvfSearch
+          .recallAtK(res, exact, 10, qs)
+          .agg(count(lit(1)).as("n_queries"), round(avg("recall"), 4).as("mean_recall"))
+      },
+      None),
+
+    // =====================================================================
+    // Deduplication (documents)
+    // =====================================================================
+
+    // Exact dedup by content hash. The fixture corpus has no exact dups, so
+    // every doc_id % 5 == 0 doc is re-inserted under doc_id+100000 — the
+    // oracle plants the identical dups, so group counts must agree.
+    NamedQuery(
+      "d01_exact_dedup",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        val planted = docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+        Dedup
+          .exactGroups(docs.unionByName(planted))
+          .filter(col("n_docs") > 1)
+          .select("content_hash", "n_docs", "keeper_id")
+          .orderBy("keeper_id")
+      },
+      Some(
+        "WITH all_docs AS (SELECT doc_id, text FROM documents UNION ALL " +
+          "SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0) " +
+          "SELECT sha256(text) AS content_hash, count(*) AS n_docs, min(doc_id) AS keeper_id " +
+          "FROM all_docs GROUP BY 1 HAVING count(*) > 1 ORDER BY keeper_id")),
+
+    // MinHash + LSH banding near-dup. Planted near-dups: each doc rejoined
+    // with its first 5 tokens dropped (doc_id+100000). xxhash64 signatures
+    // aren't SQL-portable → rows-only; semantics covered by DedupSpec.
+    NamedQuery(
+      "d02_minhash_lsh",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        val mutated = docs.select(
+          (col("doc_id") + 100000L).as("doc_id"),
+          concat_ws(" ", slice(TextOps.tokens(col("text")), 6, 1000000)).as("text"))
+        Dedup
+          .minhashLsh(docs.unionByName(mutated), shingleN = 3, numHashes = 16, bands = 4, minEstJaccard = 0.5)
+          .select(col("doc_a"), col("doc_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
+          .orderBy("doc_a", "doc_b")
+      },
+      None),
+
+    // Exact n-gram Jaccard similarity join, blocked by `source` — fully
+    // SQL-expressible set arithmetic, top-20 most similar in-block pairs.
+    NamedQuery(
+      "d03_ngram_jaccard",
+      (s, dir) =>
+        Dedup
+          .ngramJaccardPairs(t(s, dir, "documents"), "source", shingleN = 3)
+          .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+          .limit(20)
+          .select(col("block").as("source"), col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard")),
+      Some(
+        "WITH tok AS (SELECT source, doc_id, list_distinct(list_transform(" +
+          "generate_series(1, greatest(len(w) - 2, 0)), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh " +
+          s"FROM (SELECT source, doc_id, $duckToks AS w FROM documents)), " +
+          "p AS (SELECT a.source, a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+          "CASE WHEN len(list_distinct(a.sh || b.sh)) = 0 THEN 0.0 " +
+          "ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) END AS jaccard " +
+          "FROM tok a JOIN tok b ON a.source = b.source AND a.doc_id < b.doc_id) " +
+          "SELECT source, doc_a, doc_b, round(jaccard, 4) AS jaccard FROM p " +
+          "ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20")),
+
+    // SimHash near-dup with 16-bit-chunk banding. Planted near-dups: last 3
+    // tokens dropped. Rows-only (xxhash64 again).
+    NamedQuery(
+      "d04_simhash_pairs",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        val toks = TextOps.tokens(col("text"))
+        val mutated = docs.select(
+          (col("doc_id") + 100000L).as("doc_id"),
+          concat_ws(" ", slice(toks, lit(1), greatest(size(toks) - 3, lit(1)))).as("text"))
+        Dedup
+          .simhashPairs(docs.unionByName(mutated), maxHamming = 10)
+          .orderBy("doc_a", "doc_b")
+      },
+      None),
+
+    // =====================================================================
+    // Text analysis (documents)
+    // =====================================================================
+
+    // Per-document token statistics + BPE-ish sub-token count.
+    NamedQuery(
+      "t01_token_stats",
+      (s, dir) => {
+        val toks = TextOps.tokens(col("text"))
+        t(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            size(toks).cast("long").as("n_tokens"),
+            size(array_distinct(toks)).cast("long").as("n_types"),
+            round(TextOps.avgTokenLen(toks), 4).as("avg_tok_len"),
+            round(TextOps.typeTokenRatio(toks), 4).as("ttr"),
+            TextOps.bpeTokenCount(col("text")).cast("long").as("n_bpe"))
+          .orderBy("doc_id")
+      },
+      Some(
+        "SELECT doc_id, len(w) AS n_tokens, len(list_distinct(w)) AS n_types, " +
+          "round(CAST(coalesce(list_sum(list_transform(w, x -> len(x))), 0) AS DOUBLE) / greatest(1, len(w)), 4) AS avg_tok_len, " +
+          "round(CAST(len(list_distinct(w)) AS DOUBLE) / greatest(1, len(w)), 4) AS ttr, " +
+          raw"len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe " +
+          s"FROM (SELECT doc_id, text, $duckToks AS w FROM documents) ORDER BY doc_id")),
+
+    // Corpus-level top-20 word bigrams.
+    NamedQuery(
+      "t02_top_bigrams",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(explode(TextOps.shingles(TextOps.tokens(col("text")), 2)).as("bigram"))
+          .groupBy("bigram")
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("bigram"))
+          .limit(20),
+      Some(
+        "SELECT bigram, count(*) AS n FROM (SELECT unnest(list_transform(" +
+          "generate_series(1, greatest(len(w) - 1, 0)), i -> w[i] || ' ' || w[i+1])) AS bigram " +
+          s"FROM (SELECT $duckToks AS w FROM documents)) GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20")),
+
+    // Per-document quality scoring (Gopher/C4-style heuristic filters).
+    NamedQuery(
+      "t03_quality_scores",
+      (s, dir) => {
+        val toks = TextOps.tokens(col("text"))
+        t(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            size(toks).cast("long").as("n_tokens"),
+            round(TextOps.punctRatio(col("text")), 4).as("punct_ratio"),
+            round(TextOps.digitRatio(col("text")), 4).as("digit_ratio"),
+            round(TextOps.stopwordRatio(toks), 4).as("stop_ratio"),
+            f32round(TextOps.qualityScore(col("text")), 4).as("quality"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val stopList = TextOps.EnStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+        "SELECT doc_id, len(w) AS n_tokens, round(punct_ratio, 4) AS punct_ratio, " +
+          "round(digit_ratio, 4) AS digit_ratio, round(stop_ratio, 4) AS stop_ratio, " +
+          "round(CAST(CAST(greatest(0.0, least(1.0, " +
+          "0.3 * least(CAST(len(w) AS DOUBLE) / 50.0, 1.0) " +
+          "+ 0.3 * (CAST(len(list_distinct(w)) AS DOUBLE) / greatest(1, len(w))) " +
+          "+ 0.2 * least(stop_ratio * 5.0, 1.0) " +
+          "- 0.4 * (punct_ratio + digit_ratio) + 0.2)) AS REAL) AS DOUBLE), 4) AS quality " +
+          "FROM (SELECT doc_id, w, " +
+          raw"CAST(len(regexp_extract_all(text, '[.,;:!?''\"()\[\]{}-]')) AS DOUBLE) / greatest(1, len(text)) AS punct_ratio, " +
+          "CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / greatest(1, len(text)) AS digit_ratio, " +
+          s"CAST(len(list_filter(w, x -> list_contains($stopList, x))) AS DOUBLE) / greatest(1, len(w)) AS stop_ratio " +
+          s"FROM (SELECT doc_id, text, $duckToks AS w FROM documents)) ORDER BY doc_id"
+      }),
+
+    // Marker-stopword language ID vs the fixture's lang column.
+    NamedQuery(
+      "t04_langid",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("lang"), TextOps.langId(col("text")).as("predicted"))
+          .groupBy("lang", "predicted")
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy("lang", "predicted"),
+      Some {
+        def score(l: String): String = {
+          val markers = TextOps.LangMarkers.toMap.apply(l).map(w => s"'$w'").mkString("[", ", ", "]")
+          s"len(list_filter(w, x -> list_contains($markers, x))) AS s_$l"
+        }
+        "SELECT lang, predicted, count(*) AS n_docs FROM (" +
+          "SELECT lang, CASE " +
+          "WHEN s_en = best AND best > 0 THEN 'en' " +
+          "WHEN s_es = best AND best > 0 THEN 'es' " +
+          "WHEN s_fr = best AND best > 0 THEN 'fr' " +
+          "WHEN s_de = best AND best > 0 THEN 'de' " +
+          "ELSE 'und' END AS predicted FROM (" +
+          "SELECT lang, s_en, s_es, s_fr, s_de, greatest(s_en, s_es, s_fr, s_de) AS best FROM (" +
+          s"SELECT lang, ${score("en")}, ${score("es")}, ${score("fr")}, ${score("de")} " +
+          s"FROM (SELECT lang, $duckToks AS w FROM documents)))) " +
+          "GROUP BY lang, predicted ORDER BY lang, predicted"
+      }),
+
+    // Rolling-hash fingerprint + SimHash per doc (xxhash64 → rows-only).
+    NamedQuery(
+      "t05_fingerprints",
+      (s, dir) => {
+        val toks = TextOps.tokens(col("text"))
+        t(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            TextOps.fingerprint(toks).as("fingerprint"),
+            TextOps.simhash64(toks).as("simhash"))
+          .orderBy("doc_id")
+      },
+      None),
+
+    // =====================================================================
+    // Multimodal (binary-column plumbing; decode is a documented stub)
+    // =====================================================================
+
+    NamedQuery(
+      "m01_multimodal_features",
+      (s, dir) => {
+        // Fake media payload: 16-byte header (magic|width|height|channels)
+        // + the UTF-8 text bytes — deterministic, derived from the fixture.
+        val header = unhex(concat(
+          lit("47524654"),
+          lpad(hex(col("n_chars")), 8, "0"),
+          lit("00000001"),
+          lit("00000003")))
+        val binDocs = t(s, dir, "documents")
+          .select(col("doc_id"), concat(header, encode(col("text"), "UTF-8")).as("payload"), col("n_chars"))
+        val assets = MultimodalOps.toAssets(binDocs, "doc_id", "payload", "image")
+        val feats = MultimodalOps.extractFeatures(assets)
+        assets
+          .select(col("asset_id"), col("meta.width").as("width"), col("meta.n_bytes").as("n_bytes"))
+          .join(feats, Seq("asset_id"))
+          .select(
+            col("asset_id"),
+            col("width"),
+            col("n_bytes"),
+            col("checksum"),
+            round(element_at(col("features"), 1).cast("double"), 4).as("f1"))
+          .orderBy("asset_id")
+      },
+      None))
+}

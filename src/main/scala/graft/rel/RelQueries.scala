@@ -286,14 +286,16 @@ object RelQueries {
       "q14_json_props",
       (s, dir) =>
         t(s, dir, "events")
-          .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+          .withColumn("k", expr("try_cast(get_json_object(props, '$.k') AS bigint)"))
           .groupBy((col("k") % 10).as("k_bucket"))
           .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
-          .orderBy("k_bucket"),
+          // Spark sorts ASC nulls-first, DuckDB nulls-last — pin it so the
+          // driver's ordered hash can't diverge on a null bucket.
+          .orderBy(col("k_bucket").asc_nulls_last),
       Some(
-        "SELECT CAST(json_extract_string(props,'$.k') AS BIGINT) % 10 AS k_bucket, " +
+        "SELECT TRY_CAST(json_extract_string(props,'$.k') AS BIGINT) % 10 AS k_bucket, " +
           "count(*) AS n_events, round(sum(value),2) AS total_value " +
-          "FROM events GROUP BY 1 ORDER BY k_bucket")),
+          "FROM events GROUP BY 1 ORDER BY k_bucket NULLS LAST")),
 
     // --- event-time tumbling windows (batch form) --------------------
     NamedQuery(

@@ -1,0 +1,155 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** [engine-added] Text-analysis column kernels for LLM-data-pipeline work
+  * over the `documents` fixture table: tokenization, n-gram shingling,
+  * quality scoring, marker-stopword language ID, rolling-hash document
+  * fingerprints, and SimHash — all as built-in Spark expressions
+  * (higher-order array functions), so every kernel runs inside whole-stage
+  * codegen and composes with pushdown/pruning. No UDFs, no RDDs.
+  *
+  * The reference repo has no text surface at all (it is a vector-search
+  * prototype); these ops are part of the engine's declared §2.B inventory
+  * (SURVEY.md). Everything here is deterministic — a hard requirement for
+  * the driver's DuckDB hash-compare.
+  */
+object TextOps {
+
+  /** Whitespace tokens of the lowercased text, empties dropped. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+
+  /** BPE-ish sub-token count: runs of letters, runs of digits, or single
+    * non-alphanumeric glyphs (the usual pre-tokenizer regex shape). */
+  val BpeTokenRe = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit(BpeTokenRe), lit(0)))
+
+  /** Word n-gram shingles from a token array: `["a b c", "b c d", ...]`.
+    * Guarded so short docs yield an empty array (Spark's `sequence(0, -1)`
+    * would otherwise count DOWN and fabricate shingles). */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(
+        transform(
+          sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+
+  /** Distinct word n-gram shingle set (the unit of Jaccard similarity). */
+  def shingleSet(text: Column, n: Int): Column = array_distinct(shingles(tokens(text), n))
+
+  /** Jaccard similarity of two (distinct-element) arrays. Pure int ratio in
+    * double — bit-identical across engines, safe to order by. */
+  def jaccard(a: Column, b: Column): Column =
+    when(size(array_union(a, b)) === 0, lit(0.0))
+      .otherwise(size(array_intersect(a, b)).cast("double") / size(array_union(a, b)).cast("double"))
+
+  // --- quality scoring ----------------------------------------------------
+
+  private def countMatches(text: Column, re: String): Column =
+    size(regexp_extract_all(text, lit(re), lit(0)))
+
+  /** Fraction of characters that are punctuation. */
+  def punctRatio(text: Column): Column =
+    countMatches(text, "[.,;:!?'\"()\\[\\]{}-]").cast("double") / greatest(lit(1), length(text))
+
+  /** Fraction of characters that are digits. */
+  def digitRatio(text: Column): Column =
+    countMatches(text, "[0-9]").cast("double") / greatest(lit(1), length(text))
+
+  val EnStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "that", "for", "on", "with", "as")
+
+  /** Fraction of tokens that are (English) stopwords. */
+  def stopwordRatio(toks: Column): Column =
+    size(filter(toks, t => t.isin(EnStopwords: _*))).cast("double") / greatest(lit(1), size(toks))
+
+  /** Mean token length in characters. */
+  def avgTokenLen(toks: Column): Column =
+    aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / greatest(lit(1), size(toks))
+
+  /** Type-token ratio (lexical diversity). */
+  def typeTokenRatio(toks: Column): Column =
+    size(array_distinct(toks)).cast("double") / greatest(lit(1), size(toks))
+
+  /** Composite heuristic quality score in [0,1]: rewards moderate length,
+    * lexical diversity and stopword presence; punishes digit/punct noise.
+    * (Shape follows the usual Gopher/C4-style filters; weights are ours.) */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val lenScore = least(size(toks).cast("double") / lit(50.0), lit(1.0))
+    val divScore = typeTokenRatio(toks)
+    val stopScore = least(stopwordRatio(toks) * lit(5.0), lit(1.0))
+    val noise = punctRatio(text) + digitRatio(text)
+    greatest(
+      lit(0.0),
+      least(
+        lit(1.0),
+        lit(0.3) * lenScore + lit(0.3) * divScore + lit(0.2) * stopScore - lit(0.4) * noise + lit(0.2)))
+  }
+
+  // --- language identification -------------------------------------------
+
+  /** Marker stopword sets per language (tiny, public-knowledge lists). */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it", "for", "with"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "las", "un", "una", "por"),
+    "fr" -> Seq("le", "la", "les", "des", "et", "un", "une", "est", "dans", "pour"),
+    "de" -> Seq("der", "die", "und", "das", "ein", "eine", "zu", "mit", "ist", "nicht"))
+
+  /** Marker-hit count for one language. */
+  def langScore(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => t.isin(markers: _*)))
+
+  /** Heuristic language ID: argmax marker hits, first language wins ties,
+    * "und" (undetermined) when nothing matches. */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scores = LangMarkers.map { case (l, ms) => l -> langScore(toks, ms) }
+    val best = greatest(scores.map(_._2): _*)
+    scores.reverse.foldLeft(lit("und")) { case (acc, (l, s)) =>
+      when(s === best && s > 0, lit(l)).otherwise(acc)
+    }
+  }
+
+  // --- fingerprints -------------------------------------------------------
+
+  private val FpMod = 1000000007L // 1e9+7; keeps the rolling product in-range under ANSI
+
+  /** Order-sensitive rolling-hash document fingerprint over tokens:
+    * `h = (h*31 + xxhash64(tok) mod p) mod p`. Deterministic, overflow-safe
+    * (max intermediate < p*31 + p << Long.Max). */
+  def fingerprint(toks: Column): Column =
+    aggregate(
+      toks,
+      lit(0L),
+      (acc, t) => pmod(acc * lit(31L) + pmod(xxhash64(t), lit(FpMod)), lit(FpMod)))
+
+  /** The 64 single-bit masks (1L << i); a literal array so per-bit tests
+    * need no dynamic shifts (the Scala `shiftleft` only takes Int shifts). */
+  private val BitMasks: Seq[Long] = (0 until 64).map(i => 1L << i)
+
+  /** 64-bit SimHash over the token multiset: per bit, sum +1/−1 votes
+    * weighted by token occurrences; bit set iff the vote is positive.
+    * Built from pure expressions (nested `aggregate`/`transform`). */
+  def simhash64(toks: Column): Column = {
+    val masks = typedLit(BitMasks)
+    val votes = aggregate(
+      toks,
+      array_repeat(lit(0L), 64),
+      (acc, t) =>
+        zip_with(
+          acc,
+          transform(masks, m => when(xxhash64(t).bitwiseAND(m) =!= 0L, lit(1L)).otherwise(lit(-1L))),
+          (a, v) => a + v))
+    aggregate(
+      zip_with(votes, masks, (v, m) => when(v > 0, m).otherwise(lit(0L))),
+      lit(0L),
+      (acc, m) => acc.bitwiseOR(m))
+  }
+
+  /** Hamming distance between two 64-bit SimHashes. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

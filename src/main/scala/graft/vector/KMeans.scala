@@ -62,10 +62,16 @@ object KMeans {
     val sc = spark.sparkContext
     val maxK = math.max(1, kFor.values.max)
 
+    // Groups absent from kFor are dropped, as documented — the assignment
+    // closure below would otherwise NPE on them.
+    val dfk =
+      if (kFor.isEmpty) df.limit(0)
+      else df.filter(col(groupCol).isInCollection(kFor.keySet))
+
     // Hash-ordered per-group pool: init points + reseed spares.
     val hc = xxhash64(lit(seed), col(groupCol), col(idCol))
     val w = Window.partitionBy(col(groupCol)).orderBy(hc, col(idCol))
-    val pool: Map[Long, Array[Array[Float]]] = df
+    val pool: Map[Long, Array[Array[Float]]] = dfk
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= maxK * 3)
       .select(col(groupCol), col("__rn"), col(vecCol))
@@ -87,7 +93,7 @@ object KMeans {
     var it = 0
     while (it < iters) {
       val assign = assignCol(centroids)
-      val stats = df
+      val stats = dfk
         .withColumn("__c", assign(col(groupCol), col(vecCol)))
         .groupBy(col(groupCol), col("__c"))
         .agg(VectorMean.fn(col(vecCol)).as("__mean"))
@@ -112,7 +118,7 @@ object KMeans {
     }
 
     val assign = assignCol(centroids)
-    (df.withColumn("cluster", assign(col(groupCol), col(vecCol))), centroids)
+    (dfk.withColumn("cluster", assign(col(groupCol), col(vecCol))), centroids)
   }
 
   /** Single (ungrouped) k-means: one group spanning the whole frame. */
