@@ -1,5 +1,10 @@
 package graft
 import org.apache.spark.sql.SparkSession
+/** Driver-run benchmark: times every registered query at SPARK_GRAFT_SF_DIR,
+  * then replays the reference's full online workload (build → 500 Zipf
+  * queries → churn 20:10:10 → maintain every 50, run_demo.py:31-84) and
+  * reports its latency/nprobe/scanned/recall summary (O18) alongside —
+  * the numbers BASELINE.md's reference figures compare against. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,6 +12,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -18,10 +24,21 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    val replayJson =
+      if (sys.env.getOrElse("SPARK_GRAFT_REPLAY", "1") == "0") "null"
+      else
+        try {
+          val n = sys.env.getOrElse("SPARK_GRAFT_REPLAY_QUERIES", "500").toInt
+          bench.Replay.run(spark, sfDir, nQueries = n).toJson
+        } catch {
+          case e: Throwable => System.err.println(s"[bench] replay failed: ${e.getMessage}"); "null"
+        }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""replay":$replayJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

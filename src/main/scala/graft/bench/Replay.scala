@@ -1,0 +1,172 @@
+package graft.bench
+
+import graft.index._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Workload replay harness — the reference's evaluation protocol
+  * (run_demo.py:31-97 ∥ runner.mjs:57-125) re-expressed over micro-batches:
+  *
+  *  - O16 Zipf query sampler (α = 1.1, runner.mjs:37-48): queries are drawn
+  *    near the centroids of rank-skewed partitions — the skew is what makes
+  *    APS and split/merge maintenance do anything;
+  *  - O17 churn loop (run_demo.py:57-84): batches of 20 queries, then
+  *    10 inserts (noise vectors, fresh ids) + 10 deletes (random original
+  *    ids — possibly already gone, no-op per quake_min.py:113), and a
+  *    `maintain()` every 50 queries;
+  *  - O18 metrics (runner.mjs:117-125): per-query latency mean/p50/p95,
+  *    mean nprobe, mean vectors scanned, mean recall@k vs the live exact
+  *    oracle (recomputed per batch over the CURRENT collection, matching
+  *    run_demo.py:65).
+  *
+  * Epoch lineage: every mutation wraps `model.vectors` in unions/anti-joins;
+  * replaying hundreds of epochs would grow an unbounded Catalyst plan that
+  * the driver re-analyzes each epoch (a planner killer at scale). The
+  * harness `localCheckpoint`s the vectors table every `checkpointEvery`
+  * batches, truncating lineage to a materialized snapshot — the same
+  * discipline a production index would get from periodic compaction.
+  */
+object Replay {
+
+  final case class Summary(
+      nQueries: Int,
+      buildSec: Double,
+      meanLatencyMs: Double,
+      p50LatencyMs: Double,
+      p95LatencyMs: Double,
+      meanNprobe: Double,
+      meanScanned: Double,
+      meanRecall: Double,
+      finalPartitions: Int,
+      totalSec: Double) {
+    def toJson: String =
+      s"""{"n_queries":$nQueries,"build_sec":$buildSec,"mean_latency_ms":$meanLatencyMs,""" +
+        s""""p50_latency_ms":$p50LatencyMs,"p95_latency_ms":$p95LatencyMs,"mean_nprobe":$meanNprobe,""" +
+        s""""mean_scanned":$meanScanned,"mean_recall":$meanRecall,"final_partitions":$finalPartitions,""" +
+        s""""total_sec":$totalSec}"""
+  }
+
+  /** Deterministic Zipf(α) rank sampler over [0, n): inverse CDF on a
+    * seeded uniform (reference samples ranks ∝ 1/r^α, runner.mjs:37-48). */
+  private[bench] final class Zipf(n: Int, alpha: Double, seed: Long) {
+    private val rng = new scala.util.Random(seed)
+    private val weights = Array.tabulate(n)(r => 1.0 / math.pow(r + 1.0, alpha))
+    private val cum = weights.scanLeft(0.0)(_ + _).tail
+    private val total = cum.last
+    def next(): Int = {
+      val u = rng.nextDouble() * total
+      val i = java.util.Arrays.binarySearch(cum, u)
+      math.min(if (i < 0) -i - 1 else i, n - 1)
+    }
+  }
+
+  def run(
+      spark: SparkSession,
+      sfDir: String,
+      nQueries: Int = 500,
+      batchSize: Int = 20,
+      k: Int = 10,
+      targetRecall: Double = 0.9,
+      maintainEvery: Int = 50,
+      checkpointEvery: Int = 2): Summary = {
+    import spark.implicits._
+    val t0 = System.nanoTime()
+
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").select("vec_id", "embedding").cache()
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val allIds: Array[Long] = emb.select("vec_id").as[Long].collect()
+
+    val tb = System.nanoTime()
+    var model = IvfBuild.build(emb, dim)
+    val buildSec = (System.nanoTime() - tb) / 1e9
+
+    val params = IvfSearch.Params(k = k, targetRecall = targetRecall, maxProbe = 64)
+    val rng = new scala.util.Random(7L) // reference seed (run_demo.py:39)
+    var zipf = new Zipf(model.partitions.length, 1.1, seed = 7L)
+    var nextId = 10000000L
+    val batchLatMs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var sumNprobe, sumScanned, sumRecall = 0.0
+    var nBatches = 0
+
+    def noiseVec(): Seq[Float] = Seq.fill(dim)((rng.nextGaussian() * 0.3).toFloat)
+
+    var q = 0
+    while (q < nQueries) {
+      val bs = math.min(batchSize, nQueries - q)
+      // Zipf-skewed queries near hot-partition centroids (O16).
+      val qRows: Seq[(Long, Array[Float])] = (0 until bs).map { i =>
+        val p = model.partitions(zipf.next() % model.partitions.length)
+        ((q + i).toLong, p.centroid.map(x => x + (rng.nextGaussian() * 0.1).toFloat))
+      }
+      val queries = qRows.map { case (id, v) => (id, v.toSeq) }.toDF("query_id", "qvec")
+
+      // timed search (O12): probe choice is driver-side metadata math
+      // (chooseProbesLocal ≡ chooseProbes, parity-tested); only the gather
+      // + top-k over probed partitions runs as a Spark job.
+      val ts = System.nanoTime()
+      val probesLocal = IvfSearch.chooseProbesLocal(model, qRows, params)
+      val probesDf = probesLocal.map { case (qid, pid, _) => (qid, pid) }.toDF("query_id", "partition_id")
+      val resultRows = IvfSearch
+        .searchProbed(model, probesDf.join(queries, "query_id"), params)
+        .collect()
+      val latMs = (System.nanoTime() - ts) / 1e6
+      batchLatMs += latMs / bs
+
+      // O18 metrics, driver-side (probe set + k·bs result rows are tiny)
+      sumNprobe += probesLocal.size.toDouble / bs
+      sumScanned += probesLocal.map(_._3).sum.toDouble / bs
+      val exactRows = IvfSearch.exactTopK(model.vectors, queries, k).collect()
+      val exactByQ = exactRows.groupBy(_.getAs[Long]("query_id"))
+      val resByQ = resultRows.groupBy(_.getAs[Long]("query_id"))
+      val recalls = qRows.map { case (qid, _) =>
+        val ex = exactByQ.getOrElse(qid, Array.empty).map(_.getAs[Long]("vec_id")).toSet
+        val got = resByQ.getOrElse(qid, Array.empty).map(_.getAs[Long]("vec_id")).toSet
+        (got & ex).size.toDouble / math.max(1, math.min(k, ex.size))
+      }
+      sumRecall += recalls.sum / math.max(1, recalls.size)
+      // hit accounting (quake_min.py:155) from the local probe set
+      val hitCounts = probesLocal.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      model = model.copy(
+        partitions = model.partitions.map(p => p.copy(hits = p.hits + hitCounts.getOrElse(p.pid, 0L))),
+        queryCounter = model.queryCounter + bs)
+      nBatches += 1
+      q += bs
+
+      // churn: 10 inserts + 10 deletes per 20 queries (run_demo.py:71-78)
+      val nChurn = (bs * 10) / 20
+      if (nChurn > 0) {
+        val adds = (0 until nChurn).map(_ => { val id = nextId; nextId += 1; (id, noiseVec()) })
+          .toDF("vec_id", "embedding")
+        model = IvfMutate.insert(model, adds)
+        val dels = (0 until nChurn).map(_ => allIds(rng.nextInt(allIds.length))).toDF("vec_id")
+        model = IvfMutate.delete(model, dels)
+      }
+      // maintenance every `maintainEvery` queries (run_demo.py:80-81)
+      if (q % maintainEvery == 0) {
+        val before = model.partitions.length
+        model = IvfMaintain.maintain(model)
+        if (model.partitions.length != before)
+          zipf = new Zipf(model.partitions.length, 1.1, seed = 7L + q)
+      }
+      // lineage truncation
+      if (nBatches % checkpointEvery == 0)
+        model = model.copy(vectors = model.vectors.localCheckpoint(true))
+    }
+
+    val lats = batchLatMs.sorted
+    def pct(p: Double) = if (lats.isEmpty) 0.0 else lats(math.min(lats.length - 1, (p * lats.length).toInt))
+    Summary(
+      nQueries = nQueries,
+      buildSec = round3(buildSec),
+      meanLatencyMs = round3(lats.sum / math.max(1, lats.length)),
+      p50LatencyMs = round3(pct(0.5)),
+      p95LatencyMs = round3(pct(0.95)),
+      meanNprobe = round3(sumNprobe / math.max(1, nBatches)),
+      meanScanned = round3(sumScanned / math.max(1, nBatches)),
+      meanRecall = round3(sumRecall / math.max(1, nBatches)),
+      finalPartitions = model.partitions.length,
+      totalSec = round3((System.nanoTime() - t0) / 1e9))
+  }
+
+  private def round3(d: Double): Double = math.rint(d * 1000) / 1000
+}

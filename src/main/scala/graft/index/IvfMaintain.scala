@@ -37,18 +37,32 @@ object IvfMaintain {
   val HotSplitMultiplier = 1.5
   val HotQpsWindow = 2000.0
 
-  def maintain(model: IvfModel, hotQpsWindow: Double = HotQpsWindow): IvfModel = {
-    val afterSplit = splitHot(model, hotQpsWindow)
-    mergeTiny(afterSplit)
+  /** Reference's dynamic split threshold (quake_min.py:173-175), including
+    * the hits-vs-timestamp hotness quirk: `split_size / max(1, hotness/w)`
+    * clamped to `[split_size/1.5, split_size*2]`. */
+  private[graft] def splitThreshold(
+      hits: Long,
+      lastSplitAt: Long,
+      hotQpsWindow: Double,
+      splitSize: Long): Double = {
+    val hotness = (hits - lastSplitAt).toDouble
+    val raw = splitSize / math.max(1.0, hotness / hotQpsWindow)
+    math.max(splitSize / HotSplitMultiplier, math.min(splitSize * 2.0, raw))
+  }
+
+  def maintain(
+      model: IvfModel,
+      hotQpsWindow: Double = HotQpsWindow,
+      splitSize: Long = SplitSize,
+      mergeSize: Long = MergeSize): IvfModel = {
+    val afterSplit = splitHot(model, hotQpsWindow, splitSize)
+    mergeTiny(afterSplit, mergeSize)
   }
 
   /** Split phase (quake_min.py:171-188). */
-  private[index] def splitHot(model: IvfModel, hotQpsWindow: Double): IvfModel = {
+  private[graft] def splitHot(model: IvfModel, hotQpsWindow: Double, splitSize: Long = SplitSize): IvfModel = {
     val toSplit = model.partitions.filter { p =>
-      val hotness = (p.hits - p.lastSplitAt).toDouble
-      val raw = SplitSize / math.max(1.0, hotness / hotQpsWindow)
-      val thresh = math.max(SplitSize / HotSplitMultiplier, math.min(SplitSize * 2.0, raw))
-      p.size >= thresh && p.size >= 16
+      p.size >= splitThreshold(p.hits, p.lastSplitAt, hotQpsWindow, splitSize) && p.size >= 16
     }
     if (toSplit.isEmpty) return model
 
@@ -98,9 +112,9 @@ object IvfMaintain {
 
   /** Merge phase (quake_min.py:189-210): exact sequential greedy replay on
     * driver-side metadata, then one distributed pid remap. */
-  private[index] def mergeTiny(model: IvfModel): IvfModel = {
+  private[graft] def mergeTiny(model: IvfModel, mergeSize: Long = MergeSize): IvfModel = {
     val metas = mutable.ArrayBuffer.from(model.partitions)
-    val tiny = metas.filter(_.size <= MergeSize).map(_.pid).toVector
+    val tiny = metas.filter(_.size <= mergeSize).map(_.pid).toVector
     if (tiny.size < 2) return model
 
     // home(origPid) = pid currently holding that partition's vectors

@@ -69,8 +69,63 @@ object IvfSearch {
     * @return `(query_id, rank, vec_id, dist2)` — rank 1..k ascending dist2
     */
   def search(model: IvfModel, queries: DataFrame, params: Params): DataFrame =
+    searchProbed(model, chooseProbes(model, queries, params), params)
+
+  /** Driver-side APS probe choice for an in-memory query batch — the exact
+    * same math as [[chooseProbes]] (unit-tested for parity), computed
+    * locally: probe selection touches ONLY partition metadata
+    * (O(#queries · #partitions) scalar ops), which is how the reference
+    * treats it too (quake_min.py:127-145). Spinning distributed window
+    * jobs for a few hundred metadata rows costs ~4 job launches per batch;
+    * at driver scale this is microseconds. The DataFrame path remains the
+    * right choice when the query batch itself is distributed data.
+    *
+    * @return (query_id, partition_id, psize) triples, probability-desc order
+    */
+  def chooseProbesLocal(
+      model: IvfModel,
+      queries: Seq[(Long, Array[Float])],
+      params: Params): Seq[(Long, Long, Long)] =
+    queries.flatMap { case (qid, q) =>
+      val cds = model.partitions.map { p =>
+        var s = 0.0
+        var i = 0
+        val c = p.centroid
+        val n = math.min(c.length, q.length)
+        while (i < n) { val d = q(i).toDouble - c(i); s += d * d; i += 1 }
+        math.sqrt(s)
+      }
+      // exact median (Spark `median`: mean of the two middles on even n)
+      val sorted = cds.sorted
+      val m = sorted.length
+      val med = if (m % 2 == 1) sorted(m / 2) else (sorted(m / 2 - 1) + sorted(m / 2)) / 2.0
+      val tau = med + 1e-6
+      // reference quirk: the logit divides by (tau + 1e-6) AGAIN
+      val logits = model.partitions.zip(cds).map { case (p, cd) =>
+        -cd / (tau + 1e-6) + 0.5 * math.log(p.size + 1.0)
+      }
+      val mx = logits.max
+      val es = logits.map(l => math.exp(l - mx))
+      val z = es.sum
+      val ranked = model.partitions.zip(es.map(_ / z))
+        .sortBy { case (p, prob) => (-prob, p.pid) }
+      var cum = 0.0
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      var r = 0
+      while (r < ranked.length && r < params.maxProbe && cum < params.targetRecall) {
+        val (p, prob) = ranked(r)
+        cum += prob
+        out += ((qid, p.pid, p.size))
+        r += 1
+      }
+      out
+    }
+
+  /** Stage 3 alone, for callers that precompute (and e.g. cache) the probe
+    * set — the replay harness reuses it for hit accounting + metrics. */
+  def searchProbed(model: IvfModel, probes: DataFrame, params: Params): DataFrame =
     topkOverCandidates(
-      chooseProbes(model, queries, params)
+      probes
         .select("query_id", "partition_id", "qvec")
         .join(model.vectors, Seq("partition_id")),
       params.k)

@@ -236,25 +236,31 @@ object PipelineQueries {
       },
       None),
 
-    // Exact n-gram Jaccard similarity join, blocked by `source` — fully
-    // SQL-expressible set arithmetic, top-20 most similar in-block pairs.
+    // Exact n-gram Jaccard similarity join, blocked by (source, lang) —
+    // fully SQL-expressible set arithmetic, top-20 most similar in-block
+    // pairs. The block key bounds the quadratic pair set (the whole point
+    // of blocking in dedup): 5× fewer pairs than source-only blocking.
     NamedQuery(
       "d03_ngram_jaccard",
       (s, dir) =>
         Dedup
-          .ngramJaccardPairs(t(s, dir, "documents"), "source", shingleN = 3)
+          .sparseJaccardPairs(
+            t(s, dir, "documents").withColumn("blk", concat_ws("|", col("source"), col("lang"))),
+            "blk",
+            shingleN = 3,
+            minJaccard = 0.05)
           .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
           .limit(20)
-          .select(col("block").as("source"), col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard")),
+          .select(col("block").as("blk"), col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard")),
       Some(
-        "WITH tok AS (SELECT source, doc_id, list_distinct(list_transform(" +
+        "WITH tok AS (SELECT source || '|' || lang AS blk, doc_id, list_distinct(list_transform(" +
           "generate_series(1, greatest(len(w) - 2, 0)), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh " +
-          s"FROM (SELECT source, doc_id, $duckToks AS w FROM documents)), " +
-          "p AS (SELECT a.source, a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+          s"FROM (SELECT source, lang, doc_id, $duckToks AS w FROM documents)), " +
+          "p AS (SELECT a.blk, a.doc_id AS doc_a, b.doc_id AS doc_b, " +
           "CASE WHEN len(list_distinct(a.sh || b.sh)) = 0 THEN 0.0 " +
           "ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) END AS jaccard " +
-          "FROM tok a JOIN tok b ON a.source = b.source AND a.doc_id < b.doc_id) " +
-          "SELECT source, doc_a, doc_b, round(jaccard, 4) AS jaccard FROM p " +
+          "FROM tok a JOIN tok b ON a.blk = b.blk AND a.doc_id < b.doc_id) " +
+          "SELECT blk, doc_a, doc_b, round(jaccard, 4) AS jaccard FROM p WHERE jaccard >= 0.05 " +
           "ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20")),
 
     // SimHash near-dup with 16-bit-chunk banding. Planted near-dups: last 3
@@ -303,9 +309,8 @@ object PipelineQueries {
     NamedQuery(
       "t02_top_bigrams",
       (s, dir) =>
-        t(s, dir, "documents")
-          .select(explode(TextOps.shingles(TextOps.tokens(col("text")), 2)).as("bigram"))
-          .groupBy("bigram")
+        TextOps.shingleRows(t(s, dir, "documents"), 2, distinctSet = false)
+          .groupBy(col("s").as("bigram"))
           .agg(count(lit(1)).as("n"))
           .orderBy(col("n").desc, col("bigram"))
           .limit(20),

@@ -38,17 +38,22 @@ object Dedup {
     * entire per-doc shingle set in one lambda evaluation; the explode form
     * is plain columnar data flow that partial-aggregates on the map side,
     * so the shuffle is O(docs · numHashes) regardless of document length. */
-  def minhashSignatures(docs: DataFrame, shingleN: Int, numHashes: Int): DataFrame =
-    docs
-      .select(col("doc_id"), explode_outer(TextOps.shingleSet(col("text"), shingleN)).as("shingle"))
-      .select(col("doc_id"), col("shingle"), explode(sequence(lit(0), lit(numHashes - 1))).as("seed"))
-      .groupBy("doc_id", "seed")
-      .agg(min(when(col("shingle").isNotNull, xxhash64(col("seed"), col("shingle")))).as("mh"))
+  def minhashSignatures(docs: DataFrame, shingleN: Int, numHashes: Int): DataFrame = {
+    val sh = TextOps.shingleRows(docs, shingleN, distinctSet = true)
+    val agg = sh
       .groupBy("doc_id")
-      .agg(
-        transform(
-          array_sort(collect_list(struct(col("seed"), col("mh")))),
-          s => coalesce(s.getField("mh"), lit(Long.MaxValue))).as("sig")) // empty shingle set → sentinel
+      .agg(array((0 until numHashes).map { s =>
+        // one min-aggregate per seed over the SAME shingle rows: no ×seed
+        // row blowup, one shuffle of numHashes longs per doc (partial agg
+        // map-side)
+        min(xxhash64(lit(s), col("s")))
+      }: _*).as("sig"))
+    // docs too short to shingle produce no rows → sentinel signature
+    docs.select("doc_id").join(agg, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("sig"), typedLit(Seq.fill(numHashes)(Long.MaxValue))).as("sig"))
+  }
 
   /** MinHash + LSH banding near-dup candidates.
     *
@@ -143,6 +148,41 @@ object Dedup {
     a.join(b, Seq("block"))
       .filter(col("doc_a") < col("doc_b"))
       .withColumn("jaccard", TextOps.jaccard(col("sh_a"), col("sh_b")))
+      .select("block", "doc_a", "doc_b", "jaccard")
+  }
+
+  /** Sparse (inverted-index) form of the blocked n-gram Jaccard join: the
+    * shingle sets are EXPLODED and pairs meet through an equality join on
+    * `(block, shingle)` — a pair's join-match count IS |A∩B|, and
+    * |A∪B| = |A|+|B|−|A∩B|. Nothing ever ships an array: the shuffle rows
+    * are (block, shingle, doc_id) triples, so cost scales with the number
+    * of SHARED shingles, not with block-size², which is what survives at
+    * corpus scale. Pairs with an empty intersection never materialize —
+    * hence the `minJaccard > 0` contract (a zero-overlap pair can't reach
+    * any positive threshold anyway).
+    */
+  def sparseJaccardPairs(
+      docs: DataFrame,
+      blockCol: String,
+      shingleN: Int,
+      minJaccard: Double): DataFrame = {
+    require(minJaccard > 0.0, "sparse join only surfaces pairs with shared shingles")
+    val blocks = docs.select(col("doc_id"), col(blockCol).as("block"))
+    val ex = TextOps.shingleRows(docs, shingleN, distinctSet = true)
+      .join(blocks, "doc_id")
+      .select("block", "doc_id", "s")
+    val sizes = ex.groupBy("block", "doc_id").agg(count(lit(1)).as("n"))
+    val inter = ex.as("a")
+      .join(ex.as("b"), col("a.block") === col("b.block") && col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.block").as("block"), col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select(col("block"), col("doc_id").as("doc_a"), col("n").as("na")), Seq("block", "doc_a"))
+      .join(sizes.select(col("block"), col("doc_id").as("doc_b"), col("n").as("nb")), Seq("block", "doc_b"))
+      .withColumn(
+        "jaccard",
+        col("i").cast("double") / (col("na").cast("double") + col("nb").cast("double") - col("i").cast("double")))
+      .filter(col("jaccard") >= minJaccard)
       .select("block", "doc_a", "doc_b", "jaccard")
   }
 

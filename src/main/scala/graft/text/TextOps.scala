@@ -37,14 +37,48 @@ object TextOps {
           sequence(lit(0), size(toks) - n),
           i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
 
-  /** Distinct word n-gram shingle set (the unit of Jaccard similarity). */
+  /** Distinct word n-gram shingle set (the unit of Jaccard similarity).
+    * NOTE: as a single expression this re-evaluates the tokenizer once per
+    * `element_at` in the shingle lambda — O(len²) per document. Fine for
+    * per-row use on short strings and for oracle parity; bulk pipelines
+    * should use [[shingleRows]], which tokenizes each document exactly once. */
   def shingleSet(text: Column, n: Int): Column = array_distinct(shingles(tokens(text), n))
 
+  /** Row-wise shingles for bulk corpora: `(doc_id, s)` — posexplode the
+    * token array once, then assemble n-grams with `lead()` over a
+    * per-document window. One tokenization per document, one shuffle on
+    * `doc_id`; at 100 TB this is the shape that scales (and the window is
+    * per-doc, so AQE handles any doc-length skew).
+    *
+    * @param distinctSet true → one row per DISTINCT shingle (Jaccard set
+    *                    semantics); false → one row per occurrence (counts)
+    */
+  def shingleRows(docs: org.apache.spark.sql.DataFrame, n: Int, distinctSet: Boolean): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val exploded = docs.select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+    val out =
+      if (n == 1) exploded.select(col("doc_id"), col("tok").as("s"))
+      else {
+        val w = Window.partitionBy("doc_id").orderBy("pos")
+        val leads = (1 until n).map(j => lead(col("tok"), j).over(w).as(s"t$j"))
+        exploded
+          .select(col("doc_id") +: col("tok") +: leads: _*)
+          .filter((1 until n).map(j => col(s"t$j").isNotNull).reduce(_ && _))
+          .select(col("doc_id"), concat_ws(" ", col("tok") +: (1 until n).map(j => col(s"t$j")): _*).as("s"))
+      }
+    if (distinctSet) out.distinct() else out
+  }
+
   /** Jaccard similarity of two (distinct-element) arrays. Pure int ratio in
-    * double — bit-identical across engines, safe to order by. */
-  def jaccard(a: Column, b: Column): Column =
-    when(size(array_union(a, b)) === 0, lit(0.0))
-      .otherwise(size(array_intersect(a, b)).cast("double") / size(array_union(a, b)).cast("double"))
+    * double — bit-identical across engines, safe to order by. Uses
+    * |A∪B| = |A|+|B|−|A∩B| so only ONE array traversal is needed (the
+    * naive intersect+union form doubles the per-pair cost, which is the
+    * hot loop of a blocked similarity join). */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val union = size(a).cast("double") + size(b).cast("double") - inter
+    when(union === 0.0, lit(0.0)).otherwise(inter / union)
+  }
 
   // --- quality scoring ----------------------------------------------------
 

@@ -1,0 +1,46 @@
+package graft.multimodal
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** 16-byte header (magic GRFT | width | height | channels) + payload. */
+  private def fakeAsset(width: Int, height: Int, channels: Int, payload: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(16 + payload.length)
+    bb.put("GRFT".getBytes("UTF-8")).putInt(width).putInt(height).putInt(channels).put(payload)
+    bb.array()
+  }
+
+  private val payload = (0 until 100).map(_.toByte).toArray
+  private lazy val assets = MultimodalOps.toAssets(
+    Seq((1L, fakeAsset(640, 480, 3, payload))).toDF("id", "bin"),
+    "id", "bin", "image")
+
+  test("toAssets parses the stub header into typed metadata") {
+    val m = assets.select("meta.width", "meta.height", "meta.channels", "meta.n_bytes").head
+    assert(m.getInt(0) == 640 && m.getInt(1) == 480 && m.getInt(2) == 3)
+    assert(m.getLong(3) == 116L)
+  }
+
+  test("extractFeatures produces a normalized 16-bucket byte histogram + stable checksum") {
+    val r = MultimodalOps.extractFeatures(assets).head
+    val hist = r.getSeq[Float](1)
+    assert(hist.length == 16)
+    assert(math.abs(hist.sum - 1.0f) < 1e-5)
+    // bytes 0..99: buckets 0-5 get 16 each, bucket 6 gets 4
+    assert(math.abs(hist(0) - 0.16f) < 1e-6 && math.abs(hist(6) - 0.04f) < 1e-6)
+    val again = MultimodalOps.extractFeatures(assets).head.getLong(2)
+    assert(r.getLong(2) == again)
+  }
+
+  test("sampleFrames cuts the payload into strided fixed-size frames") {
+    val frames = MultimodalOps.sampleFrames(assets, frameSize = 10, stride = 2).collect()
+    // 100-byte payload / 10 = 10 frames, stride 2 -> indices 0,2,4,6,8 -> 5 kept
+    assert(frames.length == 5)
+    assert(frames.forall(_.getAs[Array[Byte]]("frame").length == 10))
+    val first = frames.minBy(_.getAs[Int]("frame_idx")).getAs[Array[Byte]]("frame")
+    assert(first.toSeq == payload.take(10).toSeq)
+  }
+}

@@ -1,0 +1,140 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df1(text: String) = Seq(Tuple1(text)).toDF("text")
+
+  test("tokens lowercase and drop empties") {
+    val t = df1("  Hello   WORLD foo ").select(TextOps.tokens(col("text"))).head.getSeq[String](0)
+    assert(t == Seq("hello", "world", "foo"))
+  }
+
+  test("shingles: n-grams in order; short docs yield empty (sequence guard)") {
+    val sh = df1("a b c d").select(TextOps.shingles(TextOps.tokens(col("text")), 3)).head.getSeq[String](0)
+    assert(sh == Seq("a b c", "b c d"))
+    val short = df1("a b").select(TextOps.shingles(TextOps.tokens(col("text")), 3)).head.getSeq[String](0)
+    assert(short.isEmpty)
+  }
+
+  test("shingleRows matches the shingleSet expression (parity, distinct + counted)") {
+    val docs = Seq((1L, "a b c d a b c"), (2L, "x y"), (3L, "q")).toDF("doc_id", "text")
+    val fromExpr = docs
+      .select(col("doc_id"), explode(TextOps.shingleSet(col("text"), 3)).as("s"))
+      .as[(Long, String)].collect().toSet
+    val fromRows = TextOps.shingleRows(docs, 3, distinctSet = true)
+      .as[(Long, String)].collect().toSet
+    assert(fromRows == fromExpr)
+    // counted form keeps duplicates ("a b c" appears twice in doc 1)
+    val counted = TextOps.shingleRows(docs, 3, distinctSet = false)
+      .filter(col("doc_id") === 1L).as[(Long, String)].collect()
+    assert(counted.count(_._2 == "a b c") == 2)
+  }
+
+  test("sparseJaccardPairs matches the dense blocked join on overlapping pairs") {
+    val docs = Seq(
+      (1L, "a b c d e", "s1"), (2L, "a b c d x", "s1"), (3L, "p q r s t", "s1"),
+      (4L, "a b c d e", "s2")).toDF("doc_id", "text", "source")
+    val dense = Dedup.ngramJaccardPairs(docs, "source", 3)
+      .filter(col("jaccard") >= 0.05)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val sparse = Dedup.sparseJaccardPairs(docs, "source", 3, minJaccard = 0.05)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(sparse == dense)
+    assert(sparse == Set((1L, 2L, 0.5)))
+  }
+
+  test("jaccard of distinct sets") {
+    val j = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+      .select(TextOps.jaccard(col("x"), col("y"))).head.getDouble(0)
+    assert(j == 0.5)
+  }
+
+  test("bpe-ish token count: words, digit runs, single punctuation") {
+    val n = df1("ab 12, cd!").select(TextOps.bpeTokenCount(col("text"))).head.getInt(0)
+    assert(n == 5) // ab, 12, ',', cd, '!'
+  }
+
+  test("langId picks the language with most marker hits; und when none") {
+    assert(df1("the cat and the dog is here").select(TextOps.langId(col("text"))).head.getString(0) == "en")
+    assert(df1("el perro y la casa de que").select(TextOps.langId(col("text"))).head.getString(0) == "es")
+    assert(df1("qwerty zxcvb").select(TextOps.langId(col("text"))).head.getString(0) == "und")
+  }
+
+  test("fingerprint is deterministic and order-sensitive") {
+    val f = (s: String) => df1(s).select(TextOps.fingerprint(TextOps.tokens(col("text")))).head.getLong(0)
+    assert(f("a b c") == f("a b c"))
+    assert(f("a b c") != f("c b a"))
+  }
+
+  test("simhash: identical texts collide; near texts are close, far texts far") {
+    val df = Seq((1L, "w1 w2 w3 w4 w5 w6 w7 w8"), (2L, "w1 w2 w3 w4 w5 w6 w7 w8"),
+      (3L, "w1 w2 w3 w4 w5 w6 w7 zz"), (4L, "q1 q2 q3 q4 q5 q6 q7 q8")).toDF("doc_id", "text")
+      .select(col("doc_id"), TextOps.simhash64(TextOps.tokens(col("text"))).as("h"))
+    val h = df.as[(Long, Long)].collect().toMap
+    assert(h(1L) == h(2L))
+    val near = java.lang.Long.bitCount(h(1L) ^ h(3L))
+    val far = java.lang.Long.bitCount(h(1L) ^ h(4L))
+    assert(near < far, s"near=$near far=$far")
+  }
+
+  test("exact dedup groups by content (planted duplicate)") {
+    val docs = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("doc_id", "text")
+    val g = Dedup.exactGroups(docs).filter(col("n_docs") > 1).collect()
+    assert(g.length == 1)
+    assert(g(0).getAs[Long]("n_docs") == 2 && g(0).getAs[Long]("keeper_id") == 1L)
+  }
+
+  test("minhash LSH finds a planted near-duplicate pair") {
+    // a 40-token doc with ONE changed token (jaccard ≈ 0.86 on 3-shingles);
+    // shorter docs sit below the (16,4)-banding detection threshold
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val near = ((1 to 19).map(i => s"tok$i") ++ Seq("changed") ++ (21 to 40).map(i => s"tok$i")).mkString(" ")
+    val docs = Seq((1L, base), (2L, near), (3L, (1 to 40).map(i => s"other$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashLsh(docs, shingleN = 3, numHashes = 16, bands = 4, minEstJaccard = 0.3)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L), s"pairs=${pairs.toSeq}")
+    assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L))
+  }
+
+  test("minhash signature estimates jaccard roughly") {
+    val a = "a b c d e f g h i j k l m n o p"
+    val docs = Seq((1L, a), (2L, a)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLsh(docs, 3, 16, 4, 0.99).as[(Long, Long, Double)].collect()
+    assert(pairs.length == 1 && pairs(0)._3 == 1.0) // identical docs -> all components agree
+  }
+
+  test("simhashPairs finds planted near-dup via chunk banding") {
+    // SimHash bit votes only stabilize with enough tokens: a 40-token base
+    // with one appended token keeps hamming ≈ 3; tiny docs flip too many bits
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, base + " appended"), (3L, (1 to 40).map(i => s"other$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 10).as[(Long, Long, Int)].collect()
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L))
+  }
+
+  test("ngramJaccardPairs computes exact blocked jaccard") {
+    val docs = Seq(
+      (1L, "a b c d e", "s1"), (2L, "a b c d x", "s1"), // share shingles "a b c","b c d"? no: doc2 = a b c, b c d? "a b c d x": shingles {a b c, b c d, c d x}; doc1 {a b c, b c d, c d e}
+      (3L, "a b c d e", "s2")).toDF("doc_id", "text", "source")
+    val pairs = Dedup.ngramJaccardPairs(docs, "source", 3)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect()
+    assert(pairs.length == 1) // only in-block pair (1,2); doc 3 is blocked apart
+    assert(pairs(0) == ((1L, 2L, 0.5))) // |{abc,bcd}| / |{abc,bcd,cde,cdx}| = 2/4
+  }
+
+  test("cosineLshPairs recovers a planted near-identical vector pair") {
+    val v = (0 until 64).map(i => math.sin(i + 1).toFloat)
+    val v2 = v.map(x => x * 1.001f)
+    val far = (0 until 64).map(i => math.cos(3 * i + 2).toFloat)
+    val emb = Seq((1L, v), (2L, v2), (3L, far)).toDF("vec_id", "embedding")
+    val pairs = Dedup.cosineLshPairs(emb, 64, nPlanes = 16, bands = 4, minCosine = 0.99)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 > 0.999))
+  }
+}

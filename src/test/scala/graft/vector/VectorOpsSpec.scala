@@ -1,0 +1,48 @@
+package graft.vector
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class VectorOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(a: Seq[Float], b: Seq[Float]) =
+    Seq((a, b)).toDF("a", "b")
+
+  test("l2Sq matches hand-computed values (reference l2, quake_min.py:8-9)") {
+    val d = one(Seq(1f, 2f, 3f), Seq(4f, 6f, 3f))
+      .select(VectorOps.l2Sq(col("a"), col("b"))).head.getDouble(0)
+    assert(d === 9.0 + 16.0 + 0.0)
+  }
+
+  test("l2Sq of identical vectors is zero") {
+    val d = one(Seq(0.5f, -2.5f), Seq(0.5f, -2.5f))
+      .select(VectorOps.l2Sq(col("a"), col("b"))).head.getDouble(0)
+    assert(d === 0.0)
+  }
+
+  test("dot and cosine") {
+    val df = one(Seq(1f, 0f), Seq(0f, 1f))
+    assert(df.select(VectorOps.dot(col("a"), col("b"))).head.getDouble(0) === 0.0)
+    assert(df.select(VectorOps.cosine(col("a"), col("b"))).head.getDouble(0) === 0.0)
+    val same = one(Seq(3f, 4f), Seq(3f, 4f))
+    assert(math.abs(same.select(VectorOps.cosine(col("a"), col("b"))).head.getDouble(0) - 1.0) < 1e-12)
+    assert(same.select(VectorOps.norm(col("a"))).head.getDouble(0) === 5.0)
+  }
+
+  test("hasDim validates vector length") {
+    val df = Seq((1L, Seq(1f, 2f)), (2L, Seq(1f, 2f, 3f))).toDF("id", "v")
+    val ok = df.filter(VectorOps.hasDim(col("v"), 2)).select("id").as[Long].collect()
+    assert(ok.toSeq == Seq(1L))
+  }
+
+  test("VectorMean aggregator computes per-group element-wise mean (O5)") {
+    val df = Seq(
+      (0L, Seq(1f, 2f)), (0L, Seq(3f, 6f)),
+      (1L, Seq(10f, 0f))).toDF("g", "v")
+    val rows = df.groupBy("g").agg(VectorMean.fn(col("v")).as("m"))
+      .orderBy("g").collect()
+    assert(rows(0).getSeq[Float](1) == Seq(2f, 4f))
+    assert(rows(1).getSeq[Float](1) == Seq(10f, 0f))
+  }
+}
