@@ -81,6 +81,20 @@ object Replay {
     val buildSec = (System.nanoTime() - tb) / 1e9
 
     val params = IvfSearch.Params(k = k, targetRecall = targetRecall, maxProbe = 64)
+
+    // Untimed warmup: one tiny search + oracle pass so whole-stage codegen
+    // compilation doesn't land in the first measured batch (the NumPy
+    // reference has no JIT cost to amortize).
+    locally {
+      val wq: Seq[(Long, Array[Float])] = model.partitions.take(2).zipWithIndex
+        .map { case (p, i) => (-(i + 1).toLong, p.centroid) }
+      val probes = IvfSearch.chooseProbesLocal(model, wq, params)
+      val probesDf = probes.map { case (qid, pid, _) => (qid, pid) }.toDF("query_id", "partition_id")
+      val queries = wq.map { case (id, v) => (id, v.toSeq) }.toDF("query_id", "qvec")
+      IvfSearch.searchProbed(model, probesDf.join(queries, "query_id"), params).collect()
+      IvfSearch.exactTopK(model.vectors, queries, k).collect()
+    }
+
     val rng = new scala.util.Random(7L) // reference seed (run_demo.py:39)
     var zipf = new Zipf(model.partitions.length, 1.1, seed = 7L)
     var nextId = 10000000L

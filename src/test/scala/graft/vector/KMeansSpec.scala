@@ -24,6 +24,14 @@ class KMeansSpec extends SparkSpec {
     }
   }
 
+  test("local hashChain is bit-identical to the xxhash64 expression (pool-order parity)") {
+    val df = Seq((0L, 10L), (3L, 11L), (7L, 99L)).toDF("g", "id")
+      .select(col("g"), col("id"), xxhash64(lit(17L), col("g"), col("id")).as("h"))
+    df.as[(Long, Long, Long)].collect().foreach { case (g, id, h) =>
+      assert(KMeans.hashChain(17L, g, id) == h, s"($g,$id)")
+    }
+  }
+
   test("fit is deterministic for a fixed seed") {
     val a = KMeans.fit(twoBlobs, "id", "v", 2, 5, seed = 42L)._2.map(_.toSeq).toSeq
     val b = KMeans.fit(twoBlobs, "id", "v", 2, 5, seed = 42L)._2.map(_.toSeq).toSeq
