@@ -340,5 +340,76 @@ object RelQueries {
           .limit(20),
       Some(
         "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem " +
-          "ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20")))
+          "ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20")),
+
+    // --- cube + grouping id ------------------------------------------
+    NamedQuery(
+      "q18_status_cube",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .cube("l_returnflag", "l_linestatus")
+          .agg(grouping_id().as("gid"), count(lit(1)).as("n_rows"), round(sum("l_extendedprice"), 2).as("sum_price"))
+          .select(
+            coalesce(col("l_returnflag"), lit("(all)")).as("rf"),
+            coalesce(col("l_linestatus"), lit("(all)")).as("ls"),
+            col("gid"),
+            col("n_rows"),
+            col("sum_price"))
+          .orderBy("gid", "rf", "ls"),
+      Some(
+        "SELECT coalesce(l_returnflag,'(all)') AS rf, coalesce(l_linestatus,'(all)') AS ls, " +
+          "GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid, " +
+          "count(*) AS n_rows, round(sum(l_extendedprice),2) AS sum_price " +
+          "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) ORDER BY gid, rf, ls")),
+
+    // --- exact interpolated percentiles ------------------------------
+    NamedQuery(
+      "q19_quantity_percentiles",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
+            round(expr("percentile(l_quantity, 0.9)"), 4).as("p90"),
+            round(expr("percentile(l_extendedprice, 0.95)"), 4).as("price_p95"))
+          .orderBy("l_returnflag"),
+      Some(
+        "SELECT l_returnflag, round(quantile_cont(l_quantity, 0.5), 4) AS p50, " +
+          "round(quantile_cont(l_quantity, 0.9), 4) AS p90, " +
+          "round(quantile_cont(l_extendedprice, 0.95), 4) AS price_p95 " +
+          "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")),
+
+    // --- ordered array aggregation -----------------------------------
+    NamedQuery(
+      "q20_order_linenumbers",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .filter(col("l_orderkey") <= 50)
+          .groupBy("l_orderkey")
+          .agg(
+            count(lit(1)).as("n_items"),
+            array_join(array_sort(collect_list(col("l_linenumber"))), ",").as("linenumbers"))
+          .orderBy("l_orderkey"),
+      Some(
+        "SELECT l_orderkey, count(*) AS n_items, " +
+          "array_to_string(list_sort(list(l_linenumber)), ',') AS linenumbers " +
+          "FROM lineitem WHERE l_orderkey <= 50 GROUP BY l_orderkey ORDER BY l_orderkey")),
+
+    // --- statistical aggregates (corr, stddev, variance) -------------
+    NamedQuery(
+      "q21_stats_profile",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            round(corr("l_quantity", "l_extendedprice").cast("float").cast("double"), 4).as("qty_price_corr"),
+            round(stddev_samp("l_quantity").cast("float").cast("double"), 4).as("qty_stddev"),
+            round(var_samp("l_discount").cast("float").cast("double"), 4).as("disc_var"))
+          .orderBy("l_returnflag"),
+      Some(
+        "SELECT l_returnflag, " +
+          "round(CAST(CAST(corr(l_quantity, l_extendedprice) AS REAL) AS DOUBLE), 4) AS qty_price_corr, " +
+          "round(CAST(CAST(stddev_samp(l_quantity) AS REAL) AS DOUBLE), 4) AS qty_stddev, " +
+          "round(CAST(CAST(var_samp(l_discount) AS REAL) AS DOUBLE), 4) AS disc_var " +
+          "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")))
 }

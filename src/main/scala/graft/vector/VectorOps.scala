@@ -21,8 +21,18 @@ import org.apache.spark.sql.functions._
 object VectorOps {
   private def dbl(c: Column): Column = c.cast("double")
 
-  /** Squared L2 distance (reference `l2`, quake_min.py:8-9). */
-  def l2Sq(a: Column, b: Column): Column =
+  /** Squared L2 distance (reference `l2`, quake_min.py:8-9) — the native
+    * codegen'd [[L2Squared]] expression (primitive loop, no per-row
+    * intermediate array). */
+  def l2Sq(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(L2Squared(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+  }
+
+  /** Higher-order-function form of [[l2Sq]] (built-in `zip_with` +
+    * `aggregate`): kept as the semantic reference for parity tests and as
+    * the portable fallback. */
+  def l2SqHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => (dbl(x) - dbl(y)) * (dbl(x) - dbl(y))),
       lit(0.0),

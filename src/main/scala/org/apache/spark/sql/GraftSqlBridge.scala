@@ -1,0 +1,15 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into `private[sql]` Column↔Expression converters (Spark 4 moved
+  * Column onto ColumnNode; `classic.ExpressionUtils` is the supported
+  * conversion point but is package-private). Compiling this one object
+  * into the `org.apache.spark.sql` package is the standard third-party-
+  * extension technique for registering native Catalyst expressions without
+  * a full `SparkSessionExtensions` function registry. Nothing else in the
+  * engine lives outside the `graft` namespace. */
+object GraftSqlBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

@@ -30,6 +30,22 @@ class VectorOpsSpec extends SparkSpec {
     assert(same.select(VectorOps.norm(col("a"))).head.getDouble(0) === 5.0)
   }
 
+  test("codegen L2Squared matches the higher-order-function form (parity) on fixture vectors") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(20)
+    val pairs = emb.select(col("vec_id").as("ia"), col("embedding").as("a"))
+      .crossJoin(emb.select(col("vec_id").as("ib"), col("embedding").as("b")))
+    val diff = pairs
+      .select(VectorOps.l2Sq(col("a"), col("b")).as("fast"), VectorOps.l2SqHof(col("a"), col("b")).as("hof"))
+      .filter(col("fast") =!= col("hof"))
+    assert(diff.count() == 0)
+  }
+
+  test("L2Squared yields NULL on length mismatch (same as the HOF form)") {
+    val df = Seq((Seq(1f, 2f), Seq(1f, 2f, 3f))).toDF("a", "b")
+    assert(df.select(VectorOps.l2Sq(col("a"), col("b"))).head.isNullAt(0))
+    assert(df.select(VectorOps.l2SqHof(col("a"), col("b"))).head.isNullAt(0))
+  }
+
   test("hasDim validates vector length") {
     val df = Seq((1L, Seq(1f, 2f)), (2L, Seq(1f, 2f, 3f))).toDF("id", "v")
     val ok = df.filter(VectorOps.hasDim(col("v"), 2)).select("id").as[Long].collect()
