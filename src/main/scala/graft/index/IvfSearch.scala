@@ -144,10 +144,22 @@ object IvfSearch {
 
   /** Distance + per-query top-k (`l2_batch` + `topk_indices`,
     * quake_min.py:161-163). Candidate rows carry query_id, qvec, vec_id,
-    * embedding. Ties broken by vec_id for determinism. */
-  private def topkOverCandidates(cands: DataFrame, k: Int): DataFrame = {
-    // nulls LAST: a NULL distance (e.g. a corrupt/wrong-dim row that slipped
-    // in) must never outrank a real neighbor.
+    * embedding. Ties broken by vec_id for determinism.
+    *
+    * Default strategy is the bounded-heap [[graft.vector.TopK]] aggregator:
+    * map-side partial aggregation ships at most k rows per query per map
+    * partition, where the window form shuffles EVERY candidate row — the
+    * difference between O(queries·k·mapPartitions) and O(total scanned)
+    * shuffle volume at corpus scale. The window form is kept for parity
+    * testing (identical output incl. tie-breaks). */
+  private def topkOverCandidates(cands: DataFrame, k: Int): DataFrame =
+    graft.vector.TopK.perQuery(
+      cands.withColumn("dist2", l2Sq(col("qvec"), col("embedding"))),
+      k)
+
+  /** Window-function form of the per-query top-k (the O(total-candidates)
+    * shuffle baseline; parity-tested against the aggregator). */
+  private[graft] def topkViaWindow(cands: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("query_id").orderBy(col("dist2").asc_nulls_last, col("vec_id").asc)
     cands
       .withColumn("dist2", l2Sq(col("qvec"), col("embedding")))

@@ -64,6 +64,18 @@ class IvfSpec extends SparkSpec {
     assert(loc == dist, s"local-only=${loc -- dist} dist-only=${dist -- loc}")
   }
 
+  test("heap top-k aggregator matches the window form bit-for-bit (parity)") {
+    val qs = queriesOf(0L to 9L: _*)
+    val cands = emb.crossJoin(broadcast(qs))
+    val viaWindow = IvfSearch.topkViaWindow(cands, 10)
+      .select("query_id", "rank", "vec_id", "dist2")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val viaHeap = IvfSearch.exactTopK(emb, qs, 10)
+      .select("query_id", "rank", "vec_id", "dist2")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(viaHeap == viaWindow)
+  }
+
   test("search self-query: rank 1 is the query vector itself at distance 0") {
     val res = IvfSearch.search(model, queriesOf(7L), IvfSearch.Params(k = 1, targetRecall = 0.9, maxProbe = 64))
       .collect()
