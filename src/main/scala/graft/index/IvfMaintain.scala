@@ -54,9 +54,33 @@ object IvfMaintain {
       model: IvfModel,
       hotQpsWindow: Double = HotQpsWindow,
       splitSize: Long = SplitSize,
-      mergeSize: Long = MergeSize): IvfModel = {
+      mergeSize: Long = MergeSize,
+      compactHusks: Boolean = false): IvfModel = {
     val afterSplit = splitHot(model, hotQpsWindow, splitSize)
-    mergeTiny(afterSplit, mergeSize)
+    val merged = mergeTiny(afterSplit, mergeSize)
+    if (compactHusks) compact(merged) else merged
+  }
+
+  /** [engine-added, OFF by default] Drop zero-size husk partitions and
+    * renumber pids densely. The reference NEVER removes husks
+    * (quake_min.py:209-210) — they linger in `base_parts` and get scored
+    * on every query forever — so default behavior reproduces that; this
+    * flag is the engine improvement for long-running indexes where dead
+    * metadata would otherwise accumulate without bound. */
+  private[graft] def compact(model: IvfModel): IvfModel = {
+    val live = model.partitions.filter(_.size > 0L)
+    if (live.length == model.partitions.length) return model
+    val newPid: Map[Long, Long] = live.zipWithIndex.map { case (p, i) => p.pid -> i.toLong }.toMap
+    val parts = live.zipWithIndex.map { case (p, i) => p.copy(pid = i.toLong) }
+    val baseIds = model.coarseBaseIds.map { case (c, pids) =>
+      c -> pids.flatMap(newPid.get)
+    }
+    model.copy(
+      vectors = model.vectors.withColumn(
+        "partition_id",
+        coalesce(try_element_at(typedLit(newPid), col("partition_id")), col("partition_id"))),
+      partitions = parts,
+      coarseBaseIds = baseIds)
   }
 
   /** Split phase (quake_min.py:171-188). */

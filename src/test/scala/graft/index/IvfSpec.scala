@@ -138,6 +138,19 @@ class IvfSpec extends SparkSpec {
     assert(m2.totalVectors == model.totalVectors)
   }
 
+  test("compactHusks drops zero-size partitions, renumbers densely, preserves vectors") {
+    val merged = IvfMaintain.maintain(model, splitSize = 1000000L, mergeSize = 1000000L)
+    assert(merged.partitions.exists(_.size == 0L), "precondition: husks exist")
+    val compacted = IvfMaintain.maintain(model, splitSize = 1000000L, mergeSize = 1000000L, compactHusks = true)
+    assert(compacted.partitions.forall(_.size > 0L))
+    assert(compacted.partitions.zipWithIndex.forall { case (p, i) => p.pid == i.toLong })
+    assert(compacted.totalVectors == model.totalVectors)
+    assert(compacted.vectors.count() == model.vectors.count())
+    // metadata still agrees with the data after the remap
+    val sizes = compacted.vectors.groupBy("partition_id").count().as[(Long, Long)].collect().toMap
+    compacted.partitions.foreach(p => assert(sizes.getOrElse(p.pid, 0L) == p.size))
+  }
+
   test("recallAtK emits a row for every query, including no-result ones") {
     val qs = Seq((1L, Seq.fill(64)(0f)), (2L, Seq.fill(64)(1f))).toDF("query_id", "qvec")
     val results = Seq((1L, 1, 5L)).toDF("query_id", "rank", "vec_id")
