@@ -149,24 +149,15 @@ object KMeans {
     XXH64.hashLong(id, h)
   }
 
-  /** Driver-local Lloyd's over a collected input — same seeded-hash pool,
-    * same reseed rule, same first-minimum assignment as the distributed
-    * path; used below [[LocalFitThreshold]] where per-iteration Spark jobs
-    * are pure overhead. */
-  private def fitGroupedLocal(
-      dfk: DataFrame,
-      groupCol: String,
-      idCol: String,
-      vecCol: String,
+  /** Driver-local grouped Lloyd's core over in-memory rows — same
+    * seeded-hash pool, same reseed rule, same first-minimum assignment as
+    * the distributed path. Returns per-row cluster assignments (aligned
+    * with `rows`) and the final centroids per group. */
+  private[graft] def lloydLocal(
+      rows: Array[(Long, Long, Array[Float])],
       kFor: Map[Long, Int],
       iters: Int,
-      seed: Long): (DataFrame, Map[Long, Array[Array[Float]]]) = {
-    val spark = dfk.sparkSession
-    import spark.implicits._
-    val rows: Array[(Long, Long, Array[Float])] = dfk
-      .select(col(groupCol).cast("long"), col(idCol).cast("long"), col(vecCol))
-      .collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Float](2).toArray))
+      seed: Long): (Array[Int], Map[Long, Array[Array[Float]]]) = {
     val byGroup = rows.groupBy(_._1)
     val maxK = math.max(1, if (kFor.isEmpty) 1 else kFor.values.max)
 
@@ -208,10 +199,33 @@ object KMeans {
     }
 
     val finalCents = centroids
-    val assigns = rows.flatMap { case (g, id, v) =>
-      finalCents.get(g).map(cs => (g, id, nearest(cs, v)))
-    }.toSeq.toDF(groupCol, idCol, "cluster")
-    (dfk.join(broadcast(assigns), Seq(groupCol, idCol)), finalCents)
+    val assigns = rows.map { case (g, _, v) =>
+      finalCents.get(g).map(cs => nearest(cs, v)).getOrElse(-1)
+    }
+    (assigns, finalCents)
+  }
+
+  /** DataFrame wrapper over [[lloydLocal]]: collect, fit, join the
+    * assignments back (broadcast — the assignment table is tiny). */
+  private def fitGroupedLocal(
+      dfk: DataFrame,
+      groupCol: String,
+      idCol: String,
+      vecCol: String,
+      kFor: Map[Long, Int],
+      iters: Int,
+      seed: Long): (DataFrame, Map[Long, Array[Array[Float]]]) = {
+    val spark = dfk.sparkSession
+    import spark.implicits._
+    val rows: Array[(Long, Long, Array[Float])] = dfk
+      .select(col(groupCol).cast("long"), col(idCol).cast("long"), col(vecCol))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Float](2).toArray))
+    val (assigns, finalCents) = lloydLocal(rows, kFor, iters, seed)
+    val assignDf = rows.zip(assigns)
+      .collect { case ((g, id, _), c) if c >= 0 => (g, id, c) }
+      .toSeq.toDF(groupCol, idCol, "cluster")
+    (dfk.join(broadcast(assignDf), Seq(groupCol, idCol)), finalCents)
   }
 
   /** Single (ungrouped) k-means: one group spanning the whole frame. */
