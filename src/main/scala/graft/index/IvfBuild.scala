@@ -50,7 +50,7 @@ object IvfBuild {
     // 0.4 s at 2000×64), with identical algorithmic structure. Larger
     // corpora take the distributed path below.
     val n = clean.count()
-    if (n * math.max(1, dim) <= KMeans.LocalFitThreshold)
+    if (n * math.max(1, dim) <= KMeans.localFitThreshold)
       return buildLocal(spark, clean, dim, kCoarse, kBase)
 
     val base = clean

@@ -50,7 +50,11 @@ object KMeans {
     * distributed path below; both use the same seeded-hash initialization
     * (the local path calls Spark's own XXH64 so the pool order is
     * bit-identical to the `xxhash64` expression). */
-  val LocalFitThreshold: Long = 16L * 1024 * 1024
+  val LocalFitThresholdDefault: Long = 16L * 1024 * 1024
+
+  /** Mutable ONLY as a test hook (set to 0 to force the distributed path
+    * on fixture-scale data); production code never writes it. */
+  @volatile private[graft] var localFitThreshold: Long = LocalFitThresholdDefault
 
   /** Fit k-means per group.
     *
@@ -82,7 +86,7 @@ object KMeans {
     val probe = dfk.agg(count(lit(1)), first(size(col(vecCol)))).head()
     val nRows = probe.getLong(0)
     val dim = if (nRows == 0 || probe.isNullAt(1)) 0 else probe.getInt(1)
-    if (nRows * math.max(1, dim) <= LocalFitThreshold)
+    if (nRows * math.max(1, dim) <= localFitThreshold)
       return fitGroupedLocal(dfk, groupCol, idCol, vecCol, kFor, iters, seed)
 
     // Hash-ordered per-group pool: init points + reseed spares.

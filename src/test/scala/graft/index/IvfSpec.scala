@@ -162,6 +162,20 @@ class IvfSpec extends SparkSpec {
     assert(rec(2L) == 0.0)
   }
 
+  test("distributed build + search path (forced past the local-fit threshold) hits the recall bar") {
+    graft.vector.KMeans.localFitThreshold = 0L
+    try {
+      val m = IvfBuild.build(emb, dim = 64)
+      assert(m.totalVectors == emb.count())
+      assert(m.partitions.zipWithIndex.forall { case (p, i) => p.pid == i.toLong })
+      val qs = queriesOf(0L to 9L: _*)
+      val res = IvfSearch.search(m, qs, IvfSearch.Params(k = 10, targetRecall = 0.9, maxProbe = 64))
+      val exact = IvfSearch.exactTopK(emb, qs, 10)
+      val recall = IvfSearch.recallAtK(res, exact, 10, qs).agg(avg("recall")).head.getDouble(0)
+      assert(recall >= 0.9, s"distributed-path recall $recall")
+    } finally graft.vector.KMeans.localFitThreshold = graft.vector.KMeans.LocalFitThresholdDefault
+  }
+
   test("model save/load round-trips through partitioned parquet") {
     val dir = java.nio.file.Files.createTempDirectory("ivf").toString
     IvfModel.save(spark, model, dir)
