@@ -120,8 +120,13 @@ object Replay {
       val ts = System.nanoTime()
       val probesLocal = IvfSearch.chooseProbesLocal(model, qRows, params)
       val probesDf = probesLocal.map { case (qid, pid, _) => (qid, pid) }.toDF("query_id", "partition_id")
+      // static pruning on the union of probed pids: skips unprobed cached
+      // batches here, whole parquet directories for an on-disk index
+      val pids = probesLocal.map(_._2).distinct
+      val prunedModel = model.copy(
+        vectors = model.vectors.filter(col("partition_id").isInCollection(pids)))
       val resultRows = IvfSearch
-        .searchProbed(model, probesDf.join(queries, "query_id"), params)
+        .searchProbed(prunedModel, probesDf.join(queries, "query_id"), params)
         .collect()
       val latMs = (System.nanoTime() - ts) / 1e6
       batchLatMs += latMs / bs

@@ -130,6 +130,31 @@ object IvfSearch {
         .join(model.vectors, Seq("partition_id")),
       params.k)
 
+  /** Full search with DRIVER-SIDE probe choice and a static
+    * `partition_id IN (…)` pushdown on the vectors scan: when the index is
+    * a `partition_id`-partitioned Parquet table ([[IvfModel.save]]), the
+    * union of probed pids becomes a PartitionFilter and unprobed partition
+    * directories are never read — the on-disk realization of the
+    * reference's "scan only the probed partitions" (quake_min.py:151-160).
+    * The per-query probe set is then re-applied by the equi-join, so
+    * results are identical to [[search]]. */
+  def searchPruned(
+      model: IvfModel,
+      queries: Seq[(Long, Array[Float])],
+      params: Params): DataFrame = {
+    val spark = model.vectors.sparkSession
+    import spark.implicits._
+    val probes = chooseProbesLocal(model, queries, params)
+    val pids = probes.map(_._2).distinct
+    val probesDf = probes.map { case (qid, pid, _) => (qid, pid) }.toDF("query_id", "partition_id")
+    val queriesDf = queries.map { case (id, v) => (id, v.toSeq) }.toDF("query_id", "qvec")
+    topkOverCandidates(
+      probesDf
+        .join(queriesDf, "query_id")
+        .join(model.vectors.filter(col("partition_id").isInCollection(pids)), Seq("partition_id")),
+      params.k)
+  }
+
   /** Per-query probe metrics (reference result `meta`, quake_min.py:168):
     * `(query_id, nprobe, scanned)`. */
   def probeMetrics(probes: DataFrame): DataFrame =

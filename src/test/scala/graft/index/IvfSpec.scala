@@ -184,4 +184,21 @@ class IvfSpec extends SparkSpec {
     assert(loaded.partitions.map(p => (p.pid, p.size)) == model.partitions.map(p => (p.pid, p.size)))
     assert(loaded.vectors.count() == model.vectors.count())
   }
+
+  test("searchPruned on a saved index prunes parquet partitions (PartitionFilters) with identical results") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfp").toString
+    IvfModel.save(spark, model, dir)
+    val loaded = IvfModel.load(spark, dir)
+    val params = IvfSearch.Params(k = 10, targetRecall = 0.5, maxProbe = 4)
+    val local = queriesOf(0L, 1L).select("query_id", "qvec").as[(Long, Seq[Float])].collect()
+      .map { case (id, v) => (id, v.toArray) }.toSeq
+    val pruned = IvfSearch.searchPruned(loaded, local, params)
+    // the scan must carry a partition filter on partition_id
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("partition_id"), plan.take(2000))
+    // and results must equal the unpruned DataFrame path on the same model
+    val viaDf = IvfSearch.search(loaded, queriesOf(0L, 1L), params)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(pruned.as[(Long, Int, Long, Double)].collect().toSet == viaDf)
+  }
 }
