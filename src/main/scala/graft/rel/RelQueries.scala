@@ -395,6 +395,58 @@ object RelQueries {
           "array_to_string(list_sort(list(l_linenumber)), ',') AS linenumbers " +
           "FROM lineitem WHERE l_orderkey <= 50 GROUP BY l_orderkey ORDER BY l_orderkey")),
 
+    // --- sessionization (gap > 30 min ⇒ new session) ------------------
+    NamedQuery(
+      "q22_user_sessions",
+      (s, dir) => {
+        val wOrd = Window.partitionBy("user_id").orderBy("us", "event_id")
+        val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "events")
+          .withColumn("us", unix_micros(col("ts")))
+          .withColumn("prev", lag("us", 1).over(wOrd))
+          .withColumn(
+            "is_new",
+            when(col("prev").isNull || col("us") - col("prev") > 30L * 60 * 1000000L, 1L).otherwise(0L))
+          .withColumn("session_idx", sum("is_new").over(wRun))
+          .groupBy("user_id", "session_idx")
+          .agg(
+            count(lit(1)).as("n_events"),
+            min("us").as("start_us"),
+            (max(col("us")) - min(col("us"))).as("dur_us"))
+          .orderBy("user_id", "session_idx")
+      },
+      Some(
+        "SELECT user_id, session_idx, count(*) AS n_events, min(us) AS start_us, " +
+          "max(us) - min(us) AS dur_us FROM (" +
+          "SELECT user_id, us, sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx FROM (" +
+          "SELECT user_id, event_id, us, CASE WHEN prev IS NULL OR us - prev > 30*60*1000000 " +
+          "THEN 1 ELSE 0 END AS is_new FROM (" +
+          "SELECT user_id, event_id, epoch_us(ts) AS us, " +
+          "lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev " +
+          "FROM events))) GROUP BY user_id, session_idx ORDER BY user_id, session_idx")),
+
+    // --- pivot via filtered aggregates --------------------------------
+    NamedQuery(
+      "q23_daily_type_pivot",
+      (s, dir) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val aggs = types.map(ty => count(when(col("event_type") === ty, 1)).as(s"n_$ty")) :+
+          round(coalesce(sum(when(col("event_type") === "purchase", col("value"))), lit(0.0)), 2)
+            .as("purchase_value")
+        t(s, dir, "events")
+          .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+          .agg(aggs.head, aggs.tail: _*)
+          .orderBy("day")
+      },
+      Some(
+        "SELECT strftime(ts, '%Y-%m-%d') AS day, " +
+          Seq("click", "error", "purchase", "signup", "view")
+            .map(ty => s"count(*) FILTER (WHERE event_type = '$ty') AS n_$ty")
+            .mkString(", ") +
+          ", round(coalesce(sum(value) FILTER (WHERE event_type = 'purchase'), 0.0), 2) AS purchase_value " +
+          "FROM events GROUP BY 1 ORDER BY day")),
+
     // --- statistical aggregates (corr, stddev, variance) -------------
     NamedQuery(
       "q21_stats_profile",
