@@ -33,12 +33,21 @@ object Bench {
         } catch {
           case e: Throwable => System.err.println(s"[bench] replay failed: ${e.getMessage}"); "null"
         }
+    // apples-to-apples row vs BASELINE.md: the reference's own published
+    // config (n=40000, d=64, 500 queries — run_demo.py:32-39)
+    val replay40kJson =
+      if (sys.env.getOrElse("SPARK_GRAFT_REPLAY40K", "1") == "0") "null"
+      else
+        try bench.Replay.runSynthetic(spark).toJson
+        catch {
+          case e: Throwable => System.err.println(s"[bench] replay40k failed: ${e.getMessage}"); "null"
+        }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""replay":$replayJson,"sf":"$sfDir"}""")
+        s""""replay":$replayJson,"replay_40k_baseline_config":$replay40kJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

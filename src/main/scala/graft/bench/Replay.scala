@@ -69,12 +69,50 @@ object Replay {
       targetRecall: Double = 0.9,
       maintainEvery: Int = 50,
       checkpointEvery: Int = 2): Summary = {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").select("vec_id", "embedding").cache()
+    runOn(spark, emb, nQueries, batchSize, k, targetRecall, maintainEvery, checkpointEvery)
+  }
+
+  /** The reference's exact published workload at its exact scale
+    * (run_demo.py:32-42): `n` Gaussian-mixture vectors (O15 semantics —
+    * `nClusters` centers ~ N(0,4), points = center + N(0,1), seeded),
+    * 500 Zipf queries, churn, maintenance. This is the apples-to-apples
+    * row against BASELINE.md (the sf fixtures are 20× smaller). */
+  def runSynthetic(
+      spark: SparkSession,
+      n: Int = 40000,
+      d: Int = 64,
+      nClusters: Int = 60,
+      nQueries: Int = 500,
+      batchSize: Int = 20): Summary = {
+    import spark.implicits._
+    val rng = new scala.util.Random(7L) // reference seed (run_demo.py:39)
+    val centers = Array.fill(nClusters, d)((rng.nextGaussian() * 4.0).toFloat)
+    val rows = (0 until n).map { i =>
+      val c = centers(rng.nextInt(nClusters))
+      (i.toLong, c.map(x => x + rng.nextGaussian().toFloat).toSeq)
+    }
+    val emb = rows.toDF("vec_id", "embedding").repartition(spark.sparkContext.defaultParallelism).cache()
+    runOn(spark, emb, nQueries, batchSize, k = 10, targetRecall = 0.9, maintainEvery = 50, checkpointEvery = 2)
+  }
+
+  private def runOn(
+      spark: SparkSession,
+      emb: org.apache.spark.sql.DataFrame,
+      nQueries: Int,
+      batchSize: Int,
+      k: Int,
+      targetRecall: Double,
+      maintainEvery: Int,
+      checkpointEvery: Int): Summary = {
     import spark.implicits._
     val t0 = System.nanoTime()
-
-    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").select("vec_id", "embedding").cache()
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
     val allIds: Array[Long] = emb.select("vec_id").as[Long].collect()
+
+    // untimed JIT warmup on a small sample (the NumPy reference pays no
+    // compilation inside its timed region either)
+    IvfBuild.build(emb.limit(math.min(2000, allIds.length)), dim)
 
     val tb = System.nanoTime()
     var model = IvfBuild.build(emb, dim)
@@ -86,13 +124,13 @@ object Replay {
     // compilation doesn't land in the first measured batch (the NumPy
     // reference has no JIT cost to amortize).
     locally {
-      val wq: Seq[(Long, Array[Float])] = model.partitions.take(2).zipWithIndex
-        .map { case (p, i) => (-(i + 1).toLong, p.centroid) }
+      val wq: IndexedSeq[(Long, Array[Float])] = model.partitions.take(2).zipWithIndex
+        .map { case (p, i) => (-(i + 1).toLong, p.centroid) }.toIndexedSeq
       val probes = IvfSearch.chooseProbesLocal(model, wq, params)
-      val probesDf = probes.map { case (qid, pid, _) => (qid, pid) }.toDF("query_id", "partition_id")
-      val queries = wq.map { case (id, v) => (id, v.toSeq) }.toDF("query_id", "qvec")
-      IvfSearch.searchProbed(model, probesDf.join(queries, "query_id"), params).collect()
-      IvfSearch.exactTopK(model.vectors, queries, k).collect()
+      val probing = probes.groupBy(_._2).view
+        .mapValues(_.map(p => wq.indexWhere(_._1 == p._1)).toArray).toMap
+      IvfSearch.scanTopKLocal(model.vectors, wq, probing, k)
+      IvfSearch.scanTopKLocal(model.vectors, wq, null, k)
     }
 
     val rng = new scala.util.Random(7L) // reference seed (run_demo.py:39)
@@ -112,34 +150,28 @@ object Replay {
         val p = model.partitions(zipf.next() % model.partitions.length)
         ((q + i).toLong, p.centroid.map(x => x + (rng.nextGaussian() * 0.1).toFloat))
       }
-      val queries = qRows.map { case (id, v) => (id, v.toSeq) }.toDF("query_id", "qvec")
-
       // timed search (O12): probe choice is driver-side metadata math
-      // (chooseProbesLocal ≡ chooseProbes, parity-tested); only the gather
-      // + top-k over probed partitions runs as a Spark job.
+      // (chooseProbesLocal ≡ chooseProbes, parity-tested); the gather +
+      // top-k is ONE batched scan over the probed partitions — no join
+      // materialization (IvfSearch.scanTopKLocal).
       val ts = System.nanoTime()
       val probesLocal = IvfSearch.chooseProbesLocal(model, qRows, params)
-      val probesDf = probesLocal.map { case (qid, pid, _) => (qid, pid) }.toDF("query_id", "partition_id")
-      // static pruning on the union of probed pids: skips unprobed cached
-      // batches here, whole parquet directories for an on-disk index
-      val pids = probesLocal.map(_._2).distinct
-      val prunedModel = model.copy(
-        vectors = model.vectors.filter(col("partition_id").isInCollection(pids)))
-      val resultRows = IvfSearch
-        .searchProbed(prunedModel, probesDf.join(queries, "query_id"), params)
-        .collect()
+      val qIndex = qRows.indices.map(i => qRows(i)._1 -> i).toMap
+      val probing: Map[Long, Array[Int]] = probesLocal
+        .groupBy(_._2).view.mapValues(_.map(p => qIndex(p._1)).toArray).toMap
+      val resultRows = IvfSearch.scanTopKLocal(model.vectors, qRows.toIndexedSeq, probing, k)
       val latMs = (System.nanoTime() - ts) / 1e6
       batchLatMs += latMs / bs
 
       // O18 metrics, driver-side (probe set + k·bs result rows are tiny)
       sumNprobe += probesLocal.size.toDouble / bs
       sumScanned += probesLocal.map(_._3).sum.toDouble / bs
-      val exactRows = IvfSearch.exactTopK(model.vectors, queries, k).collect()
-      val exactByQ = exactRows.groupBy(_.getAs[Long]("query_id"))
-      val resByQ = resultRows.groupBy(_.getAs[Long]("query_id"))
+      val exactRows = IvfSearch.scanTopKLocal(model.vectors, qRows.toIndexedSeq, null, k)
+      val exactByQ = exactRows.groupBy(_._1)
+      val resByQ = resultRows.groupBy(_._1)
       val recalls = qRows.map { case (qid, _) =>
-        val ex = exactByQ.getOrElse(qid, Array.empty).map(_.getAs[Long]("vec_id")).toSet
-        val got = resByQ.getOrElse(qid, Array.empty).map(_.getAs[Long]("vec_id")).toSet
+        val ex = exactByQ.getOrElse(qid, Array.empty).map(_._3).toSet
+        val got = resByQ.getOrElse(qid, Array.empty).map(_._3).toSet
         (got & ex).size.toDouble / math.max(1, math.min(k, ex.size))
       }
       sumRecall += recalls.sum / math.max(1, recalls.size)

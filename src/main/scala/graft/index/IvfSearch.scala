@@ -155,6 +155,91 @@ object IvfSearch {
       params.k)
   }
 
+  /** Batched-scan top-k for an in-memory query batch: ONE pass over the
+    * vectors table with the query batch broadcast, fused distance loops,
+    * and a bounded per-(query, map-partition) heap — no join
+    * materialization (the join form copies qvec+embedding per candidate
+    * row: ~1 KB × |scanned| × |queries| through the shuffle, which is what
+    * a BLAS matmul avoids on one node). Shuffle here is zero: map
+    * partitions emit ≤ k rows per query, merged exactly on the driver.
+    * This is the Spark shape of the reference's `l2_batch` over the
+    * gathered candidate matrix (quake_min.py:159-163) for driver-sized
+    * query batches; the join/aggregator path remains for distributed
+    * query tables.
+    *
+    * @param probing pid → indices (into `queries`) of the queries probing
+    *                it; pass `null` to scan every partition for every
+    *                query (= exact top-k)
+    * @return (query_id, rank, vec_id, dist2) rows, exact (dist2, vec_id)
+    *         global order per query
+    */
+  def scanTopKLocal(
+      vectors: DataFrame,
+      queries: IndexedSeq[(Long, Array[Float])],
+      probing: Map[Long, Array[Int]],
+      k: Int): Array[(Long, Int, Long, Double)] = {
+    val spark = vectors.sparkSession
+    val sc = spark.sparkContext
+    val qB = sc.broadcast(queries.map(_._2).toArray)
+    val pB = sc.broadcast(probing)
+    val nQ = queries.length
+    val schema = vectors.schema
+    val vecIdIdx = schema.fieldIndex("vec_id")
+    val embIdx = schema.fieldIndex("embedding")
+    val pidIdx = schema.fieldIndex("partition_id")
+
+    val partial: Array[Array[(Double, Long)]] = vectors.queryExecution.toRdd
+      .mapPartitions { rows =>
+        val qs = qB.value
+        val probes = pB.value
+        // per-query bounded candidate lists (insertion into k-sorted array)
+        val ds = Array.fill(nQ)(Array.fill(k)(Double.MaxValue))
+        val ids = Array.fill(nQ)(Array.fill(k)(Long.MaxValue))
+        rows.foreach { r =>
+          val pid = r.getLong(pidIdx)
+          val qIdxs: Array[Int] =
+            if (probes == null) null else probes.getOrElse(pid, Array.empty[Int])
+          if (probes == null || qIdxs.nonEmpty) {
+            val v = r.getArray(embIdx).toFloatArray()
+            val vid = r.getLong(vecIdIdx)
+            var t = 0
+            val bound = if (probes == null) nQ else qIdxs.length
+            while (t < bound) {
+              val qi = if (probes == null) t else qIdxs(t)
+              val q = qs(qi)
+              var s = 0.0
+              var i = 0
+              val n = math.min(q.length, v.length)
+              while (i < n) { val d = q(i).toDouble - v(i); s += d * d; i += 1 }
+              val dk = ds(qi)
+              val ik = ids(qi)
+              // beats the current worst (ties → lower vec_id wins)?
+              if (s < dk(k - 1) || (s == dk(k - 1) && vid < ik(k - 1))) {
+                var j = k - 1
+                while (j > 0 && (s < dk(j - 1) || (s == dk(j - 1) && vid < ik(j - 1)))) {
+                  dk(j) = dk(j - 1); ik(j) = ik(j - 1); j -= 1
+                }
+                dk(j) = s; ik(j) = vid
+              }
+              t += 1
+            }
+          }
+        }
+        Iterator.single(Array.tabulate(nQ) { qi =>
+          ds(qi).zip(ids(qi)).filter(_._2 != Long.MaxValue)
+        })
+      }
+      .fold(Array.fill(nQ)(Array.empty[(Double, Long)])) { (a, b) =>
+        Array.tabulate(nQ)(qi => (a(qi) ++ b(qi)).sortBy(identity).take(k))
+      }
+
+    queries.indices.flatMap { qi =>
+      partial(qi).sortBy(identity).take(k).zipWithIndex.map { case ((d, vid), r) =>
+        (queries(qi)._1, r + 1, vid, d)
+      }
+    }.toArray
+  }
+
   /** Per-query probe metrics (reference result `meta`, quake_min.py:168):
     * `(query_id, nprobe, scanned)`. */
   def probeMetrics(probes: DataFrame): DataFrame =

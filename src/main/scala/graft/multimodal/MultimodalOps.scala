@@ -96,6 +96,38 @@ object MultimodalOps {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** "Resize" for image assets: nearest-neighbor subsample of the
+    * post-header payload down to `targetBytes` pseudo-pixels, header
+    * preserved with the width field rewritten. STUB decode semantics
+    * (bytes as pixels); real Spark batching — same `mapPartitions` shape
+    * as [[extractFeatures]], swap the body for a real scaler in
+    * production. */
+  def resizeStub(assets: DataFrame, targetBytes: Int): DataFrame = {
+    val spark = assets.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = false)))
+    val idIdx = assets.schema.fieldIndex("asset_id")
+    val binIdx = assets.schema.fieldIndex("content")
+    val rdd = assets.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val bin = r.getAs[Array[Byte]](binIdx)
+        val payload = bin.drop(16)
+        val out =
+          if (payload.length <= targetBytes) payload
+          else Array.tabulate(targetBytes)(i => payload((i.toLong * payload.length / targetBytes).toInt))
+        val header = bin.take(16)
+        // rewrite width (bytes 5-8 big-endian) to the resized size
+        header(4) = (out.length >>> 24).toByte
+        header(5) = (out.length >>> 16).toByte
+        header(6) = (out.length >>> 8).toByte
+        header(7) = out.length.toByte
+        Row(r.getLong(idIdx), header ++ out)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Frame sampling for "video" assets: cut the (post-header) payload into
     * `frameSize`-byte frames and keep every `stride`-th, as
     * `(asset_id, frame_idx, frame binary)`. Pure expressions. */

@@ -173,34 +173,64 @@ object KMeans {
       pool.get(g).map(p => g -> p.take(math.max(1, math.min(k, p.length))))
     }
 
-    var it = 0
-    while (it < iters) {
-      val next = centroids.map { case (g, cents) =>
-        val members = byGroup.getOrElse(g, Array.empty)
-        val sums = Array.fill(cents.length)(new Array[Double](if (members.isEmpty) 0 else members(0)._3.length))
-        val counts = new Array[Long](cents.length)
-        members.foreach { case (_, _, v) =>
-          val c = nearest(cents, v)
-          val s = sums(c)
-          var i = 0
-          while (i < v.length) { s(i) += v(i); i += 1 }
-          counts(c) += 1
+    // Assignment dominates (rows × k × dim × iters mul-adds): chunk the
+    // member array across a fixed pool; per-chunk (sum, count) partials
+    // merge in chunk order, so results are deterministic regardless of
+    // thread timing.
+    val nThreads = math.max(1, Runtime.getRuntime.availableProcessors())
+    val exec = java.util.concurrent.Executors.newFixedThreadPool(nThreads)
+    try {
+      var it = 0
+      while (it < iters) {
+        val next = centroids.map { case (g, cents) =>
+          val members = byGroup.getOrElse(g, Array.empty)
+          val d = if (members.isEmpty) 0 else members(0)._3.length
+          val chunks = if (members.isEmpty) Array(members) else members.grouped(
+            math.max(1, (members.length + nThreads - 1) / nThreads)).toArray
+          val partials = chunks.map { chunk =>
+            exec.submit(new java.util.concurrent.Callable[(Array[Array[Double]], Array[Long])] {
+              def call(): (Array[Array[Double]], Array[Long]) = {
+                val sums = Array.fill(cents.length)(new Array[Double](d))
+                val counts = new Array[Long](cents.length)
+                chunk.foreach { case (_, _, v) =>
+                  val c = nearest(cents, v)
+                  val s = sums(c)
+                  var i = 0
+                  while (i < v.length) { s(i) += v(i); i += 1 }
+                  counts(c) += 1
+                }
+                (sums, counts)
+              }
+            })
+          }.map(_.get())
+          val sums = Array.fill(cents.length)(new Array[Double](d))
+          val counts = new Array[Long](cents.length)
+          partials.foreach { case (ps, pc) =>
+            var ci = 0
+            while (ci < cents.length) {
+              val s = sums(ci); val p = ps(ci)
+              var i = 0
+              while (i < d) { s(i) += p(i); i += 1 }
+              counts(ci) += pc(ci)
+              ci += 1
+            }
+          }
+          val spares = pool.getOrElse(g, Array.empty)
+          val res = Array.tabulate(cents.length) { ci =>
+            if (counts(ci) > 0) {
+              val out = new Array[Float](d)
+              var i = 0
+              while (i < d) { out(i) = (sums(ci)(i) / counts(ci)).toFloat; i += 1 }
+              out
+            } else if (spares.nonEmpty) spares((it * cents.length + ci) % spares.length)
+            else cents(ci)
+          }
+          g -> res
         }
-        val spares = pool.getOrElse(g, Array.empty)
-        val res = Array.tabulate(cents.length) { ci =>
-          if (counts(ci) > 0) {
-            val out = new Array[Float](sums(ci).length)
-            var i = 0
-            while (i < out.length) { out(i) = (sums(ci)(i) / counts(ci)).toFloat; i += 1 }
-            out
-          } else if (spares.nonEmpty) spares((it * cents.length + ci) % spares.length)
-          else cents(ci)
-        }
-        g -> res
+        centroids = next
+        it += 1
       }
-      centroids = next
-      it += 1
-    }
+    } finally exec.shutdown()
 
     val finalCents = centroids
     val assigns = rows.map { case (g, _, v) =>

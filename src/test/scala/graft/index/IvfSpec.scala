@@ -64,6 +64,25 @@ class IvfSpec extends SparkSpec {
     assert(loc == dist, s"local-only=${loc -- dist} dist-only=${dist -- loc}")
   }
 
+  test("batched-scan top-k matches the DataFrame paths (exact + probed parity)") {
+    val params = IvfSearch.Params(k = 5, targetRecall = 0.9, maxProbe = 64)
+    val local = queriesOf(0L to 4L: _*).select("query_id", "qvec").as[(Long, Seq[Float])].collect()
+      .map { case (id, v) => (id, v.toArray) }.toIndexedSeq
+    // exact form
+    val scanExact = IvfSearch.scanTopKLocal(model.vectors, local, null, 5).toSet
+    val dfExact = IvfSearch.exactTopK(emb, queriesOf(0L to 4L: _*), 5)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(scanExact == dfExact)
+    // probed form
+    val probes = IvfSearch.chooseProbesLocal(model, local, params)
+    val qIdx = local.indices.map(i => local(i)._1 -> i).toMap
+    val probing = probes.groupBy(_._2).view.mapValues(_.map(p => qIdx(p._1)).toArray).toMap
+    val scanProbed = IvfSearch.scanTopKLocal(model.vectors, local, probing, 5).toSet
+    val dfProbed = IvfSearch.search(model, queriesOf(0L to 4L: _*), params.copy(k = 5))
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(scanProbed == dfProbed)
+  }
+
   test("heap top-k aggregator matches the window form bit-for-bit (parity)") {
     val qs = queriesOf(0L to 9L: _*)
     val cands = emb.crossJoin(broadcast(qs))

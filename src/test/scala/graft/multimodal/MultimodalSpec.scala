@@ -35,6 +35,20 @@ class MultimodalSpec extends SparkSpec {
     assert(r.getLong(2) == again)
   }
 
+  test("resizeStub subsamples the payload and rewrites the width header") {
+    val resized = MultimodalOps.resizeStub(assets, targetBytes = 10)
+    val r = resized.head
+    val bin = r.getAs[Array[Byte]]("content")
+    assert(bin.length == 26) // 16 header + 10 pseudo-pixels
+    // re-parse through toAssets: width must equal the resized byte count
+    import spark.implicits._
+    val reparsed = MultimodalOps.toAssets(
+      Seq((r.getLong(0), bin)).toDF("id", "bin"), "id", "bin", "image")
+    assert(reparsed.select("meta.width").head.getInt(0) == 10)
+    // nearest-neighbor: first sampled byte is payload(0)
+    assert(bin(16) == payload(0))
+  }
+
   test("sampleFrames cuts the payload into strided fixed-size frames") {
     val frames = MultimodalOps.sampleFrames(assets, frameSize = 10, stride = 2).collect()
     // 100-byte payload / 10 = 10 frames, stride 2 -> indices 0,2,4,6,8 -> 5 kept
