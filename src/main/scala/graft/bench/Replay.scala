@@ -48,7 +48,7 @@ object Replay {
 
   /** Deterministic Zipf(α) rank sampler over [0, n): inverse CDF on a
     * seeded uniform (reference samples ranks ∝ 1/r^α, runner.mjs:37-48). */
-  private[bench] final class Zipf(n: Int, alpha: Double, seed: Long) {
+  private[graft] final class Zipf(n: Int, alpha: Double, seed: Long) {
     private val rng = new scala.util.Random(seed)
     private val weights = Array.tabulate(n)(r => 1.0 / math.pow(r + 1.0, alpha))
     private val cum = weights.scanLeft(0.0)(_ + _).tail
