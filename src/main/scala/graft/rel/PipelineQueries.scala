@@ -194,6 +194,33 @@ object PipelineQueries {
       },
       None),
 
+    // The batched-scan exact k-NN (the replay's hot path) under the SAME
+    // DuckDB oracle as v01 — hash-verifies scanTopKLocal end-to-end.
+    NamedQuery(
+      "v07_batched_scan_knn",
+      (s, dir) => {
+        import s.implicits._
+        val emb = t(s, dir, "embeddings")
+        val vectors = emb
+          .select(col("vec_id").cast("long").as("vec_id"), col("embedding"), lit(0L).as("partition_id"))
+        val queries = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+          .as[(Long, Seq[Float])].collect()
+          .map { case (id, v) => (id, v.toArray) }.toIndexedSeq
+        IvfSearch.scanTopKLocal(vectors, queries, null, 10)
+          .toSeq.toDF("query_id", "rnk", "vec_id", "dist2")
+          .select(col("query_id"), col("rnk"), col("vec_id"), f32round(col("dist2"), 3).as("dist2"))
+          .orderBy("query_id", "rnk")
+      },
+      Some(
+        "WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5), " +
+          s"d AS (SELECT q.query_id, e.vec_id, ${duckL2("q.qvec", "e.embedding")} AS dist2 " +
+          "FROM q CROSS JOIN embeddings e), " +
+          "r AS (SELECT query_id, vec_id, dist2, CAST(row_number() OVER " +
+          "(PARTITION BY query_id ORDER BY dist2 ASC, vec_id ASC) AS INTEGER) AS rnk FROM d) " +
+          "SELECT query_id, rnk, vec_id, round(CAST(CAST(dist2 AS REAL) AS DOUBLE), 3) AS dist2 " +
+          "FROM r WHERE rnk <= 10 ORDER BY query_id, rnk")),
+
     // =====================================================================
     // Deduplication (documents)
     // =====================================================================
