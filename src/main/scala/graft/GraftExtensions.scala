@@ -1,0 +1,27 @@
+package graft
+
+import graft.vector.L2Squared
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** Spark extension point: registers the engine's native expressions as SQL
+  * functions so `spark.sql("SELECT l2_squared(a, b) …")` works next to the
+  * DataFrame API. Wire it with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` (new
+  * sessions) or [[GraftExtensions.register]] (an existing session). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(
+      (
+        FunctionIdentifier("l2_squared"),
+        new ExpressionInfo(classOf[L2Squared].getName, "l2_squared"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          L2Squared(exprs(0), exprs(1))))
+}
+
+object GraftExtensions {
+  /** Register into an already-running session's function registry. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    org.apache.spark.sql.GraftSqlBridge.registerL2Squared(spark)
+}

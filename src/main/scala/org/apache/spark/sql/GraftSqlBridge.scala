@@ -12,4 +12,13 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Register `l2_squared` on a LIVE session (the extensions mechanism
+    * only applies at session construction; the registry is package-
+    * private). */
+  def registerL2Squared(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "l2_squared",
+      (exprs: Seq[Expression]) => graft.vector.L2Squared(exprs(0), exprs(1)),
+      "scala_udf")
 }

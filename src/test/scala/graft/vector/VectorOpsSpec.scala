@@ -46,6 +46,13 @@ class VectorOpsSpec extends SparkSpec {
     assert(df.select(VectorOps.l2SqHof(col("a"), col("b"))).head.isNullAt(0))
   }
 
+  test("l2_squared is callable from SQL after extension registration") {
+    graft.GraftExtensions.register(spark)
+    Seq((Seq(1f, 2f, 3f), Seq(4f, 6f, 3f))).toDF("a", "b").createOrReplaceTempView("vec_pairs")
+    val d = spark.sql("SELECT l2_squared(a, b) AS d FROM vec_pairs").head.getDouble(0)
+    assert(d === 25.0)
+  }
+
   test("hasDim validates vector length") {
     val df = Seq((1L, Seq(1f, 2f)), (2L, Seq(1f, 2f, 3f))).toDF("id", "v")
     val ok = df.filter(VectorOps.hasDim(col("v"), 2)).select("id").as[Long].collect()
