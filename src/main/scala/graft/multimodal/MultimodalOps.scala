@@ -128,6 +128,40 @@ object MultimodalOps {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** "Audio" feature extraction: treat the post-header payload as signed
+    * 16-bit PCM samples and compute RMS energy + zero-crossing count per
+    * asset — STUB decode semantics, real batched execution (same
+    * `mapPartitions` contract as [[extractFeatures]]). */
+  def audioStats(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("n_samples", IntegerType, nullable = false),
+      StructField("rms", DoubleType, nullable = false),
+      StructField("zero_crossings", IntegerType, nullable = false)))
+    val idIdx = assets.schema.fieldIndex("asset_id")
+    val binIdx = assets.schema.fieldIndex("content")
+    val rdd = assets.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val bin = r.getAs[Array[Byte]](binIdx)
+        val n = (bin.length - 16) / 2
+        var sumSq = 0.0
+        var zc = 0
+        var prev = 0
+        var i = 0
+        while (i < n) {
+          val s = ((bin(16 + 2 * i) << 8) | (bin(17 + 2 * i) & 0xff)).toShort.toInt
+          sumSq += s.toDouble * s
+          if (i > 0 && ((s >= 0) != (prev >= 0))) zc += 1
+          prev = s
+          i += 1
+        }
+        Row(r.getLong(idIdx), n, if (n == 0) 0.0 else math.sqrt(sumSq / n), zc)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Frame sampling for "video" assets: cut the (post-header) payload into
     * `frameSize`-byte frames and keep every `stride`-th, as
     * `(asset_id, frame_idx, frame binary)`. Pure expressions. */

@@ -35,6 +35,17 @@ class MultimodalSpec extends SparkSpec {
     assert(r.getLong(2) == again)
   }
 
+  test("audioStats computes RMS and zero-crossings over 16-bit PCM payload") {
+    // payload: alternating +256/-256 samples → every step crosses zero
+    val pcm = Array.tabulate(8)(i => if (i % 2 == 0) Array[Byte](1, 0) else Array[Byte](-1, 0)).flatten
+    val a = MultimodalOps.toAssets(
+      Seq((7L, fakeAsset(4, 1, 1, pcm))).toDF("id", "bin"), "id", "bin", "audio")
+    val r = MultimodalOps.audioStats(a).head
+    assert(r.getInt(1) == 8)
+    assert(math.abs(r.getDouble(2) - 256.0) < 1e-9)
+    assert(r.getInt(3) == 7)
+  }
+
   test("resizeStub subsamples the payload and rewrites the width header") {
     val resized = MultimodalOps.resizeStub(assets, targetBytes = 10)
     val r = resized.head
