@@ -447,6 +447,42 @@ object RelQueries {
           ", round(coalesce(sum(value) FILTER (WHERE event_type = 'purchase'), 0.0), 2) AS purchase_value " +
           "FROM events GROUP BY 1 ORDER BY day")),
 
+    // --- full outer join ----------------------------------------------
+    NamedQuery(
+      "q24_customer_order_coverage",
+      (s, dir) => {
+        val c = t(s, dir, "customer").select(col("c_custkey"), col("c_acctbal"))
+        val o = t(s, dir, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("spend"))
+        c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+          .select(
+            coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+            col("c_custkey").isNotNull.as("has_customer"),
+            coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+            coalesce(col("spend"), lit(0.0)).as("spend"))
+          .orderBy("custkey")
+      },
+      Some(
+        "SELECT coalesce(c_custkey, o_custkey) AS custkey, c_custkey IS NOT NULL AS has_customer, " +
+          "coalesce(n_orders, 0) AS n_orders, coalesce(spend, 0.0) AS spend " +
+          "FROM customer FULL OUTER JOIN (SELECT o_custkey, count(*) AS n_orders, " +
+          "round(sum(o_totalprice),2) AS spend FROM orders GROUP BY o_custkey) o " +
+          "ON c_custkey = o_custkey ORDER BY custkey")),
+
+    // --- intersect ----------------------------------------------------
+    NamedQuery(
+      "q25_buyers_in_both_segments",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val open = o.filter(col("o_orderstatus") === "O").select("o_custkey")
+        val closed = o.filter(col("o_orderstatus") === "F").select("o_custkey")
+        open.intersect(closed).orderBy("o_custkey")
+      },
+      Some(
+        "SELECT o_custkey FROM orders WHERE o_orderstatus = 'O' " +
+          "INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F' ORDER BY o_custkey")),
+
     // --- statistical aggregates (corr, stddev, variance) -------------
     NamedQuery(
       "q21_stats_profile",

@@ -1,0 +1,33 @@
+package graft.rel
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Source/sink coverage beyond Parquet (SURVEY.md §2.B scans/sources row):
+  * CSV and JSON round-trips over a fixture-derived table, schema preserved
+  * well enough to re-run an aggregation identically. */
+class SourceFormatSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    .select("doc_id", "lang", "source", "n_chars")
+
+  private def langCounts(df: org.apache.spark.sql.DataFrame): Seq[(String, Long)] =
+    df.groupBy("lang").agg(count(lit(1)).as("n")).orderBy("lang").as[(String, Long)].collect().toSeq
+
+  test("JSON sink + scan round-trips rows and aggregates") {
+    val dir = java.nio.file.Files.createTempDirectory("json").toString
+    docs.write.mode("overwrite").json(dir)
+    val back = spark.read.json(dir)
+    assert(back.count() == docs.count())
+    assert(langCounts(back.select(col("doc_id"), col("lang"), col("source"), col("n_chars"))) == langCounts(docs))
+  }
+
+  test("CSV sink + scan (header + explicit schema) round-trips rows and aggregates") {
+    val dir = java.nio.file.Files.createTempDirectory("csv").toString
+    docs.write.mode("overwrite").option("header", "true").csv(dir)
+    val back = spark.read.option("header", "true").schema(docs.schema).csv(dir)
+    assert(back.count() == docs.count())
+    assert(langCounts(back) == langCounts(docs))
+  }
+}
