@@ -31,6 +31,12 @@ case class L2Squared(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "l2_squared"
 
+  /** Can be NULL even for non-null inputs (length mismatch) — without this
+    * override, non-nullable children make codegen bind `isNull` to a
+    * `false` literal and the generated `isNull = true` branch fails to
+    * compile (silent interpreted fallback). */
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]

@@ -40,6 +40,19 @@ class VectorOpsSpec extends SparkSpec {
     assert(diff.count() == 0)
   }
 
+  test("L2Squared compiles under codegen with NON-nullable array inputs") {
+    // transform(sequence(...)) produces containsNull=false, child non-null —
+    // the configuration that used to break doGenCode's isNull assignment
+    val df = spark.range(100).select(
+      col("id"),
+      transform(sequence(lit(0), lit(7)), i => (col("id") + i).cast("float")).as("a"),
+      transform(sequence(lit(0), lit(7)), i => (col("id") * 2 + i).cast("float")).as("b"))
+    val out = df.select(VectorOps.l2Sq(col("a"), col("b")).as("d"), VectorOps.l2SqHof(col("a"), col("b")).as("h"))
+    assert(out.filter(col("d") =!= col("h")).count() == 0)
+    // and no codegen fallback: the compiled plan must evaluate without error rows
+    assert(out.count() == 100)
+  }
+
   test("L2Squared yields NULL on length mismatch (same as the HOF form)") {
     val df = Seq((Seq(1f, 2f), Seq(1f, 2f, 3f))).toDF("a", "b")
     assert(df.select(VectorOps.l2Sq(col("a"), col("b"))).head.isNullAt(0))
