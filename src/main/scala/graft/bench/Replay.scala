@@ -68,7 +68,7 @@ object Replay {
       k: Int = 10,
       targetRecall: Double = 0.9,
       maintainEvery: Int = 50,
-      checkpointEvery: Int = 2): Summary = {
+      checkpointEvery: Int = 1): Summary = {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").select("vec_id", "embedding").cache()
     runOn(spark, emb, nQueries, batchSize, k, targetRecall, maintainEvery, checkpointEvery)
   }
@@ -93,7 +93,7 @@ object Replay {
       (i.toLong, c.map(x => x + rng.nextGaussian().toFloat).toSeq)
     }
     val emb = rows.toDF("vec_id", "embedding").repartition(spark.sparkContext.defaultParallelism).cache()
-    runOn(spark, emb, nQueries, batchSize, k = 10, targetRecall = 0.9, maintainEvery = 50, checkpointEvery = 2)
+    runOn(spark, emb, nQueries, batchSize, k = 10, targetRecall = 0.9, maintainEvery = 50, checkpointEvery = 1)
   }
 
   private def runOn(
