@@ -16,8 +16,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (
         FunctionIdentifier("l2_squared"),
         new ExpressionInfo(classOf[L2Squared].getName, "l2_squared"),
-        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-          L2Squared(exprs(0), exprs(1))))
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+          require(exprs.length == 2, s"l2_squared requires exactly 2 arguments, got ${exprs.length}")
+          L2Squared(exprs(0), exprs(1))
+        }))
 }
 
 object GraftExtensions {

@@ -47,10 +47,12 @@ object IvfBuild {
     // Index construction is metadata-scale work for small corpora: below
     // the local-fit threshold the whole two-level build collects once and
     // runs on the driver (2 jobs total instead of ~10 — measured 1.3 s →
-    // 0.4 s at 2000×64), with identical algorithmic structure. Larger
-    // corpora take the distributed path below.
-    val n = clean.count()
-    if (n * math.max(1, dim) <= KMeans.localFitThreshold)
+    // 0.4 s at 2000×64), with identical algorithmic structure. The size
+    // probe is BOUNDED (`limit(cap+1).count`) so a 100 TB corpus never
+    // pays a full scan just to learn it is over the threshold.
+    val cap = (KMeans.localFitThreshold / math.max(1, dim)).toInt
+    val n = clean.limit(cap + 1).count()
+    if (n <= cap)
       return buildLocal(spark, clean, dim, kCoarse, kBase)
 
     val base = clean

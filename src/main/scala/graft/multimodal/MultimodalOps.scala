@@ -116,7 +116,8 @@ object MultimodalOps {
         val out =
           if (payload.length <= targetBytes) payload
           else Array.tabulate(targetBytes)(i => payload((i.toLong * payload.length / targetBytes).toInt))
-        val header = bin.take(16)
+        // pad: a truncated (<16-byte) input must not AIOOBE the header writes
+        val header = bin.take(16).padTo(16, 0.toByte)
         // rewrite width (bytes 5-8 big-endian) to the resized size
         header(4) = (out.length >>> 24).toByte
         header(5) = (out.length >>> 16).toByte

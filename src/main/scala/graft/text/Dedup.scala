@@ -76,7 +76,13 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
 
+    // Docs too short to shingle all share the sentinel signature; banding
+    // them would pair every short doc with every other (est_jaccard 1.0
+    // for unrelated content AND an O(n²) bucket). Shingle-less docs have
+    // no near-dup evidence at this granularity — exact dedup owns the
+    // identical-content case — so they are excluded from banding.
     val signed = minhashSignatures(docs, shingleN, numHashes)
+      .filter(not(col("sig") === typedLit(Seq.fill(numHashes)(Long.MaxValue))))
 
     val banded = signed
       .select(
@@ -113,7 +119,11 @@ object Dedup {
     * @return (doc_a, doc_b, hamming) with doc_a < doc_b, hamming ≤ maxHamming
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sim = docs.select(col("doc_id"), TextOps.simhash64(TextOps.tokens(col("text"))).as("simhash"))
+    // Token-less docs all hash to simhash 0 — every pair of them would
+    // collide at hamming 0; no tokens ⇒ no similarity evidence ⇒ exclude.
+    val sim = docs
+      .filter(size(TextOps.tokens(col("text"))) > 0)
+      .select(col("doc_id"), TextOps.simhash64(TextOps.tokens(col("text"))).as("simhash"))
     val chunkMask = lit(0xffffL)
     val chunked = sim.select(
       col("doc_id"),

@@ -82,11 +82,12 @@ object KMeans {
       if (kFor.isEmpty) df.limit(0)
       else df.filter(col(groupCol).isInCollection(kFor.keySet))
 
-    // Size probe (one tiny job): decide local vs distributed fit.
-    val probe = dfk.agg(count(lit(1)), first(size(col(vecCol)))).head()
-    val nRows = probe.getLong(0)
-    val dim = if (nRows == 0 || probe.isNullAt(1)) 0 else probe.getInt(1)
-    if (nRows * math.max(1, dim) <= localFitThreshold)
+    // Size probe, BOUNDED (never a full scan just to pick a strategy):
+    // read the dimension from one row, then count at most cap+1 rows.
+    val dimRow = dfk.select(size(col(vecCol))).limit(1).collect()
+    val dim = if (dimRow.isEmpty) 0 else dimRow(0).getInt(0)
+    val cap = (localFitThreshold / math.max(1, dim)).toInt
+    if (dfk.limit(cap + 1).count() <= cap)
       return fitGroupedLocal(dfk, groupCol, idCol, vecCol, kFor, iters, seed)
 
     // Hash-ordered per-group pool: init points + reseed spares.

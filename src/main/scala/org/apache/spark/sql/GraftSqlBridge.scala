@@ -19,6 +19,9 @@ object GraftSqlBridge {
   def registerL2Squared(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "l2_squared",
-      (exprs: Seq[Expression]) => graft.vector.L2Squared(exprs(0), exprs(1)),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, s"l2_squared requires exactly 2 arguments, got ${exprs.length}")
+        graft.vector.L2Squared(exprs(0), exprs(1))
+      },
       "scala_udf")
 }

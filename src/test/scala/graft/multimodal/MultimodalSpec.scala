@@ -60,6 +60,13 @@ class MultimodalSpec extends SparkSpec {
     assert(bin(16) == payload(0))
   }
 
+  test("resizeStub tolerates truncated (<16-byte) binaries without crashing") {
+    val tiny = Seq((9L, Array[Byte](1, 2, 3))).toDF("id", "bin")
+    val assets = MultimodalOps.toAssets(tiny, "id", "bin", "image")
+    val r = MultimodalOps.resizeStub(assets, targetBytes = 4).head
+    assert(r.getAs[Array[Byte]]("content").length == 16) // padded header, empty payload
+  }
+
   test("sampleFrames cuts the payload into strided fixed-size frames") {
     val frames = MultimodalOps.sampleFrames(assets, frameSize = 10, stride = 2).collect()
     // 100-byte payload / 10 = 10 frames, stride 2 -> indices 0,2,4,6,8 -> 5 kept

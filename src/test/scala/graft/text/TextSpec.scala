@@ -118,6 +118,16 @@ class TextSpec extends SparkSpec {
     assert(pairs.exists(p => p._1 == 1L && p._2 == 2L))
   }
 
+  test("shingle-less docs are never reported as near-duplicates (sentinel exclusion)") {
+    val docs = Seq((1L, "hi"), (2L, "42"), (3L, ""), (4L, "   "),
+      (5L, (1 to 40).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    // docs 1-4 have zero 3-shingles / zero-or-tiny token sets; none may pair
+    assert(Dedup.minhashLsh(docs, 3, 16, 4, 0.0).count() == 0)
+    val simPairs = Dedup.simhashPairs(docs, maxHamming = 64).as[(Long, Long, Int)].collect()
+    assert(!simPairs.exists(p => p._1 == 3L || p._2 == 3L || p._1 == 4L || p._2 == 4L),
+      s"empty-token docs paired: ${simPairs.toSeq}")
+  }
+
   test("ngramJaccardPairs computes exact blocked jaccard") {
     val docs = Seq(
       (1L, "a b c d e", "s1"), (2L, "a b c d x", "s1"), // share shingles "a b c","b c d"? no: doc2 = a b c, b c d? "a b c d x": shingles {a b c, b c d, c d x}; doc1 {a b c, b c d, c d e}
