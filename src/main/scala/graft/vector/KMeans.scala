@@ -112,27 +112,59 @@ object KMeans {
       udf { (g: Long, v: Seq[Float]) => nearest(bc.value(g), v) }
     }
 
+    // Each iteration is ONE narrow job: mapPartitions over InternalRows
+    // computes per-(group, cluster) partial (sum, count) with primitive
+    // loops — no per-row UDF boxing, no per-iteration shuffle (the old
+    // udf + udaf groupBy shape shuffled every iteration); only
+    // O(#partitions · #groups · k · d) doubles come back to the driver,
+    // merged in partition order (deterministic).
+    val proj = dfk.select(col(groupCol).cast("long"), col(vecCol))
     var it = 0
     while (it < iters) {
-      val assign = assignCol(centroids)
-      val stats = dfk
-        .withColumn("__c", assign(col(groupCol), col(vecCol)))
-        .groupBy(col(groupCol), col("__c"))
-        .agg(VectorMean.fn(col(vecCol)).as("__mean"))
-        .collect()
-      val byG = stats.groupBy(_.getLong(0))
+      val bc = sc.broadcast(centroids)
+      val partials: Array[scala.collection.mutable.Map[(Long, Int), (Array[Double], Long)]] =
+        proj.queryExecution.toRdd.mapPartitions { rows =>
+          val cs = bc.value
+          val acc = scala.collection.mutable.Map.empty[(Long, Int), (Array[Double], Long)]
+          rows.foreach { r =>
+            val g = r.getLong(0)
+            cs.get(g).foreach { cents =>
+              val v = r.getArray(1).toFloatArray()
+              val c = nearest(cents, v)
+              val (s, n) = acc.getOrElseUpdate((g, c), (new Array[Double](v.length), 0L))
+              var i = 0
+              while (i < v.length) { s(i) += v(i); i += 1 }
+              acc((g, c)) = (s, n + 1)
+            }
+          }
+          Iterator.single(acc)
+        }.collect()
+
+      val sums = scala.collection.mutable.Map.empty[(Long, Int), (Array[Double], Long)]
+      partials.foreach(_.foreach { case (key, (ps, pn)) =>
+        sums.get(key) match {
+          case Some((s, n)) =>
+            var i = 0
+            while (i < s.length) { s(i) += ps(i); i += 1 }
+            sums(key) = (s, n + pn)
+          case None => sums(key) = (ps.clone(), pn)
+        }
+      })
+
       centroids = centroids.map { case (g, cents) =>
-        val means = byG
-          .getOrElse(g, Array.empty[Row])
-          .map(r => r.getInt(1) -> r.getSeq[Float](2).toArray)
-          .toMap
         val spares = pool.getOrElse(g, Array.empty)
         val next = Array.tabulate(cents.length) { ci =>
-          means.getOrElse(
-            ci,
-            // empty cluster → reseed to a deterministic pool point
-            if (spares.nonEmpty) spares((it * cents.length + ci) % spares.length)
-            else cents(ci))
+          sums.get((g, ci)) match {
+            case Some((s, n)) if n > 0 =>
+              val out = new Array[Float](s.length)
+              var i = 0
+              while (i < out.length) { out(i) = (s(i) / n).toFloat; i += 1 }
+              out
+            case _ =>
+              // empty cluster → reseed to a deterministic pool point
+              if (spares.nonEmpty) spares((it * cents.length + ci) % spares.length)
+              else cents(ci)
+          }
         }
         g -> next
       }
