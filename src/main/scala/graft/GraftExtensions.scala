@@ -11,7 +11,7 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` (new
   * sessions) or [[GraftExtensions.register]] (an existing session). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(
       (
         FunctionIdentifier("l2_squared"),
@@ -20,6 +20,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           require(exprs.length == 2, s"l2_squared requires exactly 2 arguments, got ${exprs.length}")
           L2Squared(exprs(0), exprs(1))
         }))
+    ext.injectFunction(
+      (
+        FunctionIdentifier("simhash64"),
+        new ExpressionInfo(classOf[graft.text.SimHash64].getName, "simhash64"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+          require(exprs.length == 1, s"simhash64 requires exactly 1 argument, got ${exprs.length}")
+          graft.text.SimHash64(exprs(0))
+        }))
+  }
 }
 
 object GraftExtensions {

@@ -42,9 +42,12 @@ object PipelineQueries {
       .filter(col("vec_id") < n)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
 
-  /** float32-squeeze + round: the cross-engine-stable float projection. */
+  /** float32-squeeze + round: the cross-engine-stable float projection.
+    * The trailing `+ 0.0` collapses IEEE negative zero (-0.0 + 0.0 = 0.0) —
+    * DuckDB rounds tiny negatives to -0.0 where Spark emits 0.0, so every
+    * oracle projection paired with f32round carries the same `+ 0.0`. */
   private def f32round(c: org.apache.spark.sql.Column, d: Int) =
-    round(c.cast("float").cast("double"), d)
+    round(c.cast("float").cast("double"), d) + lit(0.0)
 
   // DuckDB-side L2 between two list<float> columns, double accumulation
   // (mirrors VectorOps.l2Sq: cast each element to double BEFORE subtracting).
@@ -89,7 +92,7 @@ object PipelineQueries {
           "FROM q CROSS JOIN embeddings e), " +
           "r AS (SELECT query_id, vec_id, dist2, CAST(row_number() OVER " +
           "(PARTITION BY query_id ORDER BY dist2 ASC, vec_id ASC) AS INTEGER) AS rnk FROM d) " +
-          "SELECT query_id, rnk, vec_id, round(CAST(CAST(dist2 AS REAL) AS DOUBLE), 3) AS dist2 " +
+          "SELECT query_id, rnk, vec_id, round(CAST(CAST(dist2 AS REAL) AS DOUBLE), 3) + 0.0 AS dist2 " +
           "FROM r WHERE rnk <= 10 ORDER BY query_id, rnk")),
 
     // IVF APS search (reference search, quake_min.py:147-168) over the
@@ -120,7 +123,7 @@ object PipelineQueries {
       Some(
         "SELECT CAST(label AS INTEGER) AS label, count(*) AS n_vecs, " +
           (1 to 8)
-            .map(i => s"round(CAST(CAST(avg(CAST(embedding[$i] AS DOUBLE)) AS REAL) AS DOUBLE), 3) AS d$i")
+            .map(i => s"round(CAST(CAST(avg(CAST(embedding[$i] AS DOUBLE)) AS REAL) AS DOUBLE), 3) + 0.0 AS d$i")
             .mkString(", ") +
           " FROM embeddings GROUP BY 1 ORDER BY label")),
 
@@ -149,7 +152,7 @@ object PipelineQueries {
           "FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id), " +
           "r AS (SELECT query_id, vec_id, cos, CAST(row_number() OVER " +
           "(PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rnk FROM d) " +
-          "SELECT query_id, rnk, vec_id, round(CAST(CAST(cos AS REAL) AS DOUBLE), 4) AS cos " +
+          "SELECT query_id, rnk, vec_id, round(CAST(CAST(cos AS REAL) AS DOUBLE), 4) + 0.0 AS cos " +
           "FROM r WHERE rnk <= 10 ORDER BY query_id, rnk")),
 
     // Embedding near-dup via random-hyperplane LSH + exact cosine verify —
@@ -218,7 +221,7 @@ object PipelineQueries {
           "FROM q CROSS JOIN embeddings e), " +
           "r AS (SELECT query_id, vec_id, dist2, CAST(row_number() OVER " +
           "(PARTITION BY query_id ORDER BY dist2 ASC, vec_id ASC) AS INTEGER) AS rnk FROM d) " +
-          "SELECT query_id, rnk, vec_id, round(CAST(CAST(dist2 AS REAL) AS DOUBLE), 3) AS dist2 " +
+          "SELECT query_id, rnk, vec_id, round(CAST(CAST(dist2 AS REAL) AS DOUBLE), 3) + 0.0 AS dist2 " +
           "FROM r WHERE rnk <= 10 ORDER BY query_id, rnk")),
 
     // =====================================================================
@@ -369,7 +372,7 @@ object PipelineQueries {
           "0.3 * least(CAST(len(w) AS DOUBLE) / 50.0, 1.0) " +
           "+ 0.3 * (CAST(len(list_distinct(w)) AS DOUBLE) / greatest(1, len(w))) " +
           "+ 0.2 * least(stop_ratio * 5.0, 1.0) " +
-          "- 0.4 * (punct_ratio + digit_ratio) + 0.2)) AS REAL) AS DOUBLE), 4) AS quality " +
+          "- 0.4 * (punct_ratio + digit_ratio) + 0.2)) AS REAL) AS DOUBLE), 4) + 0.0 AS quality " +
           "FROM (SELECT doc_id, w, " +
           raw"CAST(len(regexp_extract_all(text, '[.,;:!?''\"()\[\]{}-]')) AS DOUBLE) / greatest(1, len(text)) AS punct_ratio, " +
           "CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / greatest(1, len(text)) AS digit_ratio, " +

@@ -418,8 +418,10 @@ object RelQueries {
       Some(
         "SELECT user_id, session_idx, count(*) AS n_events, min(us) AS start_us, " +
           "max(us) - min(us) AS dur_us FROM (" +
-          "SELECT user_id, us, sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id " +
-          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx FROM (" +
+          // CAST: DuckDB's window sum(int) yields HUGEINT; Spark emits BIGINT —
+          // hash-compare needs both engines to serialize a 64-bit integer.
+          "SELECT user_id, us, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx FROM (" +
           "SELECT user_id, event_id, us, CASE WHEN prev IS NULL OR us - prev > 30*60*1000000 " +
           "THEN 1 ELSE 0 END AS is_new FROM (" +
           "SELECT user_id, event_id, epoch_us(ts) AS us, " +

@@ -167,8 +167,19 @@ object TextOps {
 
   /** 64-bit SimHash over the token multiset: per bit, sum +1/−1 votes
     * weighted by token occurrences; bit set iff the vote is positive.
-    * Built from pure expressions (nested `aggregate`/`transform`). */
+    * Native codegen'd [[SimHash64]] expression (primitive long loop);
+    * [[simhash64Hof]] is the semantic reference it is parity-tested
+    * against. */
   def simhash64(toks: Column): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(SimHash64(GraftSqlBridge.expression(toks)))
+  }
+
+  /** Higher-order-function form of [[simhash64]] (nested
+    * `aggregate`/`transform`/`zip_with`): kept as the portable semantic
+    * reference for parity tests. Allocates two 64-element arrays per token
+    * per row — do not use in bulk paths. */
+  def simhash64Hof(toks: Column): Column = {
     val masks = typedLit(BitMasks)
     val votes = aggregate(
       toks,

@@ -1,7 +1,6 @@
 package graft.vector
 
-import org.apache.spark.sql.{DataFrame, Row}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** DataFrame-native grouped Lloyd's k-means.
@@ -90,17 +89,45 @@ object KMeans {
     if (dfk.limit(cap + 1).count() <= cap)
       return fitGroupedLocal(dfk, groupCol, idCol, vecCol, kFor, iters, seed)
 
-    // Hash-ordered per-group pool: init points + reseed spares.
-    val hc = xxhash64(lit(seed), col(groupCol), col(idCol))
-    val w = Window.partitionBy(col(groupCol)).orderBy(hc, col(idCol))
-    val pool: Map[Long, Array[Array[Float]]] = dfk
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= maxK * 3)
-      .select(col(groupCol), col("__rn"), col(vecCol))
-      .collect()
-      .groupBy(_.getLong(0))
-      .map { case (g, rows: Array[Row]) =>
-        g -> rows.sortBy(_.getInt(1)).map(_.getSeq[Float](2).toArray)
+    // Hash-ordered per-group pool (init points + reseed spares), computed
+    // as a map-side bounded selection: each map partition keeps only its
+    // 3k smallest (hash, id) rows per group, and the driver merges those
+    // O(#partitions · #groups · 3k) survivors. The previous `row_number`
+    // window shuffled the ENTIRE corpus just to rank rows — at 100 TB that
+    // was the only full shuffle in the build that wasn't semantically
+    // required. Hash = [[hashChain]] (catalyst XXH64 over long-cast keys),
+    // so the pool order is bit-identical to the local path's by
+    // construction, regardless of the caller's id column width.
+    val poolCap = maxK * 3
+    val projInit = dfk.select(col(groupCol).cast("long"), col(idCol).cast("long"), col(vecCol))
+    val poolPartials: Array[Array[(Long, Array[(Long, Long, Array[Float])])]] =
+      projInit.queryExecution.toRdd.mapPartitions { rows =>
+        val acc = scala.collection.mutable.Map
+          .empty[Long, scala.collection.mutable.ArrayBuffer[(Long, Long, Array[Float])]]
+        rows.foreach { r =>
+          val g = r.getLong(0)
+          val id = r.getLong(1)
+          val h = hashChain(seed, g, id)
+          val buf = acc.getOrElseUpdate(
+            g, new scala.collection.mutable.ArrayBuffer[(Long, Long, Array[Float])](poolCap + 1))
+          val accept = buf.length < poolCap || {
+            val worst = buf(buf.length - 1)
+            h < worst._1 || (h == worst._1 && id < worst._2)
+          }
+          if (accept) {
+            var j = buf.length
+            while (j > 0 && { val p = buf(j - 1); h < p._1 || (h == p._1 && id < p._2) }) j -= 1
+            buf.insert(j, (h, id, r.getArray(2).toFloatArray()))
+            if (buf.length > poolCap) buf.remove(buf.length - 1)
+          }
+        }
+        Iterator.single(acc.iterator.map { case (g, buf) => (g, buf.toArray) }.toArray)
+      }.collect()
+    val pool: Map[Long, Array[Array[Float]]] = poolPartials.iterator.flatten.toArray
+      .groupBy(_._1)
+      .map { case (g, parts) =>
+        g -> parts.iterator.flatMap(_._2).toArray
+          .sortBy(t => (t._1, t._2)).take(poolCap).map(_._3)
       }
 
     var centroids: Map[Long, Array[Array[Float]]] = kFor.flatMap { case (g, k) =>
@@ -139,6 +166,10 @@ object KMeans {
           }
           Iterator.single(acc)
         }.collect()
+      // per-iteration broadcasts would otherwise accumulate for the session
+      // lifetime under the replay/streaming churn path (splitHot refits
+      // repeatedly)
+      bc.destroy()
 
       val sums = scala.collection.mutable.Map.empty[(Long, Int), (Array[Double], Long)]
       partials.foreach(_.foreach { case (key, (ps, pn)) =>

@@ -4,9 +4,12 @@ import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
-/** Bounded top-k buffer: keeps at most 2k candidates between trims so the
-  * amortized cost stays O(log k) per row without a heap encoder. */
-case class TopKBuf(ds: Array[Double], ids: Array[Long])
+/** Bounded top-k buffer: k-slot sorted arrays (ascending (d, id)) with the
+  * first `n` slots occupied. Mutated IN PLACE by the aggregator — typed
+  * aggregation buffers live as JVM objects between rows within a map
+  * partition, so per-row updates must not copy the arrays (the previous
+  * `ds :+ x` form copied the whole buffer for EVERY candidate row). */
+case class TopKBuf(var n: Int, ds: Array[Double], ids: Array[Long])
 
 /** Per-group top-k as a typed `Aggregator` with map-side partial
   * aggregation — the scale-correct alternative to `row_number` over a
@@ -17,30 +20,50 @@ case class TopKBuf(ds: Array[Double], ids: Array[Long])
   * (quake_min.py:16-20), distributed.
   *
   * Ordering: ascending (value, id) — identical tie-breaking to the window
-  * form (parity-tested).
+  * form (parity-tested). Per-row cost is O(1) when the candidate loses to
+  * the current worst (the common case once the heap warms up), O(k) array
+  * shifts otherwise — zero allocation either way.
   */
 class TopKAgg(k: Int) extends Aggregator[(Long, Double, Long), TopKBuf, Seq[(Double, Long)]] {
 
-  override def zero: TopKBuf = TopKBuf(Array.empty, Array.empty)
+  override def zero: TopKBuf = TopKBuf(0, new Array[Double](k), new Array[Long](k))
 
-  private def trim(b: TopKBuf): TopKBuf =
-    if (b.ds.length <= k) b
-    else {
-      val idx = b.ds.indices.sortBy(i => (b.ds(i), b.ids(i))).take(k)
-      TopKBuf(idx.map(b.ds).toArray, idx.map(b.ids).toArray)
+  /** Insert (d, id) into the sorted prefix, dropping the worst on overflow. */
+  private def insert(b: TopKBuf, d: Double, id: Long): Unit = {
+    val ds = b.ds
+    val ids = b.ids
+    if (b.n < k) {
+      var j = b.n
+      while (j > 0 && (d < ds(j - 1) || (d == ds(j - 1) && id < ids(j - 1)))) {
+        ds(j) = ds(j - 1); ids(j) = ids(j - 1); j -= 1
+      }
+      ds(j) = d; ids(j) = id
+      b.n += 1
+    } else if (d < ds(k - 1) || (d == ds(k - 1) && id < ids(k - 1))) {
+      var j = k - 1
+      while (j > 0 && (d < ds(j - 1) || (d == ds(j - 1) && id < ids(j - 1)))) {
+        ds(j) = ds(j - 1); ids(j) = ids(j - 1); j -= 1
+      }
+      ds(j) = d; ids(j) = id
     }
-
-  override def reduce(b: TopKBuf, a: (Long, Double, Long)): TopKBuf = {
-    val nb = TopKBuf(b.ds :+ a._2, b.ids :+ a._3)
-    if (nb.ds.length >= 2 * k) trim(nb) else nb
   }
 
-  override def merge(x: TopKBuf, y: TopKBuf): TopKBuf =
-    trim(TopKBuf(x.ds ++ y.ds, x.ids ++ y.ids))
+  override def reduce(b: TopKBuf, a: (Long, Double, Long)): TopKBuf = {
+    insert(b, a._2, a._3)
+    b
+  }
+
+  override def merge(x: TopKBuf, y: TopKBuf): TopKBuf = {
+    var i = 0
+    while (i < y.n) { insert(x, y.ds(i), y.ids(i)); i += 1 }
+    x
+  }
 
   override def finish(b: TopKBuf): Seq[(Double, Long)] = {
-    val t = trim(b)
-    t.ds.zip(t.ids).sortBy(identity).toSeq
+    val out = new Array[(Double, Long)](b.n)
+    var i = 0
+    while (i < b.n) { out(i) = (b.ds(i), b.ids(i)); i += 1 }
+    out.toSeq
   }
 
   override def bufferEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]

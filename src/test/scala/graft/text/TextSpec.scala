@@ -81,6 +81,23 @@ class TextSpec extends SparkSpec {
     assert(near < far, s"near=$near far=$far")
   }
 
+  test("simhash64 codegen expression ≡ HOF form (parity, incl. empty/dup tokens)") {
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8"),
+      (2L, "the quick brown fox jumps over the lazy dog the the"),
+      (3L, ""), // zero tokens → simhash 0
+      (4L, "solo"),
+      (5L, (1 to 200).map(i => s"tok${i % 37}").mkString(" "))).toDF("doc_id", "text")
+    val both = docs.select(
+      col("doc_id"),
+      TextOps.simhash64(TextOps.tokens(col("text"))).as("fast"),
+      TextOps.simhash64Hof(TextOps.tokens(col("text"))).as("ref"))
+    both.as[(Long, Long, Long)].collect().foreach { case (id, fast, ref) =>
+      assert(fast == ref, s"doc $id: codegen $fast != hof $ref")
+    }
+    assert(both.filter(col("doc_id") === 3L).head.getLong(1) == 0L)
+  }
+
   test("exact dedup groups by content (planted duplicate)") {
     val docs = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("doc_id", "text")
     val g = Dedup.exactGroups(docs).filter(col("n_docs") > 1).collect()
