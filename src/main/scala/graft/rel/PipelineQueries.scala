@@ -224,6 +224,74 @@ object PipelineQueries {
           "SELECT query_id, rnk, vec_id, round(CAST(CAST(dist2 AS REAL) AS DOUBLE), 3) + 0.0 AS dist2 " +
           "FROM r WHERE rnk <= 10 ORDER BY query_id, rnk")),
 
+    // The IVF gather+top-k stage (quake_min.py:151-163) under a PINNED
+    // probe set, hash-checked against DuckDB. The probe CHOICE is index
+    // state DuckDB can't recompute (k-means + APS math — oracled instead by
+    // the chooseProbesLocal ≡ chooseProbes parity test); given the probe
+    // set, gather+rank IS pure SQL. To make the partition assignment
+    // SQL-portable this query partitions by `vec_id % 8` and pins each
+    // query's probe set to {q, q+2, q+5} mod 8 — while still running the
+    // REAL stage-3 code path (searchProbed → l2Sq → TopKAgg), so the
+    // flagship pipeline's gather stage is no longer rows-only.
+    NamedQuery(
+      "v08_gather_topk_pinned",
+      (s, dir) => {
+        val nP = 8
+        val vectors = t(s, dir, "embeddings").select(
+          col("vec_id"),
+          col("embedding"),
+          pmod(col("vec_id"), lit(nP)).cast("long").as("partition_id"))
+        val probes = embQueries(s, dir, 5).select(
+          col("query_id"),
+          explode(array(
+            pmod(col("query_id"), lit(nP)).cast("long"),
+            pmod(col("query_id") + 2, lit(nP)).cast("long"),
+            pmod(col("query_id") + 5, lit(nP)).cast("long"))).as("partition_id"),
+          col("qvec"))
+        val pinned = IvfModel(
+          dim = 0, vectors = vectors, coarseCentroids = Array.empty,
+          coarseBaseIds = Map.empty, partitions = Vector.empty, queryCounter = 0L)
+        IvfSearch
+          .searchProbed(pinned, probes, IvfSearch.Params(k = 10))
+          .select(
+            col("query_id"),
+            col("rank").cast("int").as("rnk"),
+            col("vec_id"),
+            f32round(col("dist2"), 3).as("dist2"))
+          .orderBy("query_id", "rnk")
+      },
+      Some(
+        "WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5), " +
+          "p AS (SELECT query_id, qvec, unnest([query_id % 8, (query_id + 2) % 8, (query_id + 5) % 8]) AS pid FROM q), " +
+          s"d AS (SELECT p.query_id, e.vec_id, ${duckL2("p.qvec", "e.embedding")} AS dist2 " +
+          "FROM p JOIN embeddings e ON e.vec_id % 8 = p.pid), " +
+          "r AS (SELECT query_id, vec_id, dist2, CAST(row_number() OVER " +
+          "(PARTITION BY query_id ORDER BY dist2 ASC, vec_id ASC) AS INTEGER) AS rnk FROM d) " +
+          "SELECT query_id, rnk, vec_id, round(CAST(CAST(dist2 AS REAL) AS DOUBLE), 3) + 0.0 AS dist2 " +
+          "FROM r WHERE rnk <= 10 ORDER BY query_id, rnk")),
+
+    // The saved-index production path, driver-visible: build → save as
+    // partition_id-partitioned Parquet → load → searchPruned, whose static
+    // `partition_id IN (probed)` predicate becomes a PartitionFilter so
+    // unprobed partition directories are never read (the on-disk 100 TB
+    // pruning story; IvfSpec asserts the PartitionFilters plan and result
+    // parity vs the in-memory search). Probe math → rows-only here.
+    NamedQuery(
+      "v09_saved_index_search",
+      (s, dir) => {
+        val model = indexFor(s, dir)
+        val path = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_saved_idx_${math.abs(dir.hashCode.toLong)}"
+        IvfModel.save(s, model, path)
+        val loaded = IvfModel.load(s, path)
+        val qs = embQueries(s, dir, 10).collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toIndexedSeq
+        IvfSearch
+          .searchPruned(loaded, qs, IvfSearch.Params(k = 10, targetRecall = 0.9, maxProbe = 64))
+          .select(col("query_id"), col("rank").cast("int").as("rnk"), col("vec_id"))
+          .orderBy("query_id", "rnk")
+      },
+      None),
+
     // =====================================================================
     // Deduplication (documents)
     // =====================================================================
