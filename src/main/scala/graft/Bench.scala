@@ -42,12 +42,24 @@ object Bench {
         catch {
           case e: Throwable => System.err.println(s"[bench] replay40k failed: ${e.getMessage}"); "null"
         }
+    // batchSize=1 pass at the same config: TRUE per-query p50/p95 latencies,
+    // key-for-key comparable with BASELINE.md's 12.11/24.43 ms (the batched
+    // rows only have per-batch means). Checkpoint cadence rescaled so
+    // lineage truncation stays once per 20 queries.
+    val replay40kB1Json =
+      if (sys.env.getOrElse("SPARK_GRAFT_REPLAY40K_B1", "1") == "0") "null"
+      else
+        try bench.Replay.runSynthetic(spark, batchSize = 1, checkpointEvery = 20).toJson
+        catch {
+          case e: Throwable => System.err.println(s"[bench] replay40k_b1 failed: ${e.getMessage}"); "null"
+        }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""replay":$replayJson,"replay_40k_baseline_config":$replay40kJson,"sf":"$sfDir"}""")
+        s""""replay":$replayJson,"replay_40k_baseline_config":$replay40kJson,""" +
+        s""""replay_40k_b1":$replay40kB1Json,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -240,6 +240,90 @@ object IvfSearch {
     }.toArray
   }
 
+  /** Driver-resident mirror scan — identical semantics and output to
+    * [[scanTopKLocal]] (parity-tested) over pre-collected rows. The
+    * adaptive fast path for DRIVER-SIZED collections, where a Spark job
+    * launch (~10² ms of scheduling/broadcast/closure work) dwarfs the
+    * arithmetic a query batch actually needs (~10⁰ ms) — exactly the
+    * regime the single-node reference operates in (quake_min.py:147-168
+    * is an in-process scan). The distributed [[scanTopKLocal]] remains the
+    * path once the collection outgrows driver memory; threading mirrors
+    * its map-partition structure (chunk partials → ordered merge), so
+    * results are bit-identical under any chunking.
+    *
+    * @param rows (partition_id, vec_id, vec) mirror of the vectors table
+    */
+  def scanTopKDriver(
+      rows: IndexedSeq[(Long, Long, Array[Float])],
+      queries: IndexedSeq[(Long, Array[Float])],
+      probing: Map[Long, Array[Int]],
+      k: Int): Array[(Long, Int, Long, Double)] = {
+    val nQ = queries.length
+    val qs = queries.map(_._2).toArray
+    val nThreads = math.max(1, Runtime.getRuntime.availableProcessors())
+    val chunkSize = math.max(1, (rows.length + nThreads - 1) / nThreads)
+    val chunks = rows.indices.by(chunkSize).map(s => (s, math.min(s + chunkSize, rows.length)))
+    val exec = java.util.concurrent.Executors.newFixedThreadPool(nThreads)
+    try {
+      val partials = chunks.map { case (from, until) =>
+        exec.submit(new java.util.concurrent.Callable[Array[Array[(Double, Long)]]] {
+          def call(): Array[Array[(Double, Long)]] = {
+            val ds = Array.fill(nQ)(Array.fill(k)(Double.MaxValue))
+            val ids = Array.fill(nQ)(Array.fill(k)(Long.MaxValue))
+            var ri = from
+            while (ri < until) {
+              val (pid, vid, v) = rows(ri)
+              val qIdxs: Array[Int] =
+                if (probing == null) null else probing.getOrElse(pid, Array.empty[Int])
+              if (probing == null || qIdxs.nonEmpty) {
+                var t = 0
+                val bound = if (probing == null) nQ else qIdxs.length
+                while (t < bound) {
+                  val qi = if (probing == null) t else qIdxs(t)
+                  val q = qs(qi)
+                  var s = 0.0
+                  var i = 0
+                  val n = math.min(q.length, v.length)
+                  while (i < n) { val d = q(i).toDouble - v(i); s += d * d; i += 1 }
+                  val dk = ds(qi)
+                  val ik = ids(qi)
+                  if (s < dk(k - 1) || (s == dk(k - 1) && vid < ik(k - 1))) {
+                    var j = k - 1
+                    while (j > 0 && (s < dk(j - 1) || (s == dk(j - 1) && vid < ik(j - 1)))) {
+                      dk(j) = dk(j - 1); ik(j) = ik(j - 1); j -= 1
+                    }
+                    dk(j) = s; ik(j) = vid
+                  }
+                  t += 1
+                }
+              }
+              ri += 1
+            }
+            Array.tabulate(nQ)(qi => ds(qi).zip(ids(qi)).filter(_._2 != Long.MaxValue))
+          }
+        })
+      }.map(_.get())
+      queries.indices.flatMap { qi =>
+        partials.iterator.flatMap(p => p(qi)).toArray
+          .sortBy(identity).take(k).zipWithIndex.map { case ((d, vid), r) =>
+            (queries(qi)._1, r + 1, vid, d)
+          }
+      }.toArray
+    } finally exec.shutdown()
+  }
+
+  /** Collect a driver mirror of a vectors table — the rows [[scanTopKDriver]]
+    * scans. InternalRow extraction, no per-element boxing. */
+  def collectMirror(vectors: DataFrame): Array[(Long, Long, Array[Float])] = {
+    val schema = vectors.schema
+    val vecIdIdx = schema.fieldIndex("vec_id")
+    val embIdx = schema.fieldIndex("embedding")
+    val pidIdx = schema.fieldIndex("partition_id")
+    vectors.queryExecution.toRdd
+      .mapPartitions(it => it.map(r => (r.getLong(pidIdx), r.getLong(vecIdIdx), r.getArray(embIdx).toFloatArray())))
+      .collect()
+  }
+
   /** Per-query probe metrics (reference result `meta`, quake_min.py:168):
     * `(query_id, nprobe, scanned)`. */
   def probeMetrics(probes: DataFrame): DataFrame =

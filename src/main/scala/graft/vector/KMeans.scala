@@ -24,8 +24,11 @@ import org.apache.spark.sql.functions._
   */
 object KMeans {
 
-  /** Nearest-centroid assignment (first-minimum wins, like `np.argmin`). */
-  private[graft] def nearest(cents: Array[Array[Float]], v: Seq[Float]): Int = {
+  /** Nearest-centroid assignment (first-minimum wins, like `np.argmin`).
+    * Primitive-array overload: every hot path (lloydLocal chunks, the
+    * distributed partial-sum loop) hands an `Array[Float]` — the Seq
+    * overload below would wrap it and box every element access. */
+  private[graft] def nearest(cents: Array[Array[Float]], v: Array[Float]): Int = {
     var best = 0
     var bestD = Double.MaxValue
     var c = 0
@@ -40,6 +43,11 @@ object KMeans {
     }
     best
   }
+
+  /** Seq overload for UDF call sites (Spark hands `Seq[Float]`); one
+    * arraycopy then the primitive loop. */
+  private[graft] def nearest(cents: Array[Array[Float]], v: Seq[Float]): Int =
+    nearest(cents, v.toArray)
 
   /** Below this many float elements (rows × dim), the whole input is
     * collected and Lloyd's runs on the driver: ~64 MB — k-means state for

@@ -13,6 +13,16 @@ object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Build a DataFrame from pre-encoded InternalRows (UnsafeRow payloads),
+    * skipping the driver-side Row→Catalyst encoder entirely — the encoder
+    * walk costs ~0.5 s for a 40k×64 float-array table, the UnsafeRow path
+    * ~0.1 s. `internalCreateDataFrame` is `private[sql]`. */
+  def internalCreateDataFrame(
+      spark: SparkSession,
+      rows: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[classic.SparkSession].internalCreateDataFrame(rows, schema)
+
   /** Register `l2_squared` on a LIVE session (the extensions mechanism
     * only applies at session construction; the registry is package-
     * private). */

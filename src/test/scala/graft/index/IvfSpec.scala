@@ -81,6 +81,12 @@ class IvfSpec extends SparkSpec {
     val dfProbed = IvfSearch.search(model, queriesOf(0L to 4L: _*), params.copy(k = 5))
       .as[(Long, Int, Long, Double)].collect().toSet
     assert(scanProbed == dfProbed)
+    // driver-mirror form (the replay fast path): bit-identical rows
+    val mirror = IvfSearch.collectMirror(model.vectors)
+    assert(IvfSearch.scanTopKDriver(mirror.toIndexedSeq, local, null, 5).toSeq ==
+      IvfSearch.scanTopKLocal(model.vectors, local, null, 5).toSeq)
+    assert(IvfSearch.scanTopKDriver(mirror.toIndexedSeq, local, probing, 5).toSeq ==
+      IvfSearch.scanTopKLocal(model.vectors, local, probing, 5).toSeq)
   }
 
   test("heap top-k aggregator matches the window form bit-for-bit (parity)") {
