@@ -165,7 +165,10 @@ object MultimodalOps {
 
   /** Frame sampling for "video" assets: cut the (post-header) payload into
     * `frameSize`-byte frames and keep every `stride`-th, as
-    * `(asset_id, frame_idx, frame binary)`. Pure expressions. */
+    * `(asset_id, frame_idx, frame binary)` where `frame_idx` is the
+    * ORIGINAL frame number (`pos · stride`) — downstream temporal
+    * alignment needs source positions, not the sampled sequence's dense
+    * indices. Pure expressions. */
   def sampleFrames(assets: DataFrame, frameSize: Int, stride: Int): DataFrame = {
     val nFrames = ((length(col("content")) - 16) / frameSize).cast("int")
     val frames = when(nFrames <= 0, array().cast("array<binary>"))
@@ -175,7 +178,7 @@ object MultimodalOps {
           i => substring(col("content"), lit(17) + i * frameSize, lit(frameSize))))
     assets
       .select(col("asset_id"), posexplode(frames))
-      .select(col("asset_id"), col("pos").as("frame_idx"), col("col").as("frame"))
+      .select(col("asset_id"), (col("pos") * stride).as("frame_idx"), col("col").as("frame"))
       .filter(length(col("frame")) > 0)
   }
 }

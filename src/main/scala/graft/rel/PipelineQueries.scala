@@ -30,6 +30,9 @@ object PipelineQueries {
   /** One shared IVF index per fixture dir per JVM — Verify/Bench run many
     * queries in one session; rebuilding the index per query would be waste. */
   private val indexCache = scala.collection.concurrent.TrieMap.empty[String, IvfModel]
+
+  /** Memory-sink names must be unique per streaming run within a JVM. */
+  private val streamSinkCounter = new java.util.concurrent.atomic.AtomicInteger(0)
   def indexFor(s: SparkSession, dir: String): IvfModel =
     indexCache.getOrElseUpdate(dir, {
       val emb = t(s, dir, "embeddings")
@@ -488,6 +491,57 @@ object PipelineQueries {
           .orderBy("doc_id")
       },
       None),
+
+    // =====================================================================
+    // Structured Streaming (driver-visible)
+    // =====================================================================
+
+    // The batch q15 aggregation executed AS A STREAM: events flow through a
+    // MemoryStream into the watermark + tumbling-window plan
+    // (StreamingOps.windowedEventStats), append-mode into a memory sink; a
+    // far-future sentinel advances the watermark so every window closes and
+    // emits. Because all real rows arrive in one micro-batch, nothing is
+    // late → the emitted windows must equal the batch group-by, which is
+    // exactly what the DuckDB oracle computes. This makes the streaming
+    // surface (source → watermark → stateful agg → sink) hash-checked, not
+    // test-only.
+    NamedQuery(
+      "s01_streaming_event_stats",
+      (s, dir) => {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        import s.implicits._
+        val ev: Array[(java.sql.Timestamp, String, Double)] = t(s, dir, "events")
+          .select(col("ts"), col("event_type"), col("value").cast("double"))
+          .as[(java.sql.Timestamp, String, Double)].collect()
+        val source = MemoryStream[(java.sql.Timestamp, String, Double)]
+        val events = source.toDF().toDF("ts", "event_type", "value")
+        val out = graft.streaming.StreamingOps
+          .windowedEventStats(events, watermarkDelay = "1 hour", windowLen = "1 day")
+        val qname = s"s01_sink_${streamSinkCounter.incrementAndGet()}"
+        val query = out.writeStream.format("memory").queryName(qname).outputMode("append").start()
+        try {
+          source.addData(ev.toSeq)
+          query.processAllAvailable()
+          val maxTs = ev.iterator.map(_._1.getTime).max
+          source.addData((new java.sql.Timestamp(maxTs + 30L * 24 * 3600 * 1000), "__sentinel", 0.0))
+          query.processAllAvailable()
+        } finally query.stop()
+        s.table(qname)
+          .filter(col("event_type") =!= "__sentinel")
+          .select(
+            date_format(col("window_start"), "yyyy-MM-dd").as("day"),
+            col("event_type"),
+            col("n_events"),
+            round(col("sum_value"), 2).as("sum_value"),
+            round(col("min_value"), 2).as("min_value"),
+            round(col("max_value"), 2).as("max_value"))
+          .orderBy("day", "event_type")
+      },
+      Some(
+        "SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS n_events, " +
+          "round(sum(value),2) AS sum_value, round(min(value),2) AS min_value, round(max(value),2) AS max_value " +
+          "FROM events GROUP BY 1, 2 ORDER BY day, event_type")),
 
     // =====================================================================
     // Multimodal (binary-column plumbing; decode is a documented stub)

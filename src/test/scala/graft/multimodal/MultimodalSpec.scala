@@ -72,7 +72,12 @@ class MultimodalSpec extends SparkSpec {
     // 100-byte payload / 10 = 10 frames, stride 2 -> indices 0,2,4,6,8 -> 5 kept
     assert(frames.length == 5)
     assert(frames.forall(_.getAs[Array[Byte]]("frame").length == 10))
+    // frame_idx carries the ORIGINAL frame number, not the sampled rank
+    assert(frames.map(_.getAs[Int]("frame_idx")).sorted.toSeq == Seq(0, 2, 4, 6, 8))
     val first = frames.minBy(_.getAs[Int]("frame_idx")).getAs[Array[Byte]]("frame")
     assert(first.toSeq == payload.take(10).toSeq)
+    // the frame at original index 4 is payload bytes 40-49
+    val third = frames.find(_.getAs[Int]("frame_idx") == 4).get.getAs[Array[Byte]]("frame")
+    assert(third.toSeq == payload.slice(40, 50).toSeq)
   }
 }
