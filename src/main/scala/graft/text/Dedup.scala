@@ -84,10 +84,15 @@ object Dedup {
     val signed = minhashSignatures(docs, shingleN, numHashes)
       .filter(not(col("sig") === typedLit(Seq.fill(numHashes)(Long.MaxValue))))
 
+    // The band join and the pair-dedup ship ONLY (doc_id, band, band_hash)
+    // triples — never the 16-long signature arrays (a pair colliding in b
+    // bands would ship both signatures b times through the join AND the
+    // distinct shuffle; at corpus scale the signature table is the wide
+    // thing). Signatures re-attach via two equi-joins on the deduped (and
+    // therefore much smaller) candidate-pair set.
     val banded = signed
       .select(
         col("doc_id"),
-        col("sig"),
         posexplode(
           transform(
             sequence(lit(0), lit(bands - 1)),
@@ -95,12 +100,14 @@ object Dedup {
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_hash")
 
-    val a = banded.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"), col("band"), col("band_hash"))
-    val b = banded.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"), col("band"), col("band_hash"))
+    val a = banded.select(col("doc_id").as("doc_a"), col("band"), col("band_hash"))
+    val b = banded.select(col("doc_id").as("doc_b"), col("band"), col("band_hash"))
     a.join(b, Seq("band", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sig_a", "sig_b")
+      .select("doc_a", "doc_b")
       .distinct()
+      .join(signed.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
+      .join(signed.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
       .withColumn(
         "est_jaccard",
         aggregate(
@@ -234,10 +241,13 @@ object Dedup {
             aggregate(zip_with(col("embedding"), pl, (x, w) => x.cast("double") * w), lit(0.0), (acc, v) => acc + v) >= 0,
             lit(1)).otherwise(lit(0))).as("bits"))
 
+    // Same narrow-join discipline as [[minhashLsh]]: the band join and the
+    // pair-dedup never carry the d-dimensional embeddings (the widest
+    // column in the pipeline) — vectors re-attach to the deduped candidate
+    // pairs only, for the exact-cosine verification.
     val banded = sketched
       .select(
         col("vec_id"),
-        col("embedding"),
         posexplode(
           transform(
             sequence(lit(0), lit(bands - 1)),
@@ -245,12 +255,14 @@ object Dedup {
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_hash")
 
-    val a = banded.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("band"), col("band_hash"))
-    val b = banded.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("band"), col("band_hash"))
+    val a = banded.select(col("vec_id").as("id_a"), col("band"), col("band_hash"))
+    val b = banded.select(col("vec_id").as("id_b"), col("band"), col("band_hash"))
     a.join(b, Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "emb_a", "emb_b")
+      .select("id_a", "id_b")
       .distinct()
+      .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("emb_a")), Seq("id_a"))
+      .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("emb_b")), Seq("id_b"))
       .withColumn("cosine", graft.vector.VectorOps.cosine(col("emb_a"), col("emb_b")))
       .filter(col("cosine") >= minCosine)
       .select("id_a", "id_b", "cosine")

@@ -1,0 +1,61 @@
+package graft
+
+import graft.index.{IvfBuild, IvfSearch}
+import org.apache.spark.sql.functions._
+
+/** Physical-plan audits for the properties the 100 TB story depends on —
+  * the plan SHAPE is the contract here, not the result values (those have
+  * oracles elsewhere): filters/projections must reach the Parquet scan,
+  * metadata sides must broadcast, and per-query top-k must be the
+  * partial-aggregating heap, not an every-row window shuffle. */
+class PlanAuditSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("filter and projection are pushed into the parquet scan") {
+    val df = spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(col("l_quantity") > 45.0)
+      .select("l_orderkey", "l_quantity")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters:") && plan.contains("GreaterThan(l_quantity"),
+      s"filter not pushed to scan:\n$plan")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_shipdate"),
+      s"column pruning failed — scan reads more than the projection: $readSchema")
+  }
+
+  test("APS probe scoring broadcasts the partition-metadata side") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet").select("vec_id", "embedding")
+    val model = IvfBuild.build(emb, 64)
+    val queries = emb.limit(3).select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val plan = IvfSearch
+      .chooseProbes(model, queries, IvfSearch.Params())
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"),
+      s"partition metadata is not broadcast — a shuffle join on metadata would serialize the probe path:\n$plan")
+  }
+
+  test("per-query top-k runs as the bounded-heap aggregator, not a window") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet").select("vec_id", "embedding")
+    val queries = emb.limit(3).select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val plan = IvfSearch.exactTopK(emb, queries, 5).queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"),
+      s"top-k is not the typed aggregator (no map-side partial selection):\n$plan")
+    assert(!plan.contains("Window"),
+      s"top-k fell back to a window — every candidate row would shuffle:\n$plan")
+  }
+
+  test("LSH band joins ship narrow keys — wide columns rejoin after pair dedup") {
+    import graft.text.Dedup
+    import spark.implicits._
+    val docs = (1L to 30L).map(i => (i, (1 to 40).map(j => s"tok${(i + j) % 23}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val plan = Dedup.minhashLsh(docs, 3, 16, 4, 0.0).queryExecution.optimizedPlan.toString
+    // the distinct() must see only (doc_a, doc_b) — the 16-long signatures
+    // attach after dedup, so they never ride the pair shuffle
+    val aggLines = plan.linesIterator.filter(_.contains("Aggregate [")).toSeq
+    assert(aggLines.nonEmpty, s"no pair dedup found:\n$plan")
+    assert(aggLines.exists(l => l.contains("doc_a") && l.contains("doc_b") && !l.contains("sig")),
+      s"pair dedup carries signature arrays through the shuffle:\n$plan")
+  }
+}
