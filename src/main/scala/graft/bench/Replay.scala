@@ -171,6 +171,7 @@ object Replay {
     val rng = new scala.util.Random(7L) // reference seed (run_demo.py:39)
     var zipf = new Zipf(model.partitions.length, 1.1, seed = 7L)
     var nextId = 10000000L
+    val superseded = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val batchLatMs = scala.collection.mutable.ArrayBuffer.empty[Double]
     var sumNprobe, sumScanned, sumRecall = 0.0
     var nBatches = 0
@@ -234,9 +235,11 @@ object Replay {
       var mutated = false
       if (nChurn > 0) {
         mutated = true
+        superseded += model.vectors
         val adds = (0 until nChurn).map(_ => { val id = nextId; nextId += 1; (id, noiseVec()) })
           .toDF("vec_id", "embedding")
         model = IvfMutate.insert(model, adds)
+        superseded += model.vectors
         val dels = (0 until nChurn).map(_ => allIds(rng.nextInt(allIds.length))).toDF("vec_id")
         model = IvfMutate.delete(model, dels)
       }
@@ -246,14 +249,23 @@ object Replay {
       // reference, where a plain q%50==0 would fire only at multiples of 100)
       if (q / maintainEvery > (q - bs) / maintainEvery) {
         val before = model.partitions.length
+        superseded += model.vectors
         model = IvfMaintain.maintain(model)
         mutated = true
         if (model.partitions.length != before)
           zipf = new Zipf(model.partitions.length, 1.1, seed = 7L + q)
       }
-      // lineage truncation
-      if (nBatches % checkpointEvery == 0)
+      // lineage truncation; superseded epochs' caches are dropped only
+      // AFTER the checkpoint materializes (they are inputs of the live
+      // plan until then) — insert/delete cache one table per epoch, and
+      // without the unpersist those blocks accumulate for the session
+      // lifetime
+      if (nBatches % checkpointEvery == 0) {
+        superseded += model.vectors
         model = model.copy(vectors = model.vectors.localCheckpoint(true))
+        superseded.foreach(_.unpersist())
+        superseded.clear()
+      }
       // mirror refresh (untimed, like the reference's oracle bookkeeping):
       // any mutation epoch re-collects the driver mirror from the new
       // vectors table — one ~n·d float copy per churn event

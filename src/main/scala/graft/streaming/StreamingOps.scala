@@ -36,8 +36,12 @@ object StreamingOps {
         val next = IvfMutate.insert(
           state.get(),
           batch.select(col("vec_id").cast("long").as("vec_id"), col("embedding")))
-        // truncate lineage every batch: streaming runs unbounded epochs
+        // truncate lineage every batch (streaming runs unbounded epochs)
+        // and drop the superseded epoch's cache — an ingest stream would
+        // otherwise accumulate one cached table per micro-batch forever
+        val old = next.vectors
         val checked = next.copy(vectors = next.vectors.localCheckpoint(true))
+        old.unpersist()
         state.set(checked)
         onUpdate(checked)
       }
