@@ -131,7 +131,13 @@ object IvfMaintain {
         when(col("cluster") === 1, coalesce(try_element_at(sibLit, col("partition_id")), col("partition_id")))
           .otherwise(col("partition_id")))
       .select("vec_id", "embedding", "partition_id")
-    model.copy(vectors = keep.unionByName(moved), partitions = parts)
+    val out = model.copy(vectors = keep.unionByName(moved), partitions = parts)
+    // drop the subset cache now rather than leak it for the session: the
+    // returned plan re-derives the filtered subset on materialization (one
+    // cheap filter over the — typically cached — vectors table), and the
+    // halves/assignment work above already consumed the cached copy
+    subset.unpersist()
+    out
   }
 
   /** Merge phase (quake_min.py:189-210): exact sequential greedy replay on

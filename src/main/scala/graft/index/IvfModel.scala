@@ -62,6 +62,11 @@ object IvfModel {
   def save(spark: SparkSession, model: IvfModel, path: String): Unit = {
     import spark.implicits._
     model.vectors
+      // co-locate rows with their output directory before the partitioned
+      // write: without this every task writes a sliver into every
+      // partition dir — O(tasks × partitions) tiny files, the classic
+      // small-files problem; with it, one file per partition directory
+      .repartition(col("partition_id"))
       .write.mode("overwrite")
       .partitionBy("partition_id")
       .parquet(s"$path/vectors")
