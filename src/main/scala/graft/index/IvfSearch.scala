@@ -122,12 +122,15 @@ object IvfSearch {
     }
 
   /** Stage 3 alone, for callers that precompute (and e.g. cache) the probe
-    * set — the replay harness reuses it for hit accounting + metrics. */
+    * set — the replay harness reuses it for hit accounting + metrics. The
+    * probe set (≤ maxProbe rows per query — metadata-sized) is explicitly
+    * broadcast: the big side of the gather join must stay un-shuffled at
+    * corpus scale, and probe-set stats coming out of window aggregates are
+    * opaque enough that the planner can pick a sort-merge join otherwise. */
   def searchProbed(model: IvfModel, probes: DataFrame, params: Params): DataFrame =
     topkOverCandidates(
-      probes
-        .select("query_id", "partition_id", "qvec")
-        .join(model.vectors, Seq("partition_id")),
+      model.vectors
+        .join(broadcast(probes.select("query_id", "partition_id", "qvec")), Seq("partition_id")),
       params.k)
 
   /** Full search with DRIVER-SIDE probe choice and a static
@@ -149,9 +152,9 @@ object IvfSearch {
     val probesDf = probes.map { case (qid, pid, _) => (qid, pid) }.toDF("query_id", "partition_id")
     val queriesDf = queries.map { case (id, v) => (id, v.toSeq) }.toDF("query_id", "qvec")
     topkOverCandidates(
-      probesDf
-        .join(queriesDf, "query_id")
-        .join(model.vectors.filter(col("partition_id").isInCollection(pids)), Seq("partition_id")),
+      model.vectors
+        .filter(col("partition_id").isInCollection(pids))
+        .join(broadcast(probesDf.join(queriesDf, "query_id")), Seq("partition_id")),
       params.k)
   }
 

@@ -32,6 +32,54 @@ object KnnJoin {
   def ivf(model: IvfModel, queries: DataFrame, k: Int, targetRecall: Double = 0.9, maxProbe: Int = 64): DataFrame =
     IvfSearch.search(model, normalizeQueries(queries), IvfSearch.Params(k, targetRecall, maxProbe))
 
+  /** LSH-bucketed approximate COSINE k-NN join — the index-free scale path
+    * for similarity search: both sides take the same random-hyperplane
+    * sign sketch ([[graft.text.Dedup.hyperplanes]]), candidates meet
+    * through an equality join on banded bucket hashes (never an all-pairs
+    * cross join), and only the candidates pay the exact-cosine rerank.
+    * Per-query top-k rides the bounded-heap aggregator on negated cosine.
+    *
+    * Contract matches the other strategies — `(query_id, rank, vec_id,
+    * cos)`, rank 1..k by DESCENDING cosine, ties by vec_id — but recall is
+    * sketch-probabilistic (more planes/bands ⇒ higher recall, more
+    * candidates); the parity spec pins the planted-neighbor hit rate.
+    *
+    * @param dim embedding dimensionality (plane matrix width)
+    */
+  def lsh(
+      queries: DataFrame,
+      corpus: DataFrame,
+      dim: Int,
+      k: Int,
+      nPlanes: Int = 16,
+      bands: Int = 4): DataFrame = {
+    require(nPlanes % bands == 0, "bands must divide nPlanes")
+    import graft.text.Dedup
+    val planes = Dedup.hyperplanes(dim, nPlanes)
+    val q = normalizeQueries(queries)
+    val c = corpus.select("vec_id", "embedding")
+
+    def banded(df: DataFrame, idCol: String, vecCol: String) = df
+      .select(col(idCol), Dedup.bandHashes(Dedup.sketchBits(col(vecCol), planes), nPlanes, bands))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_hash")
+
+    // narrow-key candidate join (ids only), wide columns rejoin after dedup
+    val cands = banded(q, "query_id", "qvec")
+      .join(banded(c, "vec_id", "embedding"), Seq("band", "band_hash"))
+      .select("query_id", "vec_id")
+      .distinct()
+
+    val reranked = cands
+      .join(broadcast(q), Seq("query_id"))
+      .join(c, Seq("vec_id"))
+      .withColumn("cos", graft.vector.VectorOps.cosine(col("qvec"), col("embedding")))
+      // negate so the ascending (dist, id) heap yields descending cosine
+      .withColumn("dist2", -col("cos"))
+    graft.vector.TopK.perQuery(reranked, k)
+      .select(col("query_id"), col("rank"), col("vec_id"), (-col("dist2")).as("cos"))
+  }
+
   /** Accept either `(query_id, qvec)` or `(vec_id, embedding)` shapes. */
   private def normalizeQueries(queries: DataFrame): DataFrame =
     if (queries.columns.contains("query_id")) queries.select("query_id", "qvec")

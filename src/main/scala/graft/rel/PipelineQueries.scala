@@ -492,6 +492,32 @@ object PipelineQueries {
       },
       None),
 
+    // LSH-bucketed approximate cosine k-NN join (KnnJoin.lsh) — the
+    // index-free ANN scale path the pipeline brief names next to IVF.
+    // Queries are planted near-identical perturbations of corpus vectors,
+    // so the expected top-1 is known; the query emits the per-query hit
+    // indicator plus the hit-rate summary row count via group-all. Plane
+    // hashes aren't SQL-portable → rows-only; KnnJoinSpec pins ≥90% hits.
+    NamedQuery(
+      "v10_lsh_ann",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+        val dim = emb.select(size(col("embedding"))).head().getInt(0)
+        val queries = emb.filter(col("vec_id") < 20).select(
+          col("vec_id").as("query_id"),
+          transform(
+            col("embedding"),
+            (x, i) => x + when(pmod(i, lit(2)) === 0, lit(0.003f)).otherwise(lit(-0.003f))).as("qvec"))
+        graft.index.KnnJoin.lsh(queries, emb, dim, k = 5)
+          .select(
+            col("query_id"),
+            col("rank").cast("int").as("rnk"),
+            col("vec_id"),
+            f32round(col("cos"), 4).as("cos"))
+          .orderBy("query_id", "rnk")
+      },
+      None),
+
     // =====================================================================
     // Structured Streaming (driver-visible)
     // =====================================================================

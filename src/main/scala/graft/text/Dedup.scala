@@ -214,6 +214,37 @@ object Dedup {
     * @param emb `(vec_id long, embedding array<float>)`
     * @return (id_a, id_b, cosine) with id_a < id_b, cosine ≥ minCosine
     */
+  /** Deterministic pseudo-random hyperplanes `planes(p)(d) ∈ [-1,1]` —
+    * hash-derived, seedable, no driver randomness; shared by the near-dup
+    * pair join and the LSH ANN search so their buckets agree. */
+  private[graft] def hyperplanes(dim: Int, nPlanes: Int): Seq[Seq[Double]] =
+    (0 until nPlanes).map { p =>
+      (0 until dim).map { d =>
+        val h = scala.util.hashing.MurmurHash3.productHash((p, d, 42))
+        (h.toDouble / Int.MaxValue.toDouble)
+      }
+    }
+
+  /** Sign-bit sketch of a float-vector column against `planes`:
+    * `array<int>` of 0/1, one per plane. */
+  private[graft] def sketchBits(vec: org.apache.spark.sql.Column, planes: Seq[Seq[Double]]): org.apache.spark.sql.Column =
+    transform(
+      typedLit(planes),
+      pl =>
+        when(
+          aggregate(zip_with(vec, pl, (x, w) => x.cast("double") * w), lit(0.0), (acc, v) => acc + v) >= 0,
+          lit(1)).otherwise(lit(0)))
+
+  /** Banded bucket hashes of a sketch-bit column: `(band int, band_hash
+    * long)` rows via posexplode — the LSH bucket key. */
+  private[graft] def bandHashes(bits: org.apache.spark.sql.Column, nPlanes: Int, bands: Int): org.apache.spark.sql.Column = {
+    val rows = nPlanes / bands
+    posexplode(
+      transform(
+        sequence(lit(0), lit(bands - 1)),
+        bnd => xxhash64(slice(bits, bnd * rows + 1, lit(rows)))))
+  }
+
   def cosineLshPairs(
       emb: DataFrame,
       dim: Int,
@@ -221,37 +252,19 @@ object Dedup {
       bands: Int = 4,
       minCosine: Double = 0.95): DataFrame = {
     require(nPlanes % bands == 0, "bands must divide nPlanes")
-    val rows = nPlanes / bands
-    // planes(p)(d) in [-1,1], fixed by hash — broadcast as a literal.
-    val planes: Seq[Seq[Double]] = (0 until nPlanes).map { p =>
-      (0 until dim).map { d =>
-        val h = scala.util.hashing.MurmurHash3.productHash((p, d, 42))
-        (h.toDouble / Int.MaxValue.toDouble)
-      }
-    }
-    val planesLit = typedLit(planes)
+    val planes = hyperplanes(dim, nPlanes)
 
     val sketched = emb.select(
       col("vec_id"),
       col("embedding"),
-      transform(
-        planesLit,
-        pl =>
-          when(
-            aggregate(zip_with(col("embedding"), pl, (x, w) => x.cast("double") * w), lit(0.0), (acc, v) => acc + v) >= 0,
-            lit(1)).otherwise(lit(0))).as("bits"))
+      sketchBits(col("embedding"), planes).as("bits"))
 
     // Same narrow-join discipline as [[minhashLsh]]: the band join and the
     // pair-dedup never carry the d-dimensional embeddings (the widest
     // column in the pipeline) — vectors re-attach to the deduped candidate
     // pairs only, for the exact-cosine verification.
     val banded = sketched
-      .select(
-        col("vec_id"),
-        posexplode(
-          transform(
-            sequence(lit(0), lit(bands - 1)),
-            bnd => xxhash64(slice(col("bits"), bnd * rows + 1, lit(rows))))))
+      .select(col("vec_id"), bandHashes(col("bits"), nPlanes, bands))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_hash")
 

@@ -20,4 +20,27 @@ class KnnJoinSpec extends SparkSpec {
     val ivfTop = ivf.filter(col("rank") === 1).select("query_id", "vec_id").as[(Long, Long)].collect().toMap
     self.foreach { case (q, _) => assert(ivfTop(q) == q, s"ivf top-1 for $q") }
   }
+
+  test("lsh knn join: planted near-identical neighbors surface at rank 1") {
+    // queries = perturbed copies of corpus vectors (cos ≈ 0.999 with their
+    // source): the LSH buckets must recover the source as the top cosine
+    // neighbor for (nearly) every query — identical sketch bits with high
+    // probability at this perturbation.
+    val queries = emb.filter(col("vec_id") < 20).select(
+      col("vec_id").as("query_id"),
+      transform(
+        col("embedding"),
+        (x, i) => x + when(pmod(i, lit(2)) === 0, lit(0.003f)).otherwise(lit(-0.003f))).as("qvec"))
+    val res = KnnJoin.lsh(queries, emb, dim = 64, k = 3)
+    val top1 = res.filter(col("rank") === 1).select("query_id", "vec_id").as[(Long, Long)].collect()
+    assert(top1.length >= 18, s"only ${top1.length}/20 queries produced candidates")
+    val hits = top1.count { case (q, v) => q == v }
+    assert(hits >= 18, s"only $hits/20 planted neighbors found at rank 1")
+    // cosine ordering: ranks strictly descending in cos per query
+    val perQ = res.select("query_id", "rank", "cos").as[(Long, Int, Double)].collect().groupBy(_._1)
+    perQ.values.foreach { rows =>
+      val sorted = rows.sortBy(_._2).map(_._3)
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a >= b })
+    }
+  }
 }
