@@ -122,16 +122,26 @@ object IvfSearch {
     }
 
   /** Stage 3 alone, for callers that precompute (and e.g. cache) the probe
-    * set — the replay harness reuses it for hit accounting + metrics. The
-    * probe set (≤ maxProbe rows per query — metadata-sized) is explicitly
+    * set — the replay harness reuses it for hit accounting + metrics.
+    *
+    * By default the probe set (≤ maxProbe rows per query) is explicitly
     * broadcast: the big side of the gather join must stay un-shuffled at
     * corpus scale, and probe-set stats coming out of window aggregates are
-    * opaque enough that the planner can pick a sort-merge join otherwise. */
-  def searchProbed(model: IvfModel, probes: DataFrame, params: Params): DataFrame =
+    * opaque enough that the planner can pick a sort-merge join otherwise.
+    * For a query batch so large that `|queries| · maxProbe · d` floats
+    * exceed executor memory, pass `broadcastProbes = false` and let the
+    * planner shuffle both sides on `partition_id` instead. */
+  def searchProbed(
+      model: IvfModel,
+      probes: DataFrame,
+      params: Params,
+      broadcastProbes: Boolean = true): DataFrame = {
+    val probeSide = probes.select("query_id", "partition_id", "qvec")
     topkOverCandidates(
       model.vectors
-        .join(broadcast(probes.select("query_id", "partition_id", "qvec")), Seq("partition_id")),
+        .join(if (broadcastProbes) broadcast(probeSide) else probeSide, Seq("partition_id")),
       params.k)
+  }
 
   /** Full search with DRIVER-SIDE probe choice and a static
     * `partition_id IN (…)` pushdown on the vectors scan: when the index is

@@ -35,6 +35,17 @@ class PlanAuditSpec extends SparkSpec {
       s"partition metadata is not broadcast — a shuffle join on metadata would serialize the probe path:\n$plan")
   }
 
+  test("IVF gather join broadcasts the probe set — the vectors table never shuffles") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet").select("vec_id", "embedding")
+    val model = IvfBuild.build(emb, 64)
+    val queries = emb.limit(3).select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val plan = IvfSearch
+      .search(model, queries, IvfSearch.Params(k = 5))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"gather join is not broadcast — the corpus side would shuffle per query batch:\n$plan")
+  }
+
   test("per-query top-k runs as the bounded-heap aggregator, not a window") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet").select("vec_id", "embedding")
     val queries = emb.limit(3).select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
