@@ -569,6 +569,51 @@ object PipelineQueries {
           "round(sum(value),2) AS sum_value, round(min(value),2) AS min_value, round(max(value),2) AS max_value " +
           "FROM events GROUP BY 1, 2 ORDER BY day, event_type")),
 
+    // Streaming ingestion end-to-end: perturbed copies of corpus vectors
+    // arrive as a MemoryStream, land in the IVF index through the
+    // foreachBatch insert path (StreamingOps.ingest — the same IvfMutate
+    // code batch writes use), and are then FOUND at rank 1 by an exact
+    // search on the post-ingest index. Output = one row per ingested id
+    // with its top-1 hit; `found_self` must be true for every row (ids are
+    // unique, vectors near-identical to their source but distinct).
+    // xxhash routing state isn't SQL-portable → rows-only; StreamingSpec
+    // covers the semantics.
+    NamedQuery(
+      "s02_streaming_ingest",
+      (s, dir) => {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        import s.implicits._
+        val model0 = indexFor(s, dir)
+        val planted: Array[(Long, Seq[Float])] = t(s, dir, "embeddings")
+          .filter(col("vec_id") < 10)
+          .select(
+            (col("vec_id") + 500000L).as("vec_id"),
+            transform(
+              col("embedding"),
+              (x, i) => x + when(pmod(i, lit(2)) === 0, lit(0.001f)).otherwise(lit(-0.001f))).as("embedding"))
+          .as[(Long, Seq[Float])].collect()
+        val source = MemoryStream[(Long, Seq[Float])]
+        val stream = source.toDF().toDF("vec_id", "embedding")
+        val finalModel = new java.util.concurrent.atomic.AtomicReference[graft.index.IvfModel](model0)
+        val ckpt = java.nio.file.Files.createTempDirectory("s02_ingest").toString
+        val query = graft.streaming.StreamingOps.ingest(stream, model0, ckpt, finalModel.set)
+        try {
+          source.addData(planted.toSeq)
+          query.processAllAvailable()
+        } finally query.stop()
+        val queries = planted.map { case (id, v) => (id, v) }.toSeq
+          .toDF("query_id", "qvec")
+        IvfSearch
+          .exactTopK(finalModel.get().vectors.select("vec_id", "embedding"), queries, k = 1)
+          .select(
+            col("query_id"),
+            col("vec_id").as("found_id"),
+            (col("query_id") === col("vec_id")).as("found_self"))
+          .orderBy("query_id")
+      },
+      None),
+
     // =====================================================================
     // Multimodal (binary-column plumbing; decode is a documented stub)
     // =====================================================================
