@@ -34,5 +34,5 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftExtensions {
   /** Register into an already-running session's function registry. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    org.apache.spark.sql.GraftSqlBridge.registerL2Squared(spark)
+    org.apache.spark.sql.GraftSqlBridge.registerFunctions(spark)
 }

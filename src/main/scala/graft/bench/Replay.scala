@@ -122,9 +122,12 @@ object Replay {
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
     val allIds: Array[Long] = emb.select("vec_id").as[Long].collect()
 
-    // untimed JIT warmup at the real scale (the NumPy reference pays no
-    // compilation inside its timed region either — BLAS is pre-compiled)
-    IvfBuild.build(emb, dim, nRowsHint = Some(allIds.length.toLong)).vectors.unpersist()
+    // untimed JIT warmup (the NumPy reference pays no compilation inside
+    // its timed region either — BLAS is pre-compiled), capped at 40k rows:
+    // enough volume to get the build loops C2-compiled at realistic scale
+    // without doubling the untimed work when the corpus is huge
+    val warmN = math.min(allIds.length, 40000)
+    IvfBuild.build(emb.limit(warmN), dim, nRowsHint = Some(warmN.toLong)).vectors.unpersist()
 
     val tb = System.nanoTime()
     var model = IvfBuild.build(emb, dim, nRowsHint = Some(allIds.length.toLong))

@@ -495,9 +495,9 @@ object PipelineQueries {
     // LSH-bucketed approximate cosine k-NN join (KnnJoin.lsh) — the
     // index-free ANN scale path the pipeline brief names next to IVF.
     // Queries are planted near-identical perturbations of corpus vectors,
-    // so the expected top-1 is known; the query emits the per-query hit
-    // indicator plus the hit-rate summary row count via group-all. Plane
-    // hashes aren't SQL-portable → rows-only; KnnJoinSpec pins ≥90% hits.
+    // so each query's expected rank-1 hit is its source vector; output is
+    // the raw top-k rows (query_id, rnk, vec_id, cos). Plane hashes
+    // aren't SQL-portable → rows-only; KnnJoinSpec pins ≥90% rank-1 hits.
     NamedQuery(
       "v10_lsh_ann",
       (s, dir) => {
@@ -553,7 +553,7 @@ object PipelineQueries {
           source.addData((new java.sql.Timestamp(maxTs + 30L * 24 * 3600 * 1000), "__sentinel", 0.0))
           query.processAllAvailable()
         } finally query.stop()
-        s.table(qname)
+        val shaped = s.table(qname)
           .filter(col("event_type") =!= "__sentinel")
           .select(
             date_format(col("window_start"), "yyyy-MM-dd").as("day"),
@@ -563,6 +563,12 @@ object PipelineQueries {
             round(col("min_value"), 2).as("min_value"),
             round(col("max_value"), 2).as("max_value"))
           .orderBy("day", "event_type")
+        // detach the result from the sink view so the sink's full result
+        // set doesn't stay pinned in driver memory for the JVM lifetime
+        // (each run registers a fresh uniquely-named view)
+        val rows = shaped.collect().toSeq
+        s.catalog.dropTempView(qname)
+        s.createDataFrame(s.sparkContext.parallelize(rows, 1), shaped.schema)
       },
       Some(
         "SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS n_events, " +
@@ -596,12 +602,19 @@ object PipelineQueries {
         val source = MemoryStream[(Long, Seq[Float])]
         val stream = source.toDF().toDF("vec_id", "embedding")
         val finalModel = new java.util.concurrent.atomic.AtomicReference[graft.index.IvfModel](model0)
-        val ckpt = java.nio.file.Files.createTempDirectory("s02_ingest").toString
-        val query = graft.streaming.StreamingOps.ingest(stream, model0, ckpt, finalModel.set)
+        val ckptDir = java.nio.file.Files.createTempDirectory("s02_ingest")
+        val query = graft.streaming.StreamingOps.ingest(stream, model0, ckptDir.toString, finalModel.set)
         try {
           source.addData(planted.toSeq)
           query.processAllAvailable()
-        } finally query.stop()
+        } finally {
+          query.stop()
+          // drop the checkpoint state — repeated runs must not accumulate
+          // offsets/commits directories under the system temp dir
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(ckptDir).iterator().asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        }
         val queries = planted.map { case (id, v) => (id, v) }.toSeq
           .toDF("query_id", "qvec")
         IvfSearch

@@ -81,8 +81,12 @@ object Dedup {
     // for unrelated content AND an O(n²) bucket). Shingle-less docs have
     // no near-dup evidence at this granularity — exact dedup owns the
     // identical-content case — so they are excluded from banding.
+    // Cached: the signature computation (shingling + numHashes min-aggs)
+    // dominates the pipeline's CPU and is referenced four times below
+    // (both band sides + both re-attach joins).
     val signed = minhashSignatures(docs, shingleN, numHashes)
       .filter(not(col("sig") === typedLit(Seq.fill(numHashes)(Long.MaxValue))))
+      .cache()
 
     // The band join and the pair-dedup ship ONLY (doc_id, band, band_hash)
     // triples — never the 16-long signature arrays (a pair colliding in b
@@ -203,17 +207,6 @@ object Dedup {
       .select("block", "doc_a", "doc_b", "jaccard")
   }
 
-  /** Embedding cosine near-dup candidates via random-hyperplane LSH (the
-    * embedding-space analog of [[simhashPairs]]): sign-bit sketch of
-    * `nPlanes` fixed pseudo-random hyperplanes, banded into `bands` chunks,
-    * bucket-join, exact cosine verification on candidates only.
-    *
-    * Hyperplane components are derived from `xxhash64(plane, dim)` mapped
-    * to [-1, 1] — deterministic, seedable, no driver-side randomness.
-    *
-    * @param emb `(vec_id long, embedding array<float>)`
-    * @return (id_a, id_b, cosine) with id_a < id_b, cosine ≥ minCosine
-    */
   /** Deterministic pseudo-random hyperplanes `planes(p)(d) ∈ [-1,1]` —
     * hash-derived, seedable, no driver randomness; shared by the near-dup
     * pair join and the LSH ANN search so their buckets agree. */
@@ -245,6 +238,15 @@ object Dedup {
         bnd => xxhash64(slice(bits, bnd * rows + 1, lit(rows)))))
   }
 
+  /** Embedding cosine near-dup candidates via random-hyperplane LSH (the
+    * embedding-space analog of [[simhashPairs]]): sign-bit sketch of
+    * `nPlanes` fixed pseudo-random hyperplanes ([[hyperplanes]]), banded
+    * into `bands` chunks, bucket-join, exact cosine verification on
+    * candidates only.
+    *
+    * @param emb `(vec_id long, embedding array<float>)`
+    * @return (id_a, id_b, cosine) with id_a < id_b, cosine ≥ minCosine
+    */
   def cosineLshPairs(
       emb: DataFrame,
       dim: Int,

@@ -23,10 +23,11 @@ object GraftSqlBridge {
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.asInstanceOf[classic.SparkSession].internalCreateDataFrame(rows, schema)
 
-  /** Register `l2_squared` on a LIVE session (the extensions mechanism
-    * only applies at session construction; the registry is package-
-    * private). */
-  def registerL2Squared(spark: SparkSession): Unit =
+  /** Register the engine's native SQL functions on a LIVE session (the
+    * extensions mechanism only applies at session construction; the
+    * registry is package-private). Must cover the same function set as
+    * `GraftExtensions` so both documented registration paths agree. */
+  def registerFunctions(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "l2_squared",
       (exprs: Seq[Expression]) => {
@@ -34,4 +35,12 @@ object GraftSqlBridge {
         graft.vector.L2Squared(exprs(0), exprs(1))
       },
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash64",
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, s"simhash64 requires exactly 1 argument, got ${exprs.length}")
+        graft.text.SimHash64(exprs(0))
+      },
+      "scala_udf")
+  }
 }
