@@ -177,8 +177,11 @@ object PipelineQueries {
           transform(
             col("embedding"),
             (x, i) => x + when(pmod(i, lit(2)) === 0, lit(0.005f)).otherwise(lit(-0.005f))).as("embedding"))
+        // cached: the pair join references its input three times (sketch +
+        // two post-dedup re-attach joins) since the narrow-key rewrite
+        val all = emb.unionByName(perturbed).cache()
         Dedup
-          .cosineLshPairs(emb.unionByName(perturbed), dim, nPlanes = 32, bands = 4, minCosine = 0.99)
+          .cosineLshPairs(all, dim, nPlanes = 32, bands = 4, minCosine = 0.99)
           .select(col("id_a"), col("id_b"), f32round(col("cosine"), 4).as("cosine"))
           .orderBy("id_a", "id_b")
       },
