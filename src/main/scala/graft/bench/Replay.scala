@@ -127,7 +127,10 @@ object Replay {
     // enough volume to get the build loops C2-compiled at realistic scale
     // without doubling the untimed work when the corpus is huge
     val warmN = math.min(allIds.length, 40000)
-    IvfBuild.build(emb.limit(warmN), dim, nRowsHint = Some(warmN.toLong)).vectors.unpersist()
+    // no limit node when the corpus is already within the cap — GlobalLimit
+    // shuffles everything to one partition just to count it off
+    val warmInput = if (allIds.length <= warmN) emb else emb.limit(warmN)
+    IvfBuild.build(warmInput, dim, nRowsHint = Some(warmN.toLong)).vectors.unpersist()
 
     val tb = System.nanoTime()
     var model = IvfBuild.build(emb, dim, nRowsHint = Some(allIds.length.toLong))
@@ -153,6 +156,11 @@ object Replay {
       if (useMirror) IvfSearch.collectMirror(staticVectors) else null
     var liveMirror: Array[(Long, Long, Array[Float])] =
       if (useMirror) IvfSearch.collectMirror(model.vectors) else null
+    // pid → member vectors, for reference-faithful query sampling
+    // (run_demo.py:58-63 draws a random MEMBER of the sampled partition);
+    // rebuilt on every mirror refresh
+    var mirrorByPid: Map[Long, Array[Array[Float]]] =
+      if (useMirror) liveMirror.groupBy(_._1).view.mapValues(_.map(_._3)).toMap else null
 
     // Untimed warmup: one tiny search + oracle pass so whole-stage codegen
     // and JIT compilation don't land in the first measured batch (the
@@ -187,10 +195,21 @@ object Replay {
     var q = 0
     while (q < nQueries) {
       val bs = math.min(batchSize, nQueries - q)
-      // Zipf-skewed queries near hot-partition centroids (O16).
+      // Zipf-skewed queries (O16): a random MEMBER vector of the sampled
+      // partition + N(0, 0.1) noise, exactly run_demo.py:58-63 (empty
+      // partition → random row of the ORIGINAL dataset). Without a mirror
+      // (corpus beyond driver memory) the partition centroid stands in —
+      // same skew, no per-query collect.
       val qRows: Seq[(Long, Array[Float])] = (0 until bs).map { i =>
         val p = model.partitions(zipf.next() % model.partitions.length)
-        ((q + i).toLong, p.centroid.map(x => x + (rng.nextGaussian() * 0.1).toFloat))
+        val base =
+          if (mirrorByPid == null) p.centroid
+          else {
+            val members = mirrorByPid.getOrElse(p.pid, Array.empty[Array[Float]])
+            if (members.isEmpty) staticMirror(rng.nextInt(staticMirror.length))._3
+            else members(rng.nextInt(members.length))
+          }
+        ((q + i).toLong, base.map(x => x + (rng.nextGaussian() * 0.1).toFloat))
       }
       // timed search (O12): probe choice is driver-side metadata math
       // (chooseProbesLocal ≡ chooseProbes, parity-tested); the gather +
@@ -272,8 +291,10 @@ object Replay {
       // mirror refresh (untimed, like the reference's oracle bookkeeping):
       // any mutation epoch re-collects the driver mirror from the new
       // vectors table — one ~n·d float copy per churn event
-      if (mutated && useMirror)
+      if (mutated && useMirror) {
         liveMirror = IvfSearch.collectMirror(model.vectors)
+        mirrorByPid = liveMirror.groupBy(_._1).view.mapValues(_.map(_._3)).toMap
+      }
     }
 
     val lats = batchLatMs.sorted
