@@ -219,8 +219,18 @@ object Dedup {
     }
 
   /** Sign-bit sketch of a float-vector column against `planes`:
-    * `array<int>` of 0/1, one per plane. */
-  private[graft] def sketchBits(vec: org.apache.spark.sql.Column, planes: Seq[Seq[Double]]): org.apache.spark.sql.Column =
+    * `array<int>` of 0/1, one per plane. Native codegen'd [[SketchBits]]
+    * expression (primitive dot-product loops); [[sketchBitsHof]] is the
+    * semantic reference it is parity-tested against. */
+  private[graft] def sketchBits(vec: org.apache.spark.sql.Column, planes: Seq[Seq[Double]]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(SketchBits(GraftSqlBridge.expression(vec), planes.map(_.toArray).toArray))
+  }
+
+  /** Higher-order-function form of [[sketchBits]] (one `zip_with` product
+    * array per plane per row — do not use in bulk paths): kept as the
+    * portable semantic reference for parity tests. */
+  private[graft] def sketchBitsHof(vec: org.apache.spark.sql.Column, planes: Seq[Seq[Double]]): org.apache.spark.sql.Column =
     transform(
       typedLit(planes),
       pl =>

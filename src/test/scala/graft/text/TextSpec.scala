@@ -98,6 +98,24 @@ class TextSpec extends SparkSpec {
     assert(both.filter(col("doc_id") === 3L).head.getLong(1) == 0L)
   }
 
+  test("sketchBits codegen expression ≡ HOF form (parity, incl. mismatched dims)") {
+    val planes = Dedup.hyperplanes(dim = 8, nPlanes = 16)
+    val vecs = Seq(
+      (1L, (1 to 8).map(i => math.sin(i * 1.7).toFloat)),
+      (2L, (1 to 8).map(i => -math.cos(i * 0.9).toFloat)),
+      (3L, Seq.fill(8)(0.0f)),
+      (4L, (1 to 5).map(_.toFloat))) // wrong dim → all bits 0 on both forms
+      .toDF("vec_id", "v")
+    val both = vecs.select(
+      col("vec_id"),
+      Dedup.sketchBits(col("v"), planes).as("fast"),
+      Dedup.sketchBitsHof(col("v"), planes).as("ref"))
+    both.as[(Long, Seq[Int], Seq[Int])].collect().foreach { case (id, fast, ref) =>
+      assert(fast == ref, s"vec $id: codegen $fast != hof $ref")
+    }
+    assert(both.filter(col("vec_id") === 4L).head.getSeq[Int](1).forall(_ == 0))
+  }
+
   test("exact dedup groups by content (planted duplicate)") {
     val docs = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("doc_id", "text")
     val g = Dedup.exactGroups(docs).filter(col("n_docs") > 1).collect()
