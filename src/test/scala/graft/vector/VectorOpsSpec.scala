@@ -59,11 +59,16 @@ class VectorOpsSpec extends SparkSpec {
     assert(df.select(VectorOps.l2SqHof(col("a"), col("b"))).head.isNullAt(0))
   }
 
-  test("l2_squared is callable from SQL after extension registration") {
+  test("l2_squared and simhash64 are callable from SQL after extension registration") {
     graft.GraftExtensions.register(spark)
     Seq((Seq(1f, 2f, 3f), Seq(4f, 6f, 3f))).toDF("a", "b").createOrReplaceTempView("vec_pairs")
     val d = spark.sql("SELECT l2_squared(a, b) AS d FROM vec_pairs").head.getDouble(0)
     assert(d === 25.0)
+    Seq(Tuple1(Seq("w1", "w2", "w3"))).toDF("toks").createOrReplaceTempView("tok_rows")
+    val viaSql = spark.sql("SELECT simhash64(toks) AS h FROM tok_rows").head.getLong(0)
+    val viaCol = spark.table("tok_rows")
+      .select(graft.text.TextOps.simhash64(col("toks"))).head.getLong(0)
+    assert(viaSql == viaCol)
   }
 
   test("hasDim validates vector length") {
