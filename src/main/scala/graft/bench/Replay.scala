@@ -39,7 +39,9 @@ object Replay {
       meanRecall: Double,
       finalPartitions: Int,
       totalSec: Double,
-      batchSize: Int) {
+      batchSize: Int,
+      churnEvents: Int,
+      maintainEvents: Int) {
     /** NOTE on percentile keys: at `batchSize == 1` every latency sample IS
       * one query, so the percentiles are true per-query p50/p95 (directly
       * comparable to BASELINE.md's 12.11/24.43 ms). With larger batches the
@@ -53,7 +55,8 @@ object Replay {
       s"""{"n_queries":$nQueries,"build_sec":$buildSec,"mean_latency_ms":$meanLatencyMs,""" +
         s""""$p50Key":$p50LatencyMs,"$p95Key":$p95LatencyMs,"mean_nprobe":$meanNprobe,""" +
         s""""mean_scanned":$meanScanned,"mean_recall":$meanRecall,"final_partitions":$finalPartitions,""" +
-        s""""total_sec":$totalSec,"batch_size":$batchSize}"""
+        s""""total_sec":$totalSec,"batch_size":$batchSize,""" +
+        s""""churn_events":$churnEvents,"maintain_events":$maintainEvents}"""
     }
   }
 
@@ -186,6 +189,7 @@ object Replay {
     val batchLatMs = scala.collection.mutable.ArrayBuffer.empty[Double]
     var sumNprobe, sumScanned, sumRecall = 0.0
     var nBatches = 0
+    var churnEvents, maintainEvents = 0
 
     // Insert noise matches run_demo.py:72: randn*0.5 + randn per element
     // (sigma ≈ 1.118) — NOT vectors near existing centroids.
@@ -257,6 +261,7 @@ object Replay {
       var mutated = false
       if (nChurn > 0) {
         mutated = true
+        churnEvents += nChurn / 10
         superseded += model.vectors
         val adds = (0 until nChurn).map(_ => { val id = nextId; nextId += 1; (id, noiseVec()) })
           .toDF("vec_id", "embedding")
@@ -274,6 +279,7 @@ object Replay {
         superseded += model.vectors
         model = IvfMaintain.maintain(model)
         mutated = true
+        maintainEvents += 1
         if (model.partitions.length != before)
           zipf = new Zipf(model.partitions.length, 1.1, seed = 7L + q)
       }
@@ -310,7 +316,9 @@ object Replay {
       meanRecall = round3(sumRecall / math.max(1, nBatches)),
       finalPartitions = model.partitions.length,
       totalSec = round3((System.nanoTime() - t0) / 1e9),
-      batchSize = batchSize)
+      batchSize = batchSize,
+      churnEvents = churnEvents,
+      maintainEvents = maintainEvents)
   }
 
   private def round3(d: Double): Double = math.rint(d * 1000) / 1000
