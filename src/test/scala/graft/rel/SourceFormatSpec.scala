@@ -15,6 +15,18 @@ class SourceFormatSpec extends SparkSpec {
   private def langCounts(df: org.apache.spark.sql.DataFrame): Seq[(String, Long)] =
     df.groupBy("lang").agg(count(lit(1)).as("n")).orderBy("lang").as[(String, Long)].collect().toSeq
 
+  test("ORC sink + scan round-trips rows and aggregates, with pushdown") {
+    val dir = java.nio.file.Files.createTempDirectory("orc").toString
+    docs.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.count() == docs.count())
+    assert(langCounts(back) == langCounts(docs))
+    // ORC scans take predicate pushdown just like parquet
+    val plan = back.filter(col("n_chars") > 100).select("doc_id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters:") && plan.contains("n_chars"), s"no ORC pushdown:\n$plan")
+  }
+
   test("JSON sink + scan round-trips rows and aggregates") {
     val dir = java.nio.file.Files.createTempDirectory("json").toString
     docs.write.mode("overwrite").json(dir)
