@@ -123,20 +123,20 @@ object Replay {
     import spark.implicits._
     val t0 = System.nanoTime()
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
-    val allIds: Array[Long] = emb.select("vec_id").as[Long].collect()
+    val nRows = emb.count()
 
     // untimed JIT warmup (the NumPy reference pays no compilation inside
     // its timed region either — BLAS is pre-compiled), capped at 40k rows:
     // enough volume to get the build loops C2-compiled at realistic scale
     // without doubling the untimed work when the corpus is huge
-    val warmN = math.min(allIds.length, 40000)
+    val warmN = math.min(nRows, 40000L)
     // no limit node when the corpus is already within the cap — GlobalLimit
     // shuffles everything to one partition just to count it off
-    val warmInput = if (allIds.length <= warmN) emb else emb.limit(warmN)
-    IvfBuild.build(warmInput, dim, nRowsHint = Some(warmN.toLong)).vectors.unpersist()
+    val warmInput = if (nRows <= warmN) emb else emb.limit(warmN.toInt)
+    IvfBuild.build(warmInput, dim, nRowsHint = Some(warmN)).vectors.unpersist()
 
     val tb = System.nanoTime()
-    var model = IvfBuild.build(emb, dim, nRowsHint = Some(allIds.length.toLong))
+    var model = IvfBuild.build(emb, dim, nRowsHint = Some(nRows))
     val buildSec = (System.nanoTime() - tb) / 1e9
 
     val params = IvfSearch.Params(k = k, targetRecall = targetRecall, maxProbe = 64)
@@ -154,11 +154,27 @@ object Replay {
     // single-query batch sizes would dwarf the ~10⁰ ms of arithmetic; the
     // reference is likewise an in-process scan (quake_min.py:147-168).
     // Above the budget, scans stay on the distributed scanTopKLocal path.
-    val useMirror = allIds.length.toLong * math.max(1, dim) <= graft.vector.KMeans.localFitThreshold
+    val useMirror = nRows * math.max(1, dim) <= graft.vector.KMeans.localFitThreshold
     val staticMirror: Array[(Long, Long, Array[Float])] =
       if (useMirror) IvfSearch.collectMirror(staticVectors) else null
     var liveMirror: Array[(Long, Long, Array[Float])] =
       if (useMirror) IvfSearch.collectMirror(model.vectors) else null
+
+    // Delete-id pool (reference deletes uniform-random ORIGINAL ids,
+    // run_demo.py:76). Collecting every id was the one O(n) driver collect
+    // left in the harness; bounded instead: at mirror scale the ids are
+    // already on the driver (same row order as the old full collect, so
+    // 40k summaries are unchanged), beyond it a deterministic hash-ordered
+    // sample caps driver memory — sampling WITH replacement from a uniform
+    // 10⁵-id subsample is statistically indistinguishable from uniform
+    // over all ids for the ~10² deletes a replay issues.
+    val deleteIdPool: Array[Long] =
+      if (useMirror) staticMirror.map(_._2)
+      else
+        emb.select("vec_id")
+          .orderBy(xxhash64(col("vec_id")))
+          .limit(100000)
+          .as[Long].collect()
     // pid → member vectors, for reference-faithful query sampling
     // (run_demo.py:58-63 draws a random MEMBER of the sampled partition);
     // rebuilt on every mirror refresh
@@ -267,7 +283,7 @@ object Replay {
           .toDF("vec_id", "embedding")
         model = IvfMutate.insert(model, adds)
         superseded += model.vectors
-        val dels = (0 until nChurn).map(_ => allIds(rng.nextInt(allIds.length))).toDF("vec_id")
+        val dels = (0 until nChurn).map(_ => deleteIdPool(rng.nextInt(deleteIdPool.length))).toDF("vec_id")
         model = IvfMutate.delete(model, dels)
       }
       // maintenance on every crossing of a `maintainEvery` boundary

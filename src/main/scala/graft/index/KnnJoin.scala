@@ -41,8 +41,15 @@ object KnnJoin {
     *
     * Contract matches the other strategies — `(query_id, rank, vec_id,
     * cos)`, rank 1..k by DESCENDING cosine, ties by vec_id — but recall is
-    * sketch-probabilistic (more planes/bands ⇒ higher recall, more
-    * candidates); the parity spec pins the planted-neighbor hit rate.
+    * sketch-probabilistic. The trade-off, quantitatively: a pair at angle
+    * θ agrees on one sign bit w.p. 1−θ/π, so a band of r = nPlanes/bands
+    * rows collides w.p. (1−θ/π)^r and candidate recall is
+    * 1−(1−(1−θ/π)^r)^bands. Fewer rows per band ⇒ higher recall but
+    * coarser buckets (more candidates to rerank — toward all-pairs as
+    * r→0); more bands at fixed r buys recall linearly in sketch/join work.
+    * E.g. at cos 0.5 (θ=60°): r=4,bands=8 → ≈0.83; r=8,bands=4 → ≈0.14.
+    * The v11 driver query measures lsh-vs-exact recall@10 end-to-end and
+    * KnnJoinSpec pins both it and the planted-neighbor hit rate.
     *
     * @param dim embedding dimensionality (plane matrix width)
     */

@@ -159,8 +159,14 @@ object PipelineQueries {
           "FROM r WHERE rnk <= 10 ORDER BY query_id, rnk")),
 
     // Embedding near-dup via random-hyperplane LSH + exact cosine verify —
-    // the bucketed (non-all-pairs) scale path. Plane hashes aren't
-    // SQL-portable → rows-only.
+    // the bucketed (non-all-pairs) scale path. The plane hashes aren't
+    // SQL-portable, but the OUTPUT is pinned by construction (the v08
+    // trick): the only pairs that can clear the 0.99 cosine bar are the
+    // planted (v, v+100000) perturbation pairs (cos ≈ 0.9992; the fixture's
+    // max natural pairwise cosine ≈ 0.51), and DuckDB can compute the
+    // ±0.005 float32 perturbation + exact cosine inline — so the oracle is
+    // the full planted-pair set, and the hash check additionally verifies
+    // the LSH recovered every one of them.
     NamedQuery(
       "v05_cosine_lsh_pairs",
       (s, dir) => {
@@ -178,14 +184,26 @@ object PipelineQueries {
             col("embedding"),
             (x, i) => x + when(pmod(i, lit(2)) === 0, lit(0.005f)).otherwise(lit(-0.005f))).as("embedding"))
         // cached: the pair join references its input three times (sketch +
-        // two post-dedup re-attach joins) since the narrow-key rewrite
-        val all = emb.unionByName(perturbed).cache()
+        // two post-dedup re-attach joins) since the narrow-key rewrite;
+        // CacheScope-tracked so the harness drops it after the query
+        val all = graft.CacheScope.track(emb.unionByName(perturbed).cache())
         Dedup
           .cosineLshPairs(all, dim, nPlanes = 32, bands = 4, minCosine = 0.99)
           .select(col("id_a"), col("id_b"), f32round(col("cosine"), 4).as("cosine"))
           .orderBy("id_a", "id_b")
       },
-      None),
+      Some(
+        // DuckDB lambda indices are 1-BASED where Spark's transform index is
+        // 0-based: Spark's even positions (+0.005) are DuckDB's odd i.
+        // FLOAT + FLOAT stays FLOAT in DuckDB, so the perturbed array is
+        // bit-identical to Spark's float32 arithmetic.
+        "WITH pert AS (SELECT vec_id, embedding AS emb_a, " +
+          "list_transform(embedding, (x, i) -> x + CASE WHEN i % 2 = 1 " +
+          "THEN CAST(0.005 AS REAL) ELSE CAST(-0.005 AS REAL) END) AS emb_b FROM embeddings), " +
+          s"c AS (SELECT vec_id AS id_a, vec_id + 100000 AS id_b, ${duckDot("emb_a", "emb_b")} / " +
+          s"(${duckNorm("emb_a")} * ${duckNorm("emb_b")}) AS cosine FROM pert) " +
+          "SELECT id_a, id_b, round(CAST(CAST(cosine AS REAL) AS DOUBLE), 4) + 0.0 AS cosine " +
+          "FROM c WHERE cosine >= 0.99 ORDER BY id_a, id_b")),
 
     // IVF recall vs the exact oracle — the reference's own acceptance bar
     // (recall ≥ 0.9 at target 0.9; notebook cell-3 achieved 0.968).
@@ -286,15 +304,23 @@ object PipelineQueries {
       "v09_saved_index_search",
       (s, dir) => {
         val model = indexFor(s, dir)
-        val path = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_saved_idx_${math.abs(dir.hashCode.toLong)}"
-        IvfModel.save(s, model, path)
-        val loaded = IvfModel.load(s, path)
+        // fresh temp dir per run, deleted once the (bounded, k·|Q|-row)
+        // result is collected — repeated verify/bench invocations must not
+        // accumulate saved index copies under the system temp dir
+        val tmp = java.nio.file.Files.createTempDirectory("graft_saved_idx_")
+        IvfModel.save(s, model, tmp.toString)
+        val loaded = IvfModel.load(s, tmp.toString)
         val qs = embQueries(s, dir, 10).collect()
           .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toIndexedSeq
-        IvfSearch
+        val res = IvfSearch
           .searchPruned(loaded, qs, IvfSearch.Params(k = 10, targetRecall = 0.9, maxProbe = 64))
           .select(col("query_id"), col("rank").cast("int").as("rnk"), col("vec_id"))
           .orderBy("query_id", "rnk")
+        val rows = res.collect().toSeq
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        s.createDataFrame(s.sparkContext.parallelize(rows, 1), res.schema)
       },
       None),
 
@@ -352,7 +378,12 @@ object PipelineQueries {
             t(s, dir, "documents").withColumn("blk", concat_ws("|", col("source"), col("lang"))),
             "blk",
             shingleN = 3,
-            minJaccard = 0.05)
+            minJaccard = 0.05,
+            // hot-shingle guard ON, bound far above any fixture block's df
+            // (≤ block size ≤ corpus size ≪ 10⁴ at sf0.1) — exercises the
+            // df-cutoff branch while keeping the output the exact Jaccard
+            // the DuckDB oracle computes
+            maxDocFreq = 10000L)
           .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
           .limit(20)
           .select(col("block").as("blk"), col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard")),
@@ -518,6 +549,27 @@ object PipelineQueries {
             col("vec_id"),
             f32round(col("cos"), 4).as("cos"))
           .orderBy("query_id", "rnk")
+      },
+      None),
+
+    // LSH-vs-exact recall@k — the acceptance metric for the index-free LSH
+    // ANN path, mirroring v06's role for the IVF path: same corpus-member
+    // queries, recall of KnnJoin.lsh's top-10 against the exact top-10
+    // (L2 order ≡ cosine order on the unit-normalized fixture). Puts a
+    // number on the sketch-probabilistic recall claim in KnnJoin.lsh's
+    // contract. Plane hashes aren't SQL-portable → rows-only; KnnJoinSpec
+    // pins the recall bar.
+    NamedQuery(
+      "v11_lsh_recall",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+        val dim = emb.select(size(col("embedding"))).head().getInt(0)
+        val qs = embQueries(s, dir, 20)
+        val lsh = graft.index.KnnJoin.lsh(qs, emb, dim, k = 10, nPlanes = 32, bands = 8)
+        val exact = graft.index.KnnJoin.exact(qs, emb, 10)
+        IvfSearch
+          .recallAtK(lsh, exact, 10, qs)
+          .agg(count(lit(1)).as("n_queries"), round(avg("recall"), 4).as("mean_recall"))
       },
       None),
 

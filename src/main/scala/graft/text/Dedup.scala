@@ -83,10 +83,12 @@ object Dedup {
     // identical-content case — so they are excluded from banding.
     // Cached: the signature computation (shingling + numHashes min-aggs)
     // dominates the pipeline's CPU and is referenced four times below
-    // (both band sides + both re-attach joins).
-    val signed = minhashSignatures(docs, shingleN, numHashes)
-      .filter(not(col("sig") === typedLit(Seq.fill(numHashes)(Long.MaxValue))))
-      .cache()
+    // (both band sides + both re-attach joins). Tracked in CacheScope so a
+    // long-lived session can drop it once the result materializes.
+    val signed = graft.CacheScope.track(
+      minhashSignatures(docs, shingleN, numHashes)
+        .filter(not(col("sig") === typedLit(Seq.fill(numHashes)(Long.MaxValue))))
+        .cache())
 
     // The band join and the pair-dedup ship ONLY (doc_id, band, band_hash)
     // triples — never the 16-long signature arrays (a pair colliding in b
@@ -132,9 +134,11 @@ object Dedup {
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     // Token-less docs all hash to simhash 0 — every pair of them would
     // collide at hamming 0; no tokens ⇒ no similarity evidence ⇒ exclude.
+    // Tokenize once: the filter and the hash share the same column.
     val sim = docs
-      .filter(size(TextOps.tokens(col("text"))) > 0)
-      .select(col("doc_id"), TextOps.simhash64(TextOps.tokens(col("text"))).as("simhash"))
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), TextOps.simhash64(col("toks")).as("simhash"))
     val chunkMask = lit(0xffffL)
     val chunked = sim.select(
       col("doc_id"),
@@ -181,17 +185,39 @@ object Dedup {
     * corpus scale. Pairs with an empty intersection never materialize —
     * hence the `minJaccard > 0` contract (a zero-overlap pair can't reach
     * any positive threshold anyway).
+    *
+    * @param maxDocFreq hot-shingle guard: the self-join on (block, shingle)
+    *   costs Σ_key df(key)² rows, so ONE stop-shingle ("of the") appearing
+    *   in 10⁵ docs of a block alone creates 10¹⁰ join rows at corpus scale.
+    *   Shingles with in-block document frequency > maxDocFreq carry no
+    *   discriminative signal and are dropped BEFORE the join — from both
+    *   the intersection and the size denominators, i.e. Jaccard over the
+    *   filtered shingle space (standard stopword-removal semantics). For
+    *   any value ≥ the true max df the output is the exact unfiltered
+    *   Jaccard (the default keeps everything).
     */
   def sparseJaccardPairs(
       docs: DataFrame,
       blockCol: String,
       shingleN: Int,
-      minJaccard: Double): DataFrame = {
+      minJaccard: Double,
+      maxDocFreq: Long = Long.MaxValue): DataFrame = {
     require(minJaccard > 0.0, "sparse join only surfaces pairs with shared shingles")
+    require(maxDocFreq >= 2, "maxDocFreq < 2 would drop every shared shingle")
     val blocks = docs.select(col("doc_id"), col(blockCol).as("block"))
-    val ex = TextOps.shingleRows(docs, shingleN, distinctSet = true)
+    val exAll = TextOps.shingleRows(docs, shingleN, distinctSet = true)
       .join(blocks, "doc_id")
       .select("block", "doc_id", "s")
+    val ex =
+      if (maxDocFreq == Long.MaxValue) exAll
+      else
+        // df per (block, shingle) is a map-side-partial count; the rejoin
+        // ships only the surviving (block, shingle) keys
+        exAll.join(
+          exAll.groupBy("block", "s").agg(count(lit(1)).as("dfreq"))
+            .filter(col("dfreq") <= maxDocFreq)
+            .select("block", "s"),
+          Seq("block", "s"))
     val sizes = ex.groupBy("block", "doc_id").agg(count(lit(1)).as("n"))
     val inter = ex.as("a")
       .join(ex.as("b"), col("a.block") === col("b.block") && col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))

@@ -10,26 +10,35 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType}
   * one primitive dot-product loop per hyperplane, no per-plane array
   * allocation. Bit-identical to the HOF form (`Dedup.sketchBitsHof`,
   * parity-tested): left-to-right double accumulation, and a
-  * length-mismatched vector yields bit 0 (the HOF's zip_with null
-  * padding nulls the sum, and `when(null >= 0, …)` falls through to 0).
+  * length-mismatched vector OR a vector with any null element yields
+  * bit 0 (the HOF's zip_with null padding / null product nulls the sum,
+  * and `when(null >= 0, …)` falls through to 0).
   */
 object SketchBitsKernel {
   def compute(vec: ArrayData, planes: Array[Array[Double]]): ArrayData = {
     val n = planes.length
     val out = new Array[Int](n)
     val m = vec.numElements()
-    var p = 0
-    while (p < n) {
-      val pl = planes(p)
-      if (pl.length != m) {
-        out(p) = 0
-      } else {
-        var s = 0.0
-        var i = 0
-        while (i < m) { s += vec.getFloat(i).toDouble * pl(i); i += 1 }
-        out(p) = if (s >= 0) 1 else 0
+    // HOF parity: a null element nulls every plane's zip_with product sum,
+    // and `when(null >= 0, 1).otherwise(0)` falls through to 0 — so one
+    // null element zeroes ALL bits (out is zero-initialized).
+    var hasNull = false
+    var j = 0
+    while (j < m && !hasNull) { if (vec.isNullAt(j)) hasNull = true; j += 1 }
+    if (!hasNull) {
+      var p = 0
+      while (p < n) {
+        val pl = planes(p)
+        if (pl.length != m) {
+          out(p) = 0
+        } else {
+          var s = 0.0
+          var i = 0
+          while (i < m) { s += vec.getFloat(i).toDouble * pl(i); i += 1 }
+          out(p) = if (s >= 0) 1 else 0
+        }
+        p += 1
       }
-      p += 1
     }
     new GenericArrayData(out)
   }

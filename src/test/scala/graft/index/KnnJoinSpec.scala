@@ -43,4 +43,17 @@ class KnnJoinSpec extends SparkSpec {
       assert(sorted.zip(sorted.tail).forall { case (a, b) => a >= b })
     }
   }
+
+  test("lsh knn join recall@10 vs exact clears the v11 bar (32 planes, 8 bands)") {
+    // the v11 driver query's config, pinned here deterministically (the
+    // hyperplanes are hash-derived): natural corpus-member queries, so the
+    // top-10 neighbors sit at moderate cosine — the hard case for LSH
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val lsh = KnnJoin.lsh(queries, emb, dim = 64, k = 10, nPlanes = 32, bands = 8)
+    val exact = KnnJoin.exact(queries, emb, k = 10)
+    val recall = IvfSearch.recallAtK(lsh, exact, 10, queries)
+      .agg(avg("recall")).head.getDouble(0)
+    assert(recall >= 0.5, s"lsh recall@10 = $recall")
+  }
 }

@@ -52,4 +52,47 @@ class StreamingSpec extends SparkSpec {
       assert(rows.contains(("view", 1L, 5.0)))
     } finally query.stop()
   }
+
+  test("windowed event stats from a FILE source match the batch aggregation") {
+    // same watermark+window plan fed by a parquet directory — the
+    // production shape (no driver-collected MemoryStream feed); a sentinel
+    // file lands later to advance the watermark so every window closes
+    val dir = java.nio.file.Files.createTempDirectory("graft_filesrc").toString
+    val ev = graft.Tables.t(spark, "/root/testdata/sf0.001", "events")
+      .select(col("ts"), col("event_type"), col("value").cast("double"))
+    ev.write.mode("overwrite").parquet(s"$dir/in")
+    val stream = spark.readStream.schema(ev.schema).parquet(s"$dir/in")
+    val out = StreamingOps.windowedEventStats(stream, watermarkDelay = "1 hour", windowLen = "1 day")
+    val query = out.writeStream.format("memory").queryName("filewinstats").outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      val maxTs = ev.agg(max("ts")).head.getTimestamp(0)
+      Seq((new java.sql.Timestamp(maxTs.getTime + 40L * 24 * 3600 * 1000), "__sentinel", 0.0))
+        .toDF("ts", "event_type", "value").write.mode("append").parquet(s"$dir/in")
+      query.processAllAvailable()
+    } finally query.stop()
+    def shaped(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("event_type") =!= "__sentinel")
+      .select(
+        col("window_start"),
+        col("event_type"),
+        col("n_events"),
+        round(col("sum_value"), 2).as("sum_value"), // sums rounded: partial-agg order differs
+        col("min_value"),
+        col("max_value"))
+      .collect().toSet
+    val batch = ev
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum("value").as("sum_value"),
+        min("value").as("min_value"),
+        max("value").as("max_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"), col("min_value"), col("max_value"))
+    val streamedSet = shaped(spark.table("filewinstats"))
+    assert(streamedSet.nonEmpty)
+    assert(streamedSet == shaped(batch))
+    spark.catalog.dropTempView("filewinstats")
+  }
 }

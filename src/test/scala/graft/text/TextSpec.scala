@@ -47,6 +47,30 @@ class TextSpec extends SparkSpec {
     assert(sparse == Set((1L, 2L, 0.5)))
   }
 
+  test("sparseJaccardPairs hot-shingle cutoff: identity above max df, drops stop-shingles below") {
+    // "x y" appears in every doc (df = 4, the stop-shingle); each pair of
+    // docs within {1,2} / {3,4} also shares one discriminative shingle
+    val docs = Seq(
+      (1L, "x y a b", "s1"), (2L, "x y a c", "s1"),
+      (3L, "x y p q", "s1"), (4L, "x y p r", "s1")).toDF("doc_id", "text", "source")
+    def run(tau: Long) =
+      Dedup.sparseJaccardPairs(docs, "source", 2, minJaccard = 0.05, maxDocFreq = tau)
+        .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val unfiltered =
+      Dedup.sparseJaccardPairs(docs, "source", 2, minJaccard = 0.05)
+        .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(unfiltered.size == 6) // every pair shares at least "x y"
+    // any tau ≥ the true max df keeps the output exactly unfiltered
+    assert(run(4L) == unfiltered)
+    assert(run(100L) == unfiltered)
+    // tau = 3 drops the universal "x y": cross-group pairs lose their only
+    // shared shingle and never materialize; in-group jaccard is over the
+    // filtered shingle space ({y a, a b} vs {y a, a c} → 1/3)
+    val cut = run(3L)
+    assert(cut.map(p => (p._1, p._2)) == Set((1L, 2L), (3L, 4L)))
+    assert(cut.forall(p => math.abs(p._3 - 1.0 / 3.0) < 1e-9))
+  }
+
   test("jaccard of distinct sets") {
     val j = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
       .select(TextOps.jaccard(col("x"), col("y"))).head.getDouble(0)
@@ -114,6 +138,25 @@ class TextSpec extends SparkSpec {
       assert(fast == ref, s"vec $id: codegen $fast != hof $ref")
     }
     assert(both.filter(col("vec_id") === 4L).head.getSeq[Int](1).forall(_ == 0))
+  }
+
+  test("sketchBits codegen ≡ HOF form when the vector has null elements") {
+    // a null element nulls every plane's zip_with sum in the HOF form →
+    // all bits 0; the kernel must match (was reading null slots as 0.0)
+    val planes = Dedup.hyperplanes(dim = 3, nPlanes = 8)
+    val vecs = Seq(1L, 2L).toDF("vec_id").select(
+      col("vec_id"),
+      when(col("vec_id") === 1L, array(lit(1.0f), lit(null).cast("float"), lit(3.0f)))
+        .otherwise(array(lit(1.0f), lit(2.0f), lit(3.0f))).as("v"))
+    val both = vecs.select(
+      col("vec_id"),
+      Dedup.sketchBits(col("v"), planes).as("fast"),
+      Dedup.sketchBitsHof(col("v"), planes).as("ref"))
+    both.as[(Long, Seq[Int], Seq[Int])].collect().foreach { case (id, fast, ref) =>
+      assert(fast == ref, s"vec $id: codegen $fast != hof $ref")
+    }
+    assert(both.filter(col("vec_id") === 1L).head.getSeq[Int](1).forall(_ == 0))
+    assert(both.filter(col("vec_id") === 2L).head.getSeq[Int](1).exists(_ == 1))
   }
 
   test("exact dedup groups by content (planted duplicate)") {
