@@ -38,6 +38,7 @@ object Replay {
       meanScanned: Double,
       meanRecall: Double,
       finalPartitions: Int,
+      huskPartitions: Int,
       totalSec: Double,
       batchSize: Int,
       churnEvents: Int,
@@ -55,7 +56,7 @@ object Replay {
       s"""{"n_queries":$nQueries,"build_sec":$buildSec,"mean_latency_ms":$meanLatencyMs,""" +
         s""""$p50Key":$p50LatencyMs,"$p95Key":$p95LatencyMs,"mean_nprobe":$meanNprobe,""" +
         s""""mean_scanned":$meanScanned,"mean_recall":$meanRecall,"final_partitions":$finalPartitions,""" +
-        s""""total_sec":$totalSec,"batch_size":$batchSize,""" +
+        s""""husk_partitions":$huskPartitions,"total_sec":$totalSec,"batch_size":$batchSize,""" +
         s""""churn_events":$churnEvents,"maintain_events":$maintainEvents}"""
     }
   }
@@ -74,6 +75,21 @@ object Replay {
     }
   }
 
+  /** Per-metric min across repeat passes of the SAME replay config — the
+    * suite's min-of-2 discipline applied to the replay rows: a co-tenant
+    * CPU spike during one pass cannot fabricate a latency regression in
+    * the official record. Timing fields take the min; the protocol fields
+    * (counts, recall, nprobe — deterministic for a fixed config and seed)
+    * are identical across passes and come from the first. */
+  def minOver(ss: Seq[Summary]): Summary =
+    ss.reduce((a, b) =>
+      a.copy(
+        buildSec = math.min(a.buildSec, b.buildSec),
+        meanLatencyMs = math.min(a.meanLatencyMs, b.meanLatencyMs),
+        p50LatencyMs = math.min(a.p50LatencyMs, b.p50LatencyMs),
+        p95LatencyMs = math.min(a.p95LatencyMs, b.p95LatencyMs),
+        totalSec = math.min(a.totalSec, b.totalSec)))
+
   def run(
       spark: SparkSession,
       sfDir: String,
@@ -82,9 +98,10 @@ object Replay {
       k: Int = 10,
       targetRecall: Double = 0.9,
       maintainEvery: Int = 50,
-      checkpointEvery: Int = 1): Summary = {
+      checkpointEvery: Int = 1,
+      compactHusks: Boolean = false): Summary = {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").select("vec_id", "embedding").cache()
-    runOn(spark, emb, nQueries, batchSize, k, targetRecall, maintainEvery, checkpointEvery)
+    runOn(spark, emb, nQueries, batchSize, k, targetRecall, maintainEvery, checkpointEvery, compactHusks)
   }
 
   /** The reference's exact published workload at its exact scale
@@ -99,7 +116,8 @@ object Replay {
       nClusters: Int = 60,
       nQueries: Int = 500,
       batchSize: Int = 20,
-      checkpointEvery: Int = 1): Summary = {
+      checkpointEvery: Int = 1,
+      compactHusks: Boolean = false): Summary = {
     import spark.implicits._
     val rng = new scala.util.Random(7L) // reference seed (run_demo.py:39)
     val centers = Array.fill(nClusters, d)((rng.nextGaussian() * 4.0).toFloat)
@@ -108,7 +126,7 @@ object Replay {
       (i.toLong, c.map(x => x + rng.nextGaussian().toFloat).toSeq)
     }
     val emb = rows.toDF("vec_id", "embedding").repartition(spark.sparkContext.defaultParallelism).cache()
-    runOn(spark, emb, nQueries, batchSize, k = 10, targetRecall = 0.9, maintainEvery = 50, checkpointEvery)
+    runOn(spark, emb, nQueries, batchSize, k = 10, targetRecall = 0.9, maintainEvery = 50, checkpointEvery, compactHusks)
   }
 
   private def runOn(
@@ -119,7 +137,8 @@ object Replay {
       k: Int,
       targetRecall: Double,
       maintainEvery: Int,
-      checkpointEvery: Int): Summary = {
+      checkpointEvery: Int,
+      compactHusks: Boolean = false): Summary = {
     import spark.implicits._
     val t0 = System.nanoTime()
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
@@ -293,7 +312,7 @@ object Replay {
       if (q / maintainEvery > (q - bs) / maintainEvery) {
         val before = model.partitions.length
         superseded += model.vectors
-        model = IvfMaintain.maintain(model)
+        model = IvfMaintain.maintain(model, compactHusks = compactHusks)
         mutated = true
         maintainEvents += 1
         if (model.partitions.length != before)
@@ -331,6 +350,7 @@ object Replay {
       meanScanned = round3(sumScanned / math.max(1, nBatches)),
       meanRecall = round3(sumRecall / math.max(1, nBatches)),
       finalPartitions = model.partitions.length,
+      huskPartitions = model.partitions.count(_.size == 0L),
       totalSec = round3((System.nanoTime() - t0) / 1e9),
       batchSize = batchSize,
       churnEvents = churnEvents,

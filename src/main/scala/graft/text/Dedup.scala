@@ -205,19 +205,31 @@ object Dedup {
     require(minJaccard > 0.0, "sparse join only surfaces pairs with shared shingles")
     require(maxDocFreq >= 2, "maxDocFreq < 2 would drop every shared shingle")
     val blocks = docs.select(col("doc_id"), col(blockCol).as("block"))
-    val exAll = TextOps.shingleRows(docs, shingleN, distinctSet = true)
-      .join(blocks, "doc_id")
-      .select("block", "doc_id", "s")
+    // Cached: the exploded shingle table (tokenize + shingle + explode, the
+    // pipeline's CPU-dominant stage) feeds the df-guard aggregate, the size
+    // aggregate, and BOTH sides of the intersection self-join — up to five
+    // plan references; uncached it would recompute the shingling each time.
+    // CacheScope-tracked so a long-lived session drops it after the query.
+    val exAll = graft.CacheScope.track(
+      TextOps.shingleRows(docs, shingleN, distinctSet = true)
+        .join(blocks, "doc_id")
+        .select("block", "doc_id", "s")
+        .cache())
     val ex =
       if (maxDocFreq == Long.MaxValue) exAll
-      else
-        // df per (block, shingle) is a map-side-partial count; the rejoin
-        // ships only the surviving (block, shingle) keys
-        exAll.join(
-          exAll.groupBy("block", "s").agg(count(lit(1)).as("dfreq"))
-            .filter(col("dfreq") <= maxDocFreq)
-            .select("block", "s"),
-          Seq("block", "s"))
+      else {
+        // The HOT key set (df > maxDocFreq) is tiny by definition — at any
+        // sane cutoff it is the stop-shingle tail, orders of magnitude
+        // smaller than the surviving key space. So the guard is a broadcast
+        // ANTI-join against the hot set, NOT an equi-join on the (near-
+        // total) surviving keys: the shingle table never re-shuffles, each
+        // row just probes a small broadcast hash set. df itself is a
+        // map-side-partial count over the cached shingle table.
+        val hot = exAll.groupBy("block", "s").agg(count(lit(1)).as("dfreq"))
+          .filter(col("dfreq") > maxDocFreq)
+          .select("block", "s")
+        exAll.join(broadcast(hot), Seq("block", "s"), "left_anti")
+      }
     val sizes = ex.groupBy("block", "doc_id").agg(count(lit(1)).as("n"))
     val inter = ex.as("a")
       .join(ex.as("b"), col("a.block") === col("b.block") && col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))

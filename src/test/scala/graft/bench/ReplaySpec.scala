@@ -25,6 +25,32 @@ class ReplaySpec extends SparkSpec {
     assert(s.toJson.contains("\"p50_batch_mean_ms\""))
   }
 
+  test("compactHusks drops merge husks; reference mode keeps them") {
+    // every partition of the tiny fixture sits below MergeSize, so the
+    // first maintain merges aggressively — reference mode must leave the
+    // merged-away partitions behind as zero-row husks (quake_min.py:209-210),
+    // the engine-added compactHusks flag must remove every one of them
+    val off = Replay.run(spark, "/root/testdata/sf0.001", nQueries = 60, batchSize = 10, maintainEvery = 20)
+    val on = Replay.run(
+      spark, "/root/testdata/sf0.001", nQueries = 60, batchSize = 10, maintainEvery = 20, compactHusks = true)
+    assert(off.maintainEvents == 3 && on.maintainEvents == 3)
+    assert(off.huskPartitions > 0, s"expected husks in reference mode, got ${off.huskPartitions}")
+    assert(off.toJson.contains("\"husk_partitions\""))
+    assert(on.huskPartitions == 0, s"compactHusks left ${on.huskPartitions} husks")
+    // compaction must not break the search: answers stay well above chance
+    assert(on.meanRecall >= 0.5, s"mean recall with compaction ${on.meanRecall}")
+    assert(on.finalPartitions > 0)
+  }
+
+  test("minOver takes per-metric timing mins and keeps protocol fields") {
+    val a = Replay.Summary(10, 1.0, 5.0, 4.0, 9.0, 3.0, 100.0, 0.9, 7, 2, 30.0, 1, 3, 2)
+    val b = a.copy(buildSec = 0.5, meanLatencyMs = 6.0, p50LatencyMs = 3.5, p95LatencyMs = 10.0, totalSec = 25.0)
+    val m = Replay.minOver(Seq(a, b))
+    assert(m.buildSec == 0.5 && m.meanLatencyMs == 5.0 && m.p50LatencyMs == 3.5)
+    assert(m.p95LatencyMs == 9.0 && m.totalSec == 25.0)
+    assert(m.nQueries == 10 && m.meanRecall == 0.9 && m.huskPartitions == 2 && m.churnEvents == 3)
+  }
+
   test("batchSize=1 replay emits true per-query percentile keys") {
     val s = Replay.run(spark, "/root/testdata/sf0.001", nQueries = 25, batchSize = 1, checkpointEvery = 20)
     assert(s.nQueries == 25 && s.batchSize == 1)
