@@ -294,27 +294,54 @@ object PipelineQueries {
           "SELECT query_id, rnk, vec_id, round(CAST(CAST(dist2 AS REAL) AS DOUBLE), 3) + 0.0 AS dist2 " +
           "FROM r WHERE rnk <= 10 ORDER BY query_id, rnk")),
 
-    // The saved-index production path, driver-visible: build → save as
-    // partition_id-partitioned Parquet → load → searchPruned, whose static
-    // `partition_id IN (probed)` predicate becomes a PartitionFilter so
-    // unprobed partition directories are never read (the on-disk 100 TB
-    // pruning story; IvfSpec asserts the PartitionFilters plan and result
-    // parity vs the in-memory search). Probe math → rows-only here.
+    // The saved-index production path, driver-visible AND hash-checked:
+    // save as partition_id-partitioned Parquet → load → gather+top-k over
+    // the LOADED table with a static `partition_id IN (probed)` predicate
+    // that becomes a PartitionFilter, so unprobed partition directories are
+    // never read (the on-disk 100 TB pruning story; IvfSpec asserts the
+    // PartitionFilters plan). Oracled via the v08 pinning trick applied to
+    // the round-trip: partitions are `vec_id % 16` and each query's probe
+    // set is pinned to {q, q+2, q+5} mod 16 — SQL-portable, while running
+    // the REAL save → load → prune → searchProbed code path, so the hash
+    // numerically verifies what came OFF DISK, not just row counts. (The
+    // APS probe CHOICE over real k-means state is oracled by the
+    // chooseProbesLocal ≡ chooseProbes parity test and exercised by v02.)
     NamedQuery(
       "v09_saved_index_search",
       (s, dir) => {
-        val model = indexFor(s, dir)
+        val nP = 16
+        val model0 = IvfModel(
+          dim = 0,
+          vectors = t(s, dir, "embeddings").select(
+            col("vec_id"),
+            col("embedding"),
+            pmod(col("vec_id"), lit(nP)).cast("long").as("partition_id")),
+          coarseCentroids = Array.empty, coarseBaseIds = Map.empty,
+          partitions = Vector.empty, queryCounter = 0L)
         // fresh temp dir per run, deleted once the (bounded, k·|Q|-row)
         // result is collected — repeated verify/bench invocations must not
         // accumulate saved index copies under the system temp dir
         val tmp = java.nio.file.Files.createTempDirectory("graft_saved_idx_")
-        IvfModel.save(s, model, tmp.toString)
+        IvfModel.save(s, model0, tmp.toString)
         val loaded = IvfModel.load(s, tmp.toString)
-        val qs = embQueries(s, dir, 10).collect()
-          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toIndexedSeq
+        val probes = embQueries(s, dir, 5).select(
+          col("query_id"),
+          explode(array(
+            pmod(col("query_id"), lit(nP)).cast("long"),
+            pmod(col("query_id") + 2, lit(nP)).cast("long"),
+            pmod(col("query_id") + 5, lit(nP)).cast("long"))).as("partition_id"),
+          col("qvec"))
+        // queries 0..4 probe pids {0..9} — the static IN list prunes the
+        // other 6 on-disk partition directories at scan time
+        val pids = (0 until 5).flatMap(q => Seq(q % nP, (q + 2) % nP, (q + 5) % nP)).distinct.map(_.toLong)
+        val pinned = loaded.copy(vectors = loaded.vectors.filter(col("partition_id").isInCollection(pids)))
         val res = IvfSearch
-          .searchPruned(loaded, qs, IvfSearch.Params(k = 10, targetRecall = 0.9, maxProbe = 64))
-          .select(col("query_id"), col("rank").cast("int").as("rnk"), col("vec_id"))
+          .searchProbed(pinned, probes, IvfSearch.Params(k = 10))
+          .select(
+            col("query_id"),
+            col("rank").cast("int").as("rnk"),
+            col("vec_id"),
+            f32round(col("dist2"), 3).as("dist2"))
           .orderBy("query_id", "rnk")
         val rows = res.collect().toSeq
         import scala.jdk.CollectionConverters._
@@ -322,7 +349,15 @@ object PipelineQueries {
           .foreach(p => java.nio.file.Files.deleteIfExists(p))
         s.createDataFrame(s.sparkContext.parallelize(rows, 1), res.schema)
       },
-      None),
+      Some(
+        "WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5), " +
+          "p AS (SELECT query_id, qvec, unnest([query_id % 16, (query_id + 2) % 16, (query_id + 5) % 16]) AS pid FROM q), " +
+          s"d AS (SELECT p.query_id, e.vec_id, ${duckL2("p.qvec", "e.embedding")} AS dist2 " +
+          "FROM p JOIN embeddings e ON e.vec_id % 16 = p.pid), " +
+          "r AS (SELECT query_id, vec_id, dist2, CAST(row_number() OVER " +
+          "(PARTITION BY query_id ORDER BY dist2 ASC, vec_id ASC) AS INTEGER) AS rnk FROM d) " +
+          "SELECT query_id, rnk, vec_id, round(CAST(CAST(dist2 AS REAL) AS DOUBLE), 3) + 0.0 AS dist2 " +
+          "FROM r WHERE rnk <= 10 ORDER BY query_id, rnk")),
 
     // =====================================================================
     // Deduplication (documents)
@@ -349,22 +384,38 @@ object PipelineQueries {
           "SELECT sha256(text) AS content_hash, count(*) AS n_docs, min(doc_id) AS keeper_id " +
           "FROM all_docs GROUP BY 1 HAVING count(*) > 1 ORDER BY keeper_id")),
 
-    // MinHash + LSH banding near-dup. Planted near-dups: each doc rejoined
-    // with its first 5 tokens dropped (doc_id+100000). xxhash64 signatures
-    // aren't SQL-portable → rows-only; semantics covered by DedupSpec.
+    // MinHash + LSH banding near-dup, HASH-CHECKED via planted-pair
+    // projection: each doc with ≥ 20 tokens is rejoined under doc_id+100000
+    // with its first TWO tokens dropped — true Jaccard ≥ ~0.89 (the prefix's
+    // shingles are a ⊆ of the original's), so with a 32-hash signature in
+    // 16 two-row bands the probability any planted pair evades every band
+    // is ~(1−J²)¹⁶ ≈ 1e-11, and the seeded hashes make the outcome a FIXED
+    // fact of the fixture (verified at all three SFs). The output projects
+    // the planted pair ids only — the seeded est_jaccard VALUE and any
+    // natural near-dup pairs (whose estimates wobble around their true
+    // Jaccard) are not SQL-portable, but the planted pair SET is: DuckDB
+    // computes it exactly, so the hash proves the LSH recovered every
+    // planted pair. Full output incl. natural pairs + estimates stays
+    // covered by DedupSpec.
     NamedQuery(
       "d02_minhash_lsh",
       (s, dir) => {
         val docs = t(s, dir, "documents").select("doc_id", "text")
-        val mutated = docs.select(
-          (col("doc_id") + 100000L).as("doc_id"),
-          concat_ws(" ", slice(TextOps.tokens(col("text")), 6, 1000000)).as("text"))
+        val toks = TextOps.tokens(col("text"))
+        val mutated = docs
+          .filter(size(toks) >= 20)
+          .select(
+            (col("doc_id") + 100000L).as("doc_id"),
+            concat_ws(" ", slice(toks, 3, 1000000)).as("text"))
         Dedup
-          .minhashLsh(docs.unionByName(mutated), shingleN = 3, numHashes = 16, bands = 4, minEstJaccard = 0.5)
-          .select(col("doc_a"), col("doc_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
-          .orderBy("doc_a", "doc_b")
+          .minhashLsh(docs.unionByName(mutated), shingleN = 3, numHashes = 32, bands = 16, minEstJaccard = 0.5)
+          .filter(col("doc_b") === col("doc_a") + 100000L)
+          .select("doc_a", "doc_b")
+          .orderBy("doc_a")
       },
-      None),
+      Some(
+        s"SELECT doc_id AS doc_a, doc_id + 100000 AS doc_b FROM (SELECT doc_id, $duckToks AS w FROM documents) " +
+          "WHERE len(w) >= 20 ORDER BY doc_a")),
 
     // Exact n-gram Jaccard similarity join, blocked by (source, lang) —
     // fully SQL-expressible set arithmetic, top-20 most similar in-block
@@ -577,35 +628,39 @@ object PipelineQueries {
     // Structured Streaming (driver-visible)
     // =====================================================================
 
-    // The batch q15 aggregation executed AS A STREAM: events flow through a
-    // MemoryStream into the watermark + tumbling-window plan
-    // (StreamingOps.windowedEventStats), append-mode into a memory sink; a
-    // far-future sentinel advances the watermark so every window closes and
-    // emits. Because all real rows arrive in one micro-batch, nothing is
-    // late → the emitted windows must equal the batch group-by, which is
-    // exactly what the DuckDB oracle computes. This makes the streaming
-    // surface (source → watermark → stateful agg → sink) hash-checked, not
+    // The batch q15 aggregation executed AS A STREAM, fed from a FILE
+    // source — the production shape: the events fixture is staged to a
+    // parquet directory (an executor-side write, NO driver collect of the
+    // table), `readStream` discovers it, and the rows flow through the
+    // watermark + tumbling-window plan (StreamingOps.windowedEventStats),
+    // append-mode into a memory sink; a one-row sentinel file lands later
+    // to advance the watermark so every real window closes and emits.
+    // Because all real rows arrive in one micro-batch, nothing is late →
+    // the emitted windows must equal the batch group-by, which is exactly
+    // what the DuckDB oracle computes. This makes the streaming surface
+    // (file source → watermark → stateful agg → sink) hash-checked, not
     // test-only.
     NamedQuery(
       "s01_streaming_event_stats",
       (s, dir) => {
-        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
         import s.implicits._
-        val ev: Array[(java.sql.Timestamp, String, Double)] = t(s, dir, "events")
+        val evBatch = t(s, dir, "events")
           .select(col("ts"), col("event_type"), col("value").cast("double"))
-          .as[(java.sql.Timestamp, String, Double)].collect()
-        val source = MemoryStream[(java.sql.Timestamp, String, Double)]
-        val events = source.toDF().toDF("ts", "event_type", "value")
+        val tmp = java.nio.file.Files.createTempDirectory("s01_events_")
+        val inDir = s"$tmp/in"
+        evBatch.write.mode("overwrite").parquet(inDir)
+        val events = s.readStream.schema(evBatch.schema).parquet(inDir)
         val out = graft.streaming.StreamingOps
           .windowedEventStats(events, watermarkDelay = "1 hour", windowLen = "1 day")
         val qname = s"s01_sink_${streamSinkCounter.incrementAndGet()}"
         val query = out.writeStream.format("memory").queryName(qname).outputMode("append").start()
         try {
-          source.addData(ev.toSeq)
           query.processAllAvailable()
-          val maxTs = ev.iterator.map(_._1.getTime).max
-          source.addData((new java.sql.Timestamp(maxTs + 30L * 24 * 3600 * 1000), "__sentinel", 0.0))
+          // sentinel: one aggregated max (a 1-row driver value, not a table
+          // collect) pushed far past the horizon closes every real window
+          val maxTs = evBatch.agg(max(col("ts"))).head().getTimestamp(0)
+          Seq((new java.sql.Timestamp(maxTs.getTime + 30L * 24 * 3600 * 1000), "__sentinel", 0.0))
+            .toDF("ts", "event_type", "value").write.mode("append").parquet(inDir)
           query.processAllAvailable()
         } finally query.stop()
         val shaped = s.table(qname)
@@ -620,9 +675,16 @@ object PipelineQueries {
           .orderBy("day", "event_type")
         // detach the result from the sink view so the sink's full result
         // set doesn't stay pinned in driver memory for the JVM lifetime
-        // (each run registers a fresh uniquely-named view)
+        // (each run registers a fresh uniquely-named view), and drop the
+        // staged source dir — repeated runs must not accumulate copies of
+        // the events table under the system temp dir
         val rows = shaped.collect().toSeq
         s.catalog.dropTempView(qname)
+        locally {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        }
         s.createDataFrame(s.sparkContext.parallelize(rows, 1), shaped.schema)
       },
       Some(
