@@ -12,13 +12,18 @@ import org.apache.spark.sql.types._
   * same properties: batch-at-a-time processing, no driver involvement,
   * partition-parallel across executors.
   *
-  * The actual media codecs are NOT in this environment, so the decode step
-  * is a clearly-marked deterministic STUB (`decodeStub`): it "decodes" a
-  * fake 16-byte header (magic, width, height, channels) and derives
-  * features from raw bytes. Everything around it — schema, batching,
-  * partitioning, the operator signatures — is real Spark and is what would
-  * carry a real libjpeg/ffmpeg call at 100 TB: swap `decodeStub` for a JNI
-  * decode and nothing else changes.
+  * Image decode is REAL: [[decodeImageIO]] runs the JDK's built-in
+  * `javax.imageio` codecs (PNG/BMP/GIF/JPEG, headless, no external native
+  * libraries) through the same mapPartitions plumbing and extracts
+  * pixel-derived features. Audio/video codecs genuinely are not in this
+  * environment, so those decode steps are clearly-marked deterministic
+  * STUBs (`decodeStub`, `audioStats`, `sampleFrames` treat the payload
+  * bytes as fake samples/frames behind a 16-byte header); everything
+  * around them — schema, batching, partitioning, operator signatures — is
+  * real Spark and is what would carry a libavcodec/ffmpeg call at 100 TB:
+  * swap the stub body for a JNI decode and nothing else changes. (The
+  * driver-visible m01 query keeps the stub schema because the fixtures
+  * carry no media table.)
   */
 object MultimodalOps {
 
@@ -74,6 +79,115 @@ object MultimodalOps {
     var j = 0
     while (j < 16) { hist(j) /= n.toFloat; j += 1 }
     (hist, checksum)
+  }
+
+  /** REAL image decode via the JDK's built-in `javax.imageio` codecs —
+    * PNG/BMP/GIF/JPEG readers ship with the JDK and run headless, so no
+    * external native libraries are needed. Same executor-side
+    * `mapPartitions` batch shape as [[extractFeatures]], but the features
+    * are derived from actual decoded PIXELS: dimensions, color-component
+    * count, a 16-bucket luminance histogram normalized to [0,1], and the
+    * mean RGB channel values. A payload ImageIO cannot decode yields
+    * `decoded = false` with null features rather than failing the
+    * partition — at corpus scale one poison asset must not kill the job.
+    *
+    * Output: `(asset_id, decoded, width, height, channels,
+    * lum_hist array<float>, mean_rgb array<float>)`.
+    */
+  def decodeImageIO(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("decoded", BooleanType, nullable = false),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("channels", IntegerType, nullable = true),
+      StructField("lum_hist", ArrayType(FloatType, containsNull = false), nullable = true),
+      StructField("mean_rgb", ArrayType(FloatType, containsNull = false), nullable = true)))
+    val src = df.select(col(idCol).cast("long"), col(binCol))
+    val rdd = src.rdd.mapPartitions { rows =>
+      // in-memory decode streams only: ImageIO's default disk-backed cache
+      // would write a temp file per asset on every executor
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bin = r.getAs[Array[Byte]](1)
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bin))
+          catch { case _: Exception => null }
+        if (img == null) Row(id, false, null, null, null, null, null)
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          val hist = new Array[Float](16)
+          var sr = 0.0; var sg = 0.0; var sb = 0.0
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val rr = (rgb >> 16) & 0xff
+              val gg = (rgb >> 8) & 0xff
+              val bb = rgb & 0xff
+              // ITU-R BT.601 luma in integer fixed-point (299/587/114 per
+              // mille): bit-exact on every platform — the float form lands
+              // on .0 boundaries (e.g. gray 128) where FMA/vectorization
+              // differences flip the bucket
+              val lum = (299 * rr + 587 * gg + 114 * bb) / 1000
+              hist(math.min(15, lum >> 4)) += 1f
+              sr += rr; sg += gg; sb += bb
+              x += 1
+            }
+            y += 1
+          }
+          val n = math.max(1, w * h)
+          var j = 0
+          while (j < 16) { hist(j) /= n.toFloat; j += 1 }
+          Row(
+            id, true, w, h, img.getColorModel.getNumComponents,
+            hist.toSeq,
+            Seq((sr / n).toFloat, (sg / n).toFloat, (sb / n).toFloat))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Synthetic-asset generator — the encode twin of [[decodeImageIO]]:
+    * one uniform-fill image per input row, compressed with the JDK ImageIO
+    * codec on executors (`mapPartitions`). Materializes REAL encoded image
+    * payloads inside a pipeline (codec round-trip tests, fixtures with no
+    * media table) whose decoded features are predictable by construction.
+    *
+    * Input columns: `(asset_id long, width int, height int, r int, g int,
+    * b int)`; output `(asset_id, content binary)`. */
+  def encodeUniformImages(df: DataFrame, format: String = "png"): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = false)))
+    val src = df.select(
+      col("asset_id").cast("long"), col("width").cast("int"), col("height").cast("int"),
+      col("r").cast("int"), col("g").cast("int"), col("b").cast("int"))
+    val rdd = src.rdd.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { row =>
+        val w = row.getInt(1)
+        val h = row.getInt(2)
+        val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val packed = (row.getInt(3) << 16) | (row.getInt(4) << 8) | row.getInt(5)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { img.setRGB(x, y, packed); x += 1 }
+          y += 1
+        }
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, format, baos)
+        Row(row.getLong(0), baos.toByteArray)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
   }
 
   /** Feature extraction over asset batches: one executor-side pass per

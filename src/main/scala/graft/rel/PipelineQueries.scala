@@ -773,5 +773,48 @@ object PipelineQueries {
             round(element_at(col("features"), 1).cast("double"), 4).as("f1"))
           .orderBy("asset_id")
       },
-      None))
+      None),
+
+    // REAL JDK image codec round-trip, driver-visible AND hash-checked:
+    // each document row deterministically defines a uniform-fill image
+    // (size and RGB derived from doc_id), executors ENCODE it to a real
+    // compressed PNG with `javax.imageio`, decodeImageIO DECODES the bytes
+    // with the same codec family, and the pixel-derived features — decoded
+    // dimensions, channel count, exact channel means, the luminance bucket
+    // holding all the mass — are predictable by construction, so DuckDB
+    // oracles the genuine codec path end-to-end (no stub anywhere in this
+    // plan). Uniform fill makes every feature integer-exact: mean channel
+    // = the fill value, histogram = a single bucket at mass 1.0.
+    NamedQuery(
+      "m02_imageio_features",
+      (s, dir) => {
+        val spec = t(s, dir, "documents").select(
+          col("doc_id").as("asset_id"),
+          (lit(1) + pmod(col("doc_id"), lit(8))).cast("int").as("width"),
+          (lit(1) + pmod(col("doc_id"), lit(5))).cast("int").as("height"),
+          pmod(col("doc_id"), lit(256)).cast("int").as("r"),
+          pmod(col("doc_id") * 7, lit(256)).cast("int").as("g"),
+          pmod(col("doc_id") * 13, lit(256)).cast("int").as("b"))
+        val encoded = MultimodalOps.encodeUniformImages(spec)
+        MultimodalOps.decodeImageIO(encoded, "asset_id", "content")
+          .select(
+            col("asset_id"),
+            col("width"),
+            col("height"),
+            col("channels"),
+            element_at(col("mean_rgb"), 1).cast("int").as("mean_r"),
+            element_at(col("mean_rgb"), 2).cast("int").as("mean_g"),
+            element_at(col("mean_rgb"), 3).cast("int").as("mean_b"),
+            (expr("array_position(lum_hist, array_max(lum_hist))") - 1).cast("int").as("lum_bucket"),
+            round(expr("array_max(lum_hist)").cast("double"), 4).as("bucket_mass"))
+          .orderBy("asset_id")
+      },
+      Some(
+        "SELECT doc_id AS asset_id, CAST(1 + doc_id % 8 AS INTEGER) AS width, " +
+          "CAST(1 + doc_id % 5 AS INTEGER) AS height, 3 AS channels, " +
+          "CAST(doc_id % 256 AS INTEGER) AS mean_r, CAST((doc_id * 7) % 256 AS INTEGER) AS mean_g, " +
+          "CAST((doc_id * 13) % 256 AS INTEGER) AS mean_b, " +
+          "CAST((299 * (doc_id % 256) + 587 * ((doc_id * 7) % 256) " +
+          "+ 114 * ((doc_id * 13) % 256)) // 1000 // 16 AS INTEGER) AS lum_bucket, " +
+          "1.0 AS bucket_mass FROM documents ORDER BY asset_id")))
 }

@@ -35,6 +35,51 @@ class MultimodalSpec extends SparkSpec {
     assert(r.getLong(2) == again)
   }
 
+  /** Encode a real image with the JDK codec: every pixel set to (r,g,b). */
+  private def realPng(w: Int, h: Int, rgb: (Int, Int, Int), format: String = "png"): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val packed = (rgb._1 << 16) | (rgb._2 << 8) | rgb._3
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, packed)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, format, baos)
+    baos.toByteArray
+  }
+
+  test("decodeImageIO decodes REAL PNG/BMP payloads through the batch plumbing") {
+    // rgb (16,32,64): luma = (299*16 + 587*32 + 114*64)/1000 = 30 → bucket 1
+    val df = Seq(
+      (1L, realPng(4, 3, (16, 32, 64))),
+      (2L, realPng(2, 2, (255, 255, 255), format = "bmp")),
+      (3L, Array[Byte](1, 2, 3, 4, 5)) // not an image → decoded=false, not a crash
+    ).toDF("id", "bin")
+    val out = MultimodalOps.decodeImageIO(df, "id", "bin").collect().sortBy(_.getLong(0))
+    val png = out(0)
+    assert(png.getBoolean(1), "png must decode")
+    assert(png.getInt(2) == 4 && png.getInt(3) == 3 && png.getInt(4) == 3)
+    val hist = png.getSeq[Float](5)
+    assert(hist.length == 16 && math.abs(hist.sum - 1.0f) < 1e-5)
+    assert(math.abs(hist(1) - 1.0f) < 1e-6, s"all 12 pixels land in luma bucket 1, got $hist")
+    val rgb = png.getSeq[Float](6)
+    assert(rgb == Seq(16f, 32f, 64f), s"uniform fill ⇒ exact channel means, got $rgb")
+    val bmp = out(1)
+    assert(bmp.getBoolean(1) && bmp.getInt(2) == 2 && bmp.getInt(3) == 2)
+    assert(math.abs(bmp.getSeq[Float](5).apply(15) - 1.0f) < 1e-6, "white pixels land in bucket 15")
+    assert(bmp.getSeq[Float](6) == Seq(255f, 255f, 255f))
+    val bad = out(2)
+    assert(!bad.getBoolean(1) && bad.isNullAt(2) && bad.isNullAt(5))
+  }
+
+  test("encodeUniformImages -> decodeImageIO round-trips real compressed payloads") {
+    val spec = Seq((5L, 3, 2, 10, 20, 30)).toDF("asset_id", "width", "height", "r", "g", "b")
+    val png = MultimodalOps.encodeUniformImages(spec)
+    val bytes = png.head.getAs[Array[Byte]]("content")
+    // a real PNG container, not raw pixels: magic bytes \x89PNG
+    assert((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G')
+    val d = MultimodalOps.decodeImageIO(png, "asset_id", "content").head
+    assert(d.getBoolean(1) && d.getInt(2) == 3 && d.getInt(3) == 2)
+    assert(d.getSeq[Float](6) == Seq(10f, 20f, 30f))
+  }
+
   test("audioStats computes RMS and zero-crossings over 16-bit PCM payload") {
     // payload: alternating +256/-256 samples → every step crosses zero
     val pcm = Array.tabulate(8)(i => if (i % 2 == 0) Array[Byte](1, 0) else Array[Byte](-1, 0)).flatten
