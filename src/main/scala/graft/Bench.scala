@@ -124,15 +124,18 @@ object Bench {
     // unbounded growth (merged-away partitions linger as zero-row husks and
     // get scored on every query forever, quake_min.py:209-210). A 2000-query
     // replay with the engine-added compactHusks flag OFF (reference-faithful)
-    // vs ON quantifies the probe-scoring cost of the dead metadata. One pass
-    // each — this row is an A/B comparison, not a latency record.
+    // vs ON quantifies the dead-metadata cost: husk count, extra nprobe,
+    // latency. Runs on the FIXTURE corpus — the 40k config's 40 maintains
+    // cost ~half an hour of k-means for the same A/B signal (the fixture
+    // accumulates 13+ husks over 32 partitions, ~40% dead metadata). One
+    // pass each — this row is an A/B comparison, not a latency record.
     val huskJson =
       if (sys.env.getOrElse("SPARK_GRAFT_REPLAY_HUSKS", "1") == "0") "null"
       else
         try {
           val nq = sys.env.getOrElse("SPARK_GRAFT_HUSK_QUERIES", "2000").toInt
-          val off = bench.Replay.runSynthetic(spark, nQueries = nq)
-          val on = bench.Replay.runSynthetic(spark, nQueries = nq, compactHusks = true)
+          val off = bench.Replay.run(spark, sfDir, nQueries = nq)
+          val on = bench.Replay.run(spark, sfDir, nQueries = nq, compactHusks = true)
           s"""{"compact_off":${off.toJson},"compact_on":${on.toJson}}"""
         } catch {
           case e: Throwable => System.err.println(s"[bench] husk replay failed: ${e.getMessage}"); "null"

@@ -449,6 +449,37 @@ object PipelineQueries {
           "SELECT blk, doc_a, doc_b, round(jaccard, 4) AS jaccard FROM p WHERE jaccard >= 0.05 " +
           "ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20")),
 
+    // SimHash chunk-banding, HASH-CHECKED via an exact algebraic invariant:
+    // SimHash votes over the token MULTISET, so token order is invisible to
+    // it — a document with its tokens REVERSED has the bit-identical
+    // simhash (hamming 0), and a hamming-0 pair is ALWAYS caught by the
+    // 16-bit-chunk banding (pigeonhole needs ≤3 differing bits; 0 ≤ 3).
+    // Planting each ≥1-token doc reversed under doc_id+100000 therefore
+    // yields a deterministic output DuckDB computes exactly — no appeal to
+    // hash luck anywhere — and the hash proves the codegen SimHash64 +
+    // banding + hamming pipeline end-to-end in the driver loop (beyond the
+    // ScalaTest parity oracles). d04 keeps the probabilistic token-drop
+    // planting as the rows-only near-dup demo.
+    NamedQuery(
+      "d05_simhash_reversed",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        val toks = TextOps.tokens(col("text"))
+        val reversed = docs
+          .filter(size(toks) >= 1)
+          .select(
+            (col("doc_id") + 100000L).as("doc_id"),
+            concat_ws(" ", reverse(toks)).as("text"))
+        Dedup
+          .simhashPairs(docs.unionByName(reversed), maxHamming = 0)
+          .filter(col("doc_b") === col("doc_a") + 100000L)
+          .select("doc_a", "doc_b", "hamming")
+          .orderBy("doc_a")
+      },
+      Some(
+        s"SELECT doc_id AS doc_a, doc_id + 100000 AS doc_b, 0 AS hamming " +
+          s"FROM (SELECT doc_id, $duckToks AS w FROM documents) WHERE len(w) >= 1 ORDER BY doc_a")),
+
     // SimHash near-dup with 16-bit-chunk banding. Planted near-dups: last 3
     // tokens dropped. Rows-only (xxhash64 again).
     NamedQuery(
