@@ -121,11 +121,15 @@ object MultimodalOps {
           val h = img.getHeight
           val hist = new Array[Float](16)
           var sr = 0.0; var sg = 0.0; var sb = 0.0
+          // bulk row fetch: one ColorModel conversion pass per row instead
+          // of a virtual per-pixel getRGB call (~10× on megapixel photos)
+          val rowBuf = new Array[Int](w)
           var y = 0
           while (y < h) {
+            img.getRGB(0, y, w, 1, rowBuf, 0, w)
             var x = 0
             while (x < w) {
-              val rgb = img.getRGB(x, y)
+              val rgb = rowBuf(x)
               val rr = (rgb >> 16) & 0xff
               val gg = (rgb >> 8) & 0xff
               val bb = rgb & 0xff
@@ -183,7 +187,11 @@ object MultimodalOps {
           y += 1
         }
         val baos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, format, baos)
+        // write() returns false (without throwing) when no writer is
+        // registered for the format — fail fast instead of emitting empty
+        // payloads indistinguishable from corrupt input downstream
+        if (!javax.imageio.ImageIO.write(img, format, baos))
+          throw new IllegalArgumentException(s"no ImageIO writer for format '$format'")
         Row(row.getLong(0), baos.toByteArray)
       }
     }

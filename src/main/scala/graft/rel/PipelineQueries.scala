@@ -33,6 +33,15 @@ object PipelineQueries {
 
   /** Memory-sink names must be unique per streaming run within a JVM. */
   private val streamSinkCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Best-effort deepest-first delete of a staged temp directory (saved
+    * indexes, file-source staging, streaming checkpoints) — repeated
+    * verify/bench runs must not accumulate copies under java.io.tmpdir. */
+  private def deleteRecursively(root: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+      .foreach(p => java.nio.file.Files.deleteIfExists(p))
+  }
   def indexFor(s: SparkSession, dir: String): IvfModel =
     indexCache.getOrElseUpdate(dir, {
       val emb = t(s, dir, "embeddings")
@@ -322,32 +331,31 @@ object PipelineQueries {
         // result is collected — repeated verify/bench invocations must not
         // accumulate saved index copies under the system temp dir
         val tmp = java.nio.file.Files.createTempDirectory("graft_saved_idx_")
-        IvfModel.save(s, model0, tmp.toString)
-        val loaded = IvfModel.load(s, tmp.toString)
-        val probes = embQueries(s, dir, 5).select(
-          col("query_id"),
-          explode(array(
-            pmod(col("query_id"), lit(nP)).cast("long"),
-            pmod(col("query_id") + 2, lit(nP)).cast("long"),
-            pmod(col("query_id") + 5, lit(nP)).cast("long"))).as("partition_id"),
-          col("qvec"))
-        // queries 0..4 probe pids {0..9} — the static IN list prunes the
-        // other 6 on-disk partition directories at scan time
-        val pids = (0 until 5).flatMap(q => Seq(q % nP, (q + 2) % nP, (q + 5) % nP)).distinct.map(_.toLong)
-        val pinned = loaded.copy(vectors = loaded.vectors.filter(col("partition_id").isInCollection(pids)))
-        val res = IvfSearch
-          .searchProbed(pinned, probes, IvfSearch.Params(k = 10))
-          .select(
+        val (rows, schema) = try {
+          IvfModel.save(s, model0, tmp.toString)
+          val loaded = IvfModel.load(s, tmp.toString)
+          val probes = embQueries(s, dir, 5).select(
             col("query_id"),
-            col("rank").cast("int").as("rnk"),
-            col("vec_id"),
-            f32round(col("dist2"), 3).as("dist2"))
-          .orderBy("query_id", "rnk")
-        val rows = res.collect().toSeq
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-        s.createDataFrame(s.sparkContext.parallelize(rows, 1), res.schema)
+            explode(array(
+              pmod(col("query_id"), lit(nP)).cast("long"),
+              pmod(col("query_id") + 2, lit(nP)).cast("long"),
+              pmod(col("query_id") + 5, lit(nP)).cast("long"))).as("partition_id"),
+            col("qvec"))
+          // queries 0..4 probe pids {0..9} — the static IN list prunes the
+          // other 6 on-disk partition directories at scan time
+          val pids = (0 until 5).flatMap(q => Seq(q % nP, (q + 2) % nP, (q + 5) % nP)).distinct.map(_.toLong)
+          val pinned = loaded.copy(vectors = loaded.vectors.filter(col("partition_id").isInCollection(pids)))
+          val res = IvfSearch
+            .searchProbed(pinned, probes, IvfSearch.Params(k = 10))
+            .select(
+              col("query_id"),
+              col("rank").cast("int").as("rnk"),
+              col("vec_id"),
+              f32round(col("dist2"), 3).as("dist2"))
+            .orderBy("query_id", "rnk")
+          (res.collect().toSeq, res.schema)
+        } finally deleteRecursively(tmp)
+        s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
       },
       Some(
         "WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5), " +
@@ -678,45 +686,45 @@ object PipelineQueries {
         val evBatch = t(s, dir, "events")
           .select(col("ts"), col("event_type"), col("value").cast("double"))
         val tmp = java.nio.file.Files.createTempDirectory("s01_events_")
-        val inDir = s"$tmp/in"
-        evBatch.write.mode("overwrite").parquet(inDir)
-        val events = s.readStream.schema(evBatch.schema).parquet(inDir)
-        val out = graft.streaming.StreamingOps
-          .windowedEventStats(events, watermarkDelay = "1 hour", windowLen = "1 day")
         val qname = s"s01_sink_${streamSinkCounter.incrementAndGet()}"
-        val query = out.writeStream.format("memory").queryName(qname).outputMode("append").start()
-        try {
-          query.processAllAvailable()
-          // sentinel: one aggregated max (a 1-row driver value, not a table
-          // collect) pushed far past the horizon closes every real window
-          val maxTs = evBatch.agg(max(col("ts"))).head().getTimestamp(0)
-          Seq((new java.sql.Timestamp(maxTs.getTime + 30L * 24 * 3600 * 1000), "__sentinel", 0.0))
-            .toDF("ts", "event_type", "value").write.mode("append").parquet(inDir)
-          query.processAllAvailable()
-        } finally query.stop()
-        val shaped = s.table(qname)
-          .filter(col("event_type") =!= "__sentinel")
-          .select(
-            date_format(col("window_start"), "yyyy-MM-dd").as("day"),
-            col("event_type"),
-            col("n_events"),
-            round(col("sum_value"), 2).as("sum_value"),
-            round(col("min_value"), 2).as("min_value"),
-            round(col("max_value"), 2).as("max_value"))
-          .orderBy("day", "event_type")
-        // detach the result from the sink view so the sink's full result
-        // set doesn't stay pinned in driver memory for the JVM lifetime
-        // (each run registers a fresh uniquely-named view), and drop the
-        // staged source dir — repeated runs must not accumulate copies of
-        // the events table under the system temp dir
-        val rows = shaped.collect().toSeq
-        s.catalog.dropTempView(qname)
-        locally {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
-            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        val (rows, schema) = try {
+          val inDir = s"$tmp/in"
+          evBatch.write.mode("overwrite").parquet(inDir)
+          val events = s.readStream.schema(evBatch.schema).parquet(inDir)
+          val out = graft.streaming.StreamingOps
+            .windowedEventStats(events, watermarkDelay = "1 hour", windowLen = "1 day")
+          val query = out.writeStream.format("memory").queryName(qname).outputMode("append").start()
+          try {
+            query.processAllAvailable()
+            // sentinel: one aggregated max (a 1-row driver value, not a table
+            // collect) pushed far past the horizon closes every real window
+            val maxTs = evBatch.agg(max(col("ts"))).head().getTimestamp(0)
+            Seq((new java.sql.Timestamp(maxTs.getTime + 30L * 24 * 3600 * 1000), "__sentinel", 0.0))
+              .toDF("ts", "event_type", "value").write.mode("append").parquet(inDir)
+            query.processAllAvailable()
+          } finally query.stop()
+          val shaped = s.table(qname)
+            .filter(col("event_type") =!= "__sentinel")
+            .select(
+              date_format(col("window_start"), "yyyy-MM-dd").as("day"),
+              col("event_type"),
+              col("n_events"),
+              round(col("sum_value"), 2).as("sum_value"),
+              round(col("min_value"), 2).as("min_value"),
+              round(col("max_value"), 2).as("max_value"))
+            .orderBy("day", "event_type")
+          // detach the result from the sink view so the sink's full result
+          // set doesn't stay pinned in driver memory for the JVM lifetime
+          // (each run registers a fresh uniquely-named view)
+          (shaped.collect().toSeq, shaped.schema)
+        } finally {
+          // the memory-sink view and the staged source dir must not outlive
+          // the query — on the failure path too
+          try s.catalog.dropTempView(qname)
+          catch { case _: Exception => () }
+          deleteRecursively(tmp)
         }
-        s.createDataFrame(s.sparkContext.parallelize(rows, 1), shaped.schema)
+        s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
       },
       Some(
         "SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS n_events, " +
@@ -759,9 +767,7 @@ object PipelineQueries {
           query.stop()
           // drop the checkpoint state — repeated runs must not accumulate
           // offsets/commits directories under the system temp dir
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(ckptDir).iterator().asScala.toSeq.reverse
-            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+          deleteRecursively(ckptDir)
         }
         val queries = planted.map { case (id, v) => (id, v) }.toSeq
           .toDF("query_id", "qvec")

@@ -194,7 +194,12 @@ object Dedup {
     *   the intersection and the size denominators, i.e. Jaccard over the
     *   filtered shingle space (standard stopword-removal semantics). For
     *   any value ≥ the true max df the output is the exact unfiltered
-    *   Jaccard (the default keeps everything).
+    *   Jaccard (the default keeps everything). The hot set is bounded by
+    *   construction: |{keys with df > τ}| ≤ (total shingle rows)/τ, so at
+    *   any sane cutoff (10³–10⁶ at corpus scale) it fits a broadcast; a
+    *   tiny τ (≈2) degenerates the guard into "drop most keys" AND makes
+    *   the hot set a large fraction of the key space — that regime is the
+    *   caller picking nonsense, not a supported configuration.
     */
   def sparseJaccardPairs(
       docs: DataFrame,

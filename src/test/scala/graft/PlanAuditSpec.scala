@@ -61,15 +61,16 @@ class PlanAuditSpec extends SparkSpec {
     import spark.implicits._
     val docs = (1L to 30L).map(i => (i, "blk", (1 to 40).map(j => s"tok${(i + j) % 23}").mkString(" ")))
       .toDF("doc_id", "blk", "text")
-    val plan = Dedup.sparseJaccardPairs(docs, "blk", 3, minJaccard = 0.05, maxDocFreq = 10L)
-      .queryExecution.executedPlan.toString
-    // the df cutoff must apply as LeftAnti against the (tiny, broadcast)
-    // hot-key set — round 4 shipped it as an inner join on the near-total
-    // SURVIVING key set, an extra full shuffle of the shingle table (3×
-    // regression at fixture scale, unbounded at corpus scale)
-    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
-      s"df guard is not a broadcast anti-join:\n$plan")
-    graft.CacheScope.clear()
+    try {
+      val plan = Dedup.sparseJaccardPairs(docs, "blk", 3, minJaccard = 0.05, maxDocFreq = 10L)
+        .queryExecution.executedPlan.toString
+      // the df cutoff must apply as LeftAnti against the (tiny, broadcast)
+      // hot-key set — round 4 shipped it as an inner join on the near-total
+      // SURVIVING key set, an extra full shuffle of the shingle table (3×
+      // regression at fixture scale, unbounded at corpus scale)
+      assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+        s"df guard is not a broadcast anti-join:\n$plan")
+    } finally graft.CacheScope.clear()
   }
 
   test("LSH band joins ship narrow keys — wide columns rejoin after pair dedup") {
