@@ -141,6 +141,20 @@ object Replay {
       compactHusks: Boolean = false): Summary = {
     import spark.implicits._
     val t0 = System.nanoTime()
+    // SPARK_GRAFT_REPLAY_PROFILE=1: cumulative per-phase wall time printed
+    // every 25 batches — the diagnostic for "where does replay wall-time
+    // go" (the timed search region is a small slice of it; churn epochs
+    // dominate).
+    val profEnabled = sys.env.get("SPARK_GRAFT_REPLAY_PROFILE").contains("1")
+    val prof = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    def phase[T](name: String)(body: => T): T =
+      if (!profEnabled) body
+      else {
+        val tp = System.nanoTime()
+        val r = body
+        prof(name) = prof.getOrElse(name, 0.0) + (System.nanoTime() - tp) / 1e9
+        r
+      }
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
     val nRows = emb.count()
 
@@ -265,13 +279,15 @@ object Replay {
         else IvfSearch.scanTopKLocal(model.vectors, qRows.toIndexedSeq, probing, k)
       val latMs = (System.nanoTime() - ts) / 1e6
       batchLatMs += latMs / bs
+      if (profEnabled) prof("search") = prof.getOrElse("search", 0.0) + latMs / 1e3
 
       // O18 metrics, driver-side (probe set + k·bs result rows are tiny)
       sumNprobe += probesLocal.size.toDouble / bs
       sumScanned += probesLocal.map(_._3).sum.toDouble / bs
-      val exactRows =
+      val exactRows = phase("oracle") {
         if (staticMirror != null) IvfSearch.scanTopKDriver(staticMirror, qRows.toIndexedSeq, null, k)
         else IvfSearch.scanTopKLocal(staticVectors, qRows.toIndexedSeq, null, k)
+      }
       val exactByQ = exactRows.groupBy(_._1)
       val resByQ = resultRows.groupBy(_._1)
       val recalls = qRows.map { case (qid, _) =>
@@ -300,10 +316,10 @@ object Replay {
         superseded += model.vectors
         val adds = (0 until nChurn).map(_ => { val id = nextId; nextId += 1; (id, noiseVec()) })
           .toDF("vec_id", "embedding")
-        model = IvfMutate.insert(model, adds)
+        model = phase("insert")(IvfMutate.insert(model, adds))
         superseded += model.vectors
         val dels = (0 until nChurn).map(_ => deleteIdPool(rng.nextInt(deleteIdPool.length))).toDF("vec_id")
-        model = IvfMutate.delete(model, dels)
+        model = phase("delete")(IvfMutate.delete(model, dels))
       }
       // maintenance on every crossing of a `maintainEvery` boundary
       // (run_demo.py:80-81 fires at t=50,100,…; with batch 20 the crossing
@@ -312,7 +328,7 @@ object Replay {
       if (q / maintainEvery > (q - bs) / maintainEvery) {
         val before = model.partitions.length
         superseded += model.vectors
-        model = IvfMaintain.maintain(model, compactHusks = compactHusks)
+        model = phase("maintain")(IvfMaintain.maintain(model, compactHusks = compactHusks))
         mutated = true
         maintainEvents += 1
         if (model.partitions.length != before)
@@ -325,7 +341,7 @@ object Replay {
       // lifetime
       if (nBatches % checkpointEvery == 0) {
         superseded += model.vectors
-        model = model.copy(vectors = model.vectors.localCheckpoint(true))
+        model = phase("checkpoint")(IvfMutate.checkpoint(model))
         superseded.foreach(_.unpersist())
         superseded.clear()
       }
@@ -333,9 +349,15 @@ object Replay {
       // any mutation epoch re-collects the driver mirror from the new
       // vectors table — one ~n·d float copy per churn event
       if (mutated && useMirror) {
-        liveMirror = IvfSearch.collectMirror(model.vectors)
-        mirrorByPid = liveMirror.groupBy(_._1).view.mapValues(_.map(_._3)).toMap
+        phase("mirror") {
+          liveMirror = IvfSearch.collectMirror(model.vectors)
+          mirrorByPid = liveMirror.groupBy(_._1).view.mapValues(_.map(_._3)).toMap
+        }
       }
+      if (profEnabled && nBatches % 25 == 0)
+        System.err.println(s"[replay-profile] batches=$nBatches " +
+          s"rddParts=${model.vectors.rdd.getNumPartitions} " +
+          prof.map { case (k2, v) => f"$k2=$v%.1f" }.mkString(" "))
     }
 
     val lats = batchLatMs.sorted

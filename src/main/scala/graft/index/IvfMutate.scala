@@ -84,9 +84,14 @@ object IvfMutate {
         min_by(col("pid"), struct(col("pd"), col("pid"))).as("pid0"))
       .cache()
 
+    // ONE driver collect serves both routing outcomes: the distinct
+    // (cell, pid) pairs are bounded by the number of partitions a batch
+    // touches, and from them the driver derives the empty-cell set AND the
+    // touched-pid set without a second job over `routed`.
+    val routePairs = routed.select("coarse_id", "pid0").distinct().collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
     // Dense pids for empty cells that actually received vectors this batch.
-    val hitEmptyCells = routed.filter(col("pid0").isNull)
-      .select("coarse_id").distinct().collect().map(_.getLong(0)).sorted
+    val hitEmptyCells = routePairs.collect { case (c, None) => c }.distinct.sorted
     val newPidFor: Map[Long, Long] =
       hitEmptyCells.zipWithIndex.map { case (c, i) => c -> (model.partitions.length + i).toLong }.toMap
     val pidExpr =
@@ -97,8 +102,14 @@ object IvfMutate {
       .withColumn("partition_id", pidExpr)
       .select("vec_id", "embedding", "partition_id")
 
-    val newVectors = model.vectors.unionByName(newRows).cache()
-    val touched = newRows.select("partition_id").distinct().collect().map(_.getLong(0)).toSet
+    // No full-table cache here: the union's parent is the caller's cached /
+    // checkpointed table and `newRows` is batch-sized, so re-deriving the
+    // union per consumer is one cheap concat — whereas materializing an
+    // InMemoryRelation copies the ENTIRE collection every mutation epoch
+    // (at index scale, a non-starter). Long-lived callers bound the union
+    // chain with [[checkpoint]].
+    val newVectors = model.vectors.unionByName(newRows)
+    val touched = routePairs.map { case (c, p) => p.getOrElse(newPidFor(c)) }.toSet
     val updated = recomputeStats(newVectors, touched)
     routed.unpersist()
 
@@ -116,6 +127,28 @@ object IvfMutate {
     model.copy(vectors = newVectors, partitions = existing ++ fresh, coarseBaseIds = baseIds)
   }
 
+  /** Lineage + RDD-partition compaction for a long-lived mutable index.
+    *
+    * Each micro-batch mutation unions the (tiny) batch into `vectors`;
+    * union concatenates the two sides' RDD partitions and `localCheckpoint`
+    * preserves partitioning, so an index mutated for hundreds of epochs
+    * accumulates sliver partitions — and every subsequent job on the table
+    * (stats recompute, mirror collect, the next checkpoint) pays one task
+    * per sliver: O(epochs) tasks per job, O(epochs²) scheduler work across
+    * a replay. Measured on the sf0.1 replay this quadratic term dominated
+    * wall time (32 → 832 RDD partitions within 25 micro-batches; insert and
+    * delete each degraded ~2× between batch 25 and batch 50). Coalescing
+    * (shuffle-free) back to the session's parallelism before truncating
+    * lineage keeps per-job task counts flat for the index's lifetime.
+    *
+    * Callers own cache lifecycle: unpersist the superseded `vectors` AFTER
+    * this materializes (it is an input of the checkpoint plan until then).
+    */
+  def checkpoint(model: IvfModel): IvfModel = {
+    val target = model.vectors.sparkSession.sparkContext.defaultParallelism
+    model.copy(vectors = model.vectors.coalesce(target).localCheckpoint(eager = true))
+  }
+
   /** Batch delete by id; unknown ids no-op. Emptied partitions stay as
     * husks with their last centroid (reference quake_min.py:121-122 skips
     * the centroid recompute when a partition empties). */
@@ -127,7 +160,11 @@ object IvfMutate {
       .collect().map(_.getLong(0)).toSet
     if (touched.isEmpty) return model
 
-    val newVectors = model.vectors.join(del, Seq("vec_id"), "left_anti").cache()
+    // Uncached for the same reason as insert's union: the anti-join's del
+    // side is batch-sized (broadcast) and its parent is the caller's
+    // cached / checkpointed table, so re-deriving per consumer beats
+    // materializing a full-collection InMemoryRelation every epoch.
+    val newVectors = model.vectors.join(del, Seq("vec_id"), "left_anti")
     val updated = recomputeStats(newVectors, touched)
     val parts = model.partitions.map { p =>
       if (!touched.contains(p.pid)) p

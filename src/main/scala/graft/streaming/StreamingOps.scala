@@ -36,11 +36,12 @@ object StreamingOps {
         val next = IvfMutate.insert(
           state.get(),
           batch.select(col("vec_id").cast("long").as("vec_id"), col("embedding")))
-        // truncate lineage every batch (streaming runs unbounded epochs)
-        // and drop the superseded epoch's cache — an ingest stream would
-        // otherwise accumulate one cached table per micro-batch forever
+        // truncate lineage AND re-bound the RDD partition count every batch
+        // (streaming runs unbounded epochs — without the coalesce inside
+        // IvfMutate.checkpoint, each micro-batch's union appends sliver
+        // partitions forever), then drop the superseded epoch's cache
         val old = next.vectors
-        val checked = next.copy(vectors = next.vectors.localCheckpoint(true))
+        val checked = IvfMutate.checkpoint(next)
         old.unpersist()
         state.set(checked)
         onUpdate(checked)

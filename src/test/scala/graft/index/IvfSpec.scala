@@ -201,6 +201,27 @@ class IvfSpec extends SparkSpec {
     } finally graft.vector.KMeans.localFitThreshold = graft.vector.KMeans.LocalFitThresholdDefault
   }
 
+  test("checkpoint re-bounds RDD partitions across mutation epochs (quadratic-replay regression)") {
+    // Each insert unions a tiny batch (appending its RDD partitions) and
+    // each delete stacks an anti-join; without the coalesce inside
+    // IvfMutate.checkpoint a long-lived index accumulates sliver partitions
+    // and every job pays O(epochs) tasks (measured: 32 -> 832 within 25
+    // micro-batches on the sf0.1 replay).
+    var m = IvfBuild.build(emb, dim = 64)
+    val target = spark.sparkContext.defaultParallelism
+    for (epoch <- 0 until 5) {
+      val adds = (0 until 4).map(i => (100000L + epoch * 4 + i, Seq.fill(64)(0.5f + 0.01f * i)))
+        .toDF("vec_id", "embedding")
+      m = IvfMutate.insert(m, adds)
+      m = IvfMutate.delete(m, Seq(100000L + epoch * 4).toDF("vec_id"))
+      m = IvfMutate.checkpoint(m)
+      assert(m.vectors.rdd.getNumPartitions <= target,
+        s"epoch $epoch: ${m.vectors.rdd.getNumPartitions} RDD partitions > $target")
+    }
+    assert(m.totalVectors == emb.count() + 5 * 3)
+    assert(m.vectors.count() == m.totalVectors)
+  }
+
   test("model save/load round-trips through partitioned parquet") {
     val dir = java.nio.file.Files.createTempDirectory("ivf").toString
     IvfModel.save(spark, model, dir)
