@@ -154,22 +154,32 @@ object IvfMutate {
     * the centroid recompute when a partition empties). */
   def delete(model: IvfModel, ids: DataFrame): IvfModel = {
     val del = ids.select(col("vec_id").cast("long").as("vec_id"))
-    val touched = model.vectors
-      .join(del, Seq("vec_id"), "left_semi")
-      .select("partition_id").distinct()
-      .collect().map(_.getLong(0)).toSet
-    if (touched.isEmpty) return model
-
     // Uncached for the same reason as insert's union: the anti-join's del
     // side is batch-sized (broadcast) and its parent is the caller's
     // cached / checkpointed table, so re-deriving per consumer beats
     // materializing a full-collection InMemoryRelation every epoch.
     val newVectors = model.vectors.join(del, Seq("vec_id"), "left_anti")
-    val updated = recomputeStats(newVectors, touched)
+
+    // ONE full-group aggregation serves both "which partitions lost rows"
+    // and "their exact recomputed (mean, count)": deletes only shrink
+    // partitions, so touched = { pid | post-delete count != stored size }
+    // (absent = emptied = husk). This replaces the former semi-join
+    // touched-scan + filtered recompute — two full passes over the
+    // collection — with a single partial-aggregated pass whose output is
+    // metadata-sized (one row per live partition) at any scale. Untouched
+    // partitions keep their stored centroid verbatim: only partitions whose
+    // membership changed get the reference's exact np.mean recompute
+    // (quake_min.py:108,122), so no float-summation drift is introduced
+    // elsewhere.
+    val after = recomputeStats(newVectors, model.partitions.map(_.pid).toSet)
+    val touched = model.partitions.filter(p => after.get(p.pid).map(_._2).getOrElse(0L) != p.size)
+    if (touched.isEmpty) return model
+
+    val touchedPids = touched.map(_.pid).toSet
     val parts = model.partitions.map { p =>
-      if (!touched.contains(p.pid)) p
+      if (!touchedPids.contains(p.pid)) p
       else
-        updated.get(p.pid) match {
+        after.get(p.pid) match {
           case Some((c, n)) => p.copy(centroid = c, size = n)
           case None         => p.copy(size = 0L) // husk keeps stale centroid
         }
