@@ -185,8 +185,12 @@ object PipelineQueries {
         // cosine ≈ 0.51; the embeddings are unit-normalized), so plant
         // them: each vector rejoined under vec_id+100000 with a small
         // deterministic ±0.005 perturbation (cos ≈ 0.9992) — the LSH must
-        // recover these pairs. 32 planes / 8-row bands → 256 buckets per
-        // band, so candidate generation stays sub-quadratic.
+        // recover these pairs. 72 planes / 12-row bands → 4096 buckets per
+        // band: 8-row bands' 256 buckets over-generated candidates ~75×
+        // (153k candidates for 2k true pairs at sf0.1, and verification
+        // dominated the runtime); at 12-row bands candidates ≈ true pairs.
+        // Recall margin measured per SF: every planted pair agrees in ≥2
+        // of the 6 bands (deterministic — fixed hyperplanes, fixed data).
         val perturbed = emb.select(
           (col("vec_id") + 100000L).as("vec_id"),
           transform(
@@ -197,7 +201,7 @@ object PipelineQueries {
         // CacheScope-tracked so the harness drops it after the query
         val all = graft.CacheScope.track(emb.unionByName(perturbed).cache())
         Dedup
-          .cosineLshPairs(all, dim, nPlanes = 32, bands = 4, minCosine = 0.99)
+          .cosineLshPairs(all, dim, nPlanes = 72, bands = 6, minCosine = 0.99)
           .select(col("id_a"), col("id_b"), f32round(col("cosine"), 4).as("cosine"))
           .orderBy("id_a", "id_b")
       },
