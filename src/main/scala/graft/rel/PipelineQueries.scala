@@ -857,5 +857,49 @@ object PipelineQueries {
           "CAST((doc_id * 13) % 256 AS INTEGER) AS mean_b, " +
           "CAST((299 * (doc_id % 256) + 587 * ((doc_id * 7) % 256) " +
           "+ 114 * ((doc_id * 13) % 256)) // 1000 // 16 AS INTEGER) AS lum_bucket, " +
-          "1.0 AS bucket_mass FROM documents ORDER BY asset_id")))
+          "1.0 AS bucket_mass FROM documents ORDER BY asset_id")),
+
+    // =====================================================================
+    // Corpus sampling (Sampling: deterministic, seedless, cross-engine)
+    // =====================================================================
+
+    // Per-source quota downsample: at most 10 docs per source, selected by
+    // the Knuth multiplicative-hash priority — the portable arithmetic IS
+    // the point (DuckDB computes the identical sample, so the driver
+    // hash-checks that `df.sample`-style nondeterminism never crept in).
+    NamedQuery(
+      "p01_quota_sample",
+      (s, dir) =>
+        Sampling
+          .quotaPerGroup(t(s, dir, "documents").select("doc_id", "source"), "source", "doc_id", 10)
+          .orderBy("doc_id"),
+      Some(
+        "SELECT doc_id, source FROM (SELECT doc_id, source, " +
+          "row_number() OVER (PARTITION BY source " +
+          "ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn " +
+          "FROM documents) WHERE rn <= 10 ORDER BY doc_id")),
+
+    // Temperature-rebalanced mixture targets per language (alpha = 0.5
+    // flattens toward uniform — the standard rare-language upweighting
+    // rule). weight/share are float32-squeezed inside the operator so
+    // pow-ulp differences can't flip the floor(x+0.5) boundary.
+    NamedQuery(
+      "p02_temperature_mix",
+      (s, dir) =>
+        Sampling
+          .temperatureTargets(t(s, dir, "documents"), "lang", 0.5, 10000L)
+          .select(
+            col("lang"),
+            col("n_rows"),
+            f32round(col("share"), 6).as("share"),
+            col("target_rows"))
+          .orderBy("lang"),
+      Some(
+        "WITH c AS (SELECT lang, count(*) AS n_rows FROM documents GROUP BY lang), " +
+          "w AS (SELECT lang, n_rows, " +
+          "CAST(CAST(pow(CAST(n_rows AS DOUBLE), 0.5) AS REAL) AS DOUBLE) AS wt FROM c) " +
+          "SELECT lang, n_rows, " +
+          "round(CAST(CAST(wt / sum(wt) OVER () AS REAL) AS DOUBLE), 6) + 0.0 AS share, " +
+          "CAST(floor(CAST(CAST(wt / sum(wt) OVER () AS REAL) AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS target_rows " +
+          "FROM w ORDER BY lang")))
 }

@@ -501,5 +501,67 @@ object RelQueries {
           "round(CAST(CAST(corr(l_quantity, l_extendedprice) AS REAL) AS DOUBLE), 4) AS qty_price_corr, " +
           "round(CAST(CAST(stddev_samp(l_quantity) AS REAL) AS DOUBLE), 4) AS qty_stddev, " +
           "round(CAST(CAST(var_samp(l_discount) AS REAL) AS DOUBLE), 4) AS disc_var " +
-          "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")))
+          "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")),
+
+    // --- as-of join (AsOfJoin: union-tag + window, no row multiplication)
+    // Each event picks up the user's most recent order at-or-before the
+    // event time (ties on order date broken toward the greatest order key
+    // — AsOfJoin's documented backward rule, mirrored in the QUALIFY
+    // ordering). The oracle states the same thing as a prune-latest join.
+    NamedQuery(
+      "q26_asof_join",
+      (s, dir) => {
+        val ev = t(s, dir, "events").select("event_id", "user_id", "ts")
+        val ord = t(s, dir, "orders")
+          .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        AsOfJoin
+          .backward(ev, "user_id", "ts", ord, "o_custkey", "o_orderdate",
+            Seq("o_orderkey", "o_totalprice"), "o_orderkey")
+          .select(
+            col("event_id"),
+            coalesce(col("o_orderkey"), lit(-1L)).as("o_orderkey"),
+            coalesce(round(col("o_totalprice"), 2), lit(0.0)).as("o_totalprice"))
+          .orderBy("event_id")
+      },
+      Some(
+        "SELECT e.event_id AS event_id, coalesce(o.o_orderkey, -1) AS o_orderkey, " +
+          "coalesce(round(o.o_totalprice, 2), 0.0) AS o_totalprice " +
+          "FROM events e LEFT JOIN orders o ON o.o_custkey = e.user_id " +
+          "AND o.o_orderdate <= date_trunc('microseconds', e.ts) " +
+          "QUALIFY row_number() OVER (PARTITION BY e.event_id " +
+          "ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) = 1 ORDER BY event_id")),
+
+    // --- range join (RangeJoin: bucketed point-in-interval equi-join) ---
+    // Within-the-hour attribution: for each purchase event, how many
+    // events (any type, same user) land in [t, t+1h)? Anchors become
+    // half-open intervals on the µs epoch axis, points bucket by hour,
+    // and the match is an equi-join on (bucket, user) + residual filter —
+    // never a BroadcastNestedLoopJoin (asserted in SamplingRangeSpec).
+    NamedQuery(
+      "q27_range_join",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val points = ev.select(
+          col("user_id").as("p_user"),
+          unix_micros(col("ts")).as("p_ts"))
+        val hourUs = 3600L * 1000000L
+        val anchors = ev
+          .filter(col("event_type") === "purchase")
+          .select(
+            col("event_id").as("anchor_id"),
+            col("user_id").as("a_user"),
+            unix_micros(col("ts")).as("s0"),
+            (unix_micros(col("ts")) + lit(hourUs)).as("e0"))
+        RangeJoin
+          .pointInInterval(points, "p_ts", anchors, "s0", "e0", hourUs, Seq("p_user" -> "a_user"))
+          .groupBy(col("anchor_id"))
+          .agg(count(lit(1)).as("n_follow"))
+          .orderBy("anchor_id")
+      },
+      Some(
+        "SELECT a.event_id AS anchor_id, count(*) AS n_follow " +
+          "FROM events a JOIN events b ON b.user_id = a.user_id " +
+          "AND date_trunc('microseconds', b.ts) >= date_trunc('microseconds', a.ts) " +
+          "AND date_trunc('microseconds', b.ts) < date_trunc('microseconds', a.ts) + INTERVAL 1 HOUR " +
+          "WHERE a.event_type = 'purchase' GROUP BY 1 ORDER BY 1")))
 }

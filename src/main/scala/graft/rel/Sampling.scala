@@ -1,0 +1,63 @@
+package graft.rel
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** [engine-added] Deterministic corpus-sampling operators for
+  * training-data pipelines: per-group quota downsampling (cap
+  * over-represented sources) and temperature-rebalanced mixture targets
+  * (the `p_g ∝ n_g^alpha` upsampling/downsampling rule used when mixing
+  * web-scale corpora).
+  *
+  * Both are deliberately seedless: the sampling priority is a Knuth
+  * multiplicative hash of a stable id, so reruns (and the DuckDB oracle,
+  * which has no xxhash64) reproduce the exact same sample — a property
+  * `df.sample()` cannot give across engines or partitionings.
+  */
+object Sampling {
+
+  /** Knuth multiplicative-hash priority in [0, 2^32): portable arithmetic
+    * (identical in ANSI Spark and DuckDB for ids below ~3.4e9, where the
+    * 64-bit product cannot overflow). */
+  private[rel] def priority(id: Column): Column = pmod(id * lit(2654435761L), lit(4294967296L))
+
+  /** At most `n` rows per group, chosen by hash priority of `idCol` —
+    * a deterministic stratified downsample. One shuffle on the group key;
+    * the per-group sort is bounded by the window, not a global orderBy.
+    * Skew note: a single giant group still sorts its rows in one task —
+    * at corpus scale pre-filter with [[temperatureTargets]]-style rates
+    * instead of quotas when a group is a large fraction of the data. */
+  def quotaPerGroup(df: DataFrame, groupCol: String, idCol: String, n: Int): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(priority(col(idCol)), col(idCol))
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= n)
+      .drop("_rn")
+  }
+
+  /** Per-group mixture targets under temperature `alpha`: weight
+    * `n_g^alpha` normalized over groups, scaled to `total` rows. Pure
+    * metadata output (one row per group) — the aggregate is map-side
+    * partial, the normalization a single window over the tiny group set.
+    *
+    * `alpha = 1` keeps natural proportions, `alpha < 1` flattens toward
+    * uniform (upweights rare groups), `alpha = 0` is uniform.
+    *
+    * Reproducibility: `pow` may differ by an ulp across engines, so the
+    * weight and share are squeezed through float32 before the scale-and-
+    * floor — any engine computing the same counts lands on the identical
+    * `target_rows`, keeping the operator as seed-free portable as
+    * [[quotaPerGroup]]. `floor(x + 0.5)` rather than `round` for the same
+    * reason (one documented tie rule, no HALF_EVEN/HALF_UP ambiguity).
+    */
+  def temperatureTargets(df: DataFrame, groupCol: String, alpha: Double, total: Long): DataFrame = {
+    val f32 = (c: Column) => c.cast("float").cast("double")
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_rows"))
+    val w = Window.partitionBy()
+    counts
+      .withColumn("weight", f32(pow(col("n_rows").cast("double"), lit(alpha))))
+      .withColumn("share", f32(col("weight") / sum("weight").over(w)))
+      .withColumn("target_rows", floor(col("share") * lit(total.toDouble) + lit(0.5)).cast("long"))
+      .drop("weight")
+  }
+}

@@ -1,0 +1,60 @@
+package graft.rel
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SamplingRangeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("quotaPerGroup caps each group, keeps small groups whole, is deterministic") {
+    val df = (1L to 100L).map(i => (i, if (i <= 90) "big" else "small")).toDF("id", "grp")
+    val s1 = Sampling.quotaPerGroup(df, "grp", "id", 10).as[(Long, String)].collect().toSet
+    assert(s1.count(_._2 == "big") == 10)
+    assert(s1.count(_._2 == "small") == 10) // only 10 exist — all kept
+    val s2 = Sampling.quotaPerGroup(df.repartition(7), "grp", "id", 10).as[(Long, String)].collect().toSet
+    assert(s1 == s2, "sample must not depend on partitioning")
+  }
+
+  test("quota priority spreads: the kept set is not just the lowest ids") {
+    val df = (1L to 1000L).map((_, "g")).toDF("id", "grp")
+    val kept = Sampling.quotaPerGroup(df, "grp", "id", 50).as[(Long, String)].collect().map(_._1)
+    assert(kept.max > 500, "hash priority should select across the id range")
+  }
+
+  test("temperatureTargets: alpha=1 keeps proportions, alpha=0 is uniform, targets sum ~ total") {
+    val df = (Seq.fill(80)("a") ++ Seq.fill(15)("b") ++ Seq.fill(5)("c")).toDF("grp")
+    val at1 = Sampling.temperatureTargets(df, "grp", 1.0, 100L)
+      .select("grp", "target_rows").as[(String, Long)].collect().toMap
+    assert(at1 == Map("a" -> 80L, "b" -> 15L, "c" -> 5L))
+    val at0 = Sampling.temperatureTargets(df, "grp", 0.0, 99L)
+      .select("grp", "target_rows").as[(String, Long)].collect().toMap
+    assert(at0 == Map("a" -> 33L, "b" -> 33L, "c" -> 33L))
+    val atHalf = Sampling.temperatureTargets(df, "grp", 0.5, 100L)
+      .select("grp", "target_rows").as[(String, Long)].collect().toMap
+    assert(atHalf("a") < 80L && atHalf("c") > 5L, "alpha<1 must flatten toward uniform")
+  }
+
+  test("pointInInterval matches the naive BETWEEN join across bucket widths") {
+    val points = Seq((1L, 5L), (2L, 10L), (3L, 99L), (4L, 100L), (5L, 250L))
+      .toDF("pid", "ts")
+    val ivals = Seq((10L, 0L, 100L), (11L, 90L, 110L), (12L, 240L, 260L), (13L, 300L, 400L))
+      .toDF("iid", "s", "e")
+    val naive = points.join(ivals, col("s") <= col("ts") && col("ts") < col("e"))
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    for (w <- Seq(1L, 7L, 50L, 1000L)) {
+      val got = RangeJoin.pointInInterval(points, "ts", ivals, "s", "e", w)
+        .select("pid", "iid").as[(Long, Long)].collect().toSet
+      assert(got == naive, s"bucketWidth=$w")
+    }
+  }
+
+  test("pointInInterval with keys only matches same-key pairs; plans an equi-join, not a nested loop") {
+    val points = Seq((1L, 5L, "u1"), (2L, 5L, "u2")).toDF("pid", "ts", "u")
+    val ivals = Seq((10L, 0L, 10L, "u1")).toDF("iid", "s", "e", "iu")
+    val joined = RangeJoin.pointInInterval(points, "ts", ivals, "s", "e", 10L, Seq("u" -> "iu"))
+    assert(joined.select("pid").as[Long].collect().toSeq == Seq(1L))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join must stay an equi-join:\n$plan")
+  }
+}
