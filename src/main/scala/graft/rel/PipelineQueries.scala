@@ -735,6 +735,68 @@ object PipelineQueries {
           "round(sum(value),2) AS sum_value, round(min(value),2) AS min_value, round(max(value),2) AS max_value " +
           "FROM events GROUP BY 1, 2 ORDER BY day, event_type")),
 
+    // The q22 gap-sessionization executed AS A STREAM with CUSTOM state —
+    // the flatMapGroupsWithState surface (windowed aggs can't express
+    // "session ends 30 min after the LAST event"). Same file-source shape
+    // as s01: the events fixture stages to a parquet dir, sessions close
+    // inline on gap-exceed, and two sentinel files advance the watermark so
+    // the event-time timeout flushes every user's open tail. All real rows
+    // arrive in one micro-batch → emitted sessions must equal the batch
+    // q22 result, which is exactly what the DuckDB oracle computes.
+    NamedQuery(
+      "s03_streaming_sessions",
+      (s, dir) => {
+        import s.implicits._
+        val evBatch = t(s, dir, "events")
+          .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("us"), col("event_id"))
+        val gapUs = 30L * 60 * 1000000L
+        val tmp = java.nio.file.Files.createTempDirectory("s03_events_")
+        val qname = s"s03_sink_${streamSinkCounter.incrementAndGet()}"
+        val (rows, schema) = try {
+          val inDir = s"$tmp/in"
+          evBatch.write.mode("overwrite").parquet(inDir)
+          val stream = s.readStream.schema(evBatch.schema).parquet(inDir)
+            .withWatermark("ts", "1 minute")
+            .as[graft.streaming.SessionEvent]
+          val out = graft.streaming.StreamingOps.sessionize(stream, gapUs)
+          val query = out.writeStream.format("memory").queryName(qname).outputMode("append").start()
+          try {
+            query.processAllAvailable()
+            val maxUs = evBatch.agg(max("us")).head().getLong(0)
+            def sentinel(days: Long, eid: Long) = Seq(
+              (-1L, new java.sql.Timestamp(maxUs / 1000L + days * 24 * 3600 * 1000), maxUs + eid, -eid))
+              .toDF("user_id", "ts", "us", "event_id")
+            // two sentinel batches: the first advances the watermark, the
+            // second triggers the cycle that observes it having advanced
+            sentinel(40L, 1L).write.mode("append").parquet(inDir)
+            query.processAllAvailable()
+            sentinel(80L, 2L).write.mode("append").parquet(inDir)
+            query.processAllAvailable()
+          } finally query.stop()
+          val shaped = s.table(qname)
+            .filter(col("user_id") >= 0)
+            .select("user_id", "session_idx", "n_events", "start_us", "dur_us")
+            .orderBy("user_id", "session_idx")
+          (shaped.collect().toSeq, shaped.schema)
+        } finally {
+          try s.catalog.dropTempView(qname)
+          catch { case _: Exception => () }
+          deleteRecursively(tmp)
+        }
+        s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
+      },
+      Some(
+        // identical to the q22 batch oracle — the stream must reproduce it
+        "SELECT user_id, session_idx, count(*) AS n_events, min(us) AS start_us, " +
+          "max(us) - min(us) AS dur_us FROM (" +
+          "SELECT user_id, us, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx FROM (" +
+          "SELECT user_id, event_id, us, CASE WHEN prev IS NULL OR us - prev > 30*60*1000000 " +
+          "THEN 1 ELSE 0 END AS is_new FROM (" +
+          "SELECT user_id, event_id, epoch_us(ts) AS us, " +
+          "lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev " +
+          "FROM events))) GROUP BY user_id, session_idx ORDER BY user_id, session_idx")),
+
     // Streaming ingestion end-to-end: perturbed copies of corpus vectors
     // arrive as a MemoryStream, land in the IVF index through the
     // foreachBatch insert path (StreamingOps.ingest — the same IvfMutate

@@ -3,7 +3,18 @@ package graft.streaming
 import graft.index.{IvfModel, IvfMutate}
 import org.apache.spark.sql.{DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+
+/** Input row for [[StreamingOps.sessionize]]: `ts` drives the watermark,
+  * `us`/`event_id` give the total per-user event order (same tie-break as
+  * the batch q22 sessionization). */
+final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, us: Long, event_id: Long)
+
+/** Open-session state kept per user between micro-batches. */
+final case class SessionState(nextIdx: Long, startUs: Long, endUs: Long, n: Long)
+
+/** One closed session — schema-identical to the batch q22 output. */
+final case class SessionRow(user_id: Long, session_idx: Long, n_events: Long, start_us: Long, dur_us: Long)
 
 /** [engine-added, SURVEY.md §7.5 stretch] Structured Streaming surface.
   *
@@ -69,4 +80,57 @@ object StreamingOps {
         col("sum_value"),
         col("min_value"),
         col("max_value"))
+
+  /** Gap-based sessionization with CUSTOM state — the
+    * `flatMapGroupsWithState` surface (the windowed aggs above can't
+    * express "session ends `gap` after the LAST event"): per user, events
+    * more than `gapUs` apart start a new session; a session is emitted the
+    * moment a later event closes it, and the event-time TIMEOUT flushes
+    * the final open session once the watermark passes its gap horizon —
+    * so state is bounded by the number of users with activity inside the
+    * watermark window, not by history length.
+    *
+    * Callers must put a watermark on `events`' `ts` before calling (the
+    * event-time timeout requires one). Semantics match the batch q22
+    * sessionization exactly (same gap rule, same `(us, event_id)` order,
+    * `session_idx` counts from 1 per user) — parity-tested in
+    * StreamingSpec and hash-checked against the q22 DuckDB oracle via s03.
+    *
+    * Late data: rows older than the watermark are dropped by Spark before
+    * they reach the state function — the standard streaming contract; rows
+    * late-but-inside-the-watermark merge correctly as long as they don't
+    * precede an already-emitted session (gap sessionization is
+    * prefix-incremental, so in-order feeds and one-batch feeds are exact).
+    */
+  def sessionize(events: Dataset[SessionEvent], gapUs: Long): Dataset[SessionRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed the open session's gap horizon — flush it
+            val st = state.get
+            state.remove()
+            Iterator.single(SessionRow(uid, st.nextIdx, st.n, st.startUs, st.endUs - st.startUs))
+          } else {
+            val evs = it.toArray.sortBy(e => (e.us, e.event_id))
+            val out = Vector.newBuilder[SessionRow]
+            var st = state.getOption.getOrElse(SessionState(0L, -1L, -1L, 0L))
+            for (e <- evs) {
+              if (st.n == 0L) st = SessionState(st.nextIdx + 1, e.us, e.us, 1L)
+              else if (e.us - st.endUs > gapUs) {
+                out += SessionRow(uid, st.nextIdx, st.n, st.startUs, st.endUs - st.startUs)
+                st = SessionState(st.nextIdx + 1, e.us, e.us, 1L)
+              } else st = st.copy(endUs = math.max(st.endUs, e.us), n = st.n + 1)
+            }
+            state.update(st)
+            // re-arm the timeout each invocation (it resets per call); it
+            // must sit strictly past the current watermark or Spark throws
+            val horizon = st.endUs / 1000L + gapUs / 1000L + 1L
+            state.setTimeoutTimestamp(math.max(horizon, state.getCurrentWatermarkMs() + 1L))
+            out.result().iterator
+          }
+      }
+  }
 }

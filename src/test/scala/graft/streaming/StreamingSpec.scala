@@ -95,4 +95,72 @@ class StreamingSpec extends SparkSpec {
     assert(streamedSet == shaped(batch))
     spark.catalog.dropTempView("filewinstats")
   }
+
+  private def sessTs(mins: Long) = new java.sql.Timestamp(1700000000000L + mins * 60000L)
+  private def sessEv(uid: Long, mins: Long, eid: Long) =
+    SessionEvent(uid, sessTs(mins), (1700000000000L + mins * 60000L) * 1000L, eid)
+
+  test("sessionize: gap splits emit inline; event-time timeout flushes the open tail") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[SessionEvent]
+    val out = StreamingOps.sessionize(source.toDS().withWatermark("ts", "10 minutes").as[SessionEvent], gapUs = 30L * 60 * 1000000L)
+    val query = out.writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    try {
+      // user 1: events at t=0,10 then t=100 (gap 90 min > 30) then t=110
+      // user 2: one lone event
+      source.addData(sessEv(1, 0, 1), sessEv(1, 10, 2), sessEv(1, 100, 3), sessEv(1, 110, 4), sessEv(2, 5, 5))
+      query.processAllAvailable()
+      val inline = spark.table("sessions").as[SessionRow].collect().toSet
+      // first session of user 1 closed INLINE by the t=100 event; user 2's
+      // lone session timed out already — the batch's own max event time
+      // (t=110, watermark t=100) passed its gap horizon (t=35), so the
+      // post-batch no-data cycle flushed it. That is the state bound doing
+      // its job with no sentinel involved.
+      assert(inline == Set(
+        SessionRow(1L, 1L, 2L, sessEv(1, 0, 1).us, 10L * 60 * 1000000L),
+        SessionRow(2L, 1L, 1L, sessEv(2, 5, 5).us, 0L)))
+      // sentinel advances the watermark past every open session's horizon
+      source.addData(sessEv(99, 100000, 9))
+      query.processAllAvailable()
+      source.addData(sessEv(99, 200000, 10))
+      query.processAllAvailable()
+      val flushed = spark.table("sessions").as[SessionRow].collect().toSet
+      assert(flushed.contains(SessionRow(1L, 2L, 2L, sessEv(1, 100, 3).us, 10L * 60 * 1000000L)))
+      assert(flushed.contains(SessionRow(2L, 1L, 1L, sessEv(2, 5, 5).us, 0L)))
+    } finally query.stop()
+    spark.catalog.dropTempView("sessions")
+  }
+
+  test("sessionize matches the batch q22 sessionization on the fixture events") {
+    implicit val sqlCtx = spark.sqlContext
+    val gapUs = 30L * 60 * 1000000L
+    val ev = graft.Tables.t(spark, "/root/testdata/sf0.001", "events")
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("us"), col("event_id"))
+    val source = MemoryStream[SessionEvent]
+    val out = StreamingOps.sessionize(source.toDS().withWatermark("ts", "1 minute").as[SessionEvent], gapUs)
+    val query = out.writeStream.format("memory").queryName("fixsessions").outputMode("append").start()
+    try {
+      source.addData(ev.as[SessionEvent].collect().toSeq)
+      query.processAllAvailable()
+      val maxUs = ev.agg(max("us")).head.getLong(0)
+      source.addData(SessionEvent(-1L, new java.sql.Timestamp(maxUs / 1000L + 40L * 24 * 3600 * 1000), maxUs + 1L, -1L))
+      query.processAllAvailable()
+      source.addData(SessionEvent(-1L, new java.sql.Timestamp(maxUs / 1000L + 80L * 24 * 3600 * 1000), maxUs + 2L, -2L))
+      query.processAllAvailable()
+    } finally query.stop()
+    val streamed = spark.table("fixsessions").as[SessionRow].collect()
+      .filter(_.user_id >= 0).map(r => (r.user_id, r.session_idx, r.n_events, r.start_us, r.dur_us)).toSet
+    // independent batch formulation (the q22 window plan)
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val batch = ev
+      .withColumn("prev", lag("us", 1).over(wOrd))
+      .withColumn("is_new", when(col("prev").isNull || col("us") - col("prev") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_idx", sum("is_new").over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_idx")
+      .agg(count(lit(1)).as("n_events"), min("us").as("start_us"), (max(col("us")) - min(col("us"))).as("dur_us"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(streamed.nonEmpty && streamed == batch)
+    spark.catalog.dropTempView("fixsessions")
+  }
 }
