@@ -44,29 +44,24 @@ object TextOps {
     * should use [[shingleRows]], which tokenizes each document exactly once. */
   def shingleSet(text: Column, n: Int): Column = array_distinct(shingles(tokens(text), n))
 
-  /** Row-wise shingles for bulk corpora: `(doc_id, s)` — posexplode the
-    * token array once, then assemble n-grams with `lead()` over a
-    * per-document window. One tokenization per document, one shuffle on
-    * `doc_id`; at 100 TB this is the shape that scales (and the window is
-    * per-doc, so AQE handles any doc-length skew).
+  /** Row-wise shingles for bulk corpora: `(doc_id, s)` — tokenize ONCE
+    * into a materialized array column (its own projection, so Catalyst
+    * doesn't re-inline the tokenizer into every shingle lambda the way the
+    * single-expression [[shingleSet]] does), assemble n-grams row-locally
+    * from that array, dedupe per document with `array_distinct`, then
+    * explode. ZERO shuffles — shingling is embarrassingly row-parallel, and
+    * the per-document dedup replaces the global `distinct()` exchange a
+    * row-shape pipeline would otherwise pay (an earlier window+`lead`
+    * formulation shuffled every token row by doc_id and was the dominant
+    * cost of the d03 pipeline at fixture scale).
     *
     * @param distinctSet true → one row per DISTINCT shingle (Jaccard set
     *                    semantics); false → one row per occurrence (counts)
     */
   def shingleRows(docs: org.apache.spark.sql.DataFrame, n: Int, distinctSet: Boolean): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val exploded = docs.select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
-    val out =
-      if (n == 1) exploded.select(col("doc_id"), col("tok").as("s"))
-      else {
-        val w = Window.partitionBy("doc_id").orderBy("pos")
-        val leads = (1 until n).map(j => lead(col("tok"), j).over(w).as(s"t$j"))
-        exploded
-          .select(col("doc_id") +: col("tok") +: leads: _*)
-          .filter((1 until n).map(j => col(s"t$j").isNotNull).reduce(_ && _))
-          .select(col("doc_id"), concat_ws(" ", col("tok") +: (1 until n).map(j => col(s"t$j")): _*).as("s"))
-      }
-    if (distinctSet) out.distinct() else out
+    val withToks = docs.select(col("doc_id"), tokens(col("text")).as("_toks"))
+    val sh = shingles(col("_toks"), n)
+    withToks.select(col("doc_id"), explode(if (distinctSet) array_distinct(sh) else sh).as("s"))
   }
 
   /** Jaccard similarity of two (distinct-element) arrays. Pure int ratio in
