@@ -620,6 +620,49 @@ object PipelineQueries {
       },
       None),
 
+    // PII scrub over the corpus. The fixture text is a clean word salad,
+    // so each doc gets deterministic planted PII (an email, a URL, a long
+    // numeric id derived from doc_id); both engines build the same raw
+    // string, count matches pre-scrub, and compare the scrubbed result —
+    // hash-green means the regex dialects and the replace-all semantics
+    // agree end-to-end ('g' flag on the DuckDB side; Spark replaces all by
+    // default).
+    NamedQuery(
+      "t06_pii_redaction",
+      (s, dir) => {
+        val raw = concat(
+          col("text"),
+          lit(" contact user"),
+          col("doc_id"),
+          lit("@example.com see http://site"),
+          col("doc_id"),
+          lit(".test ref "),
+          (col("doc_id") * 7919L + 10007L))
+        t(s, dir, "documents")
+          .select(col("doc_id"), raw.as("raw"))
+          .withColumn("clean", TextOps.redactPii(col("raw")))
+          .select(
+            col("doc_id"),
+            size(regexp_extract_all(col("raw"), lit(TextOps.EmailRe), lit(0))).as("n_emails"),
+            size(regexp_extract_all(col("raw"), lit(TextOps.UrlRe), lit(0))).as("n_urls"),
+            size(regexp_extract_all(col("raw"), lit(TextOps.LongNumRe), lit(0))).as("n_longnums"),
+            length(col("clean")).as("clean_len"),
+            expr("right(clean, 40)").as("clean_tail"))
+          .orderBy("doc_id")
+      },
+      Some(
+        "WITH r AS (SELECT doc_id, text || ' contact user' || doc_id || " +
+          "'@example.com see http://site' || doc_id || '.test ref ' || " +
+          "(doc_id * 7919 + 10007) AS raw FROM documents), " +
+          "c AS (SELECT doc_id, raw, regexp_replace(regexp_replace(regexp_replace(raw, " +
+          "'[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'), " +
+          "'https?://[^\\s]+', '<URL>', 'g'), '[0-9]{4,}', '<NUM>', 'g') AS clean FROM r) " +
+          "SELECT doc_id, len(regexp_extract_all(raw, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS n_emails, " +
+          "len(regexp_extract_all(raw, 'https?://[^\\s]+')) AS n_urls, " +
+          "len(regexp_extract_all(raw, '[0-9]{4,}')) AS n_longnums, " +
+          "length(clean) AS clean_len, right(clean, 40) AS clean_tail " +
+          "FROM c ORDER BY doc_id")),
+
     // LSH-bucketed approximate cosine k-NN join (KnnJoin.lsh) — the
     // index-free ANN scale path the pipeline brief names next to IVF.
     // Queries are planted near-identical perturbations of corpus vectors,

@@ -369,9 +369,16 @@ object RelQueries {
         t(s, dir, "lineitem")
           .groupBy("l_returnflag")
           .agg(
-            round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
-            round(expr("percentile(l_quantity, 0.9)"), 4).as("p90"),
+            // one percentile buffer per COLUMN, not per requested quantile —
+            // the array form makes l_quantity's 600k-value multiset buffer
+            // once for both cut points
+            expr("percentile(l_quantity, array(0.5, 0.9))").as("qp"),
             round(expr("percentile(l_extendedprice, 0.95)"), 4).as("price_p95"))
+          .select(
+            col("l_returnflag"),
+            round(element_at(col("qp"), 1), 4).as("p50"),
+            round(element_at(col("qp"), 2), 4).as("p90"),
+            col("price_p95"))
           .orderBy("l_returnflag"),
       Some(
         "SELECT l_returnflag, round(quantile_cont(l_quantity, 0.5), 4) AS p50, " +

@@ -75,6 +75,28 @@ object TextOps {
     when(union === 0.0, lit(0.0)).otherwise(inter / union)
   }
 
+  // --- PII redaction -------------------------------------------------------
+
+  /** Deliberately simple regexes, written in the common subset of Java's
+    * regex and RE2 (no backrefs, no lookaround) so any engine — including
+    * the DuckDB oracle — scrubs identically. */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val UrlRe = "https?://[^\\s]+"
+  val LongNumRe = "[0-9]{4,}"
+
+  /** Scrub emails → `<EMAIL>`, URLs → `<URL>`, 4+-digit runs → `<NUM>`,
+    * in that order (emails/URLs swallow their own digits before the
+    * number pass runs). Pure codegen'd `regexp_replace` chain — the
+    * standard pre-training scrub shape, one projection, no shuffle. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        UrlRe,
+        "<URL>"),
+      LongNumRe,
+      "<NUM>")
+
   // --- quality scoring ----------------------------------------------------
 
   private def countMatches(text: Column, re: String): Column =

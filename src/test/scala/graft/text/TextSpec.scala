@@ -71,6 +71,12 @@ class TextSpec extends SparkSpec {
     assert(cut.forall(p => math.abs(p._3 - 1.0 / 3.0) < 1e-9))
   }
 
+  test("redactPii scrubs emails, urls, and long digit runs; replace-all, ordered passes") {
+    val got = df1("mail a.b+c@x-y.org twice a.b+c@x-y.org url https://h.test/p?q=1234 keep 123 drop 4567")
+      .select(TextOps.redactPii(col("text"))).head.getString(0)
+    assert(got == "mail <EMAIL> twice <EMAIL> url <URL> keep 123 drop <NUM>")
+  }
+
   test("jaccard of distinct sets") {
     val j = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
       .select(TextOps.jaccard(col("x"), col("y"))).head.getDouble(0)
