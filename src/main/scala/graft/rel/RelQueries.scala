@@ -570,5 +570,29 @@ object RelQueries {
           "FROM events a JOIN events b ON b.user_id = a.user_id " +
           "AND date_trunc('microseconds', b.ts) >= date_trunc('microseconds', a.ts) " +
           "AND date_trunc('microseconds', b.ts) < date_trunc('microseconds', a.ts) + INTERVAL 1 HOUR " +
-          "WHERE a.event_type = 'purchase' GROUP BY 1 ORDER BY 1")))
+          "WHERE a.event_type = 'purchase' GROUP BY 1 ORDER BY 1")),
+
+    // --- salted join (Skew: explicit hot-key spreading) ----------------
+    // The fact⨝fact join executed through the salting path: lineitem rows
+    // spread over 8 sub-keys, orders replicated once per salt. The result
+    // must be salt-invariant — identical to the plain join the oracle
+    // computes — which is exactly what the hash check proves.
+    NamedQuery(
+      "q28_salted_join",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+        val ord = t(s, dir, "orders")
+          .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+        Skew
+          .saltedJoin(li, ord, "l_orderkey", factor = 8)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_items"), round(sum("rev"), 2).as("revenue"))
+          .orderBy("o_orderpriority")
+      },
+      Some(
+        "SELECT o_orderpriority, count(*) AS n_items, " +
+          "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue " +
+          "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+          "GROUP BY o_orderpriority ORDER BY o_orderpriority")))
 }

@@ -48,6 +48,25 @@ class SamplingRangeSpec extends SparkSpec {
     }
   }
 
+  test("saltedJoin equals the plain join on skewed data and joins on (key, salt)") {
+    // 90% of left rows share one hot key
+    val left = (1L to 1000L).map(i => (if (i <= 900) 7L else i, i)).toDF("k", "lv")
+    val right = Seq((7L, "hot"), (901L, "a"), (950L, "b"), (5000L, "never")).toDF("k", "rv")
+    val plain = left.join(right, "k").select("k", "lv", "rv")
+      .as[(Long, Long, String)].collect().toSorted
+    for (factor <- Seq(1, 4, 16)) {
+      val salted = Skew.saltedJoin(left, right, "k", factor).select("k", "lv", "rv")
+        .as[(Long, Long, String)].collect().toSorted
+      assert(salted == plain, s"factor=$factor")
+    }
+    val plan = Skew.saltedJoin(left, right, "k", 8).queryExecution.executedPlan.toString
+    assert(plan.contains("_salt"), s"join must key on the salt:\n$plan")
+  }
+
+  private implicit class SortedOps[T: Ordering](a: Array[T]) {
+    def toSorted: Seq[T] = a.toSeq.sorted
+  }
+
   test("pointInInterval with keys only matches same-key pairs; plans an equi-join, not a nested loop") {
     val points = Seq((1L, 5L, "u1"), (2L, 5L, "u2")).toDF("pid", "ts", "u")
     val ivals = Seq((10L, 0L, 10L, "u1")).toDF("iid", "s", "e", "iu")
