@@ -15,15 +15,19 @@ import org.apache.spark.sql.types._
   * Image decode is REAL: [[decodeImageIO]] runs the JDK's built-in
   * `javax.imageio` codecs (PNG/BMP/GIF/JPEG, headless, no external native
   * libraries) through the same mapPartitions plumbing and extracts
-  * pixel-derived features. Audio/video codecs genuinely are not in this
-  * environment, so those decode steps are clearly-marked deterministic
-  * STUBs (`decodeStub`, `audioStats`, `sampleFrames` treat the payload
-  * bytes as fake samples/frames behind a 16-byte header); everything
-  * around them — schema, batching, partitioning, operator signatures — is
-  * real Spark and is what would carry a libavcodec/ffmpeg call at 100 TB:
-  * swap the stub body for a JNI decode and nothing else changes. (The
-  * driver-visible m01 query keeps the stub schema because the fixtures
-  * carry no media table.)
+  * pixel-derived features. Audio decode is REAL for RIFF/WAVE PCM:
+  * [[decodeWavAudio]] parses through the JDK's `javax.sound.sampled`
+  * (headless, pure file parsing) and extracts sample-domain features;
+  * [[encodePcmWav]] writes genuine 44-byte-header PCM16 WAV bytes, so the
+  * m03 round-trip is hash-checked end-to-end. Compressed audio (MP3/AAC)
+  * and video codecs genuinely are not in this environment, so those decode
+  * steps are clearly-marked deterministic STUBs (`decodeStub`,
+  * `audioStats`, `sampleFrames` treat the payload bytes as fake
+  * samples/frames behind a 16-byte header); everything around them —
+  * schema, batching, partitioning, operator signatures — is real Spark and
+  * is what would carry a libavcodec/ffmpeg call at 100 TB: swap the stub
+  * body for a JNI decode and nothing else changes. (The driver-visible m01
+  * query keeps the stub schema because the fixtures carry no media table.)
   */
 object MultimodalOps {
 
@@ -193,6 +197,102 @@ object MultimodalOps {
         if (!javax.imageio.ImageIO.write(img, format, baos))
           throw new IllegalArgumentException(s"no ImageIO writer for format '$format'")
         Row(row.getLong(0), baos.toByteArray)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** RIFF/WAVE PCM16 mono encoder over a spec frame
+    * `(asset_id long, n_samples int, sample_rate int, seed long)`:
+    * sample `i` is the deterministic full-range int16
+    * `((seed·31 + i·7919) mod 65536) − 32768`, wrapped in a genuine
+    * 44-byte RIFF header + little-endian PCM payload. Real bytes any WAV
+    * reader accepts — the encode half of the m03 codec round-trip (the
+    * audio analog of [[encodeUniformImages]]). */
+  def encodePcmWav(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = false)))
+    val src = df.select(
+      col("asset_id").cast("long"), col("n_samples").cast("int"),
+      col("sample_rate").cast("int"), col("seed").cast("long"))
+    val rdd = src.rdd.mapPartitions { rows =>
+      rows.map { row =>
+        val n = row.getInt(1)
+        val sr = row.getInt(2)
+        val seed = row.getLong(3)
+        val data = 2 * n
+        val buf = java.nio.ByteBuffer.allocate(44 + data).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + data).put("WAVE".getBytes("US-ASCII"))
+        buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+          .putShort(1) // PCM
+          .putShort(1) // mono
+          .putInt(sr)
+          .putInt(sr * 2) // byte rate
+          .putShort(2)    // block align
+          .putShort(16)   // bits per sample
+        buf.put("data".getBytes("US-ASCII")).putInt(data)
+        var i = 0
+        while (i < n) {
+          buf.putShort((((seed * 31L + i * 7919L) % 65536L) - 32768L).toShort)
+          i += 1
+        }
+        Row(row.getLong(0), buf.array())
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** REAL WAV decode through the JDK's `javax.sound.sampled` (headless —
+    * audio file parsing needs no sound device): format metadata comes from
+    * the parsed header, samples from the decoded PCM stream, features are
+    * pure integer math (`min`/`max`/`sum` over int16 samples) so any
+    * engine reproducing the sample formula lands on identical values.
+    * Undecodable payloads yield `decoded = false` nulls, like
+    * [[decodeImageIO]]. */
+  def decodeWavAudio(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("decoded", BooleanType, nullable = false),
+      StructField("sample_rate", IntegerType, nullable = true),
+      StructField("channels", IntegerType, nullable = true),
+      StructField("n_samples", IntegerType, nullable = true),
+      StructField("s_min", IntegerType, nullable = true),
+      StructField("s_max", IntegerType, nullable = true),
+      StructField("s_sum", LongType, nullable = true)))
+    val src = df.select(col(idCol).cast("long"), col(binCol))
+    val rdd = src.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bin = r.getAs[Array[Byte]](1)
+        val ais =
+          try javax.sound.sampled.AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bin))
+          catch { case _: Exception => null }
+        val fmt = if (ais == null) null else ais.getFormat
+        if (fmt == null || fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+          || fmt.getSampleSizeInBits != 16)
+          Row(id, false, null, null, null, null, null, null)
+        else {
+          val pcm = ais.readAllBytes()
+          ais.close()
+          val bb = java.nio.ByteBuffer.wrap(pcm).order(
+            if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN else java.nio.ByteOrder.LITTLE_ENDIAN)
+          val n = pcm.length / 2
+          var mn = Int.MaxValue; var mx = Int.MinValue; var sum = 0L
+          var i = 0
+          while (i < n) {
+            val s: Int = bb.getShort(2 * i).toInt
+            if (s < mn) mn = s
+            if (s > mx) mx = s
+            sum += s
+            i += 1
+          }
+          val nPer = n / fmt.getChannels
+          Row(id, true, fmt.getSampleRate.toInt, fmt.getChannels, nPer,
+            if (n == 0) null else mn, if (n == 0) null else mx, sum)
+        }
       }
     }
     spark.createDataFrame(rdd, outSchema)

@@ -964,6 +964,38 @@ object PipelineQueries {
           "+ 114 * ((doc_id * 13) % 256)) // 1000 // 16 AS INTEGER) AS lum_bucket, " +
           "1.0 AS bucket_mass FROM documents ORDER BY asset_id")),
 
+    // REAL audio codec round-trip, the WAV analog of m02: deterministic
+    // int16 sample patterns encode to genuine RIFF/PCM16 bytes
+    // (encodePcmWav), decode back through the JDK's javax.sound.sampled
+    // (decodeWavAudio), and the sample-domain features are pure integer
+    // math — DuckDB recomputes them from the sample formula, so hash-green
+    // proves header writing, the JDK's WAV parsing, endianness handling,
+    // and the mapPartitions plumbing all agree end-to-end.
+    NamedQuery(
+      "m03_wav_roundtrip",
+      (s, dir) => {
+        val spec = t(s, dir, "documents")
+          .filter(col("doc_id") < 200)
+          .select(
+            col("doc_id").as("asset_id"),
+            (lit(200) + pmod(col("doc_id"), lit(57))).cast("int").as("n_samples"),
+            (lit(8000) + pmod(col("doc_id"), lit(3)) * lit(4000)).cast("int").as("sample_rate"),
+            col("doc_id").as("seed"))
+        val encoded = MultimodalOps.encodePcmWav(spec)
+        MultimodalOps
+          .decodeWavAudio(encoded, "asset_id", "content")
+          .select("asset_id", "sample_rate", "channels", "n_samples", "s_min", "s_max", "s_sum")
+          .orderBy("asset_id")
+      },
+      Some(
+        "WITH spec AS (SELECT doc_id AS asset_id, CAST(200 + doc_id % 57 AS INTEGER) AS n, " +
+          "CAST(8000 + (doc_id % 3) * 4000 AS INTEGER) AS sr FROM documents WHERE doc_id < 200), " +
+          "s AS (SELECT asset_id, sr, n, list_transform(generate_series(0, n - 1), " +
+          "i -> ((asset_id * 31 + i * 7919) % 65536) - 32768) AS xs FROM spec) " +
+          "SELECT asset_id, sr AS sample_rate, 1 AS channels, n AS n_samples, " +
+          "CAST(list_min(xs) AS INTEGER) AS s_min, CAST(list_max(xs) AS INTEGER) AS s_max, " +
+          "CAST(list_sum(xs) AS BIGINT) AS s_sum FROM s ORDER BY asset_id")),
+
     // =====================================================================
     // Corpus sampling (Sampling: deterministic, seedless, cross-engine)
     // =====================================================================

@@ -80,6 +80,32 @@ class MultimodalSpec extends SparkSpec {
     assert(d.getSeq[Float](6) == Seq(10f, 20f, 30f))
   }
 
+  test("encodePcmWav -> decodeWavAudio round-trips REAL RIFF/PCM16 through javax.sound") {
+    val spec = Seq((7L, 100, 8000, 7L), (8L, 3, 16000, 8L)).toDF("asset_id", "n_samples", "sample_rate", "seed")
+    val wav = MultimodalOps.encodePcmWav(spec)
+    val bytes = wav.orderBy("asset_id").head.getAs[Array[Byte]]("content")
+    assert(new String(bytes.slice(0, 4), "US-ASCII") == "RIFF" &&
+      new String(bytes.slice(8, 12), "US-ASCII") == "WAVE", "genuine RIFF container")
+    assert(bytes.length == 44 + 2 * 100)
+    val out = MultimodalOps.decodeWavAudio(wav, "asset_id", "content")
+      .collect().sortBy(_.getLong(0))
+    def expected(seed: Long, n: Int): (Int, Int, Long) = {
+      val xs = (0 until n).map(i => (((seed * 31 + i * 7919L) % 65536L) - 32768L).toInt)
+      (xs.min, xs.max, xs.map(_.toLong).sum)
+    }
+    val a = out(0)
+    assert(a.getBoolean(1) && a.getInt(2) == 8000 && a.getInt(3) == 1 && a.getInt(4) == 100)
+    val (mn, mx, sm) = expected(7L, 100)
+    assert(a.getInt(5) == mn && a.getInt(6) == mx && a.getLong(7) == sm)
+    val b = out(1)
+    val (mn2, mx2, sm2) = expected(8L, 3)
+    assert(b.getInt(2) == 16000 && b.getInt(4) == 3 && b.getInt(5) == mn2 && b.getInt(6) == mx2 && b.getLong(7) == sm2)
+    // garbage bytes must yield decoded=false, not a crash
+    val bad = MultimodalOps.decodeWavAudio(
+      Seq((9L, Array[Byte](1, 2, 3, 4))).toDF("id", "bin"), "id", "bin").head
+    assert(!bad.getBoolean(1) && bad.isNullAt(2))
+  }
+
   test("audioStats computes RMS and zero-crossings over 16-bit PCM payload") {
     // payload: alternating +256/-256 samples → every step crosses zero
     val pcm = Array.tabulate(8)(i => if (i % 2 == 0) Array[Byte](1, 0) else Array[Byte](-1, 0)).flatten
