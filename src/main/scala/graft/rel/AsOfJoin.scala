@@ -76,6 +76,9 @@ object AsOfJoin {
       tolerance: Option[Column],
       forward: Boolean): DataFrame = {
     val payloadCols = (payload :+ rightTime).distinct
+    require(payloadCols.intersect(left.columns.toSeq).isEmpty,
+      s"right payload columns ${payloadCols.mkString(",")} must not collide with left columns " +
+        "(the output carries both, unqualified)")
     // Right rows carry the payload struct; left rows carry the whole left
     // row — after the window pass the left rows are peeled back out intact.
     val taggedRight = right.select(

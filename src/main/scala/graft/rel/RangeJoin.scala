@@ -35,11 +35,18 @@ object RangeJoin {
       bucketWidth: Long,
       keys: Seq[(String, String)] = Nil): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    require(
+      (points.columns ++ intervals.columns).distinct.size == points.columns.length + intervals.columns.length,
+      "points and intervals must not share column names (both sides are emitted)")
     val p = points.withColumn("_bucket", floor(col(pointCol) / bucketWidth)).alias("_P")
     // end is exclusive, but exploding through floor(end/W) (one bucket past
     // the last covered one at worst) is cheaper than special-casing the
-    // boundary — the residual filter keeps correctness either way.
+    // boundary — the residual filter keeps correctness either way. Empty /
+    // malformed intervals (end <= start) are dropped up front: a half-open
+    // [s, s) matches nothing, and Spark's sequence() counts DOWN when
+    // start > end, which would fabricate bucket rows.
     val i = intervals
+      .filter(col(startCol) < col(endCol))
       .withColumn("_bucket", explode(sequence(floor(col(startCol) / bucketWidth), floor(col(endCol) / bucketWidth))))
       .alias("_I")
     val cond = keys.foldLeft(col("_P._bucket") === col("_I._bucket")) { case (c, (pk, ik)) =>

@@ -26,6 +26,8 @@ object Skew {
     * identical spread), no RNG in the plan. */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String, factor: Int): DataFrame = {
     require(factor >= 1, "factor must be >= 1")
+    require(!left.columns.contains("_salt") && !right.columns.contains("_salt"),
+      "inputs must not already carry a _salt column")
     val salted = left.withColumn(
       "_salt",
       pmod(xxhash64(left.columns.map(col): _*), lit(factor.toLong)))
