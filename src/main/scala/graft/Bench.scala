@@ -62,12 +62,16 @@ object Bench {
     val results = names.map { case (name, _) =>
       name -> r3(passes.map(_.toMap.apply(name)).min)
     }
+    // a failed query's elapsed-to-failure is not a latency: keep it out of
+    // EVERY official record (queries_min file, stdout total, history) —
+    // a fast-throwing query must not read as a fast query anywhere
+    val okResults = results.filterNot(r => failed.contains(r._1))
     // Full per-pass record in its own file: the driver captures only the
     // TAIL of stdout, which in round 3 truncated the head of the final JSON
     // line and hid a third of the suite — the file is the durable record.
     locally {
       val passJson = passes.map(qjson).mkString("[", ",", "]")
-      val body = s"""{"sf":"$sfDir","queries_min":${qjson(results)},"passes":$passJson}"""
+      val body = s"""{"sf":"$sfDir","queries_min":${qjson(okResults)},"passes":$passJson}"""
       try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_queries.json"), body)
       catch { case e: Throwable => System.err.println(s"[bench] queries file write failed: ${e.getMessage}") }
     }
@@ -89,10 +93,10 @@ object Bench {
             val qm = prev.substring(prev.indexOf("\"queries_min\":"))
             val re = """"([A-Za-z0-9_]+)":([0-9.]+)""".r
             val prevMin = re.findAllMatchIn(qm).map(m => m.group(1) -> m.group(2).toDouble).toMap
-            results.foreach { case (name, sec) =>
+            okResults.foreach { case (name, sec) =>
               prevMin.get(name).foreach { p =>
                 // sub-200ms queries are all scheduler noise — not a signal
-                if (p >= 0.2 && sec > 2.0 * p && !failed.contains(name))
+                if (p >= 0.2 && sec > 2.0 * p)
                   System.err.println(
                     f"[bench] REGRESSION $name: $p%.2f s -> $sec%.2f s (${sec / p}%.1fx vs previous run)")
               }
@@ -100,7 +104,7 @@ object Bench {
           }
         val entry =
           s"""{"epoch_ms":${System.currentTimeMillis()},"sf":"$sfDir",""" +
-            s""""queries_min":${qjson(results.filterNot(r => failed.contains(r._1)))}}"""
+            s""""queries_min":${qjson(okResults)}}"""
         java.nio.file.Files.writeString(histPath, (lines :+ entry).mkString("", "\n", "\n"))
       } catch { case e: Throwable => System.err.println(s"[bench] history update failed: ${e.getMessage}") }
     }
@@ -153,9 +157,8 @@ object Bench {
         } catch {
           case e: Throwable => System.err.println(s"[bench] husk replay failed: ${e.getMessage}"); "null"
         }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = r3(results.map(_._2).sum)
+    val qs = qjson(okResults)
+    val total = r3(okResults.map(_._2).sum)
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""replay":$replayJson,"replay_40k_baseline_config":$replay40kJson,""" +

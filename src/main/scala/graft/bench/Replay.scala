@@ -334,11 +334,11 @@ object Replay {
         if (model.partitions.length != before)
           zipf = new Zipf(model.partitions.length, 1.1, seed = 7L + q)
       }
-      // lineage truncation; superseded epochs' caches are dropped only
-      // AFTER the checkpoint materializes (they are inputs of the live
-      // plan until then) — insert/delete cache one table per epoch, and
-      // without the unpersist those blocks accumulate for the session
-      // lifetime
+      // lineage truncation; superseded tables are released only AFTER the
+      // checkpoint materializes (they are inputs of the live plan until
+      // then). Since the mutate path stopped caching per-epoch tables, the
+      // buffer's remaining live purpose is dropping the PRIOR checkpoint's
+      // localCheckpoint blocks and maintain's cached outputs
       if (nBatches % checkpointEvery == 0) {
         superseded += model.vectors
         model = phase("checkpoint")(IvfMutate.checkpoint(model))

@@ -205,7 +205,7 @@ object MultimodalOps {
   /** RIFF/WAVE PCM16 mono encoder over a spec frame
     * `(asset_id long, n_samples int, sample_rate int, seed long)`:
     * sample `i` is the deterministic full-range int16
-    * `((seed·31 + i·7919) mod 65536) − 32768`, wrapped in a genuine
+    * `floorMod(seed·31 + i·7919, 65536) − 32768`, wrapped in a genuine
     * 44-byte RIFF header + little-endian PCM payload. Real bytes any WAV
     * reader accepts — the encode half of the m03 codec round-trip (the
     * audio analog of [[encodeUniformImages]]). */
@@ -235,7 +235,10 @@ object MultimodalOps {
         buf.put("data".getBytes("US-ASCII")).putInt(data)
         var i = 0
         while (i < n) {
-          buf.putShort((((seed * 31L + i * 7919L) % 65536L) - 32768L).toShort)
+          // floorMod, not %: JVM % preserves the dividend's sign, so a
+          // negative seed would push the value below -32768 and .toShort
+          // would silently wrap it away from the documented formula
+          buf.putShort((java.lang.Math.floorMod(seed * 31L + i * 7919L, 65536L) - 32768L).toShort)
           i += 1
         }
         Row(row.getLong(0), buf.array())
@@ -249,8 +252,11 @@ object MultimodalOps {
     * the parsed header, samples from the decoded PCM stream, features are
     * pure integer math (`min`/`max`/`sum` over int16 samples) so any
     * engine reproducing the sample formula lands on identical values.
-    * Undecodable payloads yield `decoded = false` nulls, like
-    * [[decodeImageIO]]. */
+    * Multi-channel semantics: `n_samples` is frames PER CHANNEL while
+    * `s_min`/`s_max`/`s_sum` span ALL interleaved channel samples (a
+    * per-frame mean is `s_sum / (n_samples · channels)`, not
+    * `s_sum / n_samples`). Undecodable payloads yield `decoded = false`
+    * nulls, like [[decodeImageIO]]. */
   def decodeWavAudio(df: DataFrame, idCol: String, binCol: String): DataFrame = {
     val spark = df.sparkSession
     val outSchema = StructType(Seq(

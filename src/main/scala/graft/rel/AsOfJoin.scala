@@ -81,7 +81,12 @@ object AsOfJoin {
         "(the output carries both, unqualified)")
     // Right rows carry the payload struct; left rows carry the whole left
     // row — after the window pass the left rows are peeled back out intact.
-    val taggedRight = right.select(
+    // Null-time right rows are dropped (pandas merge_asof semantics):
+    // ascending NULLS FIRST would otherwise sort them before every real
+    // row, where the running last() hands their payload to left rows that
+    // precede the first real right row.
+    val cleanRight = right.filter(col(rightTime).isNotNull)
+    val taggedRight = cleanRight.select(
       col(rightKey).as("_k"),
       col(rightTime).as("_t"),
       lit(0).as("_tag"),

@@ -36,12 +36,19 @@ object PipelineQueries {
 
   /** Best-effort deepest-first delete of a staged temp directory (saved
     * indexes, file-source staging, streaming checkpoints) — repeated
-    * verify/bench runs must not accumulate copies under java.io.tmpdir. */
-  private def deleteRecursively(root: java.nio.file.Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
-      .foreach(p => java.nio.file.Files.deleteIfExists(p))
-  }
+    * verify/bench runs must not accumulate copies under java.io.tmpdir.
+    * Swallows its own failures (stale walk snapshot, straggler-task write
+    * racing the delete): callers invoke it from `finally` blocks, where a
+    * cleanup throw would MASK the query's real exception. */
+  private def deleteRecursively(root: java.nio.file.Path): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    } catch {
+      case e: Exception =>
+        System.err.println(s"[cleanup] leaving $root behind: ${e.getMessage}")
+    }
   def indexFor(s: SparkSession, dir: String): IvfModel =
     indexCache.getOrElseUpdate(dir, {
       val emb = t(s, dir, "embeddings")

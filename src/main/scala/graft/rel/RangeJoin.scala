@@ -38,6 +38,8 @@ object RangeJoin {
     require(
       (points.columns ++ intervals.columns).distinct.size == points.columns.length + intervals.columns.length,
       "points and intervals must not share column names (both sides are emitted)")
+    require(!points.columns.contains("_bucket") && !intervals.columns.contains("_bucket"),
+      "inputs must not already carry a _bucket column")
     val p = points.withColumn("_bucket", floor(col(pointCol) / bucketWidth)).alias("_P")
     // end is exclusive, but exploding through floor(end/W) (one bucket past
     // the last covered one at worst) is cheaper than special-casing the

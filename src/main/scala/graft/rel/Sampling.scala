@@ -29,6 +29,7 @@ object Sampling {
     * at corpus scale pre-filter with [[temperatureTargets]]-style rates
     * instead of quotas when a group is a large fraction of the data. */
   def quotaPerGroup(df: DataFrame, groupCol: String, idCol: String, n: Int): DataFrame = {
+    require(!df.columns.contains("_rn"), "input must not already carry a _rn column")
     val w = Window.partitionBy(col(groupCol)).orderBy(priority(col(idCol)), col(idCol))
     df.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") <= n)

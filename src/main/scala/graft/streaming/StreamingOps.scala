@@ -87,8 +87,9 @@ object StreamingOps {
     * more than `gapUs` apart start a new session; a session is emitted the
     * moment a later event closes it, and the event-time TIMEOUT flushes
     * the final open session once the watermark passes its gap horizon —
-    * so state is bounded by the number of users with activity inside the
-    * watermark window, not by history length.
+    * so the event backlog in state is bounded by the watermark window, not
+    * by history length (what survives per ever-seen user is a few-dozen-
+    * byte session-counter tombstone, kept so `session_idx` never restarts).
     *
     * Callers must put a watermark on `events`' `ts` before calling (the
     * event-time timeout requires one). Semantics match the batch q22
@@ -109,9 +110,15 @@ object StreamingOps {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (uid: Long, it: Iterator[SessionEvent], state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
-            // watermark passed the open session's gap horizon — flush it
+            // watermark passed the open session's gap horizon — flush it.
+            // The state shrinks to a COUNTER TOMBSTONE (n = 0) rather than
+            // being removed: session_idx must keep counting if this user
+            // returns (state.remove() would restart at 1, breaking the
+            // batch-q22 numbering parity and duplicating (user, idx) keys).
+            // A tombstone is a few dozen bytes per distinct user — the
+            // event backlog itself is still bounded by the watermark.
             val st = state.get
-            state.remove()
+            state.update(st.copy(n = 0L))
             Iterator.single(SessionRow(uid, st.nextIdx, st.n, st.startUs, st.endUs - st.startUs))
           } else {
             val evs = it.toArray.sortBy(e => (e.us, e.event_id))

@@ -127,6 +127,19 @@ class StreamingSpec extends SparkSpec {
       val flushed = spark.table("sessions").as[SessionRow].collect().toSet
       assert(flushed.contains(SessionRow(1L, 2L, 2L, sessEv(1, 100, 3).us, 10L * 60 * 1000000L)))
       assert(flushed.contains(SessionRow(2L, 1L, 1L, sessEv(2, 5, 5).us, 0L)))
+      // user 2 returns AFTER its session was timeout-flushed (at an event
+      // time past the sentinel-advanced watermark of t=199990, else the
+      // row is dropped as late): the counter tombstone must keep numbering
+      // (session_idx 2, not a restart at 1)
+      source.addData(sessEv(2, 250000, 6))
+      query.processAllAvailable()
+      source.addData(sessEv(99, 400000, 11))
+      query.processAllAvailable()
+      source.addData(sessEv(99, 500000, 12))
+      query.processAllAvailable()
+      val cont = spark.table("sessions").as[SessionRow].collect().toSet
+      assert(cont.contains(SessionRow(2L, 2L, 1L, sessEv(2, 250000, 6).us, 0L)),
+        s"counter must survive the timeout flush, got $cont")
     } finally query.stop()
     spark.catalog.dropTempView("sessions")
   }
