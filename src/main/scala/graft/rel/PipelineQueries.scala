@@ -1045,5 +1045,29 @@ object PipelineQueries {
           "SELECT lang, n_rows, " +
           "round(CAST(CAST(wt / sum(wt) OVER () AS REAL) AS DOUBLE), 6) + 0.0 AS share, " +
           "CAST(floor(CAST(CAST(wt / sum(wt) OVER () AS REAL) AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS target_rows " +
-          "FROM w ORDER BY lang")))
+          "FROM w ORDER BY lang")),
+
+    // Dedup-cluster closure: connectedComponents over CHAIN pairs — each
+    // doc x < 150 links to x+100000 which links to x+200000, but x and
+    // x+200000 share NO direct edge, so a correct output REQUIRES the
+    // transitive closure (pairwise keep-smaller logic would leave x+200000
+    // uncanonicalized). The expected component id is pure arithmetic
+    // (min of the chain = x = id % 100000), which DuckDB states directly —
+    // hash-green proves the label propagation converged to the exact
+    // fixpoint for every chain.
+    NamedQuery(
+      "p03_dup_clusters",
+      (s, dir) => {
+        val base = t(s, dir, "documents").filter(col("doc_id") < 150).select("doc_id")
+        val pairs = base
+          .select(col("doc_id").as("id_a"), (col("doc_id") + 100000L).as("id_b"))
+          .unionByName(
+            base.select((col("doc_id") + 100000L).as("id_a"), (col("doc_id") + 200000L).as("id_b")))
+        Dedup.connectedComponents(pairs).orderBy("id")
+      },
+      Some(
+        "WITH x AS (SELECT doc_id FROM documents WHERE doc_id < 150), " +
+          "ids AS (SELECT doc_id AS id FROM x UNION ALL " +
+          "SELECT doc_id + 100000 FROM x UNION ALL SELECT doc_id + 200000 FROM x) " +
+          "SELECT id, id % 100000 AS comp FROM ids ORDER BY id")))
 }

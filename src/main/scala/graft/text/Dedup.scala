@@ -335,4 +335,56 @@ object Dedup {
       .filter(col("cosine") >= minCosine)
       .select("id_a", "id_b", "cosine")
   }
+
+  /** Connected components over an undirected duplicate-pair list — the
+    * transitive-closure step that turns near-dup PAIRS (minhashLsh,
+    * simhashPairs, cosineLshPairs output) into dedup CLUSTERS with a
+    * canonical representative (`comp` = the cluster's min id; keep rows
+    * where `id == comp`). Pairs alone under-delete: if A~B and B~C but the
+    * sketch missed A~C, pairwise keep-the-smaller logic keeps both A and C.
+    *
+    * Min-label propagation: every vertex starts as its own label, each
+    * iteration takes the min label over itself and its neighbors, fixpoint
+    * when no label changes. Each iteration is one equi-join + one groupBy
+    * shuffle over the EDGE list — never an all-pairs product — and labels
+    * are `localCheckpoint`ed per iteration so lineage stays flat (the
+    * replay's sliver-partition lesson). Convergence needs O(component
+    * diameter) iterations: near-dup clusters are shallow (dup chains are
+    * short), so the default bound is generous; for adversarial
+    * million-link chains switch to the star-contraction variant before
+    * raising `maxIter`.
+    *
+    * @param pairs `(id_a long, id_b long)` undirected edges
+    * @return (id long, comp long) — one row per distinct endpoint
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val edges = graft.CacheScope.track(
+      pairs
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+        .distinct()
+        .cache())
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("comp"))
+      .localCheckpoint(true)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val viaNeighbors = edges
+        .join(labels.select(col("id").as("src"), col("comp")), "src")
+        .select(col("dst").as("id"), col("comp"))
+      val next = labels.unionByName(viaNeighbors)
+        .groupBy("id")
+        .agg(min("comp").as("comp"))
+        .localCheckpoint(true)
+      // convergence probe on the checkpointed frames: any label changed?
+      converged = next
+        .join(labels.select(col("id"), col("comp").as("prev")), "id")
+        .filter(col("comp") =!= col("prev"))
+        .isEmpty
+      labels = next
+      it += 1
+    }
+    labels
+  }
 }

@@ -71,6 +71,36 @@ class TextSpec extends SparkSpec {
     assert(cut.forall(p => math.abs(p._3 - 1.0 / 3.0) < 1e-9))
   }
 
+  test("connectedComponents: chains close transitively, separate components stay apart") {
+    // chain 1-2-3-4, triangle 10-11-12 (+ redundant edge), isolated pair 20-21
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (21L, 20L)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(comp(_) == 1L), s"chain must merge: $comp")
+    assert(Seq(10L, 11L, 12L).forall(comp(_) == 10L))
+    assert(comp(20L) == 20L && comp(21L) == 20L)
+    assert(comp.size == 9)
+  }
+
+  test("connectedComponents matches a BFS reference on a pseudo-random graph") {
+    val rnd = new scala.util.Random(42)
+    val edges = (1 to 120).map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter { case (a, b) => a != b }
+    val pairs = edges.toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+    // driver-side union-find reference
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = { val p = parent.getOrElse(x, x); if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = got.keys.map(id => id -> find(id)).toMap
+    assert(got == want)
+  }
+
   test("redactPii scrubs emails, urls, and long digit runs; replace-all, ordered passes") {
     val got = df1("mail a.b+c@x-y.org twice a.b+c@x-y.org url https://h.test/p?q=1234 keep 123 drop 4567")
       .select(TextOps.redactPii(col("text"))).head.getString(0)
