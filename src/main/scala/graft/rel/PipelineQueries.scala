@@ -613,7 +613,13 @@ object PipelineQueries {
           "GROUP BY lang, predicted ORDER BY lang, predicted"
       }),
 
-    // Rolling-hash fingerprint + SimHash per doc (xxhash64 → rows-only).
+    // Karp–Rabin rolling-hash document fingerprints, full-doc + head-8
+    // window. Portable arithmetic (char-codepoint polynomial mod 1e9+7)
+    // — DuckDB refolds the identical hash, so hash-green proves the
+    // fingerprint bytes, not just row counts. The xxhash64-based fast
+    // variant (TextOps.fingerprint) stays the bulk path and is pinned by
+    // TextSpec; the SimHash column formerly here is driver-visible through
+    // d04/d05.
     NamedQuery(
       "t05_fingerprints",
       (s, dir) => {
@@ -621,11 +627,21 @@ object PipelineQueries {
         t(s, dir, "documents")
           .select(
             col("doc_id"),
-            TextOps.fingerprint(toks).as("fingerprint"),
-            TextOps.simhash64(toks).as("simhash"))
+            TextOps.fingerprintPortable(toks).as("fingerprint"),
+            TextOps.fingerprintPortable(slice(toks, 1, 8)).as("fp_head"))
           .orderBy("doc_id")
       },
-      None),
+      Some {
+        val tokHash =
+          "list_reduce(list_prepend(CAST(7 AS BIGINT), list_transform(generate_series(1, len(t)), " +
+            "i -> CAST(ord(substring(t, i, 1)) AS BIGINT))), (a, c) -> (a * 131 + c) % 1000000007)"
+        s"WITH tk AS (SELECT doc_id, $duckToks AS w FROM documents), " +
+          s"h AS (SELECT doc_id, list_transform(w, t -> $tokHash) AS hs FROM tk) " +
+          "SELECT doc_id, " +
+          "list_reduce(list_prepend(CAST(0 AS BIGINT), hs), (a, x) -> (a * 31 + x) % 1000000007) AS fingerprint, " +
+          "list_reduce(list_prepend(CAST(0 AS BIGINT), hs[1:8]), (a, x) -> (a * 31 + x) % 1000000007) AS fp_head " +
+          "FROM h ORDER BY doc_id"
+      }),
 
     // PII scrub over the corpus. The fixture text is a clean word salad,
     // so each doc gets deterministic planted PII (an email, a URL, a long
@@ -847,6 +863,50 @@ object PipelineQueries {
           "lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev " +
           "FROM events))) GROUP BY user_id, session_idx ORDER BY user_id, session_idx")),
 
+    // Streaming exact dedup with watermark-bounded state: the d01 corpus
+    // (documents + planted doc_id%5 copies) arrives from a parquet FILE
+    // source, flows through dropDuplicatesWithinWatermark on the content
+    // hash (StreamingOps.dedupExact — state expires at the watermark, so
+    // an unbounded feed holds only the horizon's keys), and the surviving
+    // rows are projected to the hash alone: WHICH copy survives is
+    // arrival-order-dependent, the distinct hash SET is not — and that set
+    // must equal the batch DISTINCT the DuckDB oracle computes.
+    NamedQuery(
+      "s04_streaming_dedup",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        val planted = docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+        val feed = docs.unionByName(planted).select(
+          timestamp_micros(col("doc_id") * 1000000L).as("ts"),
+          sha2(col("text"), 256).as("content_hash"))
+        val tmp = java.nio.file.Files.createTempDirectory("s04_docs_")
+        val qname = s"s04_sink_${streamSinkCounter.incrementAndGet()}"
+        val (rows, schema) = try {
+          val inDir = s"$tmp/in"
+          feed.write.mode("overwrite").parquet(inDir)
+          val stream = s.readStream.schema(feed.schema).parquet(inDir)
+          val out = graft.streaming.StreamingOps
+            .dedupExact(stream, "ts", Seq("content_hash"), watermarkDelay = "1 hour")
+          val query = out.writeStream.format("memory").queryName(qname).outputMode("append").start()
+          // first-seen rows emit immediately in append mode — no sentinel
+          // needed to close anything
+          try query.processAllAvailable()
+          finally query.stop()
+          val shaped = s.table(qname).select("content_hash").orderBy("content_hash")
+          (shaped.collect().toSeq, shaped.schema)
+        } finally {
+          try s.catalog.dropTempView(qname)
+          catch { case _: Exception => () }
+          deleteRecursively(tmp)
+        }
+        s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
+      },
+      Some(
+        "WITH all_docs AS (SELECT doc_id, text FROM documents UNION ALL " +
+          "SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0) " +
+          "SELECT DISTINCT sha256(text) AS content_hash FROM all_docs ORDER BY content_hash")),
+
     // Streaming ingestion end-to-end: perturbed copies of corpus vectors
     // arrive as a MemoryStream, land in the IVF index through the
     // foreachBatch insert path (StreamingOps.ingest — the same IvfMutate
@@ -1003,6 +1063,54 @@ object PipelineQueries {
           "CAST(list_min(xs) AS INTEGER) AS s_min, CAST(list_max(xs) AS INTEGER) AS s_max, " +
           "CAST(list_sum(xs) AS BIGINT) AS s_sum FROM s ORDER BY asset_id")),
 
+    // Video-shaped frame sampling end-to-end: deterministic raw "clips"
+    // (16-byte header + n×32-byte frames whose bytes follow a closed-form
+    // formula) are assembled as REAL binary columns (hex → unhex), cut and
+    // strided by MultimodalOps.sampleFrames, and the per-frame byte sums
+    // are extracted back out of the sampled binary. DuckDB recomputes the
+    // sums from the byte formula alone — hash-green proves binary
+    // assembly, header skip, frame slicing, stride arithmetic, and byte
+    // extraction all agree, not just that frames came out.
+    NamedQuery(
+      "m04_frame_sample",
+      (s, dir) => {
+        val frameSize = 32
+        val stride = 3
+        val spec = t(s, dir, "documents")
+          .filter(col("doc_id") < 40)
+          .select(
+            col("doc_id"),
+            (pmod(col("doc_id"), lit(5)) + 8).cast("int").as("n_frames"))
+        val payloadHex = concat_ws(
+          "",
+          transform(
+            sequence(lit(0), col("n_frames") * frameSize - 1),
+            b => lpad(hex(pmod(col("doc_id") * 31 + b.cast("long") * 7, lit(256))), 2, "0")))
+        val headerHex = concat(
+          lit("47524654"), // "GRFT" magic, bytes 1-4
+          lpad(hex(lit(frameSize)), 8, "0"), // width   := frame size
+          lpad(hex(col("n_frames")), 8, "0"), // height := frame count
+          lpad(hex(lit(1)), 8, "0")) // channels
+        val clips = spec.select(col("doc_id"), unhex(concat(headerHex, payloadHex)).as("clip"))
+        val assets = MultimodalOps.toAssets(clips, "doc_id", "clip", "video/raw")
+        MultimodalOps
+          .sampleFrames(assets, frameSize, stride)
+          .select(
+            col("asset_id"),
+            col("frame_idx").cast("int").as("frame_idx"),
+            aggregate(
+              sequence(lit(1), length(col("frame"))),
+              lit(0L),
+              (a, i) => a + conv(hex(col("frame").substr(i, lit(1))), 16, 10).cast("long")).as("fsum"))
+          .orderBy("asset_id", "frame_idx")
+      },
+      Some(
+        "WITH spec AS (SELECT doc_id, CAST(doc_id % 5 + 8 AS INTEGER) AS nf FROM documents WHERE doc_id < 40), " +
+          "f AS (SELECT doc_id, unnest(range(0, nf, 3)) AS fi FROM spec) " +
+          "SELECT doc_id AS asset_id, CAST(fi AS INTEGER) AS frame_idx, " +
+          "CAST(list_sum(list_transform(range(0, 32), b -> (doc_id * 31 + (fi * 32 + b) * 7) % 256)) AS BIGINT) AS fsum " +
+          "FROM f ORDER BY asset_id, frame_idx")),
+
     // =====================================================================
     // Corpus sampling (Sampling: deterministic, seedless, cross-engine)
     // =====================================================================
@@ -1069,5 +1177,65 @@ object PipelineQueries {
         "WITH x AS (SELECT doc_id FROM documents WHERE doc_id < 150), " +
           "ids AS (SELECT doc_id AS id FROM x UNION ALL " +
           "SELECT doc_id + 100000 FROM x UNION ALL SELECT doc_id + 200000 FROM x) " +
-          "SELECT id, id % 100000 AS comp FROM ids ORDER BY id")))
+          "SELECT id, id % 100000 AS comp FROM ids ORDER BY id")),
+
+    // =====================================================================
+    // Sources / sinks beyond Parquet (CSV + JSON, driver-visible)
+    // =====================================================================
+
+    // Lossless CSV + JSON sink→scan round-trip of the events table — the
+    // torture columns are `ts` (microsecond timestamps, which the default
+    // millisecond timestampFormat would silently truncate) and `props`
+    // (JSON strings full of quotes/braces that exercise CSV quoting).
+    // Both round-tripped copies are summarized with exact integer/string
+    // aggregates and compared against the same summary DuckDB computes
+    // straight from the parquet fixture: hash-green means both formats
+    // preserved every row, every microsecond, and every quoted byte.
+    // (SourceFormatSpec holds the ORC + bucketed-table equivalents; this
+    // query makes the text-format path part of the driver's gate.)
+    NamedQuery(
+      "q29_source_roundtrip",
+      (s, dir) => {
+        val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+        val ev = t(s, dir, "events").select("event_id", "user_id", "event_type", "ts", "props")
+        val tmp = java.nio.file.Files.createTempDirectory("graft_src_rt_")
+        val (rows, schema) = try {
+          val csvDir = s"$tmp/csv"
+          val jsonDir = s"$tmp/json"
+          ev.write.option("header", "true").option("timestampFormat", tsFmt).csv(csvDir)
+          ev.write.option("timestampFormat", tsFmt).json(jsonDir)
+          val csv =
+            s.read.schema(ev.schema).option("header", "true").option("timestampFormat", tsFmt).csv(csvDir)
+          val json = s.read.schema(ev.schema).option("timestampFormat", tsFmt).json(jsonDir)
+          def summarize(df: DataFrame, fmt: String): DataFrame =
+            df.agg(
+              count(lit(1)).as("n_rows"),
+              sum(col("user_id")).as("sum_users"),
+              countDistinct(col("event_type")).as("n_types"),
+              // exact long fold over the time-of-day microseconds: immune
+              // to float-sum ordering, overflow-safe (8.64e10 × |events|)
+              sum(pmod(unix_micros(col("ts")), lit(86400000000L))).as("sum_us_of_day"),
+              date_format(min(col("ts")), tsFmt).as("min_ts"),
+              date_format(max(col("ts")), tsFmt).as("max_ts"),
+              sum(length(col("props")).cast("long")).as("props_len"),
+              max(col("props")).as("max_props"))
+              .select(lit(fmt).as("fmt"), col("n_rows"), col("sum_users"), col("n_types"),
+                col("sum_us_of_day"), col("min_ts"), col("max_ts"), col("props_len"), col("max_props"))
+          val out = summarize(csv, "csv").unionByName(summarize(json, "json")).orderBy("fmt")
+          (out.collect().toSeq, out.schema)
+        } finally deleteRecursively(tmp)
+        s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
+      },
+      Some(
+        "WITH e AS (SELECT event_id, user_id, event_type, " +
+          // DuckDB reads the fixture ts as TIMESTAMP_NS; the engine reads
+          // nanos-as-long truncated to µs — truncate identically (q26 does)
+          "date_trunc('microseconds', ts) AS ts, props FROM events), " +
+          "a AS (SELECT count(*) AS n_rows, CAST(sum(user_id) AS BIGINT) AS sum_users, " +
+          "CAST(count(DISTINCT event_type) AS BIGINT) AS n_types, " +
+          "CAST(sum(epoch_us(ts) % 86400000000) AS BIGINT) AS sum_us_of_day, " +
+          "strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS min_ts, " +
+          "strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS max_ts, " +
+          "CAST(sum(len(props)) AS BIGINT) AS props_len, max(props) AS max_props FROM e) " +
+          "SELECT 'csv' AS fmt, * FROM a UNION ALL SELECT 'json', * FROM a ORDER BY fmt")))
 }

@@ -81,6 +81,23 @@ object StreamingOps {
         col("min_value"),
         col("max_value"))
 
+  /** Streaming exact deduplication with WATERMARK-BOUNDED state: the
+    * first occurrence of each key is emitted immediately, replays arriving
+    * within the watermark horizon are dropped, and each key's state
+    * expires once the watermark passes it — so on an unbounded 100 TB/day
+    * feed the dedup state holds only the horizon's keys, never history.
+    * (`dropDuplicatesWithinWatermark`, Spark's state-expiring dedup; a
+    * bare `dropDuplicates` in a stream grows state forever. The batch
+    * analog is [[graft.text.Dedup.exactGroups]] — same content-hash key.)
+    *
+    * `tsCol` must be the event-time column; keys recurring FARTHER apart
+    * than `watermarkDelay` re-emit by design (their state has expired) —
+    * exact global dedup over unbounded time is a batch job, not a stream.
+    */
+  def dedupExact(df: DataFrame, tsCol: String, keyCols: Seq[String], watermarkDelay: String): DataFrame =
+    df.withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** Gap-based sessionization with CUSTOM state — the
     * `flatMapGroupsWithState` surface (the windowed aggs above can't
     * express "session ends `gap` after the LAST event"): per user, events

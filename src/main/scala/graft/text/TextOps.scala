@@ -171,12 +171,40 @@ object TextOps {
 
   /** Order-sensitive rolling-hash document fingerprint over tokens:
     * `h = (h*31 + xxhash64(tok) mod p) mod p`. Deterministic, overflow-safe
-    * (max intermediate < p*31 + p << Long.Max). */
+    * (max intermediate < p*31 + p << Long.Max). The fast bulk variant:
+    * xxhash64 is a single codegen'd native hash per token. Not
+    * cross-engine portable (xxhash64 is Spark-specific) — use
+    * [[fingerprintPortable]] where an external system must recompute the
+    * same fingerprint. */
   def fingerprint(toks: Column): Column =
     aggregate(
       toks,
       lit(0L),
       (acc, t) => pmod(acc * lit(31L) + pmod(xxhash64(t), lit(FpMod)), lit(FpMod)))
+
+  /** Per-token Karp–Rabin polynomial hash over character codepoints:
+    * `a = (a*131 + codepoint) mod p`, init 7. Pure arithmetic on
+    * `ascii`/`substr` — any engine with the same fold reproduces it
+    * bit-for-bit (the DuckDB oracle does, via ord/list_reduce).
+    * Portability bound: BMP codepoints (Spark's `ascii` reads UTF-16
+    * units, so supplementary-plane chars hash as surrogates where `ord`
+    * sees the full codepoint) — fine for the ASCII fixture corpus; byte-
+    * level folds are the fix if that ever matters. */
+  def tokenHashPortable(tok: Column): Column =
+    aggregate(
+      sequence(lit(1), length(tok)),
+      lit(7L),
+      (a, i) => pmod(a * lit(131L) + ascii(tok.substr(i, lit(1))), lit(FpMod)))
+
+  /** Cross-engine-portable document fingerprint: the [[fingerprint]] token
+    * fold with [[tokenHashPortable]] in place of xxhash64. O(total chars)
+    * per document instead of O(tokens) — prefer [[fingerprint]] for bulk
+    * 100 TB fingerprinting, this one where verifiability matters. */
+  def fingerprintPortable(toks: Column): Column =
+    aggregate(
+      toks,
+      lit(0L),
+      (acc, t) => pmod(acc * lit(31L) + tokenHashPortable(t), lit(FpMod)))
 
   /** The 64 single-bit masks (1L << i); a literal array so per-bit tests
     * need no dynamic shifts (the Scala `shiftleft` only takes Int shifts). */

@@ -43,6 +43,29 @@ class SourceFormatSpec extends SparkSpec {
     assert(langCounts(back) == langCounts(docs))
   }
 
+  test("CSV + JSON round-trips preserve microsecond timestamps under an explicit timestampFormat") {
+    // the default millisecond timestampFormat would silently truncate the
+    // fixture's microsecond event times — this pins the format q29 relies on
+    val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    // Tables.t, not a raw parquet read: the fixture's ts is TIMESTAMP(NANOS),
+    // which the vectorized reader refuses — t() reads nanos-as-long and
+    // rebuilds a microsecond timestamp (the same shape q29 round-trips)
+    val ev = graft.Tables.t(spark, "/root/testdata/sf0.001", "events")
+      .select("event_id", "ts", "props")
+    def sig(df: org.apache.spark.sql.DataFrame): Seq[Any] =
+      df.agg(
+        sum(pmod(unix_micros(col("ts")), lit(86400000000L))),
+        sum(length(col("props")).cast("long")),
+        count(lit(1))).head.toSeq
+    val dir = java.nio.file.Files.createTempDirectory("srcrt").toString
+    ev.write.option("header", "true").option("timestampFormat", tsFmt).csv(s"$dir/csv")
+    ev.write.option("timestampFormat", tsFmt).json(s"$dir/json")
+    val csv = spark.read.schema(ev.schema).option("header", "true").option("timestampFormat", tsFmt).csv(s"$dir/csv")
+    val json = spark.read.schema(ev.schema).option("timestampFormat", tsFmt).json(s"$dir/json")
+    assert(sig(csv) == sig(ev))
+    assert(sig(json) == sig(ev))
+  }
+
   test("bucketed tables co-locate the join: no Exchange on either side") {
     // the 100 TB claim behind "bucketing for co-located joins": two fact
     // tables bucketed by the join key join WITHOUT shuffling — the scan

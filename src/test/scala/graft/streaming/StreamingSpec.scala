@@ -96,6 +96,29 @@ class StreamingSpec extends SparkSpec {
     spark.catalog.dropTempView("filewinstats")
   }
 
+  test("dedupExact drops within-watermark replays ACROSS micro-batches; state is keyed, not history") {
+    // batch 1 introduces keys a,b; batch 2 replays a (inside the watermark
+    // horizon, later event time) and introduces c — the replay must be
+    // dropped by carried state, the new key must pass
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedupstream").toString
+    def batch(rows: Seq[(Long, String)]) = rows
+      .map { case (sec, k) => (new java.sql.Timestamp(1700000000000L + sec * 1000L), k) }
+      .toDF("ts", "key")
+    batch(Seq((0L, "a"), (1L, "b"))).write.mode("overwrite").parquet(s"$dir/in")
+    val schema = batch(Seq((0L, "a"))).schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/in")
+    val out = StreamingOps.dedupExact(stream, "ts", Seq("key"), watermarkDelay = "1 hour")
+    val query = out.writeStream.format("memory").queryName("dedupstream").outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      batch(Seq((5L, "a"), (6L, "c"))).write.mode("append").parquet(s"$dir/in")
+      query.processAllAvailable()
+    } finally query.stop()
+    val keys = spark.table("dedupstream").select("key").collect().map(_.getString(0)).toSeq
+    assert(keys.sorted == Seq("a", "b", "c")) // exactly one "a": the replay was deduped
+    spark.catalog.dropTempView("dedupstream")
+  }
+
   private def sessTs(mins: Long) = new java.sql.Timestamp(1700000000000L + mins * 60000L)
   private def sessEv(uid: Long, mins: Long, eid: Long) =
     SessionEvent(uid, sessTs(mins), (1700000000000L + mins * 60000L) * 1000L, eid)

@@ -130,6 +130,17 @@ class TextSpec extends SparkSpec {
     assert(f("a b c") != f("c b a"))
   }
 
+  test("fingerprintPortable matches the hand-computed char fold and sees token boundaries") {
+    val f = (s: String) =>
+      df1(s).select(TextOps.fingerprintPortable(TextOps.tokens(col("text")))).head.getLong(0)
+    // "hi": a = 7 → 7·131 + 'h'(104) = 1021 → 1021·131 + 'i'(105) = 133856;
+    // doc fold: (0·31 + 133856) mod 1e9+7 = 133856
+    assert(f("hi") == 133856L)
+    assert(f("a b c") == f("a b c"))
+    assert(f("a b c") != f("c b a"))
+    assert(f("ab c") != f("a bc")) // same chars, different token boundaries
+  }
+
   test("simhash: identical texts collide; near texts are close, far texts far") {
     val df = Seq((1L, "w1 w2 w3 w4 w5 w6 w7 w8"), (2L, "w1 w2 w3 w4 w5 w6 w7 w8"),
       (3L, "w1 w2 w3 w4 w5 w6 w7 zz"), (4L, "q1 q2 q3 q4 q5 q6 q7 q8")).toDF("doc_id", "text")
