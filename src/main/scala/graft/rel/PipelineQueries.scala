@@ -515,6 +515,38 @@ object PipelineQueries {
       },
       None),
 
+    // Benchmark decontamination (the GPT-3/Pile 5-gram rule): docs 0–9
+    // play the benchmark; the training side is the rest of the corpus plus
+    // a PLANTED full copy of each benchmark doc under doc_id+500000, so a
+    // correct run must flag every planted copy with n_shared = the bench
+    // doc's whole shingle set, plus whatever natural 5-gram collisions the
+    // small-vocabulary corpus produces — DuckDB computes the identical
+    // pair set and overlap counts from first principles, so hash-green
+    // proves the broadcast semi-join missed nothing and invented nothing.
+    NamedQuery(
+      "d06_decontamination",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        val bench = docs.filter(col("doc_id") < 10)
+        val train = docs
+          .filter(col("doc_id") >= 10)
+          .unionByName(bench.select((col("doc_id") + 500000L).as("doc_id"), col("text")))
+        Dedup
+          .contaminatedDocs(train, bench, shingleN = 5)
+          .orderBy("doc_id", "bench_id")
+      },
+      Some(
+        "WITH tok AS (SELECT doc_id, list_distinct(list_transform(" +
+          "generate_series(1, greatest(len(w) - 4, 0)), " +
+          "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS sh " +
+          s"FROM (SELECT doc_id, $duckToks AS w FROM documents)), " +
+          "bench AS (SELECT doc_id AS bench_id, sh FROM tok WHERE doc_id < 10), " +
+          "train AS (SELECT doc_id, sh FROM tok WHERE doc_id >= 10 " +
+          "UNION ALL SELECT doc_id + 500000 AS doc_id, sh FROM tok WHERE doc_id < 10) " +
+          "SELECT t.doc_id, b.bench_id, CAST(len(list_intersect(t.sh, b.sh)) AS BIGINT) AS n_shared " +
+          "FROM train t, bench b WHERE len(list_intersect(t.sh, b.sh)) >= 1 " +
+          "ORDER BY doc_id, bench_id")),
+
     // =====================================================================
     // Text analysis (documents)
     // =====================================================================
@@ -957,6 +989,63 @@ object PipelineQueries {
       },
       None),
 
+    // Stream-stream interval join, hash-checked: click→purchase attribution
+    // per user within 30 minutes, both sides watermarked so the join state
+    // is horizon-bounded (the un-runnable-at-scale alternative — an
+    // unwatermarked stream join — buffers both streams forever). The feed
+    // is the events fixture staged through a parquet FILE source; the
+    // DuckDB oracle computes the identical pair set with a plain batch
+    // self-join on microsecond arithmetic (`epoch_us` truncates the
+    // fixture's nanos exactly like the `ts div 1000` read path), so
+    // hash-green proves the streaming join emitted every qualifying pair
+    // exactly once — no duplicates, no watermark-dropped matches.
+    NamedQuery(
+      "s05_stream_interval_join",
+      (s, dir) => {
+        val ev = t(s, dir, "events").select("event_id", "user_id", "event_type", "ts")
+        val tmp = java.nio.file.Files.createTempDirectory("s05_events_")
+        val qname = s"s05_sink_${streamSinkCounter.incrementAndGet()}"
+        val (rows, schema) = try {
+          val inDir = s"$tmp/in"
+          ev.write.mode("overwrite").parquet(inDir)
+          val src = s.readStream.schema(ev.schema).parquet(inDir)
+          val clicks = src
+            .filter(col("event_type") === "click")
+            .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+          val purchases = src
+            .filter(col("event_type") === "purchase")
+            .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+          val joined = graft.streaming.StreamingOps.intervalJoin(
+            clicks, purchases, "user_id", "click_ts", "purchase_ts",
+            watermarkDelay = "1 hour", maxLag = "30 MINUTES")
+          val query = joined.writeStream.format("memory").queryName(qname).outputMode("append").start()
+          // inner-join matches emit as soon as both sides arrive — no
+          // sentinel needed
+          try query.processAllAvailable()
+          finally query.stop()
+          val shaped = s.table(qname)
+            .select(
+              col("user_id"),
+              col("click_id"),
+              col("purchase_id"),
+              (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts"))).as("lag_us"))
+            .orderBy("click_id", "purchase_id")
+          (shaped.collect().toSeq, shaped.schema)
+        } finally {
+          try s.catalog.dropTempView(qname)
+          catch { case _: Exception => () }
+          deleteRecursively(tmp)
+        }
+        s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
+      },
+      Some(
+        "SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id, " +
+          "epoch_us(p.ts) - epoch_us(c.ts) AS lag_us " +
+          "FROM events c JOIN events p ON c.user_id = p.user_id " +
+          "AND c.event_type = 'click' AND p.event_type = 'purchase' " +
+          "AND epoch_us(p.ts) - epoch_us(c.ts) BETWEEN 0 AND 1800000000 " +
+          "ORDER BY click_id, purchase_id")),
+
     // =====================================================================
     // Multimodal (binary-column plumbing; decode is a documented stub)
     // =====================================================================
@@ -1154,6 +1243,50 @@ object PipelineQueries {
           "round(CAST(CAST(wt / sum(wt) OVER () AS REAL) AS DOUBLE), 6) + 0.0 AS share, " +
           "CAST(floor(CAST(CAST(wt / sum(wt) OVER () AS REAL) AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS target_rows " +
           "FROM w ORDER BY lang")),
+
+    // Sequence packing (concat-then-chunk, budget 512): every document's
+    // global token offset and the training-sequence interval it lands in.
+    // The operator computes the prefix sum with the two-level scheme
+    // (range shuffle + per-partition subtotals + broadcast bases — never a
+    // single-task global window); the oracle states the same answer with
+    // the naive global window, which is exactly the point: hash-green
+    // proves the distributed scan equals the sequential definition.
+    NamedQuery(
+      "p04_pack_sequences",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), size(TextOps.tokens(col("text"))).as("n_tokens"))
+        Packing.packSequences(docs, "doc_id", "n_tokens", budget = 512L).orderBy("doc_id")
+      },
+      Some(
+        s"WITH tk AS (SELECT doc_id, len($duckToks) AS n FROM documents), " +
+          "c AS (SELECT doc_id, CAST(n AS BIGINT) AS n, " +
+          // sum() over BIGINT yields HUGEINT in DuckDB — squeeze back
+          "CAST(sum(CAST(n AS BIGINT)) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n AS BIGINT) AS s " +
+          "FROM tk WHERE n > 0) " +
+          "SELECT doc_id, n AS n_tokens, s AS start_offset, " +
+          "CAST(s // 512 AS BIGINT) AS seq_first, CAST((s + n - 1) // 512 AS BIGINT) AS seq_last " +
+          "FROM c ORDER BY doc_id")),
+
+    // Deterministic hash split (90/5/5): membership is a pure function of
+    // doc_id (Knuth priority mod 100), so DuckDB reproduces the exact
+    // assignment — hash-green proves the split carries zero RNG state and
+    // survives any engine/partitioning. Summarized per (lang, split) with
+    // an id-sum so a single swapped doc flips the hash.
+    NamedQuery(
+      "p05_hash_split",
+      (s, dir) => {
+        Sampling
+          .hashSplit(t(s, dir, "documents").select("doc_id", "lang"), "doc_id", 90, 5)
+          .groupBy("lang", "split")
+          .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"))
+          .orderBy("lang", "split")
+      },
+      Some(
+        "SELECT lang, CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split, " +
+          "count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids " +
+          "FROM (SELECT doc_id, lang, (doc_id * 2654435761) % 4294967296 % 100 AS b FROM documents) " +
+          "GROUP BY 1, 2 ORDER BY lang, split")),
 
     // Dedup-cluster closure: connectedComponents over CHAIN pairs — each
     // doc x < 150 links to x+100000 which links to x+200000, but x and

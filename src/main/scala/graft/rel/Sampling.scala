@@ -36,6 +36,25 @@ object Sampling {
       .drop("_rn")
   }
 
+  /** Deterministic train/val/test assignment: bucket = hash-priority of the
+    * id mod 100, split by percentage ranges. The standard corpus-split rule
+    * for training pipelines — membership is a pure function of the id, so
+    * the split is stable across reruns, engines, partitionings, and corpus
+    * growth (new docs never move old docs between splits, unlike any
+    * `randomSplit`/sample approach). Zero shuffles — one projection.
+    */
+  def hashSplit(df: DataFrame, idCol: String, trainPct: Int, valPct: Int): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
+      s"need 0 < trainPct and trainPct+valPct < 100, got $trainPct/$valPct")
+    require(!df.columns.contains("split"), "input must not already carry a split column")
+    val bucket = pmod(priority(col(idCol)), lit(100L))
+    df.withColumn(
+      "split",
+      when(bucket < trainPct, lit("train"))
+        .when(bucket < trainPct + valPct, lit("val"))
+        .otherwise(lit("test")))
+  }
+
   /** Per-group mixture targets under temperature `alpha`: weight
     * `n_g^alpha` normalized over groups, scaled to `total` rows. Pure
     * metadata output (one row per group) — the aggregate is map-side

@@ -98,6 +98,39 @@ object StreamingOps {
     df.withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Watermarked stream-stream interval join: match each left row to the
+    * right rows with the same `key` whose event time falls in
+    * `[leftTs, leftTs + maxLag]` — the click→purchase attribution shape.
+    * Inner matches are emitted as soon as both sides arrive; the
+    * watermarks plus the two-sided time-range condition are what make the
+    * operator RUN UNBOUNDED: Spark derives each side's state-eviction
+    * bound from them (a left row can be dropped once the right watermark
+    * passes `leftTs + maxLag`, and vice versa), so buffered state holds
+    * only the lag horizon, never stream history. A stream-stream join
+    * without both ingredients buffers forever — that is the 100 TB/day
+    * failure mode this signature forecloses.
+    *
+    * The two inputs must have disjoint column names apart from `key`
+    * (pre-alias them, as any self-join requires).
+    */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTsCol: String,
+      rightTsCol: String,
+      watermarkDelay: String,
+      maxLag: String): DataFrame = {
+    val l = left.withWatermark(leftTsCol, watermarkDelay).alias("l")
+    val r = right.withWatermark(rightTsCol, watermarkDelay).alias("r")
+    l.join(
+        r,
+        col(s"l.$key") === col(s"r.$key") &&
+          col(rightTsCol) >= col(leftTsCol) &&
+          col(rightTsCol) <= col(leftTsCol) + expr(s"INTERVAL $maxLag"))
+      .drop(col(s"r.$key"))
+  }
+
   /** Gap-based sessionization with CUSTOM state — the
     * `flatMapGroupsWithState` surface (the windowed aggs above can't
     * express "session ends `gap` after the LAST event"): per user, events

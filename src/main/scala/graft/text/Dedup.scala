@@ -176,6 +176,31 @@ object Dedup {
       .select("block", "doc_a", "doc_b", "jaccard")
   }
 
+  /** Benchmark decontamination (the GPT-3/Pile n-gram rule): flag every
+    * training document sharing at least one distinct `shingleN`-token
+    * shingle with any benchmark document, with the overlap size per
+    * (train, bench) pair. The benchmark set is orders of magnitude smaller
+    * than the corpus, so its exploded shingle rows are BROADCAST; the
+    * corpus's shingle rows stream past that build side map-locally and
+    * only the matches — a tiny fraction at corpus scale — reach the
+    * pair-count shuffle. The corpus itself is never shuffled, never
+    * self-joined, never compared pairwise.
+    *
+    * Inputs both carry `(doc_id, text)`; bench ids are reported as
+    * `bench_id`. Output: `(doc_id, bench_id, n_shared)` with
+    * `n_shared = |distinct shared shingles|`.
+    */
+  def contaminatedDocs(train: DataFrame, bench: DataFrame, shingleN: Int): DataFrame = {
+    val trainSh = TextOps.shingleRows(train.select("doc_id", "text"), shingleN, distinctSet = true)
+    val benchSh = TextOps
+      .shingleRows(bench.select("doc_id", "text"), shingleN, distinctSet = true)
+      .withColumnRenamed("doc_id", "bench_id")
+    trainSh
+      .join(broadcast(benchSh), "s")
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Sparse (inverted-index) form of the blocked n-gram Jaccard join: the
     * shingle sets are EXPLODED and pairs meet through an equality join on
     * `(block, shingle)` — a pair's join-match count IS |A∩B|, and

@@ -67,6 +67,30 @@ class SamplingRangeSpec extends SparkSpec {
     def toSorted: Seq[T] = a.toSeq.sorted
   }
 
+  test("hashSplit: complete, near-90/5/5, pure function of the id, guard-railed") {
+    val df = (0L until 10000L).toDF("id")
+    val got = Sampling.hashSplit(df, "id", 90, 5)
+    val counts = got.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.values.sum == 10000L)
+    assert(counts("train") > 8600L && counts("train") < 9400L, counts.toString)
+    assert(counts("val") > 250L && counts("val") < 750L, counts.toString)
+    assert(counts("test") > 250L && counts("test") < 750L, counts.toString)
+    // assignment is exactly the documented bucket rule, row by row
+    val bucket = pmod(col("id") * lit(2654435761L), lit(4294967296L)) % 100
+    val mismatches = got
+      .filter(
+        (bucket < 90 && col("split") =!= "train") ||
+          (bucket >= 90 && bucket < 95 && col("split") =!= "val") ||
+          (bucket >= 95 && col("split") =!= "test"))
+      .count()
+    assert(mismatches == 0L)
+    // repartitioning cannot move a doc between splits
+    val again = Sampling.hashSplit(df.repartition(7), "id", 90, 5)
+    assert(again.orderBy("id").collect().toSeq == got.orderBy("id").collect().toSeq)
+    intercept[IllegalArgumentException](Sampling.hashSplit(df, "id", 95, 5))
+    intercept[IllegalArgumentException](Sampling.hashSplit(got, "id", 90, 5)) // split col collision
+  }
+
   test("pointInInterval with keys only matches same-key pairs; plans an equi-join, not a nested loop") {
     val points = Seq((1L, 5L, "u1"), (2L, 5L, "u2")).toDF("pid", "ts", "u")
     val ivals = Seq((10L, 0L, 10L, "u1")).toDF("iid", "s", "e", "iu")

@@ -96,6 +96,35 @@ class StreamingSpec extends SparkSpec {
     spark.catalog.dropTempView("filewinstats")
   }
 
+  test("intervalJoin matches the interval rule, including matches ACROSS micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+    val clicks = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val purchases = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val joined = StreamingOps.intervalJoin(
+      clicks.toDF().toDF("user_id", "click_id", "click_ts"),
+      purchases.toDF().toDF("user_id", "purchase_id", "purchase_ts"),
+      "user_id", "click_ts", "purchase_ts",
+      watermarkDelay = "10 minutes", maxLag = "30 MINUTES")
+    val query = joined.writeStream.format("memory").queryName("ivj").outputMode("append").start()
+    try {
+      clicks.addData((1L, 100L, ts(0)), (1L, 101L, ts(50)), (2L, 102L, ts(5)))
+      purchases.addData((1L, 200L, ts(20)), (2L, 201L, ts(40)), (1L, 202L, ts(60)))
+      query.processAllAvailable()
+      // a buffered click must still match a purchase arriving in a LATER batch
+      purchases.addData((1L, 203L, ts(75)))
+      query.processAllAvailable()
+      val got = spark.table("ivj").select("click_id", "purchase_id").as[(Long, Long)].collect().toSet
+      // 100@0 → 200@20 (lag 20 ≤ 30) but NOT 202@60; 101@50 → 202@60 and
+      // 203@75 (cross-batch); 102@5 (user 2) ↛ 201@40 (lag 35 > 30);
+      // user mismatch never joins
+      assert(got == Set((100L, 200L), (101L, 202L), (101L, 203L)))
+    } finally {
+      query.stop()
+      spark.catalog.dropTempView("ivj")
+    }
+  }
+
   test("dedupExact drops within-watermark replays ACROSS micro-batches; state is keyed, not history") {
     // batch 1 introduces keys a,b; batch 2 replays a (inside the watermark
     // horizon, later event time) and introduces c — the replay must be

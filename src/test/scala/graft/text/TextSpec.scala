@@ -263,6 +263,21 @@ class TextSpec extends SparkSpec {
     assert(pairs(0) == ((1L, 2L, 0.5))) // |{abc,bcd}| / |{abc,bcd,cde,cdx}| = 2/4
   }
 
+  test("contaminatedDocs flags shared 5-grams with exact overlap counts; disjoint docs absent") {
+    val bench = Seq((1L, "alpha beta gamma delta epsilon zeta eta")).toDF("doc_id", "text")
+    val train = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta"), // full copy → all 3 distinct 5-grams
+      (11L, "x alpha beta gamma delta epsilon y"), // exactly one shared 5-gram
+      (12L, "totally different words here with no overlap at all")).toDF("doc_id", "text")
+    val got = Dedup
+      .contaminatedDocs(train, bench, shingleN = 5)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long)]
+      .collect()
+      .toSeq
+    assert(got == Seq((10L, 1L, 3L), (11L, 1L, 1L)))
+  }
+
   test("cosineLshPairs recovers a planted near-identical vector pair") {
     val v = (0 until 64).map(i => math.sin(i + 1).toFloat)
     val v2 = v.map(x => x * 1.001f)
