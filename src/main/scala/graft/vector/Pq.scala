@@ -1,0 +1,165 @@
+package graft.vector
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Trained product-quantization model: `codebooks(j)(c)` is codeword `c`
+  * of subspace `j`, each of length `dim / m`. With `k ≤ 256` a vector
+  * compresses to `m` bytes of codes (32× for the fixture's 64-d float32
+  * vectors at m=8) — the memory story that lets a 100 TB vector corpus be
+  * scanned from RAM instead of disk. */
+final case class PqModel(dim: Int, m: Int, k: Int, codebooks: Array[Array[Array[Float]]]) {
+  def subLen: Int = dim / m
+}
+
+/** [engine-added] Product quantization for vector compression + ADC
+  * search (Jégou, Douze & Schmid, "Product Quantization for Nearest
+  * Neighbor Search", TPAMI 2011 — the standard public method; the
+  * reference stores full float32 vectors only, quake_min.py:83-85).
+  *
+  * Split each d-dim vector into `m` slices; per slice, vector-quantize
+  * into a `k`-word codebook trained with the SAME deterministic Lloyd's
+  * core the IVF build uses ([[KMeans.lloydLocal]] — seeded hash pool,
+  * first-minimum assignment), on a bounded hash-priority sample (codebook
+  * training is a sample statistic; the standard practice at corpus scale).
+  * Search is asymmetric distance computation (ADC): per query ONE exact
+  * `m×k` subspace-distance table, then every candidate's approximate d²
+  * is `m` table adds over its `m` code bytes — instead of `d` mul-subs
+  * over `4d` bytes of float32.
+  *
+  * Scale shape: train = one bounded `TakeOrderedAndProject` sample +
+  * driver Lloyd's on metadata-sized rows; encode = one map-only pass
+  * (codebooks broadcast); search = map-side LUT scan + the bounded-heap
+  * [[TopK]] aggregator — no shuffle wider than k rows per query per
+  * partition, same as the exact scan path.
+  */
+object Pq {
+
+  /** Nearest codeword of `v[off, off+subLen)` — first-minimum rule,
+    * primitive loop, no slice allocation. */
+  private def nearestSlice(cb: Array[Array[Float]], v: Array[Float], off: Int): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cb.length) {
+      val w = cb(c)
+      var d = 0.0
+      var i = 0
+      while (i < w.length) { val t = v(off + i).toDouble - w(i); d += t * t; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Train per-subspace codebooks on a deterministic bounded sample
+    * (hash-priority order — same portable-sample idea as the corpus
+    * sampling operators, so retrains see the same rows). */
+  def train(
+      emb: DataFrame,
+      dim: Int,
+      m: Int,
+      k: Int,
+      iters: Int,
+      seed: Long,
+      maxSample: Int = 65536): PqModel = {
+    require(dim % m == 0, s"dim=$dim must split evenly into m=$m subspaces")
+    require(k >= 1 && k <= 256, s"codes are byte-sized: need 1 <= k <= 256, got $k")
+    val s = emb.sparkSession
+    import s.implicits._
+    val sample: Array[(Long, Array[Float])] = emb
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .orderBy(xxhash64(col("vec_id"), lit(seed)), col("vec_id"))
+      .limit(maxSample)
+      .as[(Long, Array[Float])]
+      .collect()
+    require(sample.nonEmpty, "cannot train PQ on an empty collection")
+    val subLen = dim / m
+    val rows: Array[(Long, Long, Array[Float])] = sample.flatMap { case (id, v) =>
+      require(v.length == dim, s"vector $id has dim ${v.length}, expected $dim")
+      (0 until m).map { j =>
+        (j.toLong, id, java.util.Arrays.copyOfRange(v, j * subLen, (j + 1) * subLen))
+      }
+    }
+    val kFor = (0 until m).map(j => j.toLong -> k).toMap
+    val (_, cents) = KMeans.lloydLocal(rows, kFor, iters, seed)
+    PqModel(dim, m, k, (0 until m).map(j => cents(j.toLong)).toArray)
+  }
+
+  /** Map-only encode: `(vec_id, codes array<int>)`, codebooks broadcast. */
+  def encode(emb: DataFrame, model: PqModel): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val b = s.sparkContext.broadcast(model)
+    emb
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val mdl = b.value
+        val subLen = mdl.subLen
+        it.map { case (id, v) =>
+          val codes = new Array[Int](mdl.m)
+          var j = 0
+          while (j < mdl.m) { codes(j) = nearestSlice(mdl.codebooks(j), v, j * subLen); j += 1 }
+          (id, codes.toSeq)
+        }
+      }
+      .toDF("vec_id", "codes")
+  }
+
+  /** ADC top-k over an encoded collection for a bounded query batch
+    * `(query_id, qvec)` (collected + broadcast, like every search entry
+    * point). Output `(query_id, rank, vec_id, dist2)` where `dist2` is the
+    * ADC approximation of squared L2. */
+  def adcTopK(codes: DataFrame, model: PqModel, queries: DataFrame, k: Int): DataFrame = {
+    val s = codes.sparkSession
+    import s.implicits._
+    val q: Array[(Long, Array[Float])] = queries
+      .select(col("query_id").cast("long"), col("qvec"))
+      .as[(Long, Array[Float])]
+      .collect()
+    val bm = s.sparkContext.broadcast(model)
+    val bq = s.sparkContext.broadcast(q)
+    val cands = codes
+      .select(col("vec_id").cast("long"), col("codes"))
+      .as[(Long, Seq[Int])]
+      .mapPartitions { it =>
+        val mdl = bm.value
+        val qs = bq.value
+        val subLen = mdl.subLen
+        val stride = mdl.k
+        // one exact m×k subspace-distance table per query, built once per
+        // partition — every candidate after that costs m adds per query
+        val luts: Array[Array[Double]] = qs.map { case (_, qv) =>
+          val lut = new Array[Double](mdl.m * stride)
+          var j = 0
+          while (j < mdl.m) {
+            val cb = mdl.codebooks(j)
+            var c = 0
+            while (c < cb.length) {
+              val w = cb(c)
+              var d = 0.0
+              var i = 0
+              while (i < w.length) { val t = qv(j * subLen + i).toDouble - w(i); d += t * t; i += 1 }
+              lut(j * stride + c) = d
+              c += 1
+            }
+            j += 1
+          }
+          lut
+        }
+        it.flatMap { case (id, cs) =>
+          val arr = cs.toArray
+          qs.indices.iterator.map { qi =>
+            val lut = luts(qi)
+            var d = 0.0
+            var j = 0
+            while (j < arr.length) { d += lut(j * stride + arr(j)); j += 1 }
+            (qs(qi)._1, d, id)
+          }
+        }
+      }
+      .toDF("query_id", "dist2", "vec_id")
+    TopK.perQuery(cands, k)
+  }
+}

@@ -73,6 +73,19 @@ class PlanAuditSpec extends SparkSpec {
     } finally graft.CacheScope.clear()
   }
 
+  test("decontamination broadcasts the benchmark shingles — the corpus side never shuffles to join") {
+    import graft.text.Dedup
+    import spark.implicits._
+    val bench = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")
+    val train = (10L to 40L).map(i => (i, (1 to 20).map(j => s"w${(i + j) % 13}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val plan = Dedup.contaminatedDocs(train, bench, 5).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark side is not broadcast — the corpus shingles would shuffle:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"decontamination fell back to a sort-merge join:\n$plan")
+  }
+
   test("LSH band joins ship narrow keys — wide columns rejoin after pair dedup") {
     import graft.text.Dedup
     import spark.implicits._

@@ -1,0 +1,89 @@
+package graft.vector
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("encode + ADC are EXACT when vectors are codeword concatenations") {
+    // dim=8, m=4 subspaces of 2; three known codewords per subspace — no
+    // training involved, so this isolates the encode/LUT/scan plumbing
+    val cb: Array[Array[Array[Float]]] = Array.tabulate(4, 3) { (j, c) =>
+      Array((j + 1).toFloat * (c + 1), -(c + 1).toFloat)
+    }
+    val model = PqModel(dim = 8, m = 4, k = 3, codebooks = cb)
+    def build(codes: Seq[Int]): Seq[Float] =
+      codes.zipWithIndex.flatMap { case (c, j) => cb(j)(c).toSeq }
+    val plan = Seq(
+      1L -> Seq(0, 1, 2, 0),
+      2L -> Seq(2, 2, 2, 2),
+      3L -> Seq(1, 0, 1, 0))
+    val emb = plan.map { case (id, cs) => (id, build(cs)) }.toDF("vec_id", "embedding")
+
+    val codes = Pq.encode(emb, model).as[(Long, Seq[Int])].collect().toMap
+    assert(plan.forall { case (id, cs) => codes(id) == cs })
+
+    // an off-codebook query: ADC distance must equal the true squared L2
+    // because every vector sits exactly on its codewords
+    val qv = (1 to 8).map(i => 0.1f * i + 0.3f)
+    val queries = Seq((100L, qv)).toDF("query_id", "qvec")
+    val got = Pq
+      .adcTopK(Pq.encode(emb, model), model, queries, k = 3)
+      .select("rank", "vec_id", "dist2")
+      .as[(Int, Long, Double)]
+      .collect()
+      .toSeq
+      .sortBy(_._1)
+    def l2(a: Seq[Float], b: Seq[Float]) =
+      a.zip(b).map { case (x, y) => (x.toDouble - y) * (x.toDouble - y) }.sum
+    val want = plan
+      .map { case (id, cs) => (id, l2(build(cs), qv)) }
+      .sortBy(t => (t._2, t._1))
+      .zipWithIndex
+      .map { case ((id, d), i) => (i + 1, id, d) }
+    assert(got.map(_._2) == want.map(_._2))
+    got.zip(want).foreach { case ((_, _, gd), (_, _, wd)) => assert(math.abs(gd - wd) < 1e-9) }
+  }
+
+  test("train is deterministic; guards reject bad dims and oversized k") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    def flat(m: PqModel): Seq[Float] = m.codebooks.flatten.flatten.toSeq
+    val a = Pq.train(emb, dim = 64, m = 8, k = 4, iters = 4, seed = 7L)
+    val b = Pq.train(emb, dim = 64, m = 8, k = 4, iters = 4, seed = 7L)
+    assert(flat(a) == flat(b))
+    intercept[IllegalArgumentException](Pq.train(emb, dim = 64, m = 7, k = 4, iters = 1, seed = 1L))
+    intercept[IllegalArgumentException](Pq.train(emb, dim = 64, m = 8, k = 300, iters = 1, seed = 1L))
+  }
+
+  test("ADC recall on clustered data clears the bar (compression keeps the neighborhood)") {
+    // 20 tight Gaussian-ish clusters in 16-d: the regime PQ is built for.
+    // Deterministic pseudo-random points from hashed ids.
+    def h(x: Long): Double = {
+      val z = x * 2654435761L % 1000003L
+      (z.toDouble / 1000003.0) - 0.5
+    }
+    val pts = (0L until 400L).map { i =>
+      val cl = (i % 20L).toInt
+      val v = (0 until 16).map { d =>
+        val center = 10.0 * h(cl * 31L + d)
+        (center + 0.05 * h(i * 131L + d * 7L)).toFloat
+      }
+      (i, v)
+    }
+    val emb = pts.toDF("vec_id", "embedding").repartition(4)
+    val model = Pq.train(emb, dim = 16, m = 4, k = 32, iters = 8, seed = 11L)
+    val codes = Pq.encode(emb, model)
+    val qs = pts.take(25).map { case (id, v) => (id, v) }.toDF("query_id", "qvec")
+    val approx = Pq.adcTopK(codes, model, qs, k = 10)
+    val exact = graft.index.KnnJoin.exact(qs, emb, 10)
+    val recall = graft.index.IvfSearch
+      .recallAtK(approx, exact, 10, qs)
+      .agg(avg("recall"))
+      .head()
+      .getDouble(0)
+    assert(recall >= 0.8, s"PQ recall@10 on clustered data = $recall")
+  }
+}
