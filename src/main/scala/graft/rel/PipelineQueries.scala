@@ -793,6 +793,32 @@ object PipelineQueries {
       },
       None),
 
+    // IVF + PQ composed — the 100 TB flagship shape: the APS probe set
+    // prunes which partitions are read at all, and ADC byte codes replace
+    // the float vectors inside those partitions, so the scan cost drops
+    // on BOTH axes (partitions visited × bytes per vector). The probe set
+    // is broadcast against the codes table exactly like the float gather
+    // join (no shuffle of the corpus); recall is reported against the
+    // exact scan. Index + codebook state → rows-only; PqSpec pins the
+    // full-probe ≡ plain-ADC identity and the pruning behavior.
+    NamedQuery(
+      "v13_ivf_pq_search",
+      (s, dir) => {
+        val model = indexFor(s, dir)
+        val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+        val pq = Pq.train(emb, model.dim, m = 16, k = 16, iters = 10, seed = 7L)
+        val codes = Pq.encodeWithPartition(model.vectors, pq)
+        val qs = embQueries(s, dir, 20)
+        val probes = IvfSearch.chooseProbes(model, qs, IvfSearch.Params(k = 10))
+        val approx = Pq.ivfAdcTopK(codes, pq, probes.select("query_id", "partition_id"), qs, k = 10)
+        val exact = graft.index.KnnJoin.exact(qs, emb, 10)
+        IvfSearch
+          .recallAtK(approx, exact, 10, qs)
+          .agg(count(lit(1)).as("n_queries"), round(avg("recall"), 4).as("mean_recall"))
+          .withColumn("bytes_per_vec", lit(16))
+      },
+      None),
+
     // =====================================================================
     // Structured Streaming (driver-visible)
     // =====================================================================

@@ -107,6 +107,51 @@ object Pq {
       .toDF("vec_id", "codes")
   }
 
+  /** [[encode]] over an index's vectors table, carrying `partition_id`
+    * through so the codes stay joinable against an APS probe set. */
+  def encodeWithPartition(vectors: DataFrame, model: PqModel): DataFrame = {
+    val s = vectors.sparkSession
+    import s.implicits._
+    val b = s.sparkContext.broadcast(model)
+    vectors
+      .select(col("partition_id").cast("long"), col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Long, Array[Float])]
+      .mapPartitions { it =>
+        val mdl = b.value
+        val subLen = mdl.subLen
+        it.map { case (pid, id, v) =>
+          val codes = new Array[Int](mdl.m)
+          var j = 0
+          while (j < mdl.m) { codes(j) = nearestSlice(mdl.codebooks(j), v, j * subLen); j += 1 }
+          (pid, id, codes.toSeq)
+        }
+      }
+      .toDF("partition_id", "vec_id", "codes")
+  }
+
+  /** One exact m×k subspace-distance table for query `qv`, flat-indexed
+    * `j * model.k + c`. */
+  private def lutFor(mdl: PqModel, qv: Array[Float]): Array[Double] = {
+    val subLen = mdl.subLen
+    val stride = mdl.k
+    val lut = new Array[Double](mdl.m * stride)
+    var j = 0
+    while (j < mdl.m) {
+      val cb = mdl.codebooks(j)
+      var c = 0
+      while (c < cb.length) {
+        val w = cb(c)
+        var d = 0.0
+        var i = 0
+        while (i < w.length) { val t = qv(j * subLen + i).toDouble - w(i); d += t * t; i += 1 }
+        lut(j * stride + c) = d
+        c += 1
+      }
+      j += 1
+    }
+    lut
+  }
+
   /** ADC top-k over an encoded collection for a bounded query batch
     * `(query_id, qvec)` (collected + broadcast, like every search entry
     * point). Output `(query_id, rank, vec_id, dist2)` where `dist2` is the
@@ -126,28 +171,10 @@ object Pq {
       .mapPartitions { it =>
         val mdl = bm.value
         val qs = bq.value
-        val subLen = mdl.subLen
         val stride = mdl.k
-        // one exact m×k subspace-distance table per query, built once per
-        // partition — every candidate after that costs m adds per query
-        val luts: Array[Array[Double]] = qs.map { case (_, qv) =>
-          val lut = new Array[Double](mdl.m * stride)
-          var j = 0
-          while (j < mdl.m) {
-            val cb = mdl.codebooks(j)
-            var c = 0
-            while (c < cb.length) {
-              val w = cb(c)
-              var d = 0.0
-              var i = 0
-              while (i < w.length) { val t = qv(j * subLen + i).toDouble - w(i); d += t * t; i += 1 }
-              lut(j * stride + c) = d
-              c += 1
-            }
-            j += 1
-          }
-          lut
-        }
+        // tables built once per partition — every candidate after that
+        // costs m adds per query
+        val luts: Array[Array[Double]] = qs.map(q => lutFor(mdl, q._2))
         it.flatMap { case (id, cs) =>
           val arr = cs.toArray
           qs.indices.iterator.map { qi =>
@@ -157,6 +184,53 @@ object Pq {
             while (j < arr.length) { d += lut(j * stride + arr(j)); j += 1 }
             (qs(qi)._1, d, id)
           }
+        }
+      }
+      .toDF("query_id", "dist2", "vec_id")
+    TopK.perQuery(cands, k)
+  }
+
+  /** IVF + PQ — the composed 100 TB flagship: the APS probe set prunes the
+    * scan to the partitions worth reading, and ADC makes what remains a
+    * lookup-table pass over byte codes instead of float vectors. `codes`
+    * must carry `(partition_id, vec_id, codes)` (encode the index's
+    * vectors table once, keeping its `partition_id`); `probes` is the
+    * `(query_id, partition_id)` probe set from `IvfSearch.chooseProbes` —
+    * broadcast, so the codes table is joined in place, never shuffled
+    * (the same plan shape as the float gather join, audited in
+    * PlanAuditSpec for that path). Each candidate row computes ONLY its
+    * probing queries' distances — work is O(scanned codes · probing
+    * queries), mirroring quake_min.py:151-163 in the compressed domain. */
+  def ivfAdcTopK(
+      codes: DataFrame,
+      model: PqModel,
+      probes: DataFrame,
+      queries: DataFrame,
+      k: Int): DataFrame = {
+    val s = codes.sparkSession
+    import s.implicits._
+    val q: Array[(Long, Array[Float])] = queries
+      .select(col("query_id").cast("long"), col("qvec"))
+      .as[(Long, Array[Float])]
+      .collect()
+    val bm = s.sparkContext.broadcast(model)
+    val bq = s.sparkContext.broadcast(q)
+    val cands = codes
+      .join(broadcast(probes.select(col("query_id").cast("long"), col("partition_id"))), Seq("partition_id"))
+      .select(col("query_id"), col("vec_id").cast("long"), col("codes"))
+      .as[(Long, Long, Seq[Int])]
+      .mapPartitions { it =>
+        val mdl = bm.value
+        val stride = mdl.k
+        val luts: Map[Long, Array[Double]] =
+          bq.value.map { case (qid, qv) => qid -> lutFor(mdl, qv) }.toMap
+        it.map { case (qid, vid, cs) =>
+          val lut = luts(qid)
+          val arr = cs.toArray
+          var d = 0.0
+          var j = 0
+          while (j < arr.length) { d += lut(j * stride + arr(j)); j += 1 }
+          (qid, d, vid)
         }
       }
       .toDF("query_id", "dist2", "vec_id")

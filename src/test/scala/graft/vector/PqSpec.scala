@@ -58,6 +58,35 @@ class PqSpec extends SparkSpec {
     intercept[IllegalArgumentException](Pq.train(emb, dim = 64, m = 8, k = 300, iters = 1, seed = 1L))
   }
 
+  test("ivfAdcTopK with a full probe set equals plain ADC; a pruned probe set prunes") {
+    val cb: Array[Array[Array[Float]]] = Array.tabulate(4, 3) { (j, c) =>
+      Array((j + 1).toFloat * (c + 1), -(c + 1).toFloat)
+    }
+    val model = PqModel(dim = 8, m = 4, k = 3, codebooks = cb)
+    def build(codes: Seq[Int]): Seq[Float] =
+      codes.zipWithIndex.flatMap { case (c, j) => cb(j)(c).toSeq }
+    val emb = Seq(
+      (1L, build(Seq(0, 1, 2, 0))),
+      (2L, build(Seq(2, 2, 2, 2))),
+      (3L, build(Seq(1, 0, 1, 0)))).toDF("vec_id", "embedding")
+    // vectors 1,2 live in partition 100; vector 3 in partition 200
+    val vectors = emb.withColumn("partition_id", when(col("vec_id") < 3, 100L).otherwise(200L))
+    val codes = Pq.encodeWithPartition(vectors, model)
+    val qv = (1 to 8).map(i => 0.2f * i)
+    val queries = Seq((50L, qv)).toDF("query_id", "qvec")
+
+    val fullProbes = Seq((50L, 100L), (50L, 200L)).toDF("query_id", "partition_id")
+    val full = Pq.ivfAdcTopK(codes, model, fullProbes, queries, k = 3)
+      .select("rank", "vec_id", "dist2").as[(Int, Long, Double)].collect().toSeq
+    val plain = Pq.adcTopK(Pq.encode(emb, model), model, queries, k = 3)
+      .select("rank", "vec_id", "dist2").as[(Int, Long, Double)].collect().toSeq
+    assert(full.sortBy(_._1) == plain.sortBy(_._1))
+
+    val pruned = Pq.ivfAdcTopK(codes, model, Seq((50L, 200L)).toDF("query_id", "partition_id"), queries, k = 3)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(pruned == Seq(3L)) // only the probed partition's vector is scanned
+  }
+
   test("ADC recall on clustered data clears the bar (compression keeps the neighborhood)") {
     // 20 tight Gaussian-ish clusters in 16-d: the regime PQ is built for.
     // Deterministic pseudo-random points from hashed ids.
