@@ -61,6 +61,20 @@ object PipelineQueries {
       .filter(col("vec_id") < n)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
 
+  /** Stateful streaming plans fix their shuffle/state-store partition
+    * count at query start; at fixture scale a 32-way state store per
+    * stateful operator is pure init overhead (s05's two-sided join paid
+    * ~5 s of it). Scope the streaming run to a small count and restore
+    * the session's setting after — the VALUES are partitioning-invariant,
+    * only the constant factor changes; at corpus scale callers size this
+    * to the cluster like any shuffle. */
+  private def withShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body
+    finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** float32-squeeze + round: the cross-engine-stable float projection.
     * The trailing `+ 0.0` collapses IEEE negative zero (-0.0 + 0.0 = 0.0) —
     * DuckDB rounds tiny negatives to -0.0 where Spark emits 0.0, so every
@@ -843,7 +857,7 @@ object PipelineQueries {
           .select(col("ts"), col("event_type"), col("value").cast("double"))
         val tmp = java.nio.file.Files.createTempDirectory("s01_events_")
         val qname = s"s01_sink_${streamSinkCounter.incrementAndGet()}"
-        val (rows, schema) = try {
+        val (rows, schema) = withShufflePartitions(s, 8) { try {
           val inDir = s"$tmp/in"
           evBatch.write.mode("overwrite").parquet(inDir)
           val events = s.readStream.schema(evBatch.schema).parquet(inDir)
@@ -880,6 +894,7 @@ object PipelineQueries {
           catch { case _: Exception => () }
           deleteRecursively(tmp)
         }
+        }
         s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
       },
       Some(
@@ -904,7 +919,7 @@ object PipelineQueries {
         val gapUs = 30L * 60 * 1000000L
         val tmp = java.nio.file.Files.createTempDirectory("s03_events_")
         val qname = s"s03_sink_${streamSinkCounter.incrementAndGet()}"
-        val (rows, schema) = try {
+        val (rows, schema) = withShufflePartitions(s, 8) { try {
           val inDir = s"$tmp/in"
           evBatch.write.mode("overwrite").parquet(inDir)
           val stream = s.readStream.schema(evBatch.schema).parquet(inDir)
@@ -934,6 +949,7 @@ object PipelineQueries {
           try s.catalog.dropTempView(qname)
           catch { case _: Exception => () }
           deleteRecursively(tmp)
+        }
         }
         s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
       },
@@ -968,7 +984,7 @@ object PipelineQueries {
           sha2(col("text"), 256).as("content_hash"))
         val tmp = java.nio.file.Files.createTempDirectory("s04_docs_")
         val qname = s"s04_sink_${streamSinkCounter.incrementAndGet()}"
-        val (rows, schema) = try {
+        val (rows, schema) = withShufflePartitions(s, 8) { try {
           val inDir = s"$tmp/in"
           feed.write.mode("overwrite").parquet(inDir)
           val stream = s.readStream.schema(feed.schema).parquet(inDir)
@@ -985,6 +1001,7 @@ object PipelineQueries {
           try s.catalog.dropTempView(qname)
           catch { case _: Exception => () }
           deleteRecursively(tmp)
+        }
         }
         s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
       },
@@ -1059,7 +1076,7 @@ object PipelineQueries {
         val ev = t(s, dir, "events").select("event_id", "user_id", "event_type", "ts")
         val tmp = java.nio.file.Files.createTempDirectory("s05_events_")
         val qname = s"s05_sink_${streamSinkCounter.incrementAndGet()}"
-        val (rows, schema) = try {
+        val (rows, schema) = withShufflePartitions(s, 8) { try {
           val inDir = s"$tmp/in"
           ev.write.mode("overwrite").parquet(inDir)
           val src = s.readStream.schema(ev.schema).parquet(inDir)
@@ -1089,6 +1106,7 @@ object PipelineQueries {
           try s.catalog.dropTempView(qname)
           catch { case _: Exception => () }
           deleteRecursively(tmp)
+        }
         }
         s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
       },
