@@ -51,7 +51,10 @@ object Packing {
         .select(col(idCol).cast("long").as("_id"), col(nTokensCol).cast("long").as("_n"))
         .filter(col("_n") > 0)
         .repartitionByRange(p, col("_id"))
-        .sortWithinPartitions("_id")
+        // _n as tiebreaker: ids are expected unique, but if a caller feeds
+        // duplicates the output stays deterministic anyway (equal (id, n)
+        // rows are interchangeable; unequal ones get a fixed order)
+        .sortWithinPartitions("_id", "_n")
         .as[(Long, Long)]
         .cache())
 

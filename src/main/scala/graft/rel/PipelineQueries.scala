@@ -56,6 +56,18 @@ object PipelineQueries {
       IvfBuild.build(emb, dim)
     })
 
+  /** One shared PQ model per fixture dir per JVM — v12 and v13 use the
+    * same operating point (m=16, k=16, iters=10, seed=7), and training is
+    * deterministic, so retraining per query would duplicate a driver-side
+    * sample collect + Lloyd's for byte-identical codebooks. */
+  private val pqCache = scala.collection.concurrent.TrieMap.empty[String, graft.vector.PqModel]
+  def pqFor(s: SparkSession, dir: String): graft.vector.PqModel =
+    pqCache.getOrElseUpdate(dir, {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val dim = emb.select(size(col("embedding"))).head().getInt(0)
+      Pq.train(emb, dim, m = 16, k = 16, iters = 10, seed = 7L)
+    })
+
   private def embQueries(s: SparkSession, dir: String, n: Int): DataFrame =
     t(s, dir, "embeddings")
       .filter(col("vec_id") < n)
@@ -67,7 +79,12 @@ object PipelineQueries {
     * ~5 s of it). Scope the streaming run to a small count and restore
     * the session's setting after — the VALUES are partitioning-invariant,
     * only the constant factor changes; at corpus scale callers size this
-    * to the cluster like any shuffle. */
+    * to the cluster like any shuffle.
+    *
+    * The set/restore is on SESSION-global conf — safe because the driver
+    * contract runs queries sequentially on one session (Verify/Bench both
+    * do); a concurrently-planned batch query would otherwise pick up the
+    * narrow setting. */
   private def withShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", n.toString)
@@ -531,12 +548,15 @@ object PipelineQueries {
 
     // Benchmark decontamination (the GPT-3/Pile 5-gram rule): docs 0–9
     // play the benchmark; the training side is the rest of the corpus plus
-    // a PLANTED full copy of each benchmark doc under doc_id+500000, so a
-    // correct run must flag every planted copy with n_shared = the bench
-    // doc's whole shingle set, plus whatever natural 5-gram collisions the
-    // small-vocabulary corpus produces — DuckDB computes the identical
-    // pair set and overlap counts from first principles, so hash-green
-    // proves the broadcast semi-join missed nothing and invented nothing.
+    // a PLANTED full copy of each benchmark doc under -(doc_id+1) —
+    // negative ids cannot collide with real doc_ids at ANY corpus size
+    // (the +100000 convention of d01/d02 is safe at fixture scale but
+    // would alias real ids in a big corpus). A correct run must flag
+    // every planted copy with n_shared = the bench doc's whole shingle
+    // set, plus whatever natural 5-gram collisions the small-vocabulary
+    // corpus produces — DuckDB computes the identical pair set and
+    // overlap counts from first principles, so hash-green proves the
+    // broadcast semi-join missed nothing and invented nothing.
     NamedQuery(
       "d06_decontamination",
       (s, dir) => {
@@ -544,7 +564,7 @@ object PipelineQueries {
         val bench = docs.filter(col("doc_id") < 10)
         val train = docs
           .filter(col("doc_id") >= 10)
-          .unionByName(bench.select((col("doc_id") + 500000L).as("doc_id"), col("text")))
+          .unionByName(bench.select((-(col("doc_id") + 1L)).as("doc_id"), col("text")))
         Dedup
           .contaminatedDocs(train, bench, shingleN = 5)
           .orderBy("doc_id", "bench_id")
@@ -556,7 +576,7 @@ object PipelineQueries {
           s"FROM (SELECT doc_id, $duckToks AS w FROM documents)), " +
           "bench AS (SELECT doc_id AS bench_id, sh FROM tok WHERE doc_id < 10), " +
           "train AS (SELECT doc_id, sh FROM tok WHERE doc_id >= 10 " +
-          "UNION ALL SELECT doc_id + 500000 AS doc_id, sh FROM tok WHERE doc_id < 10) " +
+          "UNION ALL SELECT -(doc_id + 1) AS doc_id, sh FROM tok WHERE doc_id < 10) " +
           "SELECT t.doc_id, b.bench_id, CAST(len(list_intersect(t.sh, b.sh)) AS BIGINT) AS n_shared " +
           "FROM train t, bench b WHERE len(list_intersect(t.sh, b.sh)) >= 1 " +
           "ORDER BY doc_id, bench_id")),
@@ -792,9 +812,7 @@ object PipelineQueries {
       "v12_pq_recall",
       (s, dir) => {
         val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
-        val dim = emb.select(size(col("embedding"))).head().getInt(0)
-        val m = 16
-        val model = Pq.train(emb, dim, m, k = 16, iters = 10, seed = 7L)
+        val model = pqFor(s, dir)
         val codes = Pq.encode(emb, model)
         val qs = embQueries(s, dir, 20)
         val approx = Pq.adcTopK(codes, model, qs, k = 10)
@@ -802,8 +820,8 @@ object PipelineQueries {
         IvfSearch
           .recallAtK(approx, exact, 10, qs)
           .agg(count(lit(1)).as("n_queries"), round(avg("recall"), 4).as("mean_recall"))
-          .withColumn("bytes_per_vec", lit(m))
-          .withColumn("bytes_raw", lit(dim * 4))
+          .withColumn("bytes_per_vec", lit(model.m))
+          .withColumn("bytes_raw", lit(model.dim * 4))
       },
       None),
 
@@ -820,7 +838,7 @@ object PipelineQueries {
       (s, dir) => {
         val model = indexFor(s, dir)
         val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
-        val pq = Pq.train(emb, model.dim, m = 16, k = 16, iters = 10, seed = 7L)
+        val pq = pqFor(s, dir)
         val codes = Pq.encodeWithPartition(model.vectors, pq)
         val qs = embQueries(s, dir, 20)
         val probes = IvfSearch.chooseProbes(model, qs, IvfSearch.Params(k = 10))

@@ -5,9 +5,10 @@ import org.apache.spark.sql.functions._
 
 /** Trained product-quantization model: `codebooks(j)(c)` is codeword `c`
   * of subspace `j`, each of length `dim / m`. With `k ≤ 256` a vector
-  * compresses to `m` bytes of codes (32× for the fixture's 64-d float32
-  * vectors at m=8) — the memory story that lets a 100 TB vector corpus be
-  * scanned from RAM instead of disk. */
+  * compresses to an `m`-byte `binary` code column — 16× for the fixture's
+  * 64-d float32 vectors at m=16 (and that is the MATERIALIZED size: codes
+  * are stored as bytes, not boxed ints) — the memory story that lets a
+  * 100 TB vector corpus be scanned from RAM instead of disk. */
 final case class PqModel(dim: Int, m: Int, k: Int, codebooks: Array[Array[Array[Float]]]) {
   def subLen: Int = dim / m
 }
@@ -52,6 +53,20 @@ object Pq {
     best
   }
 
+  /** The one encode kernel both entry points share: m code bytes per
+    * vector (codes are 0 ≤ c < k ≤ 256, stored two's-complement, read
+    * back with `& 0xff`). */
+  private def codesFor(mdl: PqModel, v: Array[Float]): Array[Byte] = {
+    val subLen = mdl.subLen
+    val codes = new Array[Byte](mdl.m)
+    var j = 0
+    while (j < mdl.m) {
+      codes(j) = nearestSlice(mdl.codebooks(j), v, j * subLen).toByte
+      j += 1
+    }
+    codes
+  }
+
   /** Train per-subspace codebooks on a deterministic bounded sample
     * (hash-priority order — same portable-sample idea as the corpus
     * sampling operators, so retrains see the same rows). */
@@ -86,7 +101,8 @@ object Pq {
     PqModel(dim, m, k, (0 until m).map(j => cents(j.toLong)).toArray)
   }
 
-  /** Map-only encode: `(vec_id, codes array<int>)`, codebooks broadcast. */
+  /** Map-only encode: `(vec_id long, codes binary)` — m bytes per vector,
+    * codebooks broadcast. */
   def encode(emb: DataFrame, model: PqModel): DataFrame = {
     val s = emb.sparkSession
     import s.implicits._
@@ -96,13 +112,7 @@ object Pq {
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
         val mdl = b.value
-        val subLen = mdl.subLen
-        it.map { case (id, v) =>
-          val codes = new Array[Int](mdl.m)
-          var j = 0
-          while (j < mdl.m) { codes(j) = nearestSlice(mdl.codebooks(j), v, j * subLen); j += 1 }
-          (id, codes.toSeq)
-        }
+        it.map { case (id, v) => (id, codesFor(mdl, v)) }
       }
       .toDF("vec_id", "codes")
   }
@@ -118,13 +128,7 @@ object Pq {
       .as[(Long, Long, Array[Float])]
       .mapPartitions { it =>
         val mdl = b.value
-        val subLen = mdl.subLen
-        it.map { case (pid, id, v) =>
-          val codes = new Array[Int](mdl.m)
-          var j = 0
-          while (j < mdl.m) { codes(j) = nearestSlice(mdl.codebooks(j), v, j * subLen); j += 1 }
-          (pid, id, codes.toSeq)
-        }
+        it.map { case (pid, id, v) => (pid, id, codesFor(mdl, v)) }
       }
       .toDF("partition_id", "vec_id", "codes")
   }
@@ -167,21 +171,21 @@ object Pq {
     val bq = s.sparkContext.broadcast(q)
     val cands = codes
       .select(col("vec_id").cast("long"), col("codes"))
-      .as[(Long, Seq[Int])]
+      .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         val mdl = bm.value
         val qs = bq.value
         val stride = mdl.k
-        // tables built once per partition — every candidate after that
-        // costs m adds per query
+        // every query scans every row here, so all tables are built up
+        // front, once per partition — each candidate then costs m adds
+        // per query
         val luts: Array[Array[Double]] = qs.map(q => lutFor(mdl, q._2))
-        it.flatMap { case (id, cs) =>
-          val arr = cs.toArray
+        it.flatMap { case (id, arr) =>
           qs.indices.iterator.map { qi =>
             val lut = luts(qi)
             var d = 0.0
             var j = 0
-            while (j < arr.length) { d += lut(j * stride + arr(j)); j += 1 }
+            while (j < arr.length) { d += lut(j * stride + (arr(j) & 0xff)); j += 1 }
             (qs(qi)._1, d, id)
           }
         }
@@ -199,8 +203,12 @@ object Pq {
     * broadcast, so the codes table is joined in place, never shuffled
     * (the same plan shape as the float gather join, audited in
     * PlanAuditSpec for that path). Each candidate row computes ONLY its
-    * probing queries' distances — work is O(scanned codes · probing
-    * queries), mirroring quake_min.py:151-163 in the compressed domain. */
+    * probing queries' distances, and each task builds tables ONLY for the
+    * queries that actually probe its rows (lazy memo — with Q queries and
+    * P partitions, eager tables would cost O(Q·m·k) in every task and
+    * erode the very pruning this operator exists for) — total work is
+    * O(scanned codes · probing queries), mirroring quake_min.py:151-163
+    * in the compressed domain. */
   def ivfAdcTopK(
       codes: DataFrame,
       model: PqModel,
@@ -218,18 +226,17 @@ object Pq {
     val cands = codes
       .join(broadcast(probes.select(col("query_id").cast("long"), col("partition_id"))), Seq("partition_id"))
       .select(col("query_id"), col("vec_id").cast("long"), col("codes"))
-      .as[(Long, Long, Seq[Int])]
+      .as[(Long, Long, Array[Byte])]
       .mapPartitions { it =>
         val mdl = bm.value
         val stride = mdl.k
-        val luts: Map[Long, Array[Double]] =
-          bq.value.map { case (qid, qv) => qid -> lutFor(mdl, qv) }.toMap
-        it.map { case (qid, vid, cs) =>
-          val lut = luts(qid)
-          val arr = cs.toArray
+        lazy val qvById: Map[Long, Array[Float]] = bq.value.toMap
+        val luts = new scala.collection.mutable.LongMap[Array[Double]]()
+        it.map { case (qid, vid, arr) =>
+          val lut = luts.getOrElseUpdate(qid, lutFor(mdl, qvById(qid)))
           var d = 0.0
           var j = 0
-          while (j < arr.length) { d += lut(j * stride + arr(j)); j += 1 }
+          while (j < arr.length) { d += lut(j * stride + (arr(j) & 0xff)); j += 1 }
           (qid, d, vid)
         }
       }

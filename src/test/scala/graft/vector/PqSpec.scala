@@ -21,8 +21,11 @@ class PqSpec extends SparkSpec {
       3L -> Seq(1, 0, 1, 0))
     val emb = plan.map { case (id, cs) => (id, build(cs)) }.toDF("vec_id", "embedding")
 
-    val codes = Pq.encode(emb, model).as[(Long, Seq[Int])].collect().toMap
-    assert(plan.forall { case (id, cs) => codes(id) == cs })
+    val encoded = Pq.encode(emb, model)
+    // the compression claim is about the MATERIALIZED type: m raw bytes
+    assert(encoded.schema("codes").dataType == org.apache.spark.sql.types.BinaryType)
+    val codes = encoded.as[(Long, Array[Byte])].collect().toMap
+    assert(plan.forall { case (id, cs) => codes(id).map(_ & 0xff).toSeq == cs })
 
     // an off-codebook query: ADC distance must equal the true squared L2
     // because every vector sits exactly on its codewords
