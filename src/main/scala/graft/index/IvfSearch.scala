@@ -273,11 +273,14 @@ object IvfSearch {
       k: Int): Array[(Long, Int, Long, Double)] = {
     val nQ = queries.length
     val qs = queries.map(_._2).toArray
-    val nThreads = math.max(1, Runtime.getRuntime.availableProcessors())
+    val nThreads = graft.WorkPool.size
     val chunkSize = math.max(1, (rows.length + nThreads - 1) / nThreads)
     val chunks = rows.indices.by(chunkSize).map(s => (s, math.min(s + chunkSize, rows.length)))
-    val exec = java.util.concurrent.Executors.newFixedThreadPool(nThreads)
-    try {
+    // shared pool: this runs once PER QUERY in the batchSize=1 replay —
+    // a per-call pool spawned+tore down 32 threads inside every measured
+    // latency sample
+    val exec = graft.WorkPool.pool
+    locally {
       val partials = chunks.map { case (from, until) =>
         exec.submit(new java.util.concurrent.Callable[Array[Array[(Double, Long)]]] {
           def call(): Array[Array[(Double, Long)]] = {
@@ -322,7 +325,7 @@ object IvfSearch {
             (queries(qi)._1, r + 1, vid, d)
           }
       }.toArray
-    } finally exec.shutdown()
+    }
   }
 
   /** Collect a driver mirror of a vectors table — the rows [[scanTopKDriver]]

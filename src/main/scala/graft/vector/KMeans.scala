@@ -249,9 +249,11 @@ object KMeans {
     // member array across a fixed pool; per-chunk (sum, count) partials
     // merge in chunk order, so results are deterministic regardless of
     // thread timing.
-    val nThreads = math.max(1, Runtime.getRuntime.availableProcessors())
-    val exec = java.util.concurrent.Executors.newFixedThreadPool(nThreads)
-    try {
+    val nThreads = graft.WorkPool.size
+    // shared pool (see WorkPool): local fits run per build/split on hot
+    // paths — no per-call thread spawning
+    val exec = graft.WorkPool.pool
+    locally {
       var it = 0
       while (it < iters) {
         val next = centroids.map { case (g, cents) =>
@@ -302,7 +304,7 @@ object KMeans {
         centroids = next
         it += 1
       }
-    } finally exec.shutdown()
+    }
 
     val finalCents = centroids
     val assigns = rows.map { case (g, _, v) =>
