@@ -90,6 +90,28 @@ class PqSpec extends SparkSpec {
     assert(pruned == Seq(3L)) // only the probed partition's vector is scanned
   }
 
+  test("composed IVF+PQ on the fixture: APS probes + ADC clear a recall floor") {
+    // end-to-end integration of the v13 shape: real IVF build, real probe
+    // choice, compressed scan — regression net for the composition (the
+    // fixture is unit-random, the hardest PQ regime; measured ~0.48)
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val ivf = graft.index.IvfBuild.build(emb, 64)
+    val pq = Pq.train(emb, dim = 64, m = 16, k = 16, iters = 10, seed = 7L)
+    val codes = Pq.encodeWithPartition(ivf.vectors, pq)
+    val qs = emb.filter(col("vec_id") < 15).select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val probes = graft.index.IvfSearch.chooseProbes(ivf, qs, graft.index.IvfSearch.Params(k = 10))
+    val approx = Pq.ivfAdcTopK(codes, pq, probes.select("query_id", "partition_id"), qs, k = 10)
+    val exact = graft.index.KnnJoin.exact(qs, emb, 10)
+    val recall = graft.index.IvfSearch
+      .recallAtK(approx, exact, 10, qs)
+      .agg(avg("recall"))
+      .head()
+      .getDouble(0)
+    assert(recall >= 0.35, s"composed IVF+PQ recall@10 = $recall")
+  }
+
   test("ADC recall on clustered data clears the bar (compression keeps the neighborhood)") {
     // 20 tight Gaussian-ish clusters in 16-d: the regime PQ is built for.
     // Deterministic pseudo-random points from hashed ids.
