@@ -531,7 +531,14 @@ object PipelineQueries {
           s"FROM (SELECT doc_id, $duckToks AS w FROM documents) WHERE len(w) >= 1 ORDER BY doc_a")),
 
     // SimHash near-dup with 16-bit-chunk banding. Planted near-dups: last 3
-    // tokens dropped. Rows-only (xxhash64 again).
+    // tokens dropped. Rows-only (xxhash64 again) — and unlike d02, the
+    // planted-pair-projection oracle trick does NOT apply: a 3-token drop
+    // flips every simhash bit whose token-vote margin it crosses (~6–10 of
+    // 64 on this corpus), so only ~81% of planted pairs land within
+    // hamming ≤ 10 with an intact 16-bit chunk (measured at all three
+    // SFs) — there is no SQL-stateable predicate for the caught set. The
+    // machinery itself is hash-checked by d05's hamming-0 invariant;
+    // recall/threshold behavior lives in TextSpec.
     NamedQuery(
       "d04_simhash_pairs",
       (s, dir) => {
