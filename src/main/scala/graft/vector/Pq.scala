@@ -133,6 +133,76 @@ object Pq {
       .toDF("partition_id", "vec_id", "codes")
   }
 
+  /** `v − c`, the residual a vector keeps after its partition centroid is
+    * subtracted (IVFADC, Jégou et al. 2011 §IV-A: residuals concentrate
+    * near 0 so a small codebook covers them far better than raw points —
+    * the standard public fix for PQ's weak recall on spread-out data). */
+  private def residual(v: Array[Float], c: Array[Float]): Array[Float] = {
+    val r = new Array[Float](v.length)
+    var i = 0
+    while (i < v.length) { r(i) = v(i) - c(i); i += 1 }
+    r
+  }
+
+  /** [[train]] over RESIDUALS `x − centroid(partition_id)` — the IVFADC
+    * codebook (Jégou et al. 2011). `centroids` is the index's
+    * partition-centroid metadata ([[graft.index.IvfModel.partitions]]) —
+    * driver-sized by construction, a few MB at 100 TB scale. The sample is
+    * the same deterministic hash-priority bound as [[train]]. */
+  def trainResiduals(
+      vectors: DataFrame,
+      centroids: Map[Long, Array[Float]],
+      dim: Int,
+      m: Int,
+      k: Int,
+      iters: Int,
+      seed: Long,
+      maxSample: Int = 65536): PqModel = {
+    require(dim % m == 0, s"dim=$dim must split evenly into m=$m subspaces")
+    require(k >= 1 && k <= 256, s"codes are byte-sized: need 1 <= k <= 256, got $k")
+    val s = vectors.sparkSession
+    import s.implicits._
+    val sample: Array[(Long, Long, Array[Float])] = vectors
+      .select(col("partition_id").cast("long"), col("vec_id").cast("long"), col("embedding"))
+      .orderBy(xxhash64(col("vec_id"), lit(seed)), col("vec_id"))
+      .limit(maxSample)
+      .as[(Long, Long, Array[Float])]
+      .collect()
+    require(sample.nonEmpty, "cannot train PQ on an empty collection")
+    val subLen = dim / m
+    val rows: Array[(Long, Long, Array[Float])] = sample.flatMap { case (pid, id, v) =>
+      require(v.length == dim, s"vector $id has dim ${v.length}, expected $dim")
+      val r = residual(v, centroids(pid))
+      (0 until m).map { j =>
+        (j.toLong, id, java.util.Arrays.copyOfRange(r, j * subLen, (j + 1) * subLen))
+      }
+    }
+    val kFor = (0 until m).map(j => j.toLong -> k).toMap
+    val (_, cents) = KMeans.lloydLocal(rows, kFor, iters, seed)
+    PqModel(dim, m, k, (0 until m).map(j => cents(j.toLong)).toArray)
+  }
+
+  /** [[encodeWithPartition]] of RESIDUALS: codes quantize
+    * `x − centroid(partition_id)` against a [[trainResiduals]] codebook.
+    * Still map-only — the centroid table rides the same broadcast as the
+    * codebooks. */
+  def encodeResiduals(
+      vectors: DataFrame,
+      model: PqModel,
+      centroids: Map[Long, Array[Float]]): DataFrame = {
+    val s = vectors.sparkSession
+    import s.implicits._
+    val b = s.sparkContext.broadcast((model, centroids))
+    vectors
+      .select(col("partition_id").cast("long"), col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Long, Array[Float])]
+      .mapPartitions { it =>
+        val (mdl, cents) = b.value
+        it.map { case (pid, id, v) => (pid, id, codesFor(mdl, residual(v, cents(pid)))) }
+      }
+      .toDF("partition_id", "vec_id", "codes")
+  }
+
   /** One exact m×k subspace-distance table for query `qv`, flat-indexed
     * `j * model.k + c`. */
   private def lutFor(mdl: PqModel, qv: Array[Float]): Array[Double] = {
@@ -242,5 +312,68 @@ object Pq {
       }
       .toDF("query_id", "dist2", "vec_id")
     TopK.perQuery(cands, k)
+  }
+
+  /** [[ivfAdcTopK]] over RESIDUAL codes — full IVFADC (Jégou et al. 2011
+    * §IV-A): a candidate in partition `p` is scored as
+    * `Σ_j lut_{q,p}(j, code_j)` where the lookup table is built from the
+    * query's OWN residual against that partition, `q − centroid(p)`. The
+    * memo is therefore keyed per (query, partition) — still lazy, still
+    * bounded by the probe set (≤ |probes| tables per task, each m×k
+    * doubles), so the pruning economics of [[ivfAdcTopK]] are unchanged;
+    * only the key is finer. */
+  def ivfAdcResidualTopK(
+      codes: DataFrame,
+      model: PqModel,
+      centroids: Map[Long, Array[Float]],
+      probes: DataFrame,
+      queries: DataFrame,
+      k: Int): DataFrame = {
+    val s = codes.sparkSession
+    import s.implicits._
+    val q: Array[(Long, Array[Float])] = queries
+      .select(col("query_id").cast("long"), col("qvec"))
+      .as[(Long, Array[Float])]
+      .collect()
+    val b = s.sparkContext.broadcast((model, centroids, q))
+    val cands = codes
+      .join(broadcast(probes.select(col("query_id").cast("long"), col("partition_id").cast("long"))), Seq("partition_id"))
+      .select(col("query_id"), col("partition_id"), col("vec_id").cast("long"), col("codes"))
+      .as[(Long, Long, Long, Array[Byte])]
+      .mapPartitions { it =>
+        val (mdl, cents, qs) = b.value
+        val stride = mdl.k
+        lazy val qvById: Map[Long, Array[Float]] = qs.toMap
+        val luts = new scala.collection.mutable.HashMap[(Long, Long), Array[Double]]()
+        it.map { case (qid, pid, vid, arr) =>
+          val lut = luts.getOrElseUpdate((qid, pid), lutFor(mdl, residual(qvById(qid), cents(pid))))
+          var d = 0.0
+          var j = 0
+          while (j < arr.length) { d += lut(j * stride + (arr(j) & 0xff)); j += 1 }
+          (qid, d, vid)
+        }
+      }
+      .toDF("query_id", "dist2", "vec_id")
+    TopK.perQuery(cands, k)
+  }
+
+  /** Exact re-rank of an ADC candidate list — the second standard IVFADC
+    * refinement: ADC distances ORDER candidates well but are quantized, so
+    * take the ADC top-N (N a few × k), gather those N float vectors, and
+    * re-score exactly. Output distances are then TRUE squared L2, and
+    * recall@k becomes recall@N of the ADC stage (strictly easier).
+    *
+    * Plan shape = the v08 bounded gather join: the (query, candidate,
+    * qvec) set is |Q|·N rows — driver-bounded like every probe set — and
+    * is broadcast, so the float vectors table is scanned in place, never
+    * shuffled. The exact kernel is the codegen'd [[L2Squared]]. */
+  def rerankExact(cands: DataFrame, vectors: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val pairs = cands.select(col("query_id").cast("long"), col("vec_id").cast("long"))
+    val q = queries.select(col("query_id").cast("long"), col("qvec"))
+    val scored = vectors
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .join(broadcast(pairs.join(q, Seq("query_id"))), Seq("vec_id"))
+      .withColumn("dist2", VectorOps.l2Sq(col("qvec"), col("embedding")))
+    TopK.perQuery(scored, k)
   }
 }

@@ -91,9 +91,10 @@ class PqSpec extends SparkSpec {
   }
 
   test("composed IVF+PQ on the fixture: APS probes + ADC clear a recall floor") {
-    // end-to-end integration of the v13 shape: real IVF build, real probe
-    // choice, compressed scan — regression net for the composition (the
-    // fixture is unit-random, the hardest PQ regime; measured ~0.48)
+    // end-to-end integration of the raw-code v13 building block: real IVF
+    // build, real probe choice, compressed scan — regression net for the
+    // composition (the fixture is unit-random, the hardest PQ regime;
+    // measured ~0.48)
     val emb = spark.read
       .parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select("vec_id", "embedding")
@@ -110,6 +111,91 @@ class PqSpec extends SparkSpec {
       .head()
       .getDouble(0)
     assert(recall >= 0.35, s"composed IVF+PQ recall@10 = $recall")
+  }
+
+  test("full IVFADC (residual codes + exact re-rank) lifts composed recall to >= 0.7") {
+    // the v13 shipped path: residual-trained codebooks, per-(query,
+    // partition) LUTs, ADC top-50 re-ranked exactly — the two standard
+    // Jégou et al. 2011 refinements over the raw-code test above
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val ivf = graft.index.IvfBuild.build(emb, 64)
+    val cents = ivf.partitions.map(p => p.pid -> p.centroid).toMap
+    val pq = Pq.trainResiduals(ivf.vectors, cents, 64, m = 16, k = 16, iters = 10, seed = 7L)
+    val codes = Pq.encodeResiduals(ivf.vectors, pq, cents)
+    val qs = emb.filter(col("vec_id") < 15).select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val probes = graft.index.IvfSearch.chooseProbes(ivf, qs, graft.index.IvfSearch.Params(k = 10))
+    val adc = Pq.ivfAdcResidualTopK(codes, pq, cents, probes.select("query_id", "partition_id"), qs, k = 50)
+    val approx = Pq.rerankExact(adc, emb, qs, k = 10)
+    val exact = graft.index.KnnJoin.exact(qs, emb, 10)
+    val recall = graft.index.IvfSearch
+      .recallAtK(approx, exact, 10, qs)
+      .agg(avg("recall"))
+      .head()
+      .getDouble(0)
+    assert(recall >= 0.7, s"IVFADC residual+rerank recall@10 = $recall")
+  }
+
+  test("residual ADC is EXACT when vectors sit on centroid + codeword; rerank returns true L2") {
+    // partition centroids c_p plus codeword-concatenation residuals: the
+    // residual path's analog of the raw exactness test — every vector is
+    // exactly c_pid + concat(codewords), so per-(query,partition) LUT sums
+    // must equal the true squared L2 bit-for-bit
+    // every constant is an exact binary fraction so the float adds and
+    // subtracts below round nothing — the test can then demand 1e-9
+    val cb: Array[Array[Array[Float]]] = Array.tabulate(4, 3) { (j, c) =>
+      Array((j + 1).toFloat * (c + 1) * 0.25f, -(c + 1).toFloat * 0.25f)
+    }
+    val model = PqModel(dim = 8, m = 4, k = 3, codebooks = cb)
+    val cents = Map(100L -> Array.fill(8)(4.0f), 200L -> Array.fill(8)(-2.0f))
+    def build(pid: Long, codes: Seq[Int]): Seq[Float] =
+      codes.zipWithIndex.flatMap { case (c, j) => cb(j)(c).toSeq }
+        .zip(cents(pid).toSeq).map { case (r, cc) => r + cc }
+    val plan = Seq(
+      (1L, 100L, Seq(0, 1, 2, 0)),
+      (2L, 100L, Seq(2, 2, 2, 2)),
+      (3L, 200L, Seq(1, 0, 1, 0)))
+    val vectors = plan
+      .map { case (id, pid, cs) => (id, build(pid, cs), pid) }
+      .toDF("vec_id", "embedding", "partition_id")
+
+    val codes = Pq.encodeResiduals(vectors, model, cents)
+    val got = codes.as[(Long, Long, Array[Byte])].collect().map(t => t._2 -> t._3.map(_ & 0xff).toSeq).toMap
+    assert(plan.forall { case (id, _, cs) => got(id) == cs })
+
+    val qv = (1 to 8).map(i => 0.5f * i - 1.0f)
+    val queries = Seq((50L, qv)).toDF("query_id", "qvec")
+    val probes = Seq((50L, 100L), (50L, 200L)).toDF("query_id", "partition_id")
+    val adc = Pq.ivfAdcResidualTopK(codes, model, cents, probes, queries, k = 3)
+      .select("vec_id", "dist2").as[(Long, Double)].collect().toMap
+    def l2(a: Seq[Float], b: Seq[Float]) =
+      a.zip(b).map { case (x, y) => (x.toDouble - y) * (x.toDouble - y) }.sum
+    plan.foreach { case (id, pid, cs) =>
+      assert(math.abs(adc(id) - l2(build(pid, cs), qv)) < 1e-9, s"vec $id")
+    }
+
+    // re-rank over the same candidates must return the identical exact
+    // distances (here ADC is already exact) and the identical order
+    val rer = Pq.rerankExact(
+      Pq.ivfAdcResidualTopK(codes, model, cents, probes, queries, k = 3),
+      vectors.select("vec_id", "embedding"), queries, k = 3)
+      .select("vec_id", "dist2").as[(Long, Double)].collect().toMap
+    plan.foreach { case (id, _, _) => assert(math.abs(rer(id) - adc(id)) < 1e-9) }
+  }
+
+  test("trainResiduals is deterministic and guarded like train") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val ivf = graft.index.IvfBuild.build(emb, 64)
+    val cents = ivf.partitions.map(p => p.pid -> p.centroid).toMap
+    def flat(m: PqModel): Seq[Float] = m.codebooks.flatten.flatten.toSeq
+    val a = Pq.trainResiduals(ivf.vectors, cents, 64, m = 8, k = 4, iters = 4, seed = 7L)
+    val b = Pq.trainResiduals(ivf.vectors, cents, 64, m = 8, k = 4, iters = 4, seed = 7L)
+    assert(flat(a) == flat(b))
+    intercept[IllegalArgumentException](Pq.trainResiduals(ivf.vectors, cents, 64, m = 7, k = 4, iters = 1, seed = 1L))
+    intercept[IllegalArgumentException](Pq.trainResiduals(ivf.vectors, cents, 64, m = 8, k = 300, iters = 1, seed = 1L))
   }
 
   test("ADC recall on clustered data clears the bar (compression keeps the neighborhood)") {
