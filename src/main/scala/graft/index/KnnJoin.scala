@@ -87,6 +87,37 @@ object KnnJoin {
       .select(col("query_id"), col("rank"), col("vec_id"), (-col("dist2")).as("cos"))
   }
 
+  /** IVFADC-compressed approximate k-NN join — the fourth backend, same
+    * output contract as [[exact]]/[[ivf]]: APS chooses the probe set
+    * (quake_min.py:139-145), the probed partitions are scanned as RESIDUAL
+    * byte codes via per-(query, partition) lookup tables
+    * ([[graft.vector.Pq.ivfAdcResidualTopK]], Jégou et al. 2011), and the
+    * ADC top-`rerankN` is re-ranked exactly against the float vectors, so
+    * reported `dist2` is TRUE squared L2 like the other backends. Right
+    * when the corpus's float vectors don't fit memory but its m-byte codes
+    * do — the scan touches codes only; floats are read for ≤ |Q|·rerankN
+    * rows by a bounded gather join.
+    *
+    * `codes` is the [[graft.vector.Pq.encodeResiduals]] table for
+    * (`model`, `pqModel`) — encoded once, reused across query batches like
+    * the index itself. */
+  def pq(
+      model: IvfModel,
+      pqModel: graft.vector.PqModel,
+      codes: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      rerankN: Int = 50,
+      targetRecall: Double = 0.9,
+      maxProbe: Int = 64): DataFrame = {
+    val q = normalizeQueries(queries)
+    val cents = model.partitions.map(p => p.pid -> p.centroid).toMap
+    val probes = IvfSearch.chooseProbes(model, q, IvfSearch.Params(k, targetRecall, maxProbe))
+    val adc = graft.vector.Pq.ivfAdcResidualTopK(
+      codes, pqModel, cents, probes.select("query_id", "partition_id"), q, math.max(k, rerankN))
+    graft.vector.Pq.rerankExact(adc, model.vectors, q, k)
+  }
+
   /** Accept either `(query_id, qvec)` or `(vec_id, embedding)` shapes. */
   private def normalizeQueries(queries: DataFrame): DataFrame =
     if (queries.columns.contains("query_id")) queries.select("query_id", "qvec")

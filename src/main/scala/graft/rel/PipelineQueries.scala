@@ -885,6 +885,43 @@ object PipelineQueries {
       },
       None),
 
+    // The four KnnJoin backends side by side under ONE output contract —
+    // the operator a user actually reaches for ("join these tables on
+    // nearest neighbor") with its accuracy menu measured end-to-end:
+    // exact (the oracle, recall 1 by construction), ivf (float scan of
+    // probed partitions), lsh (index-free sketch buckets), pq (IVFADC
+    // compressed scan + exact re-rank). One row per backend so the driver
+    // record shows the recall each strategy buys at this operating point.
+    // Index / plane / codebook state → rows-only; KnnJoinSpec pins the pq
+    // backend's bar and the exact-backend identity.
+    NamedQuery(
+      "v14_knn_backends",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+        val dim = emb.select(size(col("embedding"))).head().getInt(0)
+        val model = indexFor(s, dir)
+        val qs = embQueries(s, dir, 20)
+        val exact = graft.index.KnnJoin.exact(qs, emb, 10)
+        val cents = model.partitions.map(p => p.pid -> p.centroid).toMap
+        val codes = Pq.encodeResiduals(model.vectors, pqResidualFor(s, dir), cents)
+        val backends: Seq[(String, DataFrame)] = Seq(
+          "exact" -> exact,
+          "ivf" -> graft.index.KnnJoin.ivf(model, qs, 10),
+          "lsh" -> graft.index.KnnJoin.lsh(qs, emb, dim, k = 10, nPlanes = 32, bands = 8),
+          "pq" -> graft.index.KnnJoin.pq(model, pqResidualFor(s, dir), codes, qs, 10))
+        backends
+          .map { case (name, res) =>
+            IvfSearch
+              .recallAtK(res, exact, 10, qs)
+              .agg(round(avg("recall"), 4).as("mean_recall"))
+              .withColumn("backend", lit(name))
+          }
+          .reduce(_.unionByName(_))
+          .select("backend", "mean_recall")
+          .orderBy("backend")
+      },
+      None),
+
     // =====================================================================
     // Structured Streaming (driver-visible)
     // =====================================================================

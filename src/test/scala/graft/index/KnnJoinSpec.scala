@@ -56,4 +56,30 @@ class KnnJoinSpec extends SparkSpec {
       .agg(avg("recall")).head.getDouble(0)
     assert(recall >= 0.5, s"lsh recall@10 = $recall")
   }
+
+  test("pq knn join backend clears the IVFADC recall bar and returns true L2 distances") {
+    // the v14 driver query's pq row, pinned deterministically: IVFADC
+    // residual codes + exact re-rank behind the shared KnnJoin contract
+    val model = IvfBuild.build(emb, 64)
+    val cents = model.partitions.map(p => p.pid -> p.centroid).toMap
+    val pqm = graft.vector.Pq.trainResiduals(model.vectors, cents, 64, m = 16, k = 16, iters = 10, seed = 7L)
+    val codes = graft.vector.Pq.encodeResiduals(model.vectors, pqm, cents)
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val res = KnnJoin.pq(model, pqm, codes, queries, k = 10)
+    val exact = KnnJoin.exact(queries, emb, k = 10)
+    val recall = IvfSearch.recallAtK(res, exact, 10, queries)
+      .agg(avg("recall")).head.getDouble(0)
+    assert(recall >= 0.7, s"pq knn recall@10 = $recall")
+
+    // re-ranked distances are exact: wherever pq and exact agree on a
+    // (query, vec) pair, the reported dist2 must match to double noise
+    val got = res.select("query_id", "vec_id", "dist2").as[(Long, Long, Double)].collect()
+      .map { case (q, v, d) => (q, v) -> d }.toMap
+    val want = exact.select("query_id", "vec_id", "dist2").as[(Long, Long, Double)].collect()
+      .map { case (q, v, d) => (q, v) -> d }.toMap
+    val common = got.keySet intersect want.keySet
+    assert(common.nonEmpty)
+    common.foreach(kk => assert(math.abs(got(kk) - want(kk)) < 1e-9, s"dist mismatch at $kk"))
+  }
 }
