@@ -55,10 +55,56 @@ object Bench {
     def r3(d: Double): Double = math.rint(d * 1000) / 1000
     def qjson(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => s"\"$k\":${r3(v)}" }.mkString("{", ",", "}")
+    // Noise sentinel: one fixed CPU-bound job (same row count, same
+    // partition count, no I/O) timed around every suite pass. Its only
+    // variable is the MACHINE — so when its time drifts vs its own
+    // cross-run history, the record is contended and says so, instead of
+    // 40 per-query "regressions" pointing at innocent plans (round 5's
+    // official record was uniformly 2-3× slower than same-code runs hours
+    // earlier; min-of-2 can't save a record when both passes share the
+    // contended hour).
+    def sentinel(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 64L << 20, 1L, 32).selectExpr("sum(id * 3 + 1)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    sentinel() // untimed JIT/codegen warmup of the sentinel itself
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.isEmpty) 0.0 else s(s.length / 2)
+    }
     // Two full passes, min per query: a co-tenant CPU spike during one pass
     // cannot fabricate a per-query regression in the official record.
     val nPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
-    val passes = (1 to math.max(1, nPasses)).map(_ => timeSuite())
+    val sentinels = scala.collection.mutable.ArrayBuffer(sentinel())
+    val passes = scala.collection.mutable.ArrayBuffer.empty[Seq[(String, Double)]]
+    (1 to math.max(1, nPasses)).foreach { _ =>
+      passes += timeSuite()
+      sentinels += sentinel()
+    }
+    // History medians of the sentinel (machine-dependent only, so every
+    // entry counts regardless of sf/kind); >2× drift = contended machine →
+    // one extra pass buys a shot at a quiet window, and the record is
+    // stamped so readers weight it accordingly.
+    val histLines: Seq[String] =
+      try {
+        import scala.jdk.CollectionConverters._
+        val p = java.nio.file.Paths.get("bench_history.json")
+        if (java.nio.file.Files.exists(p))
+          java.nio.file.Files.readAllLines(p).asScala.toSeq.filter(_.nonEmpty)
+        else Seq.empty
+      } catch { case _: Throwable => Seq.empty }
+    val sentRe = """"sentinel_sec":([0-9.]+)""".r
+    val histSent = histLines.flatMap(l => sentRe.findFirstMatchIn(l).map(_.group(1).toDouble))
+    val contended =
+      histSent.nonEmpty && median(sentinels.toSeq) > 2.0 * median(histSent)
+    if (contended) {
+      System.err.println(
+        f"[bench] CONTENDED: sentinel ${median(sentinels.toSeq)}%.3f s vs history median " +
+          f"${median(histSent)}%.3f s — taking an extra pass and stamping the record")
+      passes += timeSuite()
+      sentinels += sentinel()
+    }
     val results = names.map { case (name, _) =>
       name -> r3(passes.map(_.toMap.apply(name)).min)
     }
@@ -69,43 +115,60 @@ object Bench {
     // Full per-pass record in its own file: the driver captures only the
     // TAIL of stdout, which in round 3 truncated the head of the final JSON
     // line and hid a third of the suite — the file is the durable record.
+    // kind: "official" when the round driver runs Bench bare; the builder
+    // tags iteration runs "builder" via the env var so trend comparisons
+    // are official-to-official (iteration runs on a busy build machine
+    // would otherwise pollute the baseline the alarm compares against)
+    val kind = sys.env.getOrElse("SPARK_GRAFT_BENCH_KIND", "official")
+    val sentinelSec = r3(median(sentinels.toSeq))
     locally {
       val passJson = passes.map(qjson).mkString("[", ",", "]")
-      val body = s"""{"sf":"$sfDir","queries_min":${qjson(okResults)},"passes":$passJson}"""
+      val body = s"""{"sf":"$sfDir","kind":"$kind","contended":$contended,""" +
+        s""""sentinel_sec":$sentinelSec,"queries_min":${qjson(okResults)},"passes":$passJson}"""
       try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_queries.json"), body)
       catch { case e: Throwable => System.err.println(s"[bench] queries file write failed: ${e.getMessage}") }
     }
     // Cross-round trend line: append this run's per-query mins to
     // bench_history.json (JSONL, one entry per bench run) and flag >2×
-    // regressions against the previous same-sf entry on stderr — so a
-    // plan-shape regression (round 4's d03) is caught by the BUILDER during
-    // iteration, not first by the judge reading BENCH_r{N}.
+    // regressions against the previous same-sf SAME-KIND entry on stderr —
+    // so a plan-shape regression (round 4's d03) is caught by the BUILDER
+    // during iteration, not first by the judge reading BENCH_r{N}. When
+    // more than a third of eligible queries "regress" together the alarm
+    // declares systemic noise instead: plans don't all get slower at once,
+    // machines do (round 5's contended record fired ~40 false positives
+    // that would have drowned a real one).
     locally {
       try {
-        import scala.jdk.CollectionConverters._
-        val histPath = java.nio.file.Paths.get("bench_history.json")
-        val lines =
-          if (java.nio.file.Files.exists(histPath))
-            java.nio.file.Files.readAllLines(histPath).asScala.toSeq.filter(_.nonEmpty)
-          else Seq.empty
-        lines.reverse.find(l => l.contains(s""""sf":"$sfDir"""") && l.contains("\"queries_min\":"))
+        val lines = histLines
+        lines.reverse
+          .find(l =>
+            l.contains(s""""sf":"$sfDir"""") && l.contains("\"queries_min\":") &&
+              (if (l.contains("\"kind\":")) l.contains(s""""kind":"$kind"""") else kind == "official"))
           .foreach { prev =>
             val qm = prev.substring(prev.indexOf("\"queries_min\":"))
             val re = """"([A-Za-z0-9_]+)":([0-9.]+)""".r
             val prevMin = re.findAllMatchIn(qm).map(m => m.group(1) -> m.group(2).toDouble).toMap
-            okResults.foreach { case (name, sec) =>
-              prevMin.get(name).foreach { p =>
-                // sub-200ms queries are all scheduler noise — not a signal
-                if (p >= 0.2 && sec > 2.0 * p)
-                  System.err.println(
-                    f"[bench] REGRESSION $name: $p%.2f s -> $sec%.2f s (${sec / p}%.1fx vs previous run)")
-              }
+            val eligible = okResults.flatMap { case (name, sec) =>
+              // sub-200ms queries are all scheduler noise — not a signal
+              prevMin.get(name).filter(_ >= 0.2).map(p => (name, p, sec))
             }
+            val regressed = eligible.filter { case (_, p, sec) => sec > 2.0 * p }
+            if (eligible.nonEmpty && regressed.size * 3 > eligible.size)
+              System.err.println(
+                s"[bench] SYSTEMIC NOISE: ${regressed.size}/${eligible.size} queries >2x vs " +
+                  s"previous $kind run — machine contention, not a plan regression")
+            else
+              regressed.foreach { case (name, p, sec) =>
+                System.err.println(
+                  f"[bench] REGRESSION $name: $p%.2f s -> $sec%.2f s (${sec / p}%.1fx vs previous run)")
+              }
           }
         val entry =
-          s"""{"epoch_ms":${System.currentTimeMillis()},"sf":"$sfDir",""" +
+          s"""{"epoch_ms":${System.currentTimeMillis()},"sf":"$sfDir","kind":"$kind",""" +
+            s""""contended":$contended,"sentinel_sec":$sentinelSec,""" +
             s""""queries_min":${qjson(okResults)}}"""
-        java.nio.file.Files.writeString(histPath, (lines :+ entry).mkString("", "\n", "\n"))
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get("bench_history.json"), (lines :+ entry).mkString("", "\n", "\n"))
       } catch { case e: Throwable => System.err.println(s"[bench] history update failed: ${e.getMessage}") }
     }
     // Replay rows get the same noise discipline as the suite: each block
@@ -144,15 +207,22 @@ object Bench {
     // grouped k-means for the same A/B signal — measured there once: 19 vs
     // 0 husks, nprobe 41.1 vs 38.7, mean 0.857 vs 0.789 ms — and the
     // fixture accumulates ~12 husks over 32 partitions (~40% dead
-    // metadata) by 2000 queries. One pass each — this row is an A/B
-    // comparison, not a latency record.
+    // metadata) by 2000 queries. Each arm gets the same min-of-N
+    // discipline as every other replay row — round 5's single-pass arms
+    // produced a latency column that CONTRADICTED the row's own structural
+    // metrics (compaction won on nprobe and total but "lost" on mean
+    // latency, pure noise); the structural metrics (husk count, nprobe)
+    // are deterministic and unaffected.
     val huskJson =
       if (sys.env.getOrElse("SPARK_GRAFT_REPLAY_HUSKS", "1") == "0") "null"
       else
         try {
           val nq = sys.env.getOrElse("SPARK_GRAFT_HUSK_QUERIES", "1000").toInt
-          val off = bench.Replay.run(spark, sfDir, nQueries = nq)
-          val on = bench.Replay.run(spark, sfDir, nQueries = nq, compactHusks = true)
+          val n = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPLAY_PASSES", "2").toInt)
+          val off = bench.Replay.minOver(
+            (1 to n).map(_ => bench.Replay.run(spark, sfDir, nQueries = nq)))
+          val on = bench.Replay.minOver(
+            (1 to n).map(_ => bench.Replay.run(spark, sfDir, nQueries = nq, compactHusks = true)))
           s"""{"compact_off":${off.toJson},"compact_on":${on.toJson}}"""
         } catch {
           case e: Throwable => System.err.println(s"[bench] husk replay failed: ${e.getMessage}"); "null"
@@ -161,6 +231,7 @@ object Bench {
     val total = r3(okResults.map(_._2).sum)
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""contended":$contended,"sentinel_sec":$sentinelSec,""" +
         s""""replay":$replayJson,"replay_40k_baseline_config":$replay40kJson,""" +
         s""""replay_40k_b1":$replay40kB1Json,"replay_husks":$huskJson,"sf":"$sfDir"}""")
     spark.stop()
