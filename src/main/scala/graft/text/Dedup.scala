@@ -260,14 +260,38 @@ object Dedup {
           .select("block", "s")
         exAll.join(broadcast(hot), Seq("block", "s"), "left_anti")
       }
+    // Size-band prefix filter (the PPJoin family's length filter): with
+    // set sizes na ≤ nb, Jaccard ≤ na/nb — so a pair whose sizes differ by
+    // more than 1/minJaccard can NEVER clear the threshold and is dropped
+    // AT THE SELF-JOIN, before the Σdf² candidate stream reaches the pair
+    // aggregate (the widest shuffle in this plan). Sizes ride each
+    // exploded row via a plain (un-hinted) join: one row per (block, doc),
+    // so AQE picks a broadcast at working scales (the shingle table is NOT
+    // re-shuffled) and degrades to a shuffle join only when the doc count
+    // itself outgrows broadcast — exactly the adaptive behavior wanted at
+    // 100 TB. In exchange the pair aggregate shrinks by the band's
+    // selectivity and the two post-aggregate size joins disappear. The
+    // filter is EXACTLY output-preserving, not approximately: the band
+    // compares double(min/max) >= minJaccard, and correctly-rounded
+    // division is monotone, so rational J ≤ na/nb implies
+    // double(J) ≤ double(na/nb) — any dropped pair would also have failed
+    // the final jaccard filter.
     val sizes = ex.groupBy("block", "doc_id").agg(count(lit(1)).as("n"))
-    val inter = ex.as("a")
-      .join(ex.as("b"), col("a.block") === col("b.block") && col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.block").as("block"), col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val sized = ex.join(sizes, Seq("block", "doc_id"))
+    sized.as("a")
+      .join(
+        sized.as("b"),
+        col("a.block") === col("b.block") && col("a.s") === col("b.s") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          least(col("a.n"), col("b.n")).cast("double") /
+            greatest(col("a.n"), col("b.n")).cast("double") >= minJaccard)
+      .groupBy(
+        col("a.block").as("block"),
+        col("a.doc_id").as("doc_a"),
+        col("b.doc_id").as("doc_b"),
+        col("a.n").as("na"),
+        col("b.n").as("nb"))
       .agg(count(lit(1)).as("i"))
-    inter
-      .join(sizes.select(col("block"), col("doc_id").as("doc_a"), col("n").as("na")), Seq("block", "doc_a"))
-      .join(sizes.select(col("block"), col("doc_id").as("doc_b"), col("n").as("nb")), Seq("block", "doc_b"))
       .withColumn(
         "jaccard",
         col("i").cast("double") / (col("na").cast("double") + col("nb").cast("double") - col("i").cast("double")))
