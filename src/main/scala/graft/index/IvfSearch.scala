@@ -279,6 +279,7 @@ object IvfSearch {
     // shared pool: this runs once PER QUERY in the batchSize=1 replay —
     // a per-call pool spawned+tore down 32 threads inside every measured
     // latency sample
+    graft.WorkPool.assertNotPoolThread("IvfSearch.scanTopKDriver")
     val exec = graft.WorkPool.pool
     locally {
       val partials = chunks.map { case (from, until) =>

@@ -75,15 +75,36 @@ object Packing {
     val bases: Map[Int, Long] =
       sorted.map(_._1).zip(sorted.scanLeft(0L)(_ + _._2)).toMap
     val bBases = s.sparkContext.broadcast(bases)
+    val bSubs = s.sparkContext.broadcast(subtotals.toMap)
 
+    // Correctness of the two-level scan REQUIRES the partition assignment
+    // to be byte-identical across the subtotal read and this read. That
+    // holds because `ranged` is cached, and on cache-block loss the
+    // recompute re-samples RangePartitioner bounds with an rdd.id-seeded
+    // (hence deterministic) sampler — a non-obvious dependency a storage-
+    // level or Spark-version change could break SILENTLY, producing wrong
+    // offsets. So each partition re-verifies itself: its token sum must
+    // equal the pass-1 subtotal it was assigned a base from; drift fails
+    // the job loudly instead of shipping a corrupted packing.
     ranged
       .mapPartitions { it =>
         val pid = TaskContext.getPartitionId()
-        var acc = bBases.value.getOrElse(pid, 0L)
-        it.map { case (id, n) =>
+        val base = bBases.value.getOrElse(pid, 0L)
+        var acc = base
+        val mapped = it.map { case (id, n) =>
           val start = acc
           acc += n
           (id, n, start, start / budget, (start + n - 1) / budget)
+        }
+        // runs after `mapped` exhausts (++ is by-name): the guard
+        mapped ++ {
+          val expected = bSubs.value.getOrElse(pid, 0L)
+          if (acc - base != expected)
+            throw new IllegalStateException(
+              s"packSequences partition $pid drifted between passes: " +
+                s"subtotal pass saw $expected tokens, packing pass saw ${acc - base} — " +
+                "range partition assignment was not stable across reads")
+          Iterator.empty
         }
       }
       .toDF(idCol, "n_tokens", "start_offset", "seq_first", "seq_last")

@@ -1061,7 +1061,13 @@ object PipelineQueries {
     // an unbounded feed holds only the horizon's keys), and the surviving
     // rows are projected to the hash alone: WHICH copy survives is
     // arrival-order-dependent, the distinct hash SET is not — and that set
-    // must equal the batch DISTINCT the DuckDB oracle computes.
+    // must equal the batch DISTINCT the DuckDB oracle computes. The
+    // watermark horizon (48 h) deliberately exceeds the planted copies'
+    // event-time offset (+100000 s ≈ 27.8 h), so the originals' dedup
+    // state is still alive when the copies arrive under ANY trigger
+    // slicing (e.g. maxFilesPerTrigger) — with a shorter horizon the
+    // set-equivalence would silently depend on the file source happening
+    // to deliver everything in one micro-batch.
     NamedQuery(
       "s04_streaming_dedup",
       (s, dir) => {
@@ -1078,7 +1084,7 @@ object PipelineQueries {
           feed.write.mode("overwrite").parquet(inDir)
           val stream = s.readStream.schema(feed.schema).parquet(inDir)
           val out = graft.streaming.StreamingOps
-            .dedupExact(stream, "ts", Seq("content_hash"), watermarkDelay = "1 hour")
+            .dedupExact(stream, "ts", Seq("content_hash"), watermarkDelay = "48 hours")
           val query = out.writeStream.format("memory").queryName(qname).outputMode("append").start()
           // first-seen rows emit immediately in append mode — no sentinel
           // needed to close anything

@@ -252,6 +252,7 @@ object KMeans {
     val nThreads = graft.WorkPool.size
     // shared pool (see WorkPool): local fits run per build/split on hot
     // paths — no per-call thread spawning
+    graft.WorkPool.assertNotPoolThread("KMeans.lloydLocal")
     val exec = graft.WorkPool.pool
     locally {
       var it = 0
