@@ -107,7 +107,7 @@ object KnnJoin {
       codes: DataFrame,
       queries: DataFrame,
       k: Int,
-      rerankN: Int = 50,
+      rerankN: Int = 100,
       targetRecall: Double = 0.9,
       maxProbe: Int = 64): DataFrame = {
     val q = normalizeQueries(queries)

@@ -822,9 +822,9 @@ object PipelineQueries {
     // vector path: 16-byte ADC codes standing in for 256-byte float32
     // vectors (16×), searched via per-query lookup tables and the same
     // bounded-heap top-k as the exact scan, then an EXACT RE-RANK of the
-    // ADC top-50 (the standard second IVFADC refinement, Jégou et al.
-    // 2011): ADC only has to get the true neighbors into its top-50, and
-    // the bounded gather join rescores those 50 floats exactly. Both
+    // ADC top-100 (the standard second IVFADC refinement, Jégou et al.
+    // 2011): ADC only has to get the true neighbors into its top-100, and
+    // the bounded gather join rescores those 100 floats exactly. Both
     // recalls are reported — mean_recall_adc is what the codes alone buy
     // (the fixture is UNIT-RANDOM, the hardest PQ regime: raw ADC@10
     // ≈ 0.52 at 16×16), mean_recall is the shipped re-ranked path.
@@ -837,10 +837,10 @@ object PipelineQueries {
         val model = pqFor(s, dir)
         val codes = Pq.encode(emb, model)
         val qs = embQueries(s, dir, 20)
-        val adc = Pq.adcTopK(codes, model, qs, k = 50)
+        val adc = Pq.adcTopK(codes, model, qs, k = 100)
         val reranked = Pq.rerankExact(adc, emb, qs, k = 10)
         val exact = graft.index.KnnJoin.exact(qs, emb, 10)
-        // ADC's own top-10 is just the top-50's rank prefix (same ordering)
+        // ADC's own top-10 is just the top-100's rank prefix (same ordering)
         val adcRecall = IvfSearch
           .recallAtK(adc.filter(col("rank") <= 10), exact, 10, qs)
           .agg(round(avg("recall"), 4).as("mean_recall_adc"))
@@ -858,7 +858,7 @@ object PipelineQueries {
     // read at all; inside them, byte codes quantize RESIDUALS against the
     // owning partition's centroid (residuals concentrate near 0, so the
     // same codebook budget covers them far more densely than raw points),
-    // scored via per-(query, partition) lookup tables; the ADC top-50 then
+    // scored via per-(query, partition) lookup tables; the ADC top-100 then
     // pays one bounded exact gather join to re-rank (same plan shape as
     // v08). Scan cost drops on BOTH axes (partitions visited × bytes per
     // vector) and recall recovers to near the float IVF path's. The probe
@@ -875,7 +875,7 @@ object PipelineQueries {
         val codes = Pq.encodeResiduals(model.vectors, pq, cents)
         val qs = embQueries(s, dir, 20)
         val probes = IvfSearch.chooseProbes(model, qs, IvfSearch.Params(k = 10))
-        val adc = Pq.ivfAdcResidualTopK(codes, pq, cents, probes.select("query_id", "partition_id"), qs, k = 50)
+        val adc = Pq.ivfAdcResidualTopK(codes, pq, cents, probes.select("query_id", "partition_id"), qs, k = 100)
         val approx = Pq.rerankExact(adc, emb, qs, k = 10)
         val exact = graft.index.KnnJoin.exact(qs, emb, 10)
         IvfSearch
