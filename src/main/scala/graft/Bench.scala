@@ -208,11 +208,13 @@ object Bench {
     // 0 husks, nprobe 41.1 vs 38.7, mean 0.857 vs 0.789 ms — and the
     // fixture accumulates ~12 husks over 32 partitions (~40% dead
     // metadata) by 2000 queries. Each arm gets the same min-of-N
-    // discipline as every other replay row — round 5's single-pass arms
-    // produced a latency column that CONTRADICTED the row's own structural
-    // metrics (compaction won on nprobe and total but "lost" on mean
-    // latency, pure noise); the structural metrics (husk count, nprobe)
-    // are deterministic and unaffected.
+    // discipline as every other replay row, AND the row reports only
+    // structural fields (husk count, nprobe, scanned, total wall):
+    // round 5's single-pass arms produced a latency column that
+    // CONTRADICTED the row's own structural metrics, and at ~0.2 ms/query
+    // even min-of-2 leaves scheduler noise bigger than the real
+    // between-arm latency delta — a noise-sign flip in a published A/B
+    // reads as a contradiction, so the row doesn't publish that axis.
     val huskJson =
       if (sys.env.getOrElse("SPARK_GRAFT_REPLAY_HUSKS", "1") == "0") "null"
       else
@@ -223,7 +225,7 @@ object Bench {
             (1 to n).map(_ => bench.Replay.run(spark, sfDir, nQueries = nq)))
           val on = bench.Replay.minOver(
             (1 to n).map(_ => bench.Replay.run(spark, sfDir, nQueries = nq, compactHusks = true)))
-          s"""{"compact_off":${off.toJson},"compact_on":${on.toJson}}"""
+          s"""{"compact_off":${off.toStructuralJson},"compact_on":${on.toStructuralJson}}"""
         } catch {
           case e: Throwable => System.err.println(s"[bench] husk replay failed: ${e.getMessage}"); "null"
         }

@@ -59,6 +59,19 @@ object Replay {
         s""""husk_partitions":$huskPartitions,"total_sec":$totalSec,"batch_size":$batchSize,""" +
         s""""churn_events":$churnEvents,"maintain_events":$maintainEvents}"""
     }
+
+    /** [[toJson]] minus the latency fields — for A/B rows whose point is
+      * STRUCTURAL (husk counts, nprobe, scanned, wall-clock): at this
+      * replay's ~0.2 ms/query, tens of microseconds of scheduler noise
+      * exceed the real latency delta between arms even under min-of-N,
+      * and a noise-sign flip in a published A/B row reads as a
+      * contradiction (round 5's husk row "lost" on latency while winning
+      * every structural metric). */
+    def toStructuralJson: String =
+      s"""{"n_queries":$nQueries,"build_sec":$buildSec,"mean_nprobe":$meanNprobe,""" +
+        s""""mean_scanned":$meanScanned,"mean_recall":$meanRecall,"final_partitions":$finalPartitions,""" +
+        s""""husk_partitions":$huskPartitions,"total_sec":$totalSec,"batch_size":$batchSize,""" +
+        s""""churn_events":$churnEvents,"maintain_events":$maintainEvents}"""
   }
 
   /** Deterministic Zipf(α) rank sampler over [0, n): inverse CDF on a

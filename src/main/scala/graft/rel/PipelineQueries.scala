@@ -901,7 +901,10 @@ object PipelineQueries {
         val dim = emb.select(size(col("embedding"))).head().getInt(0)
         val model = indexFor(s, dir)
         val qs = embQueries(s, dir, 20)
-        val exact = graft.index.KnnJoin.exact(qs, emb, 10)
+        // the exact result is both a backend row AND the reference side of
+        // all four recallAtK calls — cached, or the full corpus scan runs
+        // five times inside one query (CacheScope drops it after)
+        val exact = graft.CacheScope.track(graft.index.KnnJoin.exact(qs, emb, 10).cache())
         val cents = model.partitions.map(p => p.pid -> p.centroid).toMap
         val codes = Pq.encodeResiduals(model.vectors, pqResidualFor(s, dir), cents)
         val backends: Seq[(String, DataFrame)] = Seq(
@@ -999,6 +1002,13 @@ object PipelineQueries {
     // the event-time timeout flushes every user's open tail. All real rows
     // arrive in one micro-batch → emitted sessions must equal the batch
     // q22 result, which is exactly what the DuckDB oracle computes.
+    //
+    // Cost profile (measured at sf0.1, warm): staging 0.4 s, query start
+    // 0.1 s, main micro-batch 3.5 s, the two sentinel cycles 4-6 s (they
+    // fire every user's event-time timeout — i.e. CLOSE AND EMIT all
+    // ~9.5k sessions — plus a state-store load/commit per cycle), stop
+    // 0.3 s. The bench time is state machinery doing real work, not
+    // query-startup overhead to amortize away.
     NamedQuery(
       "s03_streaming_sessions",
       (s, dir) => {

@@ -357,6 +357,55 @@ object Pq {
     TopK.perQuery(cands, k)
   }
 
+  /** Persist a trained codebook as a small Parquet table — the PQ analog
+    * of [[graft.index.IvfModel.save]]: one row per (subspace, codeword),
+    * so the artifact is engine-portable (DuckDB/Spark/anything reading
+    * Parquet) and metadata-sized (m·k rows). Codes tables are ordinary
+    * DataFrames the caller writes like any other table (partition by
+    * `partition_id` for probe-pruned reads, as [[graft.index.IvfModel.save]]
+    * does for vectors); only the model needs this dedicated shape. */
+  def save(model: PqModel, path: String, spark: org.apache.spark.sql.SparkSession): Unit = {
+    import spark.implicits._
+    val rows = for {
+      j <- 0 until model.m
+      c <- model.codebooks(j).indices
+    } yield (j, c, model.codebooks(j)(c).toSeq)
+    rows.toDF("subspace", "codeword", "center")
+      .coalesce(1)
+      .write.mode("overwrite")
+      .parquet(s"$path/codebooks")
+    Seq((model.dim, model.m, model.k))
+      .toDF("dim", "m", "k")
+      .coalesce(1)
+      .write.mode("overwrite")
+      .parquet(s"$path/meta")
+  }
+
+  /** Inverse of [[save]]: rebuild the [[PqModel]] from its Parquet
+    * artifact. Codewords land at their exact float bits (Parquet stores
+    * the floats verbatim), so save→load→encode is bit-identical to
+    * encoding with the original model. A subspace may legitimately hold
+    * fewer than `k` codewords (training pools smaller than k keep what
+    * they have) — lengths are taken from the table, only contiguity of
+    * codeword indices is enforced. */
+  def load(path: String, spark: org.apache.spark.sql.SparkSession): PqModel = {
+    import spark.implicits._
+    val (dim, m, k) = spark.read.parquet(s"$path/meta").as[(Int, Int, Int)].head()
+    val bySub = spark.read.parquet(s"$path/codebooks")
+      .as[(Int, Int, Array[Float])]
+      .collect()
+      .groupBy(_._1)
+    val cb: Array[Array[Array[Float]]] = (0 until m).toArray.map { j =>
+      val rows = bySub.getOrElse(j, Array.empty).sortBy(_._2)
+      require(rows.nonEmpty, s"codebook table at $path has no rows for subspace $j")
+      require(
+        rows.map(_._2).toSeq == rows.indices.toSeq,
+        s"codebook table at $path has non-contiguous codeword ids in subspace $j")
+      rows.map(_._3)
+    }
+    PqModel(dim, m, k, cb)
+  }
+
   /** Exact re-rank of an ADC candidate list — the second standard IVFADC
     * refinement: ADC distances ORDER candidates well but are quantized, so
     * take the ADC top-N (N a few × k), gather those N float vectors, and

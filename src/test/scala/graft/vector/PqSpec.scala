@@ -198,6 +198,29 @@ class PqSpec extends SparkSpec {
     intercept[IllegalArgumentException](Pq.trainResiduals(ivf.vectors, cents, 64, m = 8, k = 300, iters = 1, seed = 1L))
   }
 
+  test("save/load round-trips the codebooks bit-for-bit; codes agree") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val model = Pq.train(emb, dim = 64, m = 8, k = 4, iters = 4, seed = 7L)
+    val tmp = java.nio.file.Files.createTempDirectory("pq_save_").toString
+    try {
+      Pq.save(model, tmp, spark)
+      val loaded = Pq.load(tmp, spark)
+      assert(loaded.dim == model.dim && loaded.m == model.m && loaded.k == model.k)
+      assert( // exact float bits, not approximate equality
+        loaded.codebooks.flatten.flatten.toSeq == model.codebooks.flatten.flatten.toSeq)
+      val a = Pq.encode(emb, model).as[(Long, Array[Byte])].collect().map(t => t._1 -> t._2.toSeq).toMap
+      val b = Pq.encode(emb, loaded).as[(Long, Array[Byte])].collect().map(t => t._1 -> t._2.toSeq).toMap
+      assert(a == b)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(tmp)
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("ADC recall on clustered data clears the bar (compression keeps the neighborhood)") {
     // 20 tight Gaussian-ish clusters in 16-d: the regime PQ is built for.
     // Deterministic pseudo-random points from hashed ids.
