@@ -771,6 +771,78 @@ object PipelineQueries {
           "length(clean) AS clean_len, right(clean, 40) AS clean_tail " +
           "FROM c ORDER BY doc_id")),
 
+    // Gopher-style repetition filtering (Rae et al. 2021, "Scaling
+    // Language Models: ... Gopher", appendix A1.1): natural text repeats
+    // itself far less than boilerplate/spam, so the share of the single
+    // most frequent token, the share of the most frequent bigram, and the
+    // fraction of bigram occurrences that are repeats separate junk from
+    // prose. Emitted per doc with a keep flag over the published-style
+    // thresholds, computed FROM THE ROUNDED ratios so both engines
+    // compare identical doubles. The natural fixture is clean prose (every
+    // doc passes), so junk twins — one boilerplate loop per 50 docs — are
+    // planted identically on both sides; the filter must keep all real
+    // docs AND reject every planted one, making the reject path
+    // hash-checked too. Scale shape: two map-side-partial groupBys on
+    // narrow (doc_id, term) keys + per-doc joins — never a corpus-wide
+    // wide row, never all-pairs.
+    NamedQuery(
+      "t07_repetition_stats",
+      (s, dir) => {
+        val real = t(s, dir, "documents")
+        val junk = real.filter(col("doc_id") % 50 === 0)
+          .select((col("doc_id") + 200000L).as("doc_id"), repeat(lit("spam offer "), 40).as("text"))
+        val docs = real.select("doc_id", "text").unionByName(junk)
+        val base = docs.select(
+          col("doc_id"), size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+        val tokAgg = docs
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tk"))
+          .groupBy("doc_id", "tk").agg(count(lit(1)).as("n"))
+          .groupBy("doc_id").agg(max("n").as("top_tok"), sum("n").as("tot_tok"))
+        val bigAgg = TextOps.shingleRows(docs, 2, distinctSet = false)
+          .groupBy("doc_id", "s").agg(count(lit(1)).as("n"))
+          .groupBy("doc_id")
+          .agg(max("n").as("top_big"), sum("n").as("tot_big"), count(lit(1)).as("dist_big"))
+        base
+          .join(tokAgg, Seq("doc_id"), "left")
+          .join(bigAgg, Seq("doc_id"), "left")
+          .select(
+            col("doc_id"),
+            col("n_tokens"),
+            round(coalesce(col("top_tok") / col("tot_tok"), lit(0.0)), 4).as("top_token_share"),
+            round(coalesce(col("top_big") / col("tot_big"), lit(0.0)), 4).as("top_bigram_share"),
+            round(coalesce(lit(1.0) - col("dist_big") / col("tot_big"), lit(0.0)), 4)
+              .as("dup_bigram_frac"))
+          .withColumn(
+            "keep",
+            when(
+              col("n_tokens") >= 5 && col("top_token_share") <= 0.3 &&
+                col("top_bigram_share") <= 0.18 && col("dup_bigram_frac") <= 0.4,
+              1L).otherwise(0L))
+          .orderBy("doc_id")
+      },
+      Some(
+        "WITH all_docs AS (SELECT doc_id, text FROM documents UNION ALL " +
+          "SELECT doc_id + 200000 AS doc_id, repeat('spam offer ', 40) AS text " +
+          "FROM documents WHERE doc_id % 50 = 0), " +
+          s"tok AS (SELECT doc_id, $duckToks AS w FROM all_docs), " +
+          "base AS (SELECT doc_id, len(w) AS n_tokens FROM tok), " +
+          "tokc AS (SELECT doc_id, t, count(*) AS n FROM " +
+          "(SELECT doc_id, unnest(w) AS t FROM tok) GROUP BY doc_id, t), " +
+          "toka AS (SELECT doc_id, max(n) AS top_tok, sum(n) AS tot_tok FROM tokc GROUP BY doc_id), " +
+          "bigc AS (SELECT doc_id, b, count(*) AS n FROM (SELECT doc_id, " +
+          "unnest(list_transform(generate_series(1, greatest(len(w) - 1, 0)), i -> w[i] || ' ' || w[i+1])) AS b " +
+          "FROM tok) GROUP BY doc_id, b), " +
+          "biga AS (SELECT doc_id, max(n) AS top_big, sum(n) AS tot_big, count(*) AS dist_big FROM bigc GROUP BY doc_id), " +
+          "m AS (SELECT b.doc_id, b.n_tokens, " +
+          "round(coalesce(CAST(top_tok AS DOUBLE) / tot_tok, 0.0), 4) AS top_token_share, " +
+          "round(coalesce(CAST(top_big AS DOUBLE) / tot_big, 0.0), 4) AS top_bigram_share, " +
+          "round(coalesce(1.0 - CAST(dist_big AS DOUBLE) / tot_big, 0.0), 4) AS dup_bigram_frac " +
+          "FROM base b LEFT JOIN toka USING (doc_id) LEFT JOIN biga USING (doc_id)) " +
+          "SELECT doc_id, n_tokens, top_token_share, top_bigram_share, dup_bigram_frac, " +
+          "CAST(CASE WHEN n_tokens >= 5 AND top_token_share <= 0.3 " +
+          "AND top_bigram_share <= 0.18 AND dup_bigram_frac <= 0.4 THEN 1 ELSE 0 END AS BIGINT) AS keep " +
+          "FROM m ORDER BY doc_id")),
+
     // LSH-bucketed approximate cosine k-NN join (KnnJoin.lsh) — the
     // index-free ANN scale path the pipeline brief names next to IVF.
     // Queries are planted near-identical perturbations of corpus vectors,
