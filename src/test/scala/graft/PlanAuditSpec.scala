@@ -86,6 +86,40 @@ class PlanAuditSpec extends SparkSpec {
       s"decontamination fell back to a sort-merge join:\n$plan")
   }
 
+  test("IVFADC scan broadcasts the probe set — the codes table never shuffles") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet").select("vec_id", "embedding")
+    val model = IvfBuild.build(emb, 64)
+    val cents = model.partitions.map(p => p.pid -> p.centroid).toMap
+    val pq = graft.vector.Pq.trainResiduals(model.vectors, cents, 64, m = 8, k = 4, iters = 2, seed = 7L)
+    val codes = graft.vector.Pq.encodeResiduals(model.vectors, pq, cents)
+    val queries = emb.limit(3).select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val probes = IvfSearch.chooseProbes(model, queries, IvfSearch.Params(k = 5))
+      .select("query_id", "partition_id")
+    val plan = graft.vector.Pq.ivfAdcResidualTopK(codes, pq, cents, probes, queries, k = 5)
+      .queryExecution.executedPlan.toString
+    // same contract as the float gather join: at 100 TB the codes table is
+    // the big side and must be joined in place
+    assert(plan.contains("BroadcastHashJoin"),
+      s"probe set is not broadcast against the codes table:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"codes table shuffles to meet the probe set:\n$plan")
+  }
+
+  test("exact re-rank broadcasts the bounded candidate set against the float vectors") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet").select("vec_id", "embedding")
+    val cands = Seq((1L, 5L), (1L, 6L), (2L, 7L)).toDF("query_id", "vec_id")
+    val queries = emb.limit(2).select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val plan = graft.vector.Pq.rerankExact(cands, emb, queries, k = 2)
+      .queryExecution.executedPlan.toString
+    // |Q|·rerankN rows vs the corpus: the corpus must stay in place
+    assert(plan.contains("BroadcastHashJoin"),
+      s"candidate set is not broadcast — the vectors table would shuffle:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"re-rank gather fell back to a sort-merge join:\n$plan")
+  }
+
   test("LSH band joins ship narrow keys — wide columns rejoin after pair dedup") {
     import graft.text.Dedup
     import spark.implicits._

@@ -198,6 +198,28 @@ class PqSpec extends SparkSpec {
     intercept[IllegalArgumentException](Pq.trainResiduals(ivf.vectors, cents, 64, m = 8, k = 300, iters = 1, seed = 1L))
   }
 
+  test("load rejects a codebook table with missing or non-contiguous codeword rows") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("pq_load_guard_").toString
+    try {
+      Seq((2, 2, 2)).toDF("dim", "m", "k").write.mode("overwrite").parquet(s"$tmp/meta")
+      // subspace 1 absent entirely
+      Seq((0, 0, Seq(1.0f)), (0, 1, Seq(2.0f)))
+        .toDF("subspace", "codeword", "center")
+        .write.mode("overwrite").parquet(s"$tmp/codebooks")
+      intercept[IllegalArgumentException](Pq.load(tmp, spark))
+      // subspace 1 present but codeword ids skip 0
+      Seq((0, 0, Seq(1.0f)), (1, 1, Seq(2.0f)))
+        .toDF("subspace", "codeword", "center")
+        .write.mode("overwrite").parquet(s"$tmp/codebooks")
+      intercept[IllegalArgumentException](Pq.load(tmp, spark))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(tmp)).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("save/load round-trips the codebooks bit-for-bit; codes agree") {
     val emb = spark.read
       .parquet("/root/testdata/sf0.001/embeddings.parquet")
