@@ -202,6 +202,139 @@ object MultimodalOps {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Block value of the deterministic pattern image: base gray in
+    * [0, 240] from a QUADRATIC residue mod a prime (a linear map would
+    * stride constantly per row and produce near-identical gradient signs
+    * for every seed — measured: degenerate 3-bit hashes); `jitter == 1`
+    * adds a per-block perturbation in [0, 15] — a near-duplicate whose
+    * dHash flips only the few bits where adjacent base blocks sit within
+    * the jitter amplitude (planted twins land at Hamming 0–2 vs ≥11
+    * across seeds), the perceptual-dedup analog of a re-encoded or
+    * slightly-edited image. All arithmetic is small exact integers, so an
+    * ANSI SQL oracle (with CHECKED 64-bit math) can predict every pixel. */
+  private[graft] def patternBlockValue(seed: Long, bx: Int, by: Int, jitter: Int): Int = {
+    val a = seed * 31 + bx * 7 + by * 13
+    (Math.floorMod(a * a * 7 + a * 13, 241L) +
+      jitter * (Math.floorMod(a * a * 3 + a * 5, 241L) % 16)).toInt
+  }
+
+  /** Blocky pattern-image generator — the structured sibling of
+    * [[encodeUniformImages]] for PERCEPTUAL pipelines: a `cols × rows`
+    * grid of uniform `blockPx`-pixel gray squares whose values come from
+    * [[patternBlockValue]]. Because each [[dHash64]] cell covers exactly
+    * one block, the decoded hash is analytically predictable — the trick
+    * that lets the m05 driver query hash-check a REAL PNG encode → decode
+    * → downscale → dHash → banded-join pipeline against a pure-arithmetic
+    * DuckDB oracle.
+    *
+    * Input `(asset_id long, seed long, jitter int)`; output
+    * `(asset_id, content binary)` — real PNG bytes. */
+  def encodePatternImages(
+      df: DataFrame,
+      blockPx: Int = 8,
+      cols: Int = 9,
+      rows: Int = 8,
+      format: String = "png"): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = false)))
+    val src = df.select(col("asset_id").cast("long"), col("seed").cast("long"), col("jitter").cast("int"))
+    val rdd = src.rdd.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val (id, seed, jitter) = (r.getLong(0), r.getLong(1), r.getInt(2))
+        val img = new java.awt.image.BufferedImage(
+          cols * blockPx, rows * blockPx, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var by = 0
+        while (by < rows) {
+          var bx = 0
+          while (bx < cols) {
+            val v = patternBlockValue(seed, bx, by, jitter)
+            val packed = (v << 16) | (v << 8) | v
+            var y = by * blockPx
+            while (y < (by + 1) * blockPx) {
+              var x = bx * blockPx
+              while (x < (bx + 1) * blockPx) { img.setRGB(x, y, packed); x += 1 }
+              y += 1
+            }
+            bx += 1
+          }
+          by += 1
+        }
+        val baos = new java.io.ByteArrayOutputStream()
+        if (!javax.imageio.ImageIO.write(img, format, baos))
+          throw new IllegalArgumentException(s"no ImageIO writer for format '$format'")
+        Row(id, baos.toByteArray)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** 64-bit difference hash (dHash — the standard public perceptual image
+    * fingerprint): decode, integer-mean-downscale to a `cols × rows` luma
+    * grid, then bit `y*(cols−1)+x` = 1 iff `cell(x+1, y) > cell(x, y)`.
+    * Robust to re-encoding and small edits because only gradient SIGNS
+    * survive. Decode is the REAL JDK ImageIO path ([[decodeImageIO]]'s
+    * codecs) through the same mapPartitions plumbing; the luma and means
+    * are exact integer arithmetic so the hash is platform-stable.
+    * Undecodable payloads yield a null hash instead of failing the
+    * partition. Output `(asset_id long, dhash long)` — with the default
+    * 9×8 grid, exactly 64 comparisons. */
+  def dHash64(df: DataFrame, idCol: String, binCol: String, cols: Int = 9, rows: Int = 8): DataFrame = {
+    require((cols - 1) * rows <= 64, s"dHash grid ${cols}x$rows exceeds 64 bits")
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("dhash", LongType, nullable = true)))
+    val src = df.select(col(idCol).cast("long"), col(binCol))
+    val rdd = src.rdd.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val id = r.getLong(0)
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          catch { case _: Exception => null }
+        if (img == null || img.getWidth < cols || img.getHeight < rows) Row(id, null)
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          val cellW = w / cols
+          val cellH = h / rows
+          val cells = Array.ofDim[Long](rows, cols)
+          val rowBuf = new Array[Int](w)
+          var y = 0
+          while (y < rows * cellH) {
+            img.getRGB(0, y, w, 1, rowBuf, 0, w)
+            var x = 0
+            while (x < cols * cellW) {
+              val rgb = rowBuf(x)
+              // same fixed-point BT.601 luma as decodeImageIO — bit-exact
+              val lum = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)) / 1000
+              cells(y / cellH)(x / cellW) += lum
+              x += 1
+            }
+            y += 1
+          }
+          val perCell = cellW.toLong * cellH
+          var hash = 0L
+          var cy = 0
+          while (cy < rows) {
+            var cx = 0
+            while (cx < cols - 1) {
+              if (cells(cy)(cx + 1) / perCell > cells(cy)(cx) / perCell)
+                hash |= 1L << (cy * (cols - 1) + cx)
+              cx += 1
+            }
+            cy += 1
+          }
+          Row(id, hash)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** RIFF/WAVE PCM16 mono encoder over a spec frame
     * `(asset_id long, n_samples int, sample_rate int, seed long)`:
     * sample `i` is the deterministic full-range int16

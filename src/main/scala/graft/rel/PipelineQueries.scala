@@ -997,6 +997,48 @@ object PipelineQueries {
       },
       None),
 
+    // Perceptual image dedup, hash-checked END-TO-END: real PNG bytes are
+    // encoded on executors (blocky gray pattern images whose 8×8-px
+    // blocks land exactly on the dHash grid cells), decoded back through
+    // the REAL JDK ImageIO codec, block-mean downscaled, dHashed (64-bit
+    // gradient-sign fingerprint), and near-dup pairs found by the banded
+    // Hamming join — while the DuckDB oracle predicts every pixel, hash
+    // bit, and pair by PURE ARITHMETIC (the pattern generator is exact
+    // integer math and PNG is lossless, so decode ≡ construction). With
+    // maxHamming 7 < 8 bands the banding is pigeonhole-EXACT, so the
+    // engine's bucketed join must equal the oracle's all-pairs popcount:
+    // one planted jittered twin per 4 base images, 10 pairs expected.
+    // The oracle sidesteps DuckDB's checked 1<<63 by counting differing
+    // bits directly instead of packing the hash.
+    NamedQuery(
+      "m05_image_dhash_dedup",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val base = docs.filter(col("doc_id") < 40)
+          .select(col("doc_id").as("asset_id"), col("doc_id").as("seed"), lit(0).as("jitter"))
+        val twins = docs.filter(col("doc_id") < 40 && col("doc_id") % 4 === 0)
+          .select((col("doc_id") + 500L).as("asset_id"), col("doc_id").as("seed"), lit(1).as("jitter"))
+        val imgs = MultimodalOps.encodePatternImages(base.unionByName(twins))
+        val hashes = MultimodalOps.dHash64(imgs, "asset_id", "content")
+        graft.text.Dedup.dhashPairs(hashes, maxHamming = 7)
+          .orderBy("id_a", "id_b")
+      },
+      Some(
+        "WITH specs AS (" +
+          "SELECT doc_id AS asset_id, doc_id AS seed, 0 AS jitter FROM documents WHERE doc_id < 40 " +
+          "UNION ALL SELECT doc_id + 500, doc_id, 1 FROM documents WHERE doc_id < 40 AND doc_id % 4 = 0), " +
+          "grid AS (SELECT asset_id, jitter, x, y, seed*31 + x*7 + y*13 AS a " +
+          "FROM specs, generate_series(0, 8) gx(x), generate_series(0, 7) gy(y)), " +
+          "cells AS (SELECT asset_id, x, y, " +
+          "(a*a*7 + a*13) % 241 + jitter * (((a*a*3 + a*5) % 241) % 16) AS v FROM grid), " +
+          "bits AS (SELECT c1.asset_id, c1.x, c1.y, CASE WHEN c2.v > c1.v THEN 1 ELSE 0 END AS b " +
+          "FROM cells c1 JOIN cells c2 ON c2.asset_id = c1.asset_id AND c2.y = c1.y AND c2.x = c1.x + 1 " +
+          "WHERE c1.x < 8) " +
+          "SELECT a.asset_id AS id_a, b.asset_id AS id_b, " +
+          "CAST(sum(CASE WHEN a.b <> b.b THEN 1 ELSE 0 END) AS BIGINT) AS hamming " +
+          "FROM bits a JOIN bits b ON a.x = b.x AND a.y = b.y AND a.asset_id < b.asset_id " +
+          "GROUP BY id_a, id_b HAVING hamming <= 7 ORDER BY id_a, id_b")),
+
     // =====================================================================
     // Structured Streaming (driver-visible)
     // =====================================================================

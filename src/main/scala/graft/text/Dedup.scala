@@ -299,6 +299,46 @@ object Dedup {
       .select("block", "doc_a", "doc_b", "jaccard")
   }
 
+  /** Near-duplicate pairs among 64-bit perceptual hashes (e.g.
+    * [[graft.multimodal.MultimodalOps.dHash64]]) by banded Hamming join —
+    * the same pigeonhole banding as [[simhashPairs]] on a packed-long
+    * fingerprint: split each hash into `bands` equal bit-slices; a pair
+    * with ≤ `maxHamming` differing bits touches at most `maxHamming`
+    * slices, so whenever `maxHamming < bands` at least one slice is
+    * untouched and the pair is GUARANTEED to collide on it — recovery
+    * under the threshold is exact, never probabilistic. Candidates meet
+    * through an equality join on (band, slice value) — never an all-pairs
+    * product — and only candidates pay the exact popcount verify.
+    *
+    * Input `(asset_id long, dhash long)`, null hashes dropped; output
+    * `(id_a, id_b, hamming)` with `id_a < id_b`, hamming ≤ `maxHamming`.
+    */
+  def dhashPairs(hashes: DataFrame, maxHamming: Int, bands: Int = 8): DataFrame = {
+    require(64 % bands == 0, "bands must divide 64")
+    val width = 64 / bands
+    val mask = (1L << width) - 1
+    val h = hashes
+      .select(col("asset_id").cast("long"), col("dhash").cast("long"))
+      .filter(col("dhash").isNotNull)
+    val banded = h.select(
+      col("asset_id"),
+      col("dhash"),
+      posexplode(array((0 until bands).map(b => shiftright(col("dhash"), b * width).bitwiseAND(lit(mask))): _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_val")
+    banded.as("a")
+      .join(
+        banded.as("b"),
+        col("a.band") === col("b.band") && col("a.band_val") === col("b.band_val") &&
+          col("a.asset_id") < col("b.asset_id"))
+      .select(
+        col("a.asset_id").as("id_a"),
+        col("b.asset_id").as("id_b"),
+        bit_count(col("a.dhash").bitwiseXOR(col("b.dhash"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Deterministic pseudo-random hyperplanes `planes(p)(d) ∈ [-1,1]` —
     * hash-derived, seedable, no driver randomness; shared by the near-dup
     * pair join and the LSH ANN search so their buckets agree. */

@@ -151,4 +151,35 @@ class MultimodalSpec extends SparkSpec {
     val third = frames.find(_.getAs[Int]("frame_idx") == 4).get.getAs[Array[Byte]]("frame")
     assert(third.toSeq == payload.slice(40, 50).toSeq)
   }
+
+  test("dHash64 of pattern PNGs equals the analytic hash; banded pairs recover planted twins only") {
+    import spark.implicits._
+    // real codec in the loop: encode -> PNG bytes -> ImageIO decode ->
+    // block-mean downscale -> dHash must equal the pure-arithmetic hash
+    // computed from patternBlockValue directly (PNG is lossless and every
+    // 8x8 block covers exactly one hash cell)
+    val seeds = (0L until 12L)
+    val specs = seeds.map(s => (s, s, 0)) ++ seeds.filter(_ % 4 == 0).map(s => (s + 500L, s, 1))
+    val imgs = MultimodalOps.encodePatternImages(specs.toDF("asset_id", "seed", "jitter"))
+    val got = MultimodalOps.dHash64(imgs, "asset_id", "content")
+      .as[(Long, Long)].collect().toMap
+
+    def analytic(seed: Long, jitter: Int): Long = {
+      var h = 0L
+      for (y <- 0 until 8; x <- 0 until 8)
+        if (MultimodalOps.patternBlockValue(seed, x + 1, y, jitter) >
+            MultimodalOps.patternBlockValue(seed, x, y, jitter))
+          h |= 1L << (y * 8 + x)
+      h
+    }
+    specs.foreach { case (id, seed, j) =>
+      assert(got(id) == analytic(seed, j), s"decoded hash of asset $id drifted from analytic")
+    }
+
+    val pairs = graft.text.Dedup
+      .dhashPairs(MultimodalOps.dHash64(imgs, "asset_id", "content"), maxHamming = 7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val want = seeds.filter(_ % 4 == 0).map(s => (s, s + 500L)).toSet
+    assert(pairs == want, s"expected exactly the planted twin pairs, got $pairs")
+  }
 }
