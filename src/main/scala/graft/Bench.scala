@@ -82,10 +82,14 @@ object Bench {
       passes += timeSuite()
       sentinels += sentinel()
     }
-    // History medians of the sentinel (machine-dependent only, so every
-    // entry counts regardless of sf/kind); >2× drift = contended machine →
-    // one extra pass buys a shot at a quiet window, and the record is
-    // stamped so readers weight it accordingly.
+    // History medians of the sentinel: machine-dependent AND parallelism-
+    // dependent (the same fixed job runs ~4× slower under local[8] smoke
+    // runs than local[32] driver runs), so only same-cpus entries are
+    // comparable — mixing regimes would inflate the median and quietly
+    // blunt contention detection. Entries count regardless of sf/kind
+    // (the sentinel never touches fixture data). >2× drift = contended
+    // machine → one extra pass buys a shot at a quiet window, and the
+    // record is stamped so readers weight it accordingly.
     val histLines: Seq[String] =
       try {
         import scala.jdk.CollectionConverters._
@@ -95,7 +99,9 @@ object Bench {
         else Seq.empty
       } catch { case _: Throwable => Seq.empty }
     val sentRe = """"sentinel_sec":([0-9.]+)""".r
-    val histSent = histLines.flatMap(l => sentRe.findFirstMatchIn(l).map(_.group(1).toDouble))
+    val histSent = histLines
+      .filter(l => !l.contains("\"cpus\":") || l.contains(s""""cpus":$cpus"""))
+      .flatMap(l => sentRe.findFirstMatchIn(l).map(_.group(1).toDouble))
     val contended =
       histSent.nonEmpty && median(sentinels.toSeq) > 2.0 * median(histSent)
     if (contended) {
@@ -123,7 +129,7 @@ object Bench {
     val sentinelSec = r3(median(sentinels.toSeq))
     locally {
       val passJson = passes.map(qjson).mkString("[", ",", "]")
-      val body = s"""{"sf":"$sfDir","kind":"$kind","contended":$contended,""" +
+      val body = s"""{"sf":"$sfDir","kind":"$kind","cpus":$cpus,"contended":$contended,""" +
         s""""sentinel_sec":$sentinelSec,"queries_min":${qjson(okResults)},"passes":$passJson}"""
       try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_queries.json"), body)
       catch { case e: Throwable => System.err.println(s"[bench] queries file write failed: ${e.getMessage}") }
@@ -164,7 +170,7 @@ object Bench {
               }
           }
         val entry =
-          s"""{"epoch_ms":${System.currentTimeMillis()},"sf":"$sfDir","kind":"$kind",""" +
+          s"""{"epoch_ms":${System.currentTimeMillis()},"sf":"$sfDir","kind":"$kind","cpus":$cpus,""" +
             s""""contended":$contended,"sentinel_sec":$sentinelSec,""" +
             s""""queries_min":${qjson(okResults)}}"""
         java.nio.file.Files.writeString(
