@@ -287,4 +287,30 @@ class TextSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect()
     assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 > 0.999))
   }
+
+  test("dhashPairs banding is EXHAUSTIVE below the band count (pigeonhole, vs brute force)") {
+    // 60 pseudo-random 64-bit hashes + 10 planted flips of 0-5 bits; with
+    // maxHamming 7 < 8 bands, every pair under the threshold must share an
+    // untouched slice, so the bucketed join must equal the all-pairs
+    // popcount EXACTLY - including any accidental near pairs among the
+    // random hashes, not just the planted ones
+    val rnd = new scala.util.Random(42)
+    val base = (0L until 60L).map(i => (i, rnd.nextLong()))
+    val planted = (0 until 10).map { i =>
+      val (_, h) = base(i)
+      val flips = (1 to (i % 6)).map(j => 1L << ((i * 7 + j * 11) % 64)).foldLeft(0L)(_ | _)
+      (1000L + i, h ^ flips)
+    }
+    val all = base ++ planted
+    val got = Dedup.dhashPairs(all.toDF("asset_id", "dhash"), maxHamming = 7)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Long)].collect().toSet
+    val want = (for {
+      (a, ha) <- all
+      (b, hb) <- all
+      if a < b
+      h = java.lang.Long.bitCount(ha ^ hb)
+      if h <= 7
+    } yield (a, b, h.toLong)).toSet
+    assert(got == want, s"banded join diverged from brute force: ${got.diff(want)} / ${want.diff(got)}")
+  }
 }

@@ -271,4 +271,20 @@ class PqSpec extends SparkSpec {
       .getDouble(0)
     assert(recall >= 0.8, s"PQ recall@10 on clustered data = $recall")
   }
+
+  test("rerankExact over the exact top-N reproduces the exact top-k (identity floor)") {
+    // re-rank is a pure re-scoring: feeding it the true top-25 candidate
+    // set must reproduce the exact top-10 row-for-row, distances and all
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val qs = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val top25 = graft.index.KnnJoin.exact(qs, emb, 25)
+    val rr = Pq.rerankExact(top25, emb, qs, 10)
+      .select("query_id", "rank", "vec_id", "dist2").as[(Long, Int, Long, Double)].collect().toSet
+    val want = graft.index.KnnJoin.exact(qs, emb, 10)
+      .select("query_id", "rank", "vec_id", "dist2").as[(Long, Int, Long, Double)].collect().toSet
+    assert(rr == want)
+  }
 }
