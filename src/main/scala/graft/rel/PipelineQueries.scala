@@ -1337,6 +1337,66 @@ object PipelineQueries {
           "AND epoch_us(p.ts) - epoch_us(c.ts) BETWEEN 0 AND 1800000000 " +
           "ORDER BY click_id, purchase_id")),
 
+    // Stream-STATIC broadcast join — the one Structured Streaming join
+    // class s01–s05 didn't cover: d06's decontamination rule applied at
+    // INGEST time. Training docs (the d06 corpus, planted copies under
+    // negative ids included) arrive from a parquet file source; the
+    // benchmark 5-gram set is computed once as a STATIC frame and
+    // broadcast into the stream; contaminated docs are emitted exactly
+    // once via watermark-bounded dedup. The DuckDB oracle computes the
+    // same contaminated-id set from first principles (DISTINCT over the
+    // d06 pair rule), so hash-green proves the stream flags exactly the
+    // docs the batch rule flags — the firehose-vs-denylist shape at
+    // 100 TB/day, with state bounded to the dedup horizon.
+    NamedQuery(
+      "s06_stream_decontamination",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        val bench = docs.filter(col("doc_id") < 10)
+        val train = docs
+          .filter(col("doc_id") >= 10)
+          .unionByName(bench.select((-(col("doc_id") + 1L)).as("doc_id"), col("text")))
+          .select(
+            col("doc_id"),
+            col("text"),
+            timestamp_micros(abs(col("doc_id")) * 1000000L).as("ts"))
+        val benchShingles = TextOps
+          .shingleRows(bench, 5, distinctSet = true)
+          .select("s")
+          .distinct()
+        val tmp = java.nio.file.Files.createTempDirectory("s06_docs_")
+        val qname = s"s06_sink_${streamSinkCounter.incrementAndGet()}"
+        val (rows, schema) = withShufflePartitions(s, 8) { try {
+          val inDir = s"$tmp/in"
+          train.write.mode("overwrite").parquet(inDir)
+          val stream = s.readStream.schema(train.schema).parquet(inDir)
+          val out = graft.streaming.StreamingOps
+            .decontaminateStream(stream, benchShingles, shingleN = 5, "ts", watermarkDelay = "48 hours")
+          val query = out.writeStream.format("memory").queryName(qname).outputMode("append").start()
+          // first-seen rows emit immediately in append mode — no sentinel
+          try query.processAllAvailable()
+          finally query.stop()
+          val shaped = s.table(qname).select(col("doc_id").cast("long")).orderBy("doc_id")
+          (shaped.collect().toSeq, shaped.schema)
+        } finally {
+          try s.catalog.dropTempView(qname)
+          catch { case _: Exception => () }
+          deleteRecursively(tmp)
+        }
+        }
+        s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
+      },
+      Some(
+        "WITH tok AS (SELECT doc_id, list_distinct(list_transform(" +
+          "generate_series(1, greatest(len(w) - 4, 0)), " +
+          "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS sh " +
+          s"FROM (SELECT doc_id, $duckToks AS w FROM documents)), " +
+          "bench AS (SELECT doc_id AS bench_id, sh FROM tok WHERE doc_id < 10), " +
+          "train AS (SELECT doc_id, sh FROM tok WHERE doc_id >= 10 " +
+          "UNION ALL SELECT -(doc_id + 1) AS doc_id, sh FROM tok WHERE doc_id < 10) " +
+          "SELECT DISTINCT t.doc_id FROM train t, bench b " +
+          "WHERE len(list_intersect(t.sh, b.sh)) >= 1 ORDER BY doc_id")),
+
     // =====================================================================
     // Multimodal (binary-column plumbing; decode is a documented stub)
     // =====================================================================

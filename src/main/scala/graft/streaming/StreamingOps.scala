@@ -98,6 +98,37 @@ object StreamingOps {
     df.withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Stream–STATIC broadcast decontamination — the GPT-3/Pile 5-gram rule
+    * ([[graft.text.Dedup.contaminatedDocs]]) applied at ingest time:
+    * arriving training docs are shingled in-stream (pure expressions, no
+    * state), semi-joined against the STATIC benchmark shingle set (small
+    * by construction — broadcast, so the stream side never shuffles to
+    * meet it), and each contaminated doc is emitted ONCE via
+    * watermark-bounded dedup (a doc sharing many shingles matches many
+    * rows; the dedup state holds only the horizon's doc ids). This is the
+    * stream-static join class of Structured Streaming — the shape that
+    * filters a firehose against a fixed denylist/benchmark without ever
+    * re-scanning the corpus.
+    *
+    * @return streaming `(doc_id)` — contaminated doc ids, first-seen once
+    */
+  def decontaminateStream(
+      docs: DataFrame,
+      benchShingles: DataFrame,
+      shingleN: Int,
+      tsCol: String,
+      watermarkDelay: String): DataFrame = {
+    import graft.text.TextOps
+    val sh = docs.select(
+      col("doc_id"),
+      col(tsCol).as("ts"),
+      explode(array_distinct(TextOps.shingles(TextOps.tokens(col("text")), shingleN))).as("s"))
+    sh.join(broadcast(benchShingles.select("s")), Seq("s"), "left_semi")
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("doc_id")
+      .select("doc_id")
+  }
+
   /** Watermarked stream-stream interval join: match each left row to the
     * right rows with the same `key` whose event time falls in
     * `[leftTs, leftTs + maxLag]` — the click→purchase attribution shape.

@@ -228,4 +228,34 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed == batch)
     spark.catalog.dropTempView("fixsessions")
   }
+
+  test("decontaminateStream flags contaminated docs once, ACROSS micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, String, java.sql.Timestamp)]
+    def ts(m: Long) = new java.sql.Timestamp(m * 60000L)
+    val docs = source.toDF.toDF("doc_id", "text", "ts")
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val benchShingles = graft.text.TextOps.shingleRows(bench, 5, distinctSet = true).select("s").distinct()
+    val out = StreamingOps.decontaminateStream(docs, benchShingles, 5, "ts", "1 hour")
+    val q = out.writeStream.format("memory").queryName("s06_test").outputMode("append").start()
+    try {
+      // batch 1: one contaminated doc (full 5-gram overlap), one clean
+      source.addData(
+        (1L, "alpha beta gamma delta epsilon", ts(1)),
+        (2L, "totally unrelated words here now", ts(1)))
+      q.processAllAvailable()
+      // batch 2: the SAME contaminated doc replayed (within watermark:
+      // must not re-emit) + a new contaminated one
+      source.addData(
+        (1L, "alpha beta gamma delta epsilon", ts(2)),
+        (3L, "beta gamma delta epsilon zeta", ts(2)))
+      q.processAllAvailable()
+      val got = spark.table("s06_test").as[Long].collect().sorted.toSeq
+      assert(got == Seq(1L, 3L), s"got $got")
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("s06_test")
+    }
+  }
 }
