@@ -211,6 +211,14 @@ object Dedup {
     * hence the `minJaccard > 0` contract (a zero-overlap pair can't reach
     * any positive threshold anyway).
     *
+    * Two physical plans, chosen by `minJaccard` (both exactly
+    * output-preserving, both behind this one contract): below
+    * [[PrefixPlanMinJaccard]] the self-join counts matches directly; at or
+    * above it, candidates come from a PPJoin PREFIX join (WWW 2008) and
+    * only candidates pay an exact verification count — the prefix prunes
+    * the Σdf² stream ≈ quadratically in the threshold, which is free
+    * headroom exactly where near-dup dedup actually operates (t ≥ 0.7).
+    *
     * @param maxDocFreq hot-shingle guard: the self-join on (block, shingle)
     *   costs Σ_key df(key)² rows, so ONE stop-shingle ("of the") appearing
     *   in 10⁵ docs of a block alone creates 10¹⁰ join rows at corpus scale.
@@ -260,44 +268,100 @@ object Dedup {
           .select("block", "s")
         exAll.join(broadcast(hot), Seq("block", "s"), "left_anti")
       }
-    // Size-band prefix filter (the PPJoin family's length filter): with
-    // set sizes na ≤ nb, Jaccard ≤ na/nb — so a pair whose sizes differ by
-    // more than 1/minJaccard can NEVER clear the threshold and is dropped
-    // AT THE SELF-JOIN, before the Σdf² candidate stream reaches the pair
-    // aggregate (the widest shuffle in this plan). Sizes ride each
-    // exploded row via a plain (un-hinted) join: one row per (block, doc),
-    // so AQE picks a broadcast at working scales (the shingle table is NOT
-    // re-shuffled) and degrades to a shuffle join only when the doc count
-    // itself outgrows broadcast — exactly the adaptive behavior wanted at
-    // 100 TB. In exchange the pair aggregate shrinks by the band's
-    // selectivity and the two post-aggregate size joins disappear. The
-    // filter is EXACTLY output-preserving, not approximately: the band
-    // compares double(min/max) >= minJaccard, and correctly-rounded
-    // division is monotone, so rational J ≤ na/nb implies
-    // double(J) ≤ double(na/nb) — any dropped pair would also have failed
-    // the final jaccard filter.
-    val sizes = ex.groupBy("block", "doc_id").agg(count(lit(1)).as("n"))
-    val sized = ex.join(sizes, Seq("block", "doc_id"))
-    sized.as("a")
-      .join(
-        sized.as("b"),
-        col("a.block") === col("b.block") && col("a.s") === col("b.s") &&
-          col("a.doc_id") < col("b.doc_id") &&
-          least(col("a.n"), col("b.n")).cast("double") /
-            greatest(col("a.n"), col("b.n")).cast("double") >= minJaccard)
-      .groupBy(
-        col("a.block").as("block"),
-        col("a.doc_id").as("doc_a"),
-        col("b.doc_id").as("doc_b"),
-        col("a.n").as("na"),
-        col("b.n").as("nb"))
-      .agg(count(lit(1)).as("i"))
+    // Size band (PPJoin's length filter), shared by both physical plans:
+    // with na ≤ nb, J ≤ na/nb, so a pair whose sizes differ by more than
+    // 1/minJ can NEVER clear the threshold and is dropped at the
+    // self-join. Exactly output-preserving: correctly-rounded division is
+    // monotone, so rational J ≤ na/nb implies double(J) ≤ double(na/nb).
+    def sizeBand = least(col("a.n"), col("b.n")).cast("double") /
+      greatest(col("a.n"), col("b.n")).cast("double") >= minJaccard
+    def jaccardOf(out: DataFrame): DataFrame = out
       .withColumn(
         "jaccard",
         col("i").cast("double") / (col("na").cast("double") + col("nb").cast("double") - col("i").cast("double")))
       .filter(col("jaccard") >= minJaccard)
       .select("block", "doc_a", "doc_b", "jaccard")
+    if (minJaccard < PrefixPlanMinJaccard) {
+      // DIRECT plan: one self-join whose match count IS |A∩B|. At low
+      // thresholds the PPJoin prefix below keeps ~(1−minJ) of every set —
+      // measured at minJ=0.05 on the fixture: 97.6% of shingle rows
+      // survive the prefix — so candidate generation costs the same as
+      // counting, and the verify pass would be pure overhead.
+      val sizes = ex.groupBy("block", "doc_id").agg(count(lit(1)).as("n"))
+      val sized = ex.join(sizes, Seq("block", "doc_id"))
+      jaccardOf(
+        sized.as("a")
+          .join(
+            sized.as("b"),
+            col("a.block") === col("b.block") && col("a.s") === col("b.s") &&
+              col("a.doc_id") < col("b.doc_id") && sizeBand)
+          .groupBy(
+            col("a.block").as("block"),
+            col("a.doc_id").as("doc_a"),
+            col("b.doc_id").as("doc_b"),
+            col("a.n").as("na"),
+            col("b.n").as("nb"))
+          .agg(count(lit(1)).as("i")))
+    } else {
+      // PPJoin plan (Xiao et al., "Efficient Similarity Joins for Near
+      // Duplicate Detection", WWW 2008): the self-join runs over each
+      // doc's PREFIX only — its first n − α + 1 shingles in a global
+      // order (hash order here), where α = max(1, ⌊minJ·n⌋) lower-bounds
+      // the overlap any qualifying pair must have (J ≥ t ⟹ |A∩B| ≥
+      // ⌈t·max(na,nb)⌉ ≥ ⌈t·n⌉ ≥ α for BOTH endpoints; ⌊double⌋ ≤
+      // ⌈exact⌉ even under float rounding, so the bound errs only toward
+      // a longer prefix). Prefix filtering principle: the SMALLEST common
+      // shingle x₁ of a qualifying pair sits in both prefixes — if x₁
+      // were in A's suffix (its α−1 largest shingles), the ≥ α common
+      // shingles ≥ x₁ could not fit there — so every qualifying pair
+      // still collides and the plan is EXACTLY output-preserving. The
+      // Σdf² candidate stream shrinks superlinearly (≈(1−t)² at
+      // threshold t, df counted over prefixes only), bought with one
+      // (block, doc)-keyed window shuffle to rank shingles — linear in
+      // the shingle table, cheap next to the df² stream it prunes.
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("block", "doc_id")
+      val ranked = ex
+        .withColumn("r", row_number().over(w.orderBy(xxhash64(col("s")), col("s"))))
+        .withColumn("n", count(lit(1)).over(w))
+      val alpha = greatest(lit(1L), floor(lit(minJaccard) * col("n")).cast("long"))
+      val pref = ranked
+        .filter(col("r") <= col("n") - alpha + 1)
+        .select("block", "doc_id", "s", "n")
+      val cands = pref.as("a")
+        .join(
+          pref.as("b"),
+          col("a.block") === col("b.block") && col("a.s") === col("b.s") &&
+            col("a.doc_id") < col("b.doc_id") && sizeBand)
+        .select(
+          col("a.block").as("block"),
+          col("a.doc_id").as("doc_a"),
+          col("b.doc_id").as("doc_b"),
+          col("a.n").as("na"),
+          col("b.n").as("nb"))
+        .distinct()
+      // Verification: exact |A∩B| for the surviving candidates only —
+      // expand each candidate with doc_a's full shingle rows, keep the
+      // ones doc_b also has, count per pair. Both joins un-hinted: the
+      // candidate side is prefix+band-pruned and AQE broadcasts it at
+      // working scales, degrading to a shuffle join only when candidates
+      // genuinely outgrow broadcast.
+      val exA = ex.select(col("block"), col("doc_id").as("doc_a"), col("s"))
+      val exB = ex.select(col("block"), col("doc_id").as("doc_b"), col("s"))
+      jaccardOf(
+        exA.join(cands, Seq("block", "doc_a"))
+          .join(exB, Seq("block", "doc_b", "s"))
+          .groupBy("block", "doc_a", "doc_b", "na", "nb")
+          .agg(count(lit(1)).as("i")))
+    }
   }
+
+  /** Threshold above which [[sparseJaccardPairs]] switches from the direct
+    * count-join to PPJoin prefix candidates + verify: the prefix keeps
+    * ~(1−t) of each set, so its df² pruning is quadratic in t while its
+    * fixed costs (rank window, candidate distinct, verify join) are not —
+    * below ~0.2 the direct plan measures faster, above it the prefix win
+    * compounds with scale. */
+  private val PrefixPlanMinJaccard = 0.2
 
   /** Near-duplicate pairs among 64-bit perceptual hashes (e.g.
     * [[graft.multimodal.MultimodalOps.dHash64]]) by banded Hamming join —
@@ -315,6 +379,13 @@ object Dedup {
     */
   def dhashPairs(hashes: DataFrame, maxHamming: Int, bands: Int = 8): DataFrame = {
     require(64 % bands == 0, "bands must divide 64")
+    // the scaladoc's exactness guarantee is the pigeonhole maxHamming < bands;
+    // past it recovery silently degrades to probabilistic, and the m05 oracle
+    // equivalence depends on the guarantee — so refuse rather than degrade
+    require(
+      maxHamming < bands,
+      s"exact recovery needs maxHamming ($maxHamming) < bands ($bands); " +
+        "raise bands or drop the threshold")
     val width = 64 / bands
     val mask = (1L << width) - 1
     val h = hashes
@@ -461,17 +532,21 @@ object Dedup {
     while (!converged && it < maxIter) {
       val viaNeighbors = edges
         .join(labels.select(col("id").as("src"), col("comp")), "src")
-        .select(col("dst").as("id"), col("comp"))
-      val next = labels.unionByName(viaNeighbors)
+        .select(col("dst").as("id"), col("comp"), lit(false).as("own"))
+      // Each id's single `own` row carries its PREVIOUS label through the
+      // same aggregate that computes the new one (`prev` = the one own
+      // row's comp), so convergence detection needs no join-back against
+      // the previous frame — the probe is a single tiny agg over the
+      // checkpointed result instead of a per-iteration equi-join pass.
+      val next = labels.select(col("id"), col("comp"), lit(true).as("own"))
+        .unionByName(viaNeighbors)
         .groupBy("id")
-        .agg(min("comp").as("comp"))
+        .agg(min("comp").as("comp"), max(when(col("own"), col("comp"))).as("prev"))
         .localCheckpoint(true)
-      // convergence probe on the checkpointed frames: any label changed?
-      converged = next
-        .join(labels.select(col("id"), col("comp").as("prev")), "id")
-        .filter(col("comp") =!= col("prev"))
-        .isEmpty
-      labels = next
+      converged = !next
+        .agg(coalesce(max(col("comp") =!= col("prev")), lit(false)))
+        .head().getBoolean(0)
+      labels = next.select("id", "comp")
       it += 1
     }
     labels

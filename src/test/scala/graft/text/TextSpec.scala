@@ -47,6 +47,32 @@ class TextSpec extends SparkSpec {
     assert(sparse == Set((1L, 2L, 0.5)))
   }
 
+  test("sparseJaccardPairs PPJoin plan (high threshold) matches the dense blocked join") {
+    // minJaccard ≥ 0.2 routes through the prefix-candidates + verify plan;
+    // a brute-force dense join over the same blocks is the ground truth.
+    // Docs are sized so prefixes genuinely truncate (α ≥ 2) and include a
+    // same-size near-identical pair, a banded-out size mismatch, and an
+    // unrelated doc.
+    val docs = Seq(
+      (1L, "a b c d e f g h i j", "s1"),
+      (2L, "a b c d e f g h i k", "s1"),
+      (3L, "p q r s t u v w x y", "s1"),
+      (4L, "a b c", "s1"),
+      (5L, "a b c d e f g h i j", "s2")).toDF("doc_id", "text", "source")
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val dense = Dedup.ngramJaccardPairs(docs, "source", 2)
+        .filter(col("jaccard") >= t)
+        .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+      val sparse = Dedup.sparseJaccardPairs(docs, "source", 2, minJaccard = t)
+        .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+      assert(sparse == dense, s"threshold $t")
+    }
+    // the pair that survives t=0.8: docs 1/2 share 8 of 9 bigrams (J = 0.8)
+    val high = Dedup.sparseJaccardPairs(docs, "source", 2, minJaccard = 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(high == Set((1L, 2L)))
+  }
+
   test("sparseJaccardPairs hot-shingle cutoff: identity above max df, drops stop-shingles below") {
     // "x y" appears in every doc (df = 4, the stop-shingle); each pair of
     // docs within {1,2} / {3,4} also shares one discriminative shingle
