@@ -381,6 +381,30 @@ object Pq {
       .parquet(s"$path/meta")
   }
 
+  /** Persist an encoded codes table `(partition_id, vec_id, codes)` next
+    * to its index artifact, partitioned by `partition_id` — the layout
+    * [[save]]'s doc promises, and the same co-locate-then-write discipline
+    * as [[graft.index.IvfModel.save]] (repartition on the partition column
+    * first, or every task writes a sliver into every directory — the
+    * classic small-files problem). Encoding is a full corpus pass; a saved
+    * codes table makes it once-per-build instead of once-per-query-batch,
+    * and partition-dir layout means a probe-pruned search reads ONLY the
+    * probed partitions' code files. */
+  def saveCodes(codes: DataFrame, path: String): Unit =
+    codes
+      .select(col("partition_id").cast("long"), col("vec_id").cast("long"), col("codes"))
+      .repartition(col("partition_id"))
+      .write.mode("overwrite")
+      .partitionBy("partition_id")
+      .parquet(s"$path/codes")
+
+  /** Inverse of [[saveCodes]]: the codes table back, bit-identical
+    * (Parquet stores the byte arrays verbatim; the partition column is
+    * re-cast to long because partition-dir inference reads it as int). */
+  def loadCodes(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/codes")
+      .select(col("partition_id").cast("long"), col("vec_id").cast("long"), col("codes"))
+
   /** Inverse of [[save]]: rebuild the [[PqModel]] from its Parquet
     * artifact. Codewords land at their exact float bits (Parquet stores
     * the floats verbatim), so save→load→encode is bit-identical to

@@ -137,6 +137,44 @@ class PqSpec extends SparkSpec {
     assert(recall >= 0.8, s"IVFADC residual+rerank recall@10 = $recall")
   }
 
+  test("saveCodes/loadCodes round-trips bit-for-bit; saved-codes search equals fresh encode") {
+    // the "encode once, reuse across query batches" contract: a codes
+    // table written partitioned-by-partition_id and read back must be the
+    // same multiset of (partition_id, vec_id, code bytes), and IVFADC over
+    // the loaded table must reproduce the fresh-encode search exactly —
+    // this is the artifact v13/v14 serve their codes from
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val ivf = graft.index.IvfBuild.build(emb, 64)
+    val cents = ivf.partitions.map(p => p.pid -> p.centroid).toMap
+    val pq = Pq.trainResiduals(ivf.vectors, cents, 64, m = 16, k = 16, iters = 10, seed = 7L)
+    val fresh = Pq.encodeResiduals(ivf.vectors, pq, cents)
+    val tmp = java.nio.file.Files.createTempDirectory("pq_codes_rt_")
+    try {
+      Pq.saveCodes(fresh, tmp.toString)
+      val loaded = Pq.loadCodes(spark, tmp.toString)
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .as[(Long, Long, Array[Byte])].collect()
+        .map { case (p, v, c) => (p, v, c.toSeq) }.sortBy(t => (t._1, t._2)).toSeq
+      assert(rows(loaded) == rows(fresh))
+      val qs = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val probes = graft.index.IvfSearch
+        .chooseProbes(ivf, qs, graft.index.IvfSearch.Params(k = 10))
+        .select("query_id", "partition_id")
+      def search(codes: org.apache.spark.sql.DataFrame) =
+        Pq.ivfAdcResidualTopK(codes, pq, cents, probes, qs, k = 10)
+          .select("query_id", "rank", "vec_id", "dist2")
+          .as[(Long, Int, Long, Double)].collect().sortBy(t => (t._1, t._2)).toSeq
+      assert(search(loaded) == search(fresh))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("residual ADC is EXACT when vectors sit on centroid + codeword; rerank returns true L2") {
     // partition centroids c_p plus codeword-concatenation residuals: the
     // residual path's analog of the raw exactness test — every vector is
