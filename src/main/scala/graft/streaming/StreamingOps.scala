@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.index.{IvfModel, IvfMutate}
+import graft.index.{IvfMaintain, IvfModel, IvfMutate, IvfSearch}
 import org.apache.spark.sql.{DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
@@ -58,6 +58,77 @@ object StreamingOps {
         onUpdate(checked)
       }
       .start()
+  }
+
+  /** One [[adaptiveMaintain]] batch summary: what the loop saw and did. */
+  final case class MaintainTick(
+      batch_id: Long,
+      n_queries: Long,
+      query_counter: Long,
+      maintain_fired: Boolean,
+      n_partitions: Long,
+      n_live: Long)
+
+  /** [engine-added, SURVEY.md §7.5] The reference's ADAPTIVITY loop run
+    * online: a stream of queries drives the same per-partition hit
+    * accounting the replay loop performs after every search batch
+    * (quake_min.py:155), and `maintain()` fires INSIDE the stream the
+    * moment any partition's size crosses its hotness-driven split
+    * threshold (quake_min.py:173-175) — the cadence is the load itself,
+    * not the replay protocol's fixed every-50-queries timer. Probe choice
+    * is driver-side metadata math (`chooseProbesLocal`, parity-tested
+    * against the distributed `chooseProbes`), so the per-batch accounting
+    * costs microseconds; the split's grouped 2-means runs distributed as
+    * in any batch `maintain`. The top-k gather a serving loop would also
+    * run rides the same probe set (v08's plan) and is orthogonal to the
+    * adaptivity being exercised here.
+    *
+    * `queryStream` carries `(query_id long, qvec array<float>)`. The
+    * evolving model lives in the returned AtomicReference; `onTick` gets
+    * one summary per non-empty micro-batch. */
+  def adaptiveMaintain(
+      queryStream: DataFrame,
+      initial: IvfModel,
+      checkpointDir: String,
+      hotQpsWindow: Double = IvfMaintain.HotQpsWindow,
+      splitSize: Long = IvfMaintain.SplitSize,
+      mergeSize: Long = IvfMaintain.MergeSize,
+      params: IvfSearch.Params = IvfSearch.Params(),
+      onTick: MaintainTick => Unit)
+      : (StreamingQuery, java.util.concurrent.atomic.AtomicReference[IvfModel]) = {
+    val state = new java.util.concurrent.atomic.AtomicReference[IvfModel](initial)
+    val query = queryStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        import batch.sparkSession.implicits._
+        val qRows = batch
+          .select(col("query_id").cast("long"), col("qvec"))
+          .as[(Long, Array[Float])]
+          .collect()
+        if (qRows.nonEmpty) {
+          var model = state.get()
+          val probes = IvfSearch.chooseProbesLocal(model, qRows.toIndexedSeq, params)
+          // hit accounting (quake_min.py:155) from the local probe set
+          val hitCounts = probes.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+          model = model.copy(
+            partitions =
+              model.partitions.map(p => p.copy(hits = p.hits + hitCounts.getOrElse(p.pid, 0L))),
+            queryCounter = model.queryCounter + qRows.length)
+          // the reference's own split condition decides the cadence: fire
+          // only when some partition is actually due (size ≥ its dynamic
+          // hotness threshold, and ≥ 16 — splitHot's floor)
+          val due = model.partitions.exists(p =>
+            p.size >= 16 &&
+              p.size >= IvfMaintain.splitThreshold(p.hits, p.lastSplitAt, hotQpsWindow, splitSize))
+          if (due) model = IvfMaintain.maintain(model, hotQpsWindow, splitSize, mergeSize)
+          state.set(model)
+          onTick(MaintainTick(
+            id, qRows.length, model.queryCounter, due,
+            model.partitions.length, model.partitions.count(_.size > 0)))
+        }
+      }
+      .start()
+    (query, state)
   }
 
   /** Event-time tumbling-window stats with late-data handling: the

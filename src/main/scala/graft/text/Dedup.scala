@@ -139,6 +139,15 @@ object Dedup {
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) > 0)
       .select(col("doc_id"), TextOps.simhash64(col("toks")).as("simhash"))
+    simhashPairsOn(sim, maxHamming)
+  }
+
+  /** The banding + verify machinery of [[simhashPairs]] over an already-
+    * hashed `(doc_id, simhash)` frame — shared so callers can band hashes
+    * built with a different token-hash function (d04 uses the portable
+    * 60-bit hash an external oracle can recompute) through the SAME
+    * production join. */
+  def simhashPairsOn(sim: DataFrame, maxHamming: Int): DataFrame = {
     val chunkMask = lit(0xffffL)
     val chunked = sim.select(
       col("doc_id"),

@@ -33,6 +33,47 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("adaptiveMaintain splits the partition the query stream heats — and only then") {
+    implicit val sqlCtx = spark.sqlContext
+    val initial: IvfModel = IvfBuild.build(emb, 64)
+    val target = initial.partitions.maxBy(_.size)
+    // splitSize 1.4x the largest partition: COLD the clamped threshold
+    // (>= splitSize/1.5 = 0.933x size... but raw = splitSize > size) sits
+    // above the partition, so only accumulated hotness can pull it under
+    val splitSize = math.ceil(target.size * 1.4).toLong
+    val qvec: Seq[Float] = target.centroid.toSeq
+
+    val source = MemoryStream[(Long, Seq[Float])]
+    val stream = source.toDF().toDF("query_id", "qvec")
+    val ticks = scala.collection.mutable.ArrayBuffer.empty[StreamingOps.MaintainTick]
+    val ckpt = java.nio.file.Files.createTempDirectory("adapt").toString
+    val (query, state) = StreamingOps.adaptiveMaintain(
+      stream, initial, ckpt,
+      hotQpsWindow = 50.0, splitSize = splitSize, mergeSize = 0L,
+      onTick = ticks += _)
+    try {
+      // 50 on-target queries: hotness 50 → raw threshold = splitSize > size
+      // still — no split may fire
+      source.addData((0 until 50).map(i => (i.toLong, qvec)): _*)
+      query.processAllAvailable()
+      assert(ticks.forall(!_.maintain_fired), s"cold split fired: $ticks")
+      assert(state.get().partitions.length == initial.partitions.length)
+      // 50 more: hotness ~100 ≥ 70 pulls the floor (0.933x size) under the
+      // partition — the split must fire DURING the stream
+      source.addData((50 until 100).map(i => (i.toLong, qvec)): _*)
+      query.processAllAvailable()
+      val after = state.get()
+      assert(ticks.exists(_.maintain_fired), s"no split despite heat: $ticks")
+      assert(after.partitions.length == initial.partitions.length + 1)
+      // the split child is fresh state stamped at the split-time counter
+      val child = after.partitions.last
+      assert(child.hits == 0L && child.lastSplitAt > 0L)
+      // the heated partition was the one split: its size dropped
+      assert(after.partitions(target.pid.toInt).size < target.size)
+      assert(after.partitions(target.pid.toInt).size + child.size == target.size)
+    } finally query.stop()
+  }
+
   test("windowed event stats aggregate by event-time tumbling window with watermark") {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[(java.sql.Timestamp, String, Double)]

@@ -47,6 +47,26 @@ class TextSpec extends SparkSpec {
     assert(sparse == Set((1L, 2L, 0.5)))
   }
 
+  test("simhash64FromHashes over xxhash64 token hashes equals the codegen simhash64") {
+    // the decoupled vote loop is the SAME function of the hash stream as
+    // the codegen kernel — feeding it xxhash64 per token must reproduce
+    // simhash64 bit for bit on the fixture corpus
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+    val cmp = docs.select(
+      TextOps.simhash64(col("toks")).as("fast"),
+      TextOps.simhash64FromHashes(transform(col("toks"), t => xxhash64(t))).as("decoupled"))
+    assert(cmp.filter(col("fast") =!= col("decoupled")).isEmpty)
+  }
+
+  test("tokenHashPortable60 stays below 2^60, so derived simhashes never set bits 60-63") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(explode(TextOps.tokens(col("text"))).as("t"))
+    val h = docs.select(TextOps.tokenHashPortable60(col("t")).as("h"))
+    assert(h.filter(col("h") < 0L || col("h") >= (1L << 60)).isEmpty)
+  }
+
   test("sparseJaccardPairs PPJoin plan (high threshold) matches the dense blocked join") {
     // minJaccard ≥ 0.2 routes through the prefix-candidates + verify plan;
     // a brute-force dense join over the same blocks is the ground truth.
