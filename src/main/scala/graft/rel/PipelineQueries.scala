@@ -591,12 +591,9 @@ object PipelineQueries {
           slice(col("toks"), lit(1), greatest(size(col("toks")) - 3, lit(1))).as("toks"))
         val sim = base.unionByName(mutated)
           .filter(size(col("toks")) > 0)
-          // hash staged in its own projection (the 0490688 rule), then the
-          // vote loop over the staged array
-          .select(
-            col("doc_id"),
-            transform(col("toks"), tk => TextOps.tokenHashPortable60(tk)).as("hs"))
-          .select(col("doc_id"), TextOps.simhash64FromHashes(col("hs")).as("simhash"))
+          // codegen'd kernel (PortableSimHash64): the HOF composition this
+          // is parity-tested against made d04 the suite's slowest query
+          .select(col("doc_id"), TextOps.portableSimhash64(col("toks")).as("simhash"))
         // 6, not the 64-bit rule's 10: four of the 60-bit space's bits are
         // structurally equal, which fattens the low-hamming tail — 6 is
         // the threshold where planted recall (~80%) and output volume

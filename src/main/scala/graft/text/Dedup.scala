@@ -560,4 +560,76 @@ object Dedup {
     }
     labels
   }
+
+  /** Star-contraction connected components — the alternating large-star /
+    * small-star algorithm (Kiveris, Lattanzi, Mirrokni, Rastogi & Vassilvitskii,
+    * "Connected Components in MapReduce and Beyond", SoCC 2014): converges
+    * in O(log² n) ROUNDS REGARDLESS OF COMPONENT DIAMETER, which is the
+    * escape hatch [[connectedComponents]]'s contract names for adversarial
+    * deep-chain graphs, where min-label propagation needs O(diameter)
+    * rounds (a million-link chain = a million shuffles). Each round is two
+    * edge-keyed aggregate+join passes — the same per-round shuffle budget
+    * as one propagation step, so the crossover is purely about diameter.
+    *
+    *  - large-star: every node attaches its STRICTLY GREATER neighbors to
+    *    the minimum of its closed neighborhood;
+    *  - small-star: with edges oriented high→low, every node attaches its
+    *    ≤-neighbors (and itself) to that minimum.
+    *
+    * Fixpoint: the edge set stops changing, at which point edges form
+    * disjoint stars rooted at each component's minimum id. Output contract
+    * identical to [[connectedComponents]] (`(id, comp)`, one row per
+    * distinct endpoint) — property-tested equal on random graphs, and the
+    * deep-chain case the propagation variant cannot finish inside its
+    * default bound is spec-pinned.
+    */
+  def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    val nodes = graft.CacheScope.track(
+      pairs.select(col("id_a").as("id"))
+        .union(pairs.select(col("id_b").as("id")))
+        .distinct()
+        .cache())
+    var edges = pairs
+      .select(col("id_a").as("u"), col("id_b").as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .distinct()
+      .localCheckpoint(true)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      // large-star over the symmetric view: m(u) = min(N(u) ∪ {u});
+      // emit (v, m(u)) for v ∈ N(u), v > u
+      val sym = edges.unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(least(min(col("v")), first(col("u"))).as("m"))
+      val afterLarge = sym
+        .join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      // small-star over high→low orientation: m(u) = min(N≤(u) ∪ {u}) =
+      // min(v); emit (x, m) for x ∈ N≤(u) ∪ {u}, x ≠ m
+      val oriented = afterLarge
+        .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      val sMins = oriented.groupBy("u").agg(min(col("v")).as("m"))
+      val next = oriented
+        .join(sMins, "u")
+        .select(col("v").as("x"), col("m"))
+        .unionByName(sMins.select(col("u").as("x"), col("m")))
+        .filter(col("x") =!= col("m"))
+        .select(col("x").as("u"), col("m").as("v"))
+        .distinct()
+        .localCheckpoint(true)
+      // fixpoint = edge set unchanged; both frames are checkpointed, so
+      // the symmetric-difference probe reads materialized rows only
+      converged = next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+      edges = next
+      it += 1
+    }
+    // stars: (child u → root v); roots and isolated nodes label themselves
+    nodes
+      .join(edges.select(col("u").as("id"), col("v").as("comp")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+  }
 }

@@ -251,6 +251,16 @@ object TextOps {
     GraftSqlBridge.column(SimHash64(GraftSqlBridge.expression(toks)))
   }
 
+  /** Portable-hash SimHash, bulk path: the codegen'd
+    * [[PortableSimHash64]] expression — one primitive pass folding both
+    * Karp–Rabin hashes and voting, no per-token array allocation. The HOF
+    * composition `simhash64FromHashes(transform(toks, tokenHashPortable60))`
+    * is its parity-tested semantic reference (7.3× slower at sf0.1). */
+  def portableSimhash64(toks: Column): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(PortableSimHash64(GraftSqlBridge.expression(toks)))
+  }
+
   /** SimHash over an `array<long>` of PRECOMPUTED token hashes — the vote
     * loop of [[simhash64]] decoupled from the hash function, so a caller
     * can swap xxhash64 for a cross-engine-portable token hash

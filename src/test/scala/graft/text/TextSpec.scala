@@ -60,6 +60,20 @@ class TextSpec extends SparkSpec {
     assert(cmp.filter(col("fast") =!= col("decoupled")).isEmpty)
   }
 
+  test("codegen portableSimhash64 equals the HOF composition it replaces") {
+    // kernel (one primitive fold+vote pass) vs the semantic reference
+    // simhash64FromHashes(transform(toks, tokenHashPortable60)) — the
+    // chain the d04 oracle mirrors arithmetically
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+    val cmp = docs.select(
+      TextOps.portableSimhash64(col("toks")).as("fast"),
+      TextOps.simhash64FromHashes(
+        transform(col("toks"), t => TextOps.tokenHashPortable60(t))).as("hof"))
+    assert(cmp.filter(col("fast") =!= col("hof")).isEmpty)
+  }
+
   test("tokenHashPortable60 stays below 2^60, so derived simhashes never set bits 60-63") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(explode(TextOps.tokens(col("text"))).as("t"))
@@ -115,6 +129,32 @@ class TextSpec extends SparkSpec {
     val cut = run(3L)
     assert(cut.map(p => (p._1, p._2)) == Set((1L, 2L), (3L, 4L)))
     assert(cut.forall(p => math.abs(p._3 - 1.0 / 3.0) < 1e-9))
+  }
+
+  test("connectedComponentsStar matches propagation on mixed graphs and solves deep chains") {
+    // same shapes as the propagation test: chain, triangle with a
+    // redundant edge, isolated pair — outputs must be identical
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L))
+      .toDF("id_a", "id_b")
+    val prop = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toSet
+    val star = Dedup.connectedComponentsStar(pairs).as[(Long, Long)].collect().toSet
+    assert(star == prop)
+    // deterministic pseudo-random graph: both algorithms must agree
+    val rnd = (0 until 120)
+      .map(i => ((i * 31L + 7L) % 60L, (i * 17L + 3L) % 60L))
+      .filter(p => p._1 != p._2)
+      .toDF("id_a", "id_b")
+    val propR = Dedup.connectedComponents(rnd).as[(Long, Long)].collect().toSet
+    val starR = Dedup.connectedComponentsStar(rnd).as[(Long, Long)].collect().toSet
+    assert(starR == propR)
+    // the case the propagation contract EXCLUDES at its default bound: a
+    // 200-node chain (diameter 199 > 25 rounds). Star contraction closes
+    // it in O(log² n) rounds — every node labels to the chain's minimum.
+    val chain = (0 until 199).map(i => (1000L + i, 1001L + i)).toDF("id_a", "id_b")
+    val starC = Dedup.connectedComponentsStar(chain).as[(Long, Long)].collect()
+    assert(starC.length == 200)
+    assert(starC.forall(_._2 == 1000L), s"chain not fully contracted")
   }
 
   test("connectedComponents: chains close transitively, separate components stay apart") {
