@@ -1937,5 +1937,73 @@ object PipelineQueries {
           "CAST(count(DISTINCT o_orderkey) AS BIGINT) AS agg2 " +
           "FROM lineitem JOIN orders ON l_orderkey = o_orderkey) " +
           "SELECT 'bucketed' AS part, n_rows, agg1, agg2, CAST(1 AS BIGINT) AS plan_ok FROM b " +
-          "UNION ALL SELECT 'orc', n_rows, agg1, agg2, CAST(1 AS BIGINT) FROM o ORDER BY part")))
+          "UNION ALL SELECT 'orc', n_rows, agg1, agg2, CAST(1 AS BIGINT) FROM o ORDER BY part")),
+
+    // The PPJoin prefix plan driver-visible AND hash-checked: d03 runs the
+    // low-threshold direct plan (t = 0.05 < 0.2), so this query exercises
+    // the OTHER physical plan behind the same sparseJaccardPairs contract
+    // — prefix candidates + bounded exact verify at t = 0.5, where the
+    // prefix genuinely prunes. Planted near-dups: first two tokens
+    // dropped, so a doc with n tokens shares all n−4 of its twin's
+    // 3-gram shingles → J = (n−4)/(n−2) ≥ 0.5 at n ≥ 12. The DuckDB
+    // oracle recomputes the exact blocked Jaccard from first principles,
+    // so hash-green proves the prefix filter dropped NOTHING it shouldn't
+    // — the output-preservation argument, certified on real data in the
+    // driver record (TextSpec pins it property-style).
+    NamedQuery(
+      "d07_ppjoin_jaccard",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id", "source", "text")
+        val toks = TextOps.tokens(col("text"))
+        val mutated = docs
+          .filter(size(toks) >= 12)
+          .select(
+            (col("doc_id") + 300000L).as("doc_id"),
+            col("source"),
+            concat_ws(" ", slice(toks, 3, 1000000)).as("text"))
+        Dedup
+          .sparseJaccardPairs(docs.unionByName(mutated), "source", shingleN = 3, minJaccard = 0.5)
+          .select(
+            col("block").as("blk"), col("doc_a"), col("doc_b"),
+            round(col("jaccard"), 4).as("jaccard"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(
+        s"WITH base AS (SELECT source, doc_id, $duckToks AS w FROM documents), " +
+          "all_docs AS (SELECT source, doc_id, w FROM base UNION ALL " +
+          "SELECT source, doc_id + 300000, w[3:] FROM base WHERE len(w) >= 12), " +
+          "tok AS (SELECT source AS blk, doc_id, list_distinct(list_transform(" +
+          "generate_series(1, greatest(len(w) - 2, 0)), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh " +
+          "FROM all_docs), " +
+          "p AS (SELECT a.blk, a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+          "CASE WHEN len(list_distinct(a.sh || b.sh)) = 0 THEN 0.0 " +
+          "ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) END AS jaccard " +
+          "FROM tok a JOIN tok b ON a.blk = b.blk AND a.doc_id < b.doc_id) " +
+          "SELECT blk, doc_a, doc_b, round(jaccard, 4) AS jaccard FROM p WHERE jaccard >= 0.5 " +
+          "ORDER BY doc_a, doc_b")),
+
+    // Star-contraction closure driver-visible AND hash-checked on the
+    // graph class that MOTIVATES it: planted 100-node chains (one per
+    // consecutive doc_id century), diameter 99 — min-label propagation's
+    // default 25-round bound cannot close these, the O(log² n)
+    // large-star/small-star alternation does. The oracle states the
+    // ground truth arithmetically (component = the century, comp = its
+    // minimum id), so hash-green certifies full closure of every chain.
+    NamedQuery(
+      "p06_star_clusters",
+      (s, dir) => {
+        val ids = t(s, dir, "documents").select("doc_id")
+        val edges = ids
+          .select(col("doc_id").as("id_a"), (col("doc_id") + 1L).as("id_b"))
+          .join(ids.select(col("doc_id").as("id_b")), Seq("id_b"))
+          .filter(pmod(col("id_a"), lit(100L)) =!= 99L)
+          .select("id_a", "id_b")
+        Dedup.connectedComponentsStar(edges).orderBy("id")
+      },
+      Some(
+        "WITH ids AS (SELECT doc_id FROM documents), " +
+          "e AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM ids a " +
+          "JOIN ids b ON b.doc_id = a.doc_id + 1 WHERE a.doc_id % 100 <> 99), " +
+          "nodes AS (SELECT id_a AS id FROM e UNION SELECT id_b FROM e) " +
+          "SELECT id, id - id % 100 AS comp FROM nodes ORDER BY id")))
 }
