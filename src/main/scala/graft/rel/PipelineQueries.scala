@@ -4,7 +4,7 @@ import graft.{NamedQuery, Tables}
 import graft.index.{IvfBuild, IvfModel, IvfSearch}
 import graft.multimodal.MultimodalOps
 import graft.text.{Dedup, TextOps}
-import graft.vector.{Pq, VectorMean}
+import graft.vector.{Pq, Sq, VectorMean}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -1075,6 +1075,51 @@ object PipelineQueries {
           .orderBy("backend")
       },
       None),
+
+    // Int8 scalar quantization (the 4× compression tier below Pq's 16×),
+    // hash-checked END-TO-END: per-dimension min/max grid → byte codes →
+    // asymmetric ADC top-k, every step pure deterministic double
+    // arithmetic (no seeds, no iteration) — so unlike the k-means-seeded
+    // PQ/IVF paths the ORACLE RECOMPUTES THE ENTIRE COMPRESSED-SEARCH
+    // PIPELINE from first principles: the same grid, the same floor/clamp
+    // code assignment, the same lower-edge dequantized distances. A
+    // hash-green row set certifies the quantizer, the code table, and the
+    // ADC scan all at once. Op order is the contract (both engines fold
+    // (v−min)·255/scale, then floor, then clamp; distances squeeze
+    // through f32round like every float crossing the oracle).
+    NamedQuery(
+      "v15_sq_adc_knn",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+        val model = Sq.train(emb)
+        val codes = Sq.encode(emb, model)
+        Sq.adcTopK(codes, model, embQueries(s, dir, 5), k = 10)
+          .select(
+            col("query_id"),
+            col("rank").cast("int").as("rnk"),
+            col("vec_id"),
+            f32round(col("dist2"), 3).as("dist2"))
+          .orderBy("query_id", "rnk")
+      },
+      Some(
+        "WITH st AS (SELECT i, min(CAST(embedding[i] AS DOUBLE)) AS mn, " +
+          "max(CAST(embedding[i] AS DOUBLE)) AS mx FROM embeddings CROSS JOIN " +
+          "(SELECT unnest(generate_series(1, (SELECT max(len(embedding)) FROM embeddings))) AS i) g " +
+          "GROUP BY i), " +
+          "m AS (SELECT list(mn ORDER BY i) AS mins, list(mx - mn ORDER BY i) AS scales FROM st), " +
+          "q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5), " +
+          "c AS (SELECT e.vec_id, list_transform(generate_series(1, len(e.embedding)), i -> " +
+          "CASE WHEN m.scales[i] > 0 THEN least(255.0, greatest(0.0, " +
+          "floor((CAST(e.embedding[i] AS DOUBLE) - m.mins[i]) * 255.0 / m.scales[i]))) " +
+          "ELSE 0.0 END) AS code FROM embeddings e CROSS JOIN m), " +
+          "d AS (SELECT q.query_id, c.vec_id, list_sum(list_transform(generate_series(1, len(q.qvec)), i -> " +
+          "(CAST(q.qvec[i] AS DOUBLE) - (m.mins[i] + c.code[i] * m.scales[i] / 255.0)) * " +
+          "(CAST(q.qvec[i] AS DOUBLE) - (m.mins[i] + c.code[i] * m.scales[i] / 255.0)))) AS dist2 " +
+          "FROM q CROSS JOIN c CROSS JOIN m), " +
+          "r AS (SELECT query_id, vec_id, dist2, CAST(row_number() OVER " +
+          "(PARTITION BY query_id ORDER BY dist2 ASC, vec_id ASC) AS INTEGER) AS rnk FROM d) " +
+          "SELECT query_id, rnk, vec_id, round(CAST(CAST(dist2 AS REAL) AS DOUBLE), 3) + 0.0 AS dist2 " +
+          "FROM r WHERE rnk <= 10 ORDER BY query_id, rnk")),
 
     // Perceptual image dedup, hash-checked END-TO-END: real PNG bytes are
     // encoded on executors (blocky gray pattern images whose 8×8-px
