@@ -623,7 +623,16 @@ object Dedup {
         .localCheckpoint(true)
       // fixpoint = edge set unchanged; both frames are checkpointed, so
       // the symmetric-difference probe reads materialized rows only
-      converged = next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+      // ONE signed-count symmetric-difference pass (both sets are
+      // distinct'd, so counts are ±1 and cancel exactly when the sets
+      // match) — replacing the two exceptAll jobs the probe used to
+      // cost per round.
+      converged = next.select(col("u"), col("v"), lit(1L).as("_t"))
+        .unionByName(edges.select(col("u"), col("v"), lit(-1L).as("_t")))
+        .groupBy("u", "v")
+        .agg(sum("_t").as("_d"))
+        .filter(col("_d") =!= 0L)
+        .isEmpty
       edges = next
       it += 1
     }
