@@ -118,6 +118,28 @@ object KnnJoin {
     graft.vector.Pq.rerankExact(adc, model.vectors, q, k)
   }
 
+  /** Int8 scalar-quantized approximate k-NN join — the fifth backend, the
+    * 4× compression tier between [[exact]] (raw floats) and [[pq]] (16×
+    * IVFADC): the corpus is scanned as per-dimension byte codes
+    * ([[graft.vector.Sq]], asymmetric ADC — queries stay float), and the
+    * ADC top-`rerankN` is re-ranked exactly so reported `dist2` is TRUE
+    * squared L2 like the other backends. No index, no training state
+    * beyond a per-dimension min/max grid — the right first stop when the
+    * float corpus outgrows memory but byte codes fit, before paying PQ's
+    * recall loss. `codes` is the [[graft.vector.Sq.encode]] table for
+    * `model` — encoded once, reused across query batches. */
+  def sq(
+      model: graft.vector.Sq.SqModel,
+      codes: DataFrame,
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      rerankN: Int = 30): DataFrame = {
+    val q = normalizeQueries(queries)
+    val adc = graft.vector.Sq.adcTopK(codes, model, q, math.max(k, rerankN))
+    graft.vector.Pq.rerankExact(adc, corpus.select("vec_id", "embedding"), q, k)
+  }
+
   /** Accept either `(query_id, qvec)` or `(vec_id, embedding)` shapes. */
   private def normalizeQueries(queries: DataFrame): DataFrame =
     if (queries.columns.contains("query_id")) queries.select("query_id", "qvec")

@@ -101,6 +101,22 @@ object PipelineQueries {
     Pq.loadCodes(s, path)
   }
 
+  /** SQ grid + partitioned code table per fixture dir, trained/encoded
+    * ONCE and served from their saved artifacts ([[Sq.save]]/
+    * [[Sq.saveCodes]]) — v16 reads grid and codes through the real
+    * save→load path, same contract as [[residualCodesFor]]. */
+  private val sqArtifactPath = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def sqArtifactsFor(s: SparkSession, dir: String): String =
+    sqArtifactPath.getOrElseUpdate(dir, {
+      val model = indexFor(s, dir)
+      val sqm = Sq.train(model.vectors)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sq_")
+      sys.addShutdownHook(deleteRecursively(tmp))
+      Sq.save(sqm, tmp.toString, s)
+      Sq.saveCodes(Sq.encodeWithPartition(model.vectors, sqm), tmp.toString)
+      tmp.toString
+    })
+
   private def embQueries(s: SparkSession, dir: String, n: Int): DataFrame =
     t(s, dir, "embeddings")
       .filter(col("vec_id") < n)
@@ -1041,10 +1057,11 @@ object PipelineQueries {
     // nearest neighbor") with its accuracy menu measured end-to-end:
     // exact (the oracle, recall 1 by construction), ivf (float scan of
     // probed partitions), lsh (index-free sketch buckets), pq (IVFADC
-    // compressed scan + exact re-rank). One row per backend so the driver
-    // record shows the recall each strategy buys at this operating point.
-    // Index / plane / codebook state → rows-only; KnnJoinSpec pins the pq
-    // backend's bar and the exact-backend identity.
+    // 16× compressed scan + exact re-rank), sq (int8 4× compressed scan
+    // + exact re-rank). One row per backend so the driver record shows
+    // the recall each strategy buys at this operating point.
+    // Index / plane / codebook state → rows-only; KnnJoinSpec pins the
+    // pq and sq backends' bars and the exact-backend identity.
     NamedQuery(
       "v14_knn_backends",
       (s, dir) => {
@@ -1058,11 +1075,13 @@ object PipelineQueries {
         val exact = graft.CacheScope.track(graft.index.KnnJoin.exact(qs, emb, 10).cache())
         // saved-artifact read, not an in-query corpus re-encode
         val codes = residualCodesFor(s, dir)
+        val sqModel = Sq.train(emb)
         val backends: Seq[(String, DataFrame)] = Seq(
           "exact" -> exact,
           "ivf" -> graft.index.KnnJoin.ivf(model, qs, 10),
           "lsh" -> graft.index.KnnJoin.lsh(qs, emb, dim, k = 10, nPlanes = 32, bands = 8),
-          "pq" -> graft.index.KnnJoin.pq(model, pqResidualFor(s, dir), codes, qs, 10))
+          "pq" -> graft.index.KnnJoin.pq(model, pqResidualFor(s, dir), codes, qs, 10),
+          "sq" -> graft.index.KnnJoin.sq(sqModel, Sq.encode(emb, sqModel), qs, emb, 10))
         backends
           .map { case (name, res) =>
             IvfSearch
@@ -1120,6 +1139,39 @@ object PipelineQueries {
           "(PARTITION BY query_id ORDER BY dist2 ASC, vec_id ASC) AS INTEGER) AS rnk FROM d) " +
           "SELECT query_id, rnk, vec_id, round(CAST(CAST(dist2 AS REAL) AS DOUBLE), 3) + 0.0 AS dist2 " +
           "FROM r WHERE rnk <= 10 ORDER BY query_id, rnk")),
+
+    // IVF + SQ composed — the 4× sibling of v13's IVFADC shape and
+    // arguably the most practical 100 TB configuration: APS probe
+    // pruning decides WHICH partitions are read, int8 codes decide how
+    // many BYTES each read costs, and because the grid is corpus-global
+    // (no per-partition residuals) pruning never changes a code's value
+    // — full-probe ≡ the plain v15 scan, spec-pinned. Grid and codes are
+    // served from their saved artifacts (Sq.save/saveCodes → load), the
+    // deploy-once-reuse contract, with the code table partitioned by
+    // partition_id so probed searches read only probed files. ADC top-30
+    // re-ranked exactly (bounded gather join). Probe set = k-means state
+    // → rows-only; SqSpec pins the identity and the recall floor.
+    NamedQuery(
+      "v16_ivf_sq_search",
+      (s, dir) => {
+        val model = indexFor(s, dir)
+        val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+        val path = sqArtifactsFor(s, dir)
+        val sqm = Sq.load(path, s)
+        val codes = Sq.loadCodes(s, path)
+        val qs = embQueries(s, dir, 20)
+        val probes = IvfSearch.chooseProbes(model, qs, IvfSearch.Params(k = 10))
+        val adc = Sq.ivfAdcTopK(codes, sqm, probes.select("query_id", "partition_id"), qs, k = 30)
+        val approx = Pq.rerankExact(adc, emb, qs, k = 10)
+        // recallAtK reads the exact side twice — cache it (CacheScope
+        // drops it after)
+        val exact = graft.CacheScope.track(graft.index.KnnJoin.exact(qs, emb, 10).cache())
+        IvfSearch
+          .recallAtK(approx, exact, 10, qs)
+          .agg(count(lit(1)).as("n_queries"), round(avg("recall"), 4).as("mean_recall"))
+          .withColumn("bytes_per_vec", lit(sqm.dim))
+      },
+      None),
 
     // Perceptual image dedup, hash-checked END-TO-END: real PNG bytes are
     // encoded on executors (blocky gray pattern images whose 8×8-px

@@ -114,4 +114,85 @@ object Sq {
         .crossJoin(broadcast(queries.select(col("query_id"), col("qvec"))))
         .withColumn("dist2", adcDist(col("qvec"), col("code"), model)),
       k)
+
+  /** [[encode]] over an index's vectors table, carrying `partition_id`
+    * through so the codes stay joinable against an APS probe set (the
+    * same composition [[Pq.encodeWithPartition]] gives the 16× tier). */
+  def encodeWithPartition(vectors: DataFrame, model: SqModel, embCol: String = "embedding"): DataFrame = {
+    val mc = minsCol(model)
+    val sc = scalesCol(model)
+    vectors.select(
+      col("partition_id").cast("long"),
+      col("vec_id").cast("long"),
+      transform(
+        sequence(lit(0), lit(model.dim - 1)),
+        i =>
+          (rawCode(element_at(col(embCol), i + 1), element_at(mc, i + 1), element_at(sc, i + 1))
+            - lit(128.0)).cast("byte"))
+        .as("code"))
+  }
+
+  /** IVF + SQ composed: the APS probe set `(query_id, partition_id)`
+    * broadcasts against the partitioned code table, so the scan shrinks
+    * on BOTH axes — partitions visited (IVF pruning) × bytes per vector
+    * (4× int8) — the same shape as the IVFADC composition but with the
+    * global grid (no per-partition residuals: the grid is corpus-wide, so
+    * probe pruning changes WHICH codes are scanned, never their values —
+    * full-probe ≡ the plain [[adcTopK]] scan, spec-pinned). */
+  def ivfAdcTopK(
+      codes: DataFrame,
+      model: SqModel,
+      probes: DataFrame,
+      queries: DataFrame,
+      k: Int): DataFrame = {
+    val pq = probes
+      .select(col("query_id"), col("partition_id"))
+      .join(queries.select(col("query_id"), col("qvec")), Seq("query_id"))
+    TopK.perQuery(
+      codes
+        .join(broadcast(pq), Seq("partition_id"))
+        .withColumn("dist2", adcDist(col("qvec"), col("code"), model)),
+      k)
+  }
+
+  /** Persist a partition-carrying code table next to its index artifact,
+    * partitioned by `partition_id` so probe-pruned searches read only the
+    * probed code files — the same layout and co-locate-then-write
+    * discipline as [[Pq.saveCodes]]. */
+  def saveCodes(codes: DataFrame, path: String): Unit =
+    codes
+      .select(col("partition_id").cast("long"), col("vec_id").cast("long"), col("code"))
+      .repartition(col("partition_id"))
+      .write.mode("overwrite")
+      .partitionBy("partition_id")
+      .parquet(s"$path/sq_codes")
+
+  /** Inverse of [[saveCodes]], bit-identical (Parquet stores the byte
+    * arrays verbatim). */
+  def loadCodes(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/sq_codes")
+      .select(col("partition_id").cast("long"), col("vec_id").cast("long"), col("code"))
+
+  /** Persist the grid next to its index artifacts (same discipline as
+    * [[Pq.save]]): doubles land at their exact bits in Parquet, so
+    * save→load→encode is bit-identical to encoding with the original
+    * model. */
+  def save(model: SqModel, path: String, spark: org.apache.spark.sql.SparkSession): Unit = {
+    import spark.implicits._
+    model.mins.indices
+      .map(i => (i, model.mins(i), model.scales(i)))
+      .toDF("i", "mn", "scale")
+      .coalesce(1)
+      .write.mode("overwrite")
+      .parquet(s"$path/sq_grid")
+  }
+
+  /** Inverse of [[save]]. */
+  def load(path: String, spark: org.apache.spark.sql.SparkSession): SqModel = {
+    import spark.implicits._
+    val rows = spark.read.parquet(s"$path/sq_grid").as[(Int, Double, Double)].collect().sortBy(_._1)
+    require(rows.nonEmpty, s"no sq grid rows at $path")
+    require(rows.map(_._1).toSeq == rows.indices.toSeq, s"non-contiguous grid dims at $path")
+    SqModel(rows.length, rows.map(_._2), rows.map(_._3))
+  }
 }

@@ -82,4 +82,27 @@ class KnnJoinSpec extends SparkSpec {
     assert(common.nonEmpty)
     common.foreach(kk => assert(math.abs(got(kk) - want(kk)) < 1e-9, s"dist mismatch at $kk"))
   }
+
+  test("sq knn join backend: near-lossless recall and true L2 distances after re-rank") {
+    // the v14 driver query's sq row: int8 ADC scan + exact re-rank of the
+    // top-30 behind the shared contract — 8-bit cells are tiny relative
+    // to the corpus spread, so recall should be ≈1, well above pq's bar
+    val sqm = graft.vector.Sq.train(emb)
+    val codes = graft.vector.Sq.encode(emb, sqm)
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val res = KnnJoin.sq(sqm, codes, queries, emb, k = 10)
+    val exact = KnnJoin.exact(queries, emb, k = 10)
+    val recall = IvfSearch.recallAtK(res, exact, 10, queries)
+      .agg(avg("recall")).head.getDouble(0)
+    assert(recall >= 0.95, s"sq knn recall@10 = $recall")
+
+    val got = res.select("query_id", "vec_id", "dist2").as[(Long, Long, Double)].collect()
+      .map { case (q, v, d) => (q, v) -> d }.toMap
+    val want = exact.select("query_id", "vec_id", "dist2").as[(Long, Long, Double)].collect()
+      .map { case (q, v, d) => (q, v) -> d }.toMap
+    val common = got.keySet intersect want.keySet
+    assert(common.nonEmpty)
+    common.foreach(kk => assert(math.abs(got(kk) - want(kk)) < 1e-9, s"dist mismatch at $kk"))
+  }
 }

@@ -79,4 +79,57 @@ class SqSpec extends SparkSpec {
     val reranked = Pq.rerankExact(Sq.adcTopK(codes, model, qs, k = 30), emb, qs, k = 10)
     assert(recall(reranked) == 1.0)
   }
+
+  test("grid save -> load is exact; saved-code search equals fresh-encode search") {
+    val data = fixture(300, 16)
+    val emb = data.toDF("vec_id", "embedding")
+    val model = Sq.train(emb)
+    val dir = java.nio.file.Files.createTempDirectory("sq_spec_").toString
+    Sq.save(model, dir, spark)
+    val loaded = Sq.load(dir, spark)
+    assert(loaded.dim == model.dim)
+    assert(loaded.mins.toSeq == model.mins.toSeq) // exact double bits
+    assert(loaded.scales.toSeq == model.scales.toSeq)
+
+    // partition-carrying codes round-trip bit-identically through Parquet
+    val vecs = emb.withColumn("partition_id", pmod(col("vec_id"), lit(4L)))
+    Sq.saveCodes(Sq.encodeWithPartition(vecs, model), dir)
+    val fresh = Sq.encodeWithPartition(vecs, loaded)
+      .as[(Long, Long, Seq[Byte])].collect().map(r => (r._2, r._3)).toMap
+    val saved = Sq.loadCodes(spark, dir)
+      .as[(Long, Long, Seq[Byte])].collect().map(r => (r._2, r._3)).toMap
+    assert(saved == fresh)
+  }
+
+  test("IVF+SQ: full-probe scan is identical to the plain ADC scan; pruned recall holds") {
+    val data = fixture(400, 24)
+    val emb = data.toDF("vec_id", "embedding")
+    val model = Sq.train(emb)
+    // synthetic 4-way partitioning: probe pruning must only SUBSET rows,
+    // never change a code or a distance (the grid is corpus-global)
+    val vecs = emb.withColumn("partition_id", pmod(col("vec_id"), lit(4L)))
+    val codes = Sq.encodeWithPartition(vecs, model)
+    val qs = data.take(10).map { case (id, v) => (id, v) }.toDF("query_id", "qvec")
+
+    val allProbes = qs.select("query_id")
+      .crossJoin(Seq(0L, 1L, 2L, 3L).toDF("partition_id"))
+    val fullProbe = Sq.ivfAdcTopK(codes, model, allProbes, qs, k = 10)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val plain = Sq.adcTopK(codes.drop("partition_id"), model, qs, k = 10)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(fullProbe == plain)
+
+    // pruning to 2 of 4 partitions keeps every reachable true neighbor:
+    // recall against exact-restricted-to-those-partitions is 1 after re-rank
+    val twoProbes = qs.select("query_id")
+      .crossJoin(Seq(0L, 1L).toDF("partition_id"))
+    val pruned = Pq.rerankExact(
+      Sq.ivfAdcTopK(codes, model, twoProbes, qs, k = 30), emb, qs, k = 10)
+    val exactRestricted = graft.index.IvfSearch.exactTopK(
+      vecs.filter(col("partition_id") < 2L).select("vec_id", "embedding"), qs, k = 10)
+    val rec = graft.index.IvfSearch
+      .recallAtK(pruned, exactRestricted, 10, qs)
+      .agg(avg("recall")).as[Double].head()
+    assert(rec == 1.0, s"pruned recall $rec")
+  }
 }
