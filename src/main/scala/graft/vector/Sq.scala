@@ -148,8 +148,16 @@ object Sq {
     val pq = probes
       .select(col("query_id"), col("partition_id"))
       .join(queries.select(col("query_id"), col("qvec")), Seq("query_id"))
+    // The probe set is driver-sized metadata (≤ |Q|·maxProbe pairs), so
+    // its distinct partition list is collectible and pushed as a scan
+    // filter: over a [[saveCodes]] layout this becomes a PartitionFilters
+    // entry — the probed code FILES are read, the rest never leave disk —
+    // rather than a full scan discarded at the join. Same discipline as
+    // IvfSearch.searchPruned (spec-asserted on the saved artifact).
+    val pids = probes.select("partition_id").distinct().collect().map(_.getLong(0)).toSeq
     TopK.perQuery(
       codes
+        .filter(col("partition_id").isInCollection(pids))
         .join(broadcast(pq), Seq("partition_id"))
         .withColumn("dist2", adcDist(col("qvec"), col("code"), model)),
       k)

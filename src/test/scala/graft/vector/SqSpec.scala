@@ -99,6 +99,17 @@ class SqSpec extends SparkSpec {
     val saved = Sq.loadCodes(spark, dir)
       .as[(Long, Long, Seq[Byte])].collect().map(r => (r._2, r._3)).toMap
     assert(saved == fresh)
+
+    // probe-pruned search over the saved layout pushes the probe set into
+    // the scan's PartitionFilters — probed files are read, the rest never
+    // leave disk
+    val qs = data.take(3).map { case (id, v) => (id, v) }.toDF("query_id", "qvec")
+    val probes = qs.select("query_id").crossJoin(Seq(0L, 1L).toDF("partition_id"))
+    val pruned = Sq.ivfAdcTopK(Sq.loadCodes(spark, dir), model, probes, qs, k = 5)
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(
+      "PartitionFilters: \\[[^\\]]*partition_id".r.findFirstIn(scan).isDefined,
+      s"no partition pruning in saved-code scan:\n${scan.take(2000)}")
   }
 
   test("IVF+SQ: full-probe scan is identical to the plain ADC scan; pruned recall holds") {
