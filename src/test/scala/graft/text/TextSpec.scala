@@ -107,6 +107,32 @@ class TextSpec extends SparkSpec {
     assert(high == Set((1L, 2L)))
   }
 
+  test("PPJoin plan is output-preserving on a dense random corpus (property)") {
+    // 60 seeded docs over an 8-word vocabulary: heavy shingle collisions,
+    // many borderline pairs — the regime where a buggy prefix bound or
+    // size band would actually drop a qualifying pair. Dense blocked join
+    // = ground truth; exact set equality required at both thresholds.
+    val vocab = Array("a", "b", "c", "d", "e", "f", "g", "h")
+    def lcg(s: Long): Long = (s * 6364136223846793005L + 1442695040888963407L)
+    val docs = (0 until 60).map { id =>
+      var st = lcg(id.toLong + 99L)
+      val len = 6 + (math.abs(st) % 10).toInt
+      val words = (0 until len).map { _ =>
+        st = lcg(st); vocab((math.abs(st) % vocab.length).toInt)
+      }
+      (id.toLong, words.mkString(" "), s"s${id % 3}")
+    }.toDF("doc_id", "text", "source")
+    for (t <- Seq(0.25, 0.6)) {
+      val dense = Dedup.ngramJaccardPairs(docs, "source", 2)
+        .filter(col("jaccard") >= t)
+        .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+      val sparse = Dedup.sparseJaccardPairs(docs, "source", 2, minJaccard = t)
+        .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+      assert(sparse == dense, s"threshold $t: ${sparse.size} vs ${dense.size}")
+      assert(dense.nonEmpty, s"degenerate fixture at $t — property vacuous")
+    }
+  }
+
   test("sparseJaccardPairs hot-shingle cutoff: identity above max df, drops stop-shingles below") {
     // "x y" appears in every doc (df = 4, the stop-shingle); each pair of
     // docs within {1,2} / {3,4} also shares one discriminative shingle
