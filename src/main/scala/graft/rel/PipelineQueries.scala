@@ -2036,6 +2036,46 @@ object PipelineQueries {
           "SELECT 'bucketed' AS part, n_rows, agg1, agg2, CAST(1 AS BIGINT) AS plan_ok FROM b " +
           "UNION ALL SELECT 'orc', n_rows, agg1, agg2, CAST(1 AS BIGINT) FROM o ORDER BY part")),
 
+    // Sketch-accuracy certification — the approximate aggregates a 100 TB
+    // pipeline actually runs instead of exact ones (HLL++ distinct
+    // counts, Greenwald–Khanna quantiles): the EXACT values cross the
+    // oracle, and each sketch output rides along as an error-bound flag
+    // the oracle expects to be 1 — hash-green proves the sketches ran AND
+    // stayed inside their published bounds (HLL rsd 0.05 → 15% ≈ 3σ
+    // guard; GK accuracy 10000 → ≤ 1% value error at the median of this
+    // distribution). The sketch VALUES themselves are deliberately not
+    // compared: DuckDB's HLL/quantile implementations differ, which is
+    // exactly why the bound — not the estimate — is the contract. Both
+    // sketches are single-pass, mergeable, bounded-memory — the reason
+    // they replace exact distinct/percentile at corpus scale.
+    NamedQuery(
+      "q31_sketch_accuracy",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            countDistinct(col("l_orderkey")).as("nd_exact"),
+            approx_count_distinct(col("l_orderkey"), 0.05).as("nd_approx"),
+            expr("percentile(l_extendedprice, 0.5)").as("p50_exact"),
+            expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("p50_approx"))
+          .select(
+            col("l_returnflag"),
+            col("nd_exact"),
+            when(
+              abs(col("nd_approx") - col("nd_exact")).cast("double") / col("nd_exact") <= 0.15,
+              1L).otherwise(0L).as("hll_ok"),
+            round(col("p50_exact"), 4).as("p50_exact"),
+            when(
+              abs(col("p50_approx") - col("p50_exact")) / col("p50_exact") <= 0.01,
+              1L).otherwise(0L).as("gk_ok"))
+          .orderBy("l_returnflag"),
+      Some(
+        "SELECT l_returnflag, count(DISTINCT l_orderkey) AS nd_exact, " +
+          "CAST(1 AS BIGINT) AS hll_ok, " +
+          "round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact, " +
+          "CAST(1 AS BIGINT) AS gk_ok " +
+          "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")),
+
     // The PPJoin prefix plan driver-visible AND hash-checked: d03 runs the
     // low-threshold direct plan (t = 0.05 < 0.2), so this query exercises
     // the OTHER physical plan behind the same sparseJaccardPairs contract
