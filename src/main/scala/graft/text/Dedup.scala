@@ -251,14 +251,22 @@ object Dedup {
       maxDocFreq: Long = Long.MaxValue): DataFrame = {
     require(minJaccard > 0.0, "sparse join only surfaces pairs with shared shingles")
     require(maxDocFreq >= 2, "maxDocFreq < 2 would drop every shared shingle")
-    val blocks = docs.select(col("doc_id"), col(blockCol).as("block"))
+    // Rebalance the RAW doc rows before the CPU-dominant tokenize+shingle+
+    // explode: a few-partition source (one parquet file = one row group =
+    // one task) would otherwise run the pipeline's hottest stage nearly
+    // serial. The added shuffle moves short text rows — ~2% of the
+    // exploded shingle stream the very next aggregates shuffle anyway —
+    // so it is cheap insurance at every scale, and it evens out
+    // doc-length skew across tasks for free.
+    val docsRe = docs.repartition(col("doc_id"))
+    val blocks = docsRe.select(col("doc_id"), col(blockCol).as("block"))
     // Cached: the exploded shingle table (tokenize + shingle + explode, the
     // pipeline's CPU-dominant stage) feeds the df-guard aggregate, the size
     // aggregate, and BOTH sides of the intersection self-join — up to five
     // plan references; uncached it would recompute the shingling each time.
     // CacheScope-tracked so a long-lived session drops it after the query.
     val exAll = graft.CacheScope.track(
-      TextOps.shingleRows(docs, shingleN, distinctSet = true)
+      TextOps.shingleRows(docsRe, shingleN, distinctSet = true)
         .join(blocks, "doc_id")
         .select("block", "doc_id", "s")
         .cache())
