@@ -39,7 +39,11 @@ object Dedup {
     * is plain columnar data flow that partial-aggregates on the map side,
     * so the shuffle is O(docs · numHashes) regardless of document length. */
   def minhashSignatures(docs: DataFrame, shingleN: Int, numHashes: Int): DataFrame = {
-    val sh = TextOps.shingleRows(docs, shingleN, distinctSet = true)
+    // Rebalance raw docs first (same rationale as sparseJaccardPairs): a
+    // one-row-group source runs the tokenize+shingle+16-hash stage — the
+    // pipeline's CPU — on one task; the raw-text shuffle is a rounding
+    // error next to the per-shingle hashing it parallelizes.
+    val sh = TextOps.shingleRows(docs.repartition(col("doc_id")), shingleN, distinctSet = true)
     val agg = sh
       .groupBy("doc_id")
       .agg(array((0 until numHashes).map { s =>
