@@ -101,6 +101,13 @@ object PipelineQueries {
     Pq.loadCodes(s, path)
   }
 
+  /** One SQ grid per fixture dir per JVM — training is deterministic
+    * (per-dimension min/max), so v14/v15 retraining per query would
+    * repeat a full posexplode pass for byte-identical grids. */
+  private val sqModelCache = scala.collection.concurrent.TrieMap.empty[String, Sq.SqModel]
+  def sqFor(s: SparkSession, dir: String): Sq.SqModel =
+    sqModelCache.getOrElseUpdate(dir, Sq.train(t(s, dir, "embeddings").select("vec_id", "embedding")))
+
   /** SQ grid + partitioned code table per fixture dir, trained/encoded
     * ONCE and served from their saved artifacts ([[Sq.save]]/
     * [[Sq.saveCodes]]) — v16 reads grid and codes through the real
@@ -109,7 +116,7 @@ object PipelineQueries {
   private def sqArtifactsFor(s: SparkSession, dir: String): String =
     sqArtifactPath.getOrElseUpdate(dir, {
       val model = indexFor(s, dir)
-      val sqm = Sq.train(model.vectors)
+      val sqm = sqFor(s, dir) // same rows as model.vectors -> same grid
       val tmp = java.nio.file.Files.createTempDirectory("graft_sq_")
       sys.addShutdownHook(deleteRecursively(tmp))
       Sq.save(sqm, tmp.toString, s)
@@ -1075,7 +1082,7 @@ object PipelineQueries {
         val exact = graft.CacheScope.track(graft.index.KnnJoin.exact(qs, emb, 10).cache())
         // saved-artifact read, not an in-query corpus re-encode
         val codes = residualCodesFor(s, dir)
-        val sqModel = Sq.train(emb)
+        val sqModel = sqFor(s, dir)
         val backends: Seq[(String, DataFrame)] = Seq(
           "exact" -> exact,
           "ivf" -> graft.index.KnnJoin.ivf(model, qs, 10),
@@ -1110,7 +1117,7 @@ object PipelineQueries {
       "v15_sq_adc_knn",
       (s, dir) => {
         val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
-        val model = Sq.train(emb)
+        val model = sqFor(s, dir)
         val codes = Sq.encode(emb, model)
         Sq.adcTopK(codes, model, embQueries(s, dir, 5), k = 10)
           .select(
