@@ -3,7 +3,7 @@ package graft.rel
 import graft.{NamedQuery, Tables}
 import graft.index.{IvfBuild, IvfModel, IvfSearch}
 import graft.multimodal.MultimodalOps
-import graft.text.{Dedup, TextOps}
+import graft.text.{Bm25, Cms, Dedup, TextOps}
 import graft.vector.{Pq, Sq, VectorMean}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -2149,5 +2149,163 @@ object PipelineQueries {
           "e AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM ids a " +
           "JOIN ids b ON b.doc_id = a.doc_id + 1 WHERE a.doc_id % 100 <> 99), " +
           "nodes AS (SELECT id_a AS id FROM e UNION SELECT id_b FROM e) " +
-          "SELECT id, id - id % 100 AS comp FROM nodes ORDER BY id")))
+          "SELECT id, id - id % 100 AS comp FROM nodes ORDER BY id")),
+
+    // Okapi BM25 (k1=1.2, b=0.75) of the corpus against a fixed 3-term
+    // query — the retrieval primitive of the curation layer (Bm25.score:
+    // one combinable pass builds dl + every tf; corpus stats collapse to a
+    // broadcast row). Every score input is an exact integer (tf, dl, df,
+    // N, Σdl — avgdl is one exact-int division), so DuckDB replays the
+    // identical double DAG in the identical association order; the f32
+    // squeeze absorbs the lone libm-dependent step (ln), and both engines
+    // rank on the ROUNDED score so an ulp of ln drift can never flip an
+    // order. Top-25 via orderBy+limit (TakeOrdered — no global window
+    // before the cut; row_number runs over 25 rows).
+    NamedQuery(
+      "t08_bm25_rank",
+      (s, dir) => {
+        val w25 = org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("doc_id"))
+        Bm25
+          .score(t(s, dir, "documents"), Seq("vector", "spark", "merge"))
+          .select(
+            col("doc_id"), col("dl"), col("tf0"), col("tf1"), col("tf2"),
+            f32round(col("score"), 4).as("score"))
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(25)
+          .withColumn("rnk", row_number().over(w25).cast("int"))
+          .orderBy("rnk")
+      },
+      Some {
+        def term(i: Int): String =
+          s"ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df$i AS DOUBLE) + 0.5) / (CAST(df$i AS DOUBLE) + 0.5))" +
+            s" * CAST(tf$i AS DOUBLE) * (1.2 + 1.0) / (CAST(tf$i AS DOUBLE) + 1.2 * " +
+            s"(1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / (CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))"
+        s"WITH tok AS (SELECT doc_id, unnest($duckToks) AS tok FROM documents), " +
+          "perdoc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl, " +
+          "CAST(sum(CASE WHEN tok = 'vector' THEN 1 ELSE 0 END) AS BIGINT) AS tf0, " +
+          "CAST(sum(CASE WHEN tok = 'spark' THEN 1 ELSE 0 END) AS BIGINT) AS tf1, " +
+          "CAST(sum(CASE WHEN tok = 'merge' THEN 1 ELSE 0 END) AS BIGINT) AS tf2 " +
+          "FROM tok GROUP BY doc_id), " +
+          "stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_dl, " +
+          "CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0, " +
+          "CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1, " +
+          "CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2 FROM perdoc), " +
+          "sc AS (SELECT doc_id, dl, tf0, tf1, tf2, " +
+          s"round(CAST(CAST(${term(0)} + ${term(1)} + ${term(2)} AS REAL) AS DOUBLE), 4) + 0.0 AS score " +
+          "FROM perdoc, stats) " +
+          "SELECT doc_id, dl, tf0, tf1, tf2, score, " +
+          "CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rnk " +
+          "FROM sc ORDER BY score DESC, doc_id LIMIT 25"
+      }),
+
+    // Count-min-sketch heavy hitters: a d=4 × w=512 sketch built from the
+    // portable Karp–Rabin double-hash rows (Cms.sketch — one combinable
+    // groupBy; the summary is O(d·w) and merges by adding cells), then the
+    // exact top-20 tokens point-estimated back through it. DuckDB rebuilds
+    // the identical sketch from first principles — hash-green certifies
+    // both the hash-row arithmetic and the CMS ≥-exact overcount direction
+    // (overcount is non-negative by construction; the spec pins it for
+    // EVERY token, not just the top-20).
+    NamedQuery(
+      "t09_cms_heavy_hitters",
+      (s, dir) => {
+        val toks = t(s, dir, "documents").select(explode(TextOps.tokens(col("text"))).as("tok"))
+        val sk = Cms.sketch(toks, "tok", depth = 4, width = 512)
+        val top = toks
+          .groupBy("tok").agg(count(lit(1)).as("exact_n"))
+          .orderBy(col("exact_n").desc, col("tok"))
+          .limit(20)
+        Cms
+          .estimate(top, "tok", sk, depth = 4, width = 512)
+          .select(col("tok"), col("exact_n"), col("est_n"), (col("est_n") - col("exact_n")).as("overcount"))
+          .orderBy(col("exact_n").desc, col("tok"))
+      },
+      Some {
+        def kr(e: String, init: Int, base: Int, mod: Long): String =
+          s"list_reduce(list_prepend(CAST($init AS BIGINT), list_transform(generate_series(1, len($e)), " +
+            s"i -> CAST(ord(substring($e, i, 1)) AS BIGINT))), (a, c) -> (a * $base + c) % $mod)"
+        def mixes(e: String): String =
+          s"(${kr(e, 7, 131, 1000000007L)} * 2654435761) % 1000000007 AS m1, " +
+            s"(${kr(e, 11, 137, 998244353L)} * 2246822519) % 998244353 AS m2"
+        s"WITH tok AS (SELECT unnest($duckToks) AS tok FROM documents), " +
+          s"h AS (SELECT tok, ${mixes("tok")} FROM tok), " +
+          "cell AS (SELECT r.j AS j, (m1 + r.j * m2) % 512 AS cell FROM h, range(4) r(j)), " +
+          "sk AS (SELECT j, cell, CAST(count(*) AS BIGINT) AS cnt FROM cell GROUP BY j, cell), " +
+          "exact AS (SELECT tok, CAST(count(*) AS BIGINT) AS exact_n FROM tok GROUP BY tok), " +
+          "top AS (SELECT tok, exact_n FROM exact ORDER BY exact_n DESC, tok LIMIT 20), " +
+          s"th AS (SELECT tok, exact_n, ${mixes("tok")} FROM top), " +
+          "probe AS (SELECT tok, exact_n, r.j AS j, (m1 + r.j * m2) % 512 AS cell FROM th, range(4) r(j)), " +
+          "est AS (SELECT p.tok, p.exact_n, min(s.cnt) AS est_n FROM probe p " +
+          "JOIN sk s ON s.j = p.j AND s.cell = p.cell GROUP BY p.tok, p.exact_n) " +
+          "SELECT tok, exact_n, est_n, est_n - exact_n AS overcount FROM est ORDER BY exact_n DESC, tok"
+      }),
+
+    // SCD-2 change capture over the orders stream: each customer's
+    // priority history collapsed to versioned rows with half-open
+    // [valid_from, valid_to) windows (Scd.scd2 — ONE shuffle on the key,
+    // both windows reuse the partitioning). The warehouse MERGE/CDC
+    // primitive; deterministic under (o_orderdate, o_orderkey) ordering.
+    NamedQuery(
+      "p07_scd2_versions",
+      (s, dir) =>
+        Scd
+          .scd2(t(s, dir, "orders"), "o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority")
+          .orderBy("o_custkey", "version"),
+      Some(
+        "WITH m AS (SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority, " +
+          "lag(o_orderpriority) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev " +
+          "FROM orders), " +
+          "c AS (SELECT * FROM m WHERE prev IS NULL OR prev <> o_orderpriority), " +
+          "v AS (SELECT o_custkey, CAST(row_number() OVER w AS INTEGER) AS version, o_orderpriority, " +
+          "o_orderdate AS valid_from, lead(o_orderdate) OVER w AS valid_to " +
+          "FROM c WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)) " +
+          "SELECT o_custkey, version, o_orderpriority, valid_from, valid_to, " +
+          "valid_to IS NULL AS is_current FROM v ORDER BY o_custkey, version")),
+
+    // Z-order layout + zone-map pruning: Morton-interleave (partkey,
+    // suppkey) (ZOrder.interleave — a codegen'd bitwise ladder), bucket by
+    // the code's high bits (each bucket IS a contiguous z-range), build
+    // per-bucket min/max zone maps in the same single aggregation, and
+    // answer a 2-D range predicate from only the overlapping buckets —
+    // the multi-dimensional data-skipping layout (OPTIMIZE ZORDER) as a
+    // checkable query. The FULL zone map ships with an is_candidate flag
+    // (fixture: 2 of 32 buckets survive the [100,180]×[20,45] box — 16×
+    // skip), so DuckDB's replay of the identical bit ladder certifies the
+    // codes, every zone map row, the pruning decision per bucket, AND
+    // completeness: n_match > 0 only where is_candidate, a fact the hash
+    // covers because non-candidate rows carry their (all-zero) n_match.
+    NamedQuery(
+      "q32_zorder_stats",
+      (s, dir) => {
+        val src = t(s, dir, "lineitem").select(
+          pmod(col("l_partkey"), lit(1024L)).as("a"),
+          pmod(col("l_suppkey"), lit(1024L)).as("b"))
+        src
+          .withColumn("bucket", shiftright(graft.rel.ZOrder.interleave(col("a"), col("b")), 12))
+          .groupBy("bucket")
+          .agg(
+            count(lit(1)).as("n_rows"),
+            min("a").as("a_min"), max("a").as("a_max"),
+            min("b").as("b_min"), max("b").as("b_max"),
+            sum(when(col("a").between(100, 180) && col("b").between(20, 45), lit(1L)).otherwise(lit(0L)))
+              .as("n_match"))
+          .withColumn(
+            "is_candidate",
+            col("a_min") <= 180 && col("a_max") >= 100 && col("b_min") <= 45 && col("b_max") >= 20)
+          .orderBy("bucket")
+      },
+      Some(
+        "WITH src AS (SELECT l_partkey % 1024 AS a, l_suppkey % 1024 AS b FROM lineitem), " +
+          "s1 AS (SELECT a, b, (a | (a << 8)) & 16711935 AS a1, (b | (b << 8)) & 16711935 AS b1 FROM src), " +
+          "s2 AS (SELECT a, b, (a1 | (a1 << 4)) & 252645135 AS a2, (b1 | (b1 << 4)) & 252645135 AS b2 FROM s1), " +
+          "s3 AS (SELECT a, b, (a2 | (a2 << 2)) & 858993459 AS a3, (b2 | (b2 << 2)) & 858993459 AS b3 FROM s2), " +
+          "s4 AS (SELECT a, b, (a3 | (a3 << 1)) & 1431655765 AS a4, (b3 | (b3 << 1)) & 1431655765 AS b4 FROM s3), " +
+          "z AS (SELECT a, b, (a4 | (b4 << 1)) >> 12 AS bucket FROM s4), " +
+          "zones AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows, " +
+          "min(a) AS a_min, max(a) AS a_max, min(b) AS b_min, max(b) AS b_max, " +
+          "CAST(sum(CASE WHEN a BETWEEN 100 AND 180 AND b BETWEEN 20 AND 45 THEN 1 ELSE 0 END) AS BIGINT) AS n_match " +
+          "FROM z GROUP BY bucket) " +
+          "SELECT *, a_min <= 180 AND a_max >= 100 AND b_min <= 45 AND b_max >= 20 AS is_candidate " +
+          "FROM zones ORDER BY bucket")))
 }
