@@ -52,9 +52,9 @@ class ScdSpec extends SparkSpec {
   test("plan shape: one exchange — both windows reuse the key partitioning") {
     val df = history
     df.collect()
-    val s = df.queryExecution.executedPlan.toString
-    val n = s.linesIterator.count(l =>
-      l.contains("Exchange hashpartitioning") || l.contains("Exchange SinglePartition"))
-    assert(n == 1, s"SCD-2 must shuffle once on the key, got $n exchanges:\n$s")
+    val n = countShuffles(df)
+    assert(n == 1,
+      s"SCD-2 must shuffle once on the key, got $n executed shuffles:\n" +
+        df.queryExecution.executedPlan.toString)
   }
 }

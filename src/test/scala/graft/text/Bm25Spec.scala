@@ -51,8 +51,8 @@ class Bm25Spec extends SparkSpec {
       s"1-row stats side must broadcast:\n$s")
     assert(!s.contains("SortMergeJoin"), s"corpus must not shuffle for the stats attach:\n$s")
     // exchanges: per-doc aggregate + the 1-row global stats reduction only
-    val n = s.linesIterator.count(l =>
-      l.contains("Exchange hashpartitioning") || l.contains("Exchange SinglePartition"))
-    assert(n <= 2, s"expected ≤2 exchanges (per-doc agg + 1-row stats), got $n:\n$s")
+    // (the stats branch reuses the per-doc exchange — reuse must not count)
+    val n = countShuffles(df)
+    assert(n <= 2, s"expected ≤2 executed shuffles (per-doc agg + 1-row stats), got $n:\n$s")
   }
 }
