@@ -2254,9 +2254,10 @@ object PipelineQueries {
           .orderBy("o_custkey", "version"),
       Some(
         "WITH m AS (SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority, " +
-          "lag(o_orderpriority) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev " +
+          "lag(o_orderpriority) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev, " +
+          "row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn " +
           "FROM orders), " +
-          "c AS (SELECT * FROM m WHERE prev IS NULL OR prev <> o_orderpriority), " +
+          "c AS (SELECT * FROM m WHERE rn = 1 OR prev IS DISTINCT FROM o_orderpriority), " +
           "v AS (SELECT o_custkey, CAST(row_number() OVER w AS INTEGER) AS version, o_orderpriority, " +
           "o_orderdate AS valid_from, lead(o_orderdate) OVER w AS valid_to " +
           "FROM c WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)) " +

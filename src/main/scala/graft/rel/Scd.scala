@@ -28,10 +28,16 @@ object Scd {
     * (NULL = open), is_current. */
   def scd2(events: DataFrame, keyCol: String, tsCol: String, tieCol: String, attrCol: String): DataFrame = {
     val byKey = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    // `lag` is NULL both on the key's first row AND when the previous
+    // attribute was genuinely NULL, so NULL-safe inequality alone can't
+    // tell "open version 1" from "NULL attr repeated". The first row is
+    // identified positionally (row_number, same window — no extra
+    // shuffle); every later row opens a version iff the attribute is
+    // DISTINCT from its predecessor (NULL-safe, so NULL→NULL does not).
     val changes = events
       .withColumn("_prev", lag(col(attrCol), 1).over(byKey))
-      // NULL-safe inequality: the key's first row (prev NULL) must open a version
-      .filter(!(col("_prev") <=> col(attrCol)))
+      .withColumn("_rn", row_number().over(byKey))
+      .filter(col("_rn") === 1 || !(col("_prev") <=> col(attrCol)))
     changes
       .withColumn("version", row_number().over(byKey).cast("int"))
       .withColumn("valid_to", lead(col(tsCol), 1).over(byKey))

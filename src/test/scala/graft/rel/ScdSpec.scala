@@ -49,6 +49,19 @@ class ScdSpec extends SparkSpec {
     assert(current.exceptAll(direct).isEmpty && direct.exceptAll(current).isEmpty)
   }
 
+  test("NULL attributes: first row opens v1 even when NULL; NULL→NULL is not a change") {
+    // key 4: NULL → NULL → A → NULL  (3 versions: NULL, A, NULL)
+    // key 5: single NULL row         (1 open version)
+    val ev = Seq[(Long, Timestamp, Long, Option[String])](
+      (4L, ts(1), 40L, None), (4L, ts(2), 41L, None), (4L, ts(3), 42L, Some("A")), (4L, ts(4), 43L, None),
+      (5L, ts(5), 50L, None)
+    ).toDF("k", "t", "tie", "attr")
+    val h = Scd.scd2(ev, "k", "t", "tie", "attr").orderBy("k", "version")
+      .select("k", "version", "attr").as[(Long, Int, Option[String])].collect()
+    assert(h.toSeq == Seq(
+      (4L, 1, None), (4L, 2, Some("A")), (4L, 3, None), (5L, 1, None)))
+  }
+
   test("plan shape: one exchange — both windows reuse the key partitioning") {
     val df = history
     df.collect()
