@@ -1,7 +1,6 @@
 package graft.rel
 
 import graft.CacheScope
-import org.apache.spark.TaskContext
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -58,10 +57,16 @@ object Packing {
         .as[(Long, Long)]
         .cache())
 
-    // (2) one subtotal row per partition — metadata, not data
-    val subtotals: Array[(Int, Long)] = ranged
-      .mapPartitions { it =>
-        val pid = TaskContext.getPartitionId()
+    // (2) one subtotal row per partition — metadata, not data.
+    // .rdd.mapPartitionsWithIndex, NOT Dataset.mapPartitions +
+    // TaskContext.getPartitionId: the task's partition id is the STAGE
+    // partition index, which drifts from the dataset's own partition
+    // number whenever this lineage is fused into a wider stage (e.g. a
+    // union/exceptAll downstream) — the RDD-level index is the
+    // partition's identity regardless of what stage computes it.
+    val rdd = ranged.rdd
+    val subtotals: Array[(Int, Long)] = rdd
+      .mapPartitionsWithIndex { (pid, it) =>
         var t = 0L
         var any = false
         while (it.hasNext) { t += it.next()._2; any = true }
@@ -86,9 +91,8 @@ object Packing {
     // offsets. So each partition re-verifies itself: its token sum must
     // equal the pass-1 subtotal it was assigned a base from; drift fails
     // the job loudly instead of shipping a corrupted packing.
-    ranged
-      .mapPartitions { it =>
-        val pid = TaskContext.getPartitionId()
+    rdd
+      .mapPartitionsWithIndex { (pid, it) =>
         val base = bBases.value.getOrElse(pid, 0L)
         var acc = base
         val mapped = it.map { case (id, n) =>

@@ -2057,14 +2057,27 @@ object PipelineQueries {
     // they replace exact distinct/percentile at corpus scale.
     NamedQuery(
       "q31_sketch_accuracy",
-      (s, dir) =>
-        t(s, dir, "lineitem")
+      (s, dir) => {
+        // The exact distinct count lives in its OWN aggregation branch,
+        // joined back on the (few-row) group key: mixing countDistinct
+        // with typed-imperative aggregates (percentile) in one agg makes
+        // Catalyst plan the distinct-Expand shape, whose first-level
+        // aggregate keys on (l_returnflag, l_orderkey) — one percentile
+        // buffer per ORDER key (~10× slower at sf0.1, and the buffer
+        // count scales with data, not groups, at 100 TB). Two pruned
+        // scans + a broadcast-sized join of per-flag rows beat that
+        // in both regimes.
+        val li = t(s, dir, "lineitem")
+        val nd = li
           .groupBy("l_returnflag")
-          .agg(
-            countDistinct(col("l_orderkey")).as("nd_exact"),
-            approx_count_distinct(col("l_orderkey"), 0.05).as("nd_approx"),
-            expr("percentile(l_extendedprice, 0.5)").as("p50_exact"),
-            expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("p50_approx"))
+          .agg(countDistinct(col("l_orderkey")).as("nd_exact"))
+        nd.join(
+          li.groupBy("l_returnflag")
+            .agg(
+              approx_count_distinct(col("l_orderkey"), 0.05).as("nd_approx"),
+              expr("percentile(l_extendedprice, 0.5)").as("p50_exact"),
+              expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("p50_approx")),
+          Seq("l_returnflag"))
           .select(
             col("l_returnflag"),
             col("nd_exact"),
@@ -2075,7 +2088,8 @@ object PipelineQueries {
             when(
               abs(col("p50_approx") - col("p50_exact")) / col("p50_exact") <= 0.01,
               1L).otherwise(0L).as("gk_ok"))
-          .orderBy("l_returnflag"),
+          .orderBy("l_returnflag")
+      },
       Some(
         "SELECT l_returnflag, count(DISTINCT l_orderkey) AS nd_exact, " +
           "CAST(1 AS BIGINT) AS hll_ok, " +
@@ -2263,6 +2277,30 @@ object PipelineQueries {
           "FROM c WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)) " +
           "SELECT o_custkey, version, o_orderpriority, valid_from, valid_to, " +
           "valid_to IS NULL AS is_current FROM v ORDER BY o_custkey, version")),
+
+    // Deterministic epoch shuffle: every document's position in a seeded
+    // pseudo-random permutation of the corpus plus a balanced contiguous
+    // shard (EpochShuffle.shuffle — two-level rank over ONE range
+    // shuffle, never a single-task global window). The oracle replays the
+    // identical portable hash ((id % P) * seedMult + seedAdd) % P and the
+    // naive row_number rank, so hash-green certifies the distributed
+    // prefix-sum equals the global sort order exactly, position by
+    // position — the "shuffle then shard to data loaders" epoch step.
+    NamedQuery(
+      "p08_epoch_shuffle",
+      (s, dir) =>
+        EpochShuffle
+          .shuffle(t(s, dir, "documents").select("doc_id"), "doc_id", seed = 20260813L, shards = 16)
+          .orderBy("position"),
+      Some {
+        val m = EpochShuffle.seedMult(20260813L)
+        val a = EpochShuffle.seedAdd(20260813L)
+        val p = EpochShuffle.P
+        s"WITH h AS (SELECT doc_id, ((doc_id % $p) * $m + $a) % $p AS h FROM documents), " +
+          "r AS (SELECT doc_id, h, CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS BIGINT) AS position, " +
+          "CAST(count(*) OVER () AS BIGINT) AS n FROM h) " +
+          "SELECT doc_id, h, position, position * 16 // n AS shard FROM r ORDER BY position"
+      }),
 
     // Z-order layout + zone-map pruning: Morton-interleave (partkey,
     // suppkey) (ZOrder.interleave — a codegen'd bitwise ladder), bucket by
