@@ -3,7 +3,7 @@ package graft.rel
 import graft.{NamedQuery, Tables}
 import graft.index.{IvfBuild, IvfModel, IvfSearch}
 import graft.multimodal.MultimodalOps
-import graft.text.{Bm25, Cms, Dedup, TextOps}
+import graft.text.{Bm25, Cms, Dedup, TextOps, TfIdf}
 import graft.vector.{Pq, Sq, VectorMean}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -2254,6 +2254,32 @@ object PipelineQueries {
           "JOIN sk s ON s.j = p.j AND s.cell = p.cell GROUP BY p.tok, p.exact_n) " +
           "SELECT tok, exact_n, est_n, est_n - exact_n AS overcount FROM est ORDER BY exact_n DESC, tok"
       }),
+
+    // Per-document tf·idf keyword extraction (TfIdf.topTerms): exact
+    // integer tf/df/N, add-one-smoothed idf, ranks taken on the
+    // float32-squeezed score (the t08 trick — the one libm `ln` step can
+    // never flip the emitted top-k across engines). The oracle recomputes
+    // the full pipeline from first principles; hash-green certifies tf,
+    // df, N, every surviving score, and the per-doc ranking at once.
+    NamedQuery(
+      "t10_tfidf_terms",
+      (s, dir) =>
+        TfIdf
+          .topTerms(t(s, dir, "documents").select("doc_id", "text"), k = 3)
+          .orderBy("doc_id", "rnk"),
+      Some(
+        s"WITH tok AS (SELECT doc_id, unnest($duckToks) AS term FROM documents), " +
+          "tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, term), " +
+          "dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term), " +
+          "n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tf), " +
+          "sc AS (SELECT doc_id, term, tf, " +
+          "round(CAST(CAST(CAST(tf AS DOUBLE) * ln((CAST(n_docs AS DOUBLE) + 1.0) / " +
+          "(CAST(df AS DOUBLE) + 1.0)) AS REAL) AS DOUBLE), 4) + 0.0 AS score " +
+          "FROM tf JOIN dft USING (term) CROSS JOIN n), " +
+          "r AS (SELECT doc_id, term, tf, score, " +
+          "CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS INTEGER) AS rnk " +
+          "FROM sc) " +
+          "SELECT doc_id, term, tf, score, rnk FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk")),
 
     // SCD-2 change capture over the orders stream: each customer's
     // priority history collapsed to versioned rows with half-open
