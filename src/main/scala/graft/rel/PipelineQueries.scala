@@ -523,6 +523,37 @@ object PipelineQueries {
         s"SELECT doc_id AS doc_a, doc_id + 100000 AS doc_b FROM (SELECT doc_id, $duckToks AS w FROM documents) " +
           "WHERE len(w) >= 20 ORDER BY doc_a")),
 
+    // Incremental MinHash dedup (Dedup.minhashLshAgainst): screen a NEW
+    // batch against the EXISTING corpus — only cross (delta, corpus)
+    // pairs, the corpus never re-shuffled (its banded table is the static
+    // side; the delta's band keys broadcast against it, d06's asymmetry
+    // applied to near-dup screening). Delta = suffix-truncated copies of
+    // long corpus docs (planted, ids +400000); like d02, the seeded
+    // estimates are not SQL-portable but the planted pair SET is — DuckDB
+    // states it exactly, so hash-green proves the increment screen
+    // recovered every planted near-copy and nothing else from this
+    // projection.
+    NamedQuery(
+      "d08_incremental_dedup",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        val toks = TextOps.tokens(col("text"))
+        val delta = docs
+          .filter(size(toks) >= 20)
+          .select(
+            (col("doc_id") + 400000L).as("doc_id"),
+            concat_ws(" ", slice(toks, 3, 1000000)).as("text"))
+        Dedup
+          .minhashLshAgainst(docs, delta, shingleN = 3, numHashes = 32, bands = 16, minEstJaccard = 0.5)
+          .filter(col("delta_id") === col("corpus_id") + 400000L)
+          .select("delta_id", "corpus_id")
+          .orderBy("corpus_id")
+      },
+      Some(
+        s"SELECT doc_id + 400000 AS delta_id, doc_id AS corpus_id " +
+          s"FROM (SELECT doc_id, $duckToks AS w FROM documents) " +
+          "WHERE len(w) >= 20 ORDER BY corpus_id")),
+
     // Exact n-gram Jaccard similarity join, blocked by (source, lang) —
     // fully SQL-expressible set arithmetic, top-20 most similar in-block
     // pairs. The block key bounds the quadratic pair set (the whole point

@@ -128,6 +128,70 @@ object Dedup {
       .select("doc_a", "doc_b", "est_jaccard")
   }
 
+  /** Incremental near-dup screening: which NEW documents (`delta`) are
+    * near-duplicates of the EXISTING corpus — the daily-increment shape of
+    * [[minhashLsh]], emitting ONLY cross pairs (delta × corpus). Intra-
+    * delta and intra-corpus dedup remain the batch operator's job.
+    *
+    * Scale shape: the corpus's banded signature table is the big static
+    * side — at production scale it is computed once and persisted (the
+    * same artifact pattern as the saved IVF/PQ code tables), amortized
+    * over every increment. The delta's banded keys meet it through an
+    * equality join that, with `broadcastDelta` (default), is a broadcast
+    * hash join: the corpus stream is scanned in place and NEVER
+    * re-shuffled per increment — the same asymmetry as benchmark
+    * decontamination (d06). For a delta too large to broadcast, pass
+    * `broadcastDelta = false` and the join degrades to a plain shuffle
+    * on the band key.
+    *
+    * @return (delta_id, corpus_id, est_jaccard), est ≥ `minEstJaccard`
+    */
+  def minhashLshAgainst(
+      corpus: DataFrame,
+      delta: DataFrame,
+      shingleN: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      minEstJaccard: Double = 0.5,
+      broadcastDelta: Boolean = true): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sentinel = typedLit(Seq.fill(numHashes)(Long.MaxValue))
+
+    def signed(docs: DataFrame) = graft.CacheScope.track(
+      minhashSignatures(docs, shingleN, numHashes)
+        .filter(not(col("sig") === sentinel))
+        .cache())
+    def banded(sig: DataFrame, idOut: String) = sig
+      .select(
+        col("doc_id").as(idOut),
+        posexplode(
+          transform(
+            sequence(lit(0), lit(bands - 1)),
+            b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows))))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_hash")
+
+    val sigC = signed(corpus)
+    val sigD = signed(delta)
+    val bandsD = banded(sigD, "delta_id")
+    val pairs = banded(sigC, "corpus_id")
+      .join(if (broadcastDelta) broadcast(bandsD) else bandsD, Seq("band", "band_hash"))
+      .select("delta_id", "corpus_id")
+      .distinct()
+    pairs
+      .join(sigD.select(col("doc_id").as("delta_id"), col("sig").as("sig_d")), Seq("delta_id"))
+      .join(sigC.select(col("doc_id").as("corpus_id"), col("sig").as("sig_c")), Seq("corpus_id"))
+      .withColumn(
+        "est_jaccard",
+        aggregate(
+          zip_with(col("sig_d"), col("sig_c"), (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0),
+          (acc, v) => acc + v).cast("double") / lit(numHashes.toDouble))
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .select("delta_id", "corpus_id", "est_jaccard")
+  }
+
   /** SimHash near-dup candidates: 64-bit SimHash split into 4 16-bit
     * chunks; docs sharing any chunk are candidates (catches all pairs with
     * Hamming distance ≤ 3 by pigeonhole); verified by exact Hamming
