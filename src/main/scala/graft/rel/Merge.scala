@@ -1,0 +1,75 @@
+package graft.rel
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** [engine-added] Batch MERGE / upsert: apply a keyed changelog of
+  * inserts, updates, and deletes to a snapshot — the warehouse ingest
+  * primitive (MERGE INTO), complementing [[Scd]]'s history capture with
+  * the "current state" materialization.
+  *
+  * Semantics: per key, the changelog's LATEST operation (by `ordCol`,
+  * ties by `opCol` descending so U > D > I at equal ord — one documented
+  * tie rule) wins. `U`/`I` upsert the payload columns; `D` removes the
+  * key. Keys untouched by the changelog pass through unchanged.
+  *
+  * Scale shape: the snapshot is the 100 TB side and is NEVER shuffled —
+  * the changelog first collapses to one latest-op row per key (a shuffle
+  * of the changelog only), then meets the snapshot through two joins the
+  * optimizer can broadcast while the collapsed changelog fits (an
+  * increment normally does) and AQE degrades to shuffle joins when it
+  * genuinely doesn't:
+  *   1. a LEFT join snapshot→changes resolves surviving snapshot keys
+  *      (absent → passthrough, U/I → replacement payload, D → dropped);
+  *   2. a LEFT ANTI join changes→snapshot yields the genuinely new keys.
+  * The union of the two legs is the merged table. A naive
+  * union-then-latest-wins window would instead shuffle snapshot+changelog
+  * on the key — correct, but it moves the mountain to admit a molehill.
+  */
+object Merge {
+
+  /** @param snapshot   current table state
+    * @param changes    changelog with `keyCol`, `ordCol`, `opCol`
+    *                   ('I' | 'U' | 'D') and the snapshot's payload
+    *                   columns (payload of 'D' rows is ignored)
+    * @param keyCol     merge key
+    * @param ordCol     changelog ordering (e.g. a change sequence number)
+    * @param opCol      operation column
+    * @return the merged snapshot, same schema as `snapshot`
+    */
+  def applyChangelog(
+      snapshot: DataFrame,
+      changes: DataFrame,
+      keyCol: String,
+      ordCol: String,
+      opCol: String): DataFrame = {
+    val payload = snapshot.columns.filterNot(_ == keyCol).toSeq
+    // latest op per key — shuffles ONLY the changelog
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(ordCol).desc, col(opCol).desc)
+    val latest = changes
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(keyCol, (opCol +: payload): _*)
+      .withColumnRenamed(opCol, "_op")
+
+    val latestRe = latest.select(
+      col(keyCol) +: col("_op") +: payload.map(c => col(c).as(s"_c_$c")): _*)
+
+    // leg 1: snapshot keys — passthrough / replace / drop
+    val existing = snapshot
+      .join(latestRe, Seq(keyCol), "left")
+      .filter(col("_op").isNull || col("_op") =!= "D")
+      .select(
+        col(keyCol) +: payload.map(c =>
+          when(col("_op").isNotNull, col(s"_c_$c")).otherwise(col(c)).as(c)): _*)
+
+    // leg 2: changelog keys the snapshot has never seen, surviving as I/U
+    val fresh = latest
+      .filter(col("_op") =!= "D")
+      .join(snapshot.select(keyCol), Seq(keyCol), "left_anti")
+      .select(col(keyCol) +: payload.map(col): _*)
+
+    existing.unionByName(fresh)
+  }
+}

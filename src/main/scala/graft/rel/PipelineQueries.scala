@@ -2403,5 +2403,63 @@ object PipelineQueries {
           "CAST(sum(CASE WHEN a BETWEEN 100 AND 180 AND b BETWEEN 20 AND 45 THEN 1 ELSE 0 END) AS BIGINT) AS n_match " +
           "FROM z GROUP BY bucket) " +
           "SELECT *, a_min <= 180 AND a_max >= 100 AND b_min <= 45 AND b_max >= 20 AS is_candidate " +
-          "FROM zones ORDER BY bucket")))
+          "FROM zones ORDER BY bucket")),
+
+    // Batch MERGE / upsert (Merge.applyChangelog): a deterministic
+    // changelog derived from orders — updates (+100 on every 10th key),
+    // deletes (every 17th ≡ 3; keys hit by both resolve by ord: the
+    // later delete wins), inserts (new keys +10⁸ for every 1000th ≡ 1) —
+    // applied latest-op-per-key. The snapshot side is never shuffled:
+    // the collapsed changelog meets it through a left join + left-anti
+    // pair the optimizer broadcasts at increment scale. The oracle
+    // replays the same MERGE semantics in SQL, so hash-green certifies
+    // passthrough, replacement, deletion, insertion, AND the op-ordering
+    // tie rule over every key of the table.
+    NamedQuery(
+      "q33_merge_upsert",
+      (s, dir) => {
+        val snap = t(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        val nullS = lit(null).cast("string")
+        val updates = snap
+          .filter(col("o_orderkey") % 10 === 0)
+          .select(
+            col("o_orderkey"), lit(1L).as("ord"), lit("U").as("op"),
+            col("o_custkey"), col("o_orderstatus"),
+            (col("o_totalprice") + 100.0).as("o_totalprice"))
+        val deletes = snap
+          .filter(col("o_orderkey") % 17 === 3)
+          .select(
+            col("o_orderkey"), lit(2L).as("ord"), lit("D").as("op"),
+            lit(null).cast("long").as("o_custkey"), nullS.as("o_orderstatus"),
+            lit(null).cast("double").as("o_totalprice"))
+        val inserts = snap
+          .filter(col("o_orderkey") % 1000 === 1)
+          .select(
+            (col("o_orderkey") + 100000000L).as("o_orderkey"), lit(1L).as("ord"), lit("I").as("op"),
+            col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+        Merge
+          .applyChangelog(
+            snap, updates.unionByName(deletes).unionByName(inserts),
+            "o_orderkey", "ord", "op")
+          .orderBy("o_orderkey")
+      },
+      Some(
+        "WITH snap AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders), " +
+          "ch AS (" +
+          "SELECT o_orderkey, 1 AS ord, 'U' AS op, o_custkey, o_orderstatus, o_totalprice + 100.0 AS o_totalprice " +
+          "FROM snap WHERE o_orderkey % 10 = 0 " +
+          "UNION ALL SELECT o_orderkey, 2, 'D', NULL, NULL, NULL FROM snap WHERE o_orderkey % 17 = 3 " +
+          "UNION ALL SELECT o_orderkey + 100000000, 1, 'I', o_custkey, o_orderstatus, o_totalprice " +
+          "FROM snap WHERE o_orderkey % 1000 = 1), " +
+          "latest AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY o_orderkey " +
+          "ORDER BY ord DESC, op DESC) AS rn FROM ch) WHERE rn = 1), " +
+          "existing AS (SELECT s.o_orderkey, " +
+          "CASE WHEN l.op IS NOT NULL THEN l.o_custkey ELSE s.o_custkey END AS o_custkey, " +
+          "CASE WHEN l.op IS NOT NULL THEN l.o_orderstatus ELSE s.o_orderstatus END AS o_orderstatus, " +
+          "CASE WHEN l.op IS NOT NULL THEN l.o_totalprice ELSE s.o_totalprice END AS o_totalprice " +
+          "FROM snap s LEFT JOIN latest l USING (o_orderkey) WHERE l.op IS NULL OR l.op <> 'D'), " +
+          "fresh AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM latest " +
+          "WHERE op <> 'D' AND o_orderkey NOT IN (SELECT o_orderkey FROM snap)) " +
+          "SELECT * FROM existing UNION ALL SELECT * FROM fresh ORDER BY o_orderkey")))
 }

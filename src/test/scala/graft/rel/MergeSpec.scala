@@ -1,0 +1,52 @@
+package graft.rel
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def snapshot = Seq(
+    (1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0)
+  ).toDF("k", "name", "v")
+
+  // key 1: update; key 2: delete; key 3: untouched; key 4: update then
+  // delete (delete wins by ord); key 5: insert; key 6: insert then delete
+  // (never lands); key 7: delete then re-insert (lands)
+  private def changes = Seq(
+    (1L, 1L, "U", "a2", 11.0),
+    (2L, 1L, "D", null, 0.0),
+    (4L, 1L, "U", "d2", 41.0), (4L, 2L, "D", null, 0.0),
+    (5L, 1L, "I", "e", 50.0),
+    (6L, 1L, "I", "f", 60.0), (6L, 2L, "D", null, 0.0),
+    (7L, 1L, "D", null, 0.0), (7L, 2L, "I", "g", 70.0)
+  ).toDF("k", "ord", "op", "name", "v")
+
+  test("latest op per key wins: update, delete, passthrough, insert, and re-insert") {
+    val out = Merge.applyChangelog(snapshot, changes, "k", "ord", "op")
+      .orderBy("k").as[(Long, String, Double)].collect()
+    assert(out.toSeq == Seq(
+      (1L, "a2", 11.0), (3L, "c", 30.0), (5L, "e", 50.0), (7L, "g", 70.0)))
+  }
+
+  test("merge of an empty changelog is the identity") {
+    val out = Merge.applyChangelog(snapshot, changes.limit(0), "k", "ord", "op")
+    assert(out.orderBy("k").collect().toSeq == snapshot.orderBy("k").collect().toSeq)
+  }
+
+  test("idempotent: re-applying the same changelog to the merged result is a no-op") {
+    val once = Merge.applyChangelog(snapshot, changes, "k", "ord", "op")
+    val twice = Merge.applyChangelog(once, changes, "k", "ord", "op")
+    assert(twice.orderBy("k").collect().toSeq == once.orderBy("k").collect().toSeq)
+  }
+
+  test("plan shape: the snapshot side is joined, not window-shuffled; joins broadcast") {
+    val out = Merge.applyChangelog(snapshot, changes, "k", "ord", "op")
+    out.collect()
+    val s = out.queryExecution.executedPlan.toString
+    assert(s.contains("BroadcastHashJoin"), s"small changelog must broadcast:\n$s")
+    // the only Window in the plan must be over the changelog, whose rows
+    // carry `ord` — the snapshot has no such column to window over
+    assert(!s.contains("SortMergeJoin"), s"snapshot must not shuffle for a small changelog:\n$s")
+  }
+}
