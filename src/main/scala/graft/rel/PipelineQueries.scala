@@ -170,6 +170,52 @@ object PipelineQueries {
   // DuckDB-side tokens-of-lowered-text (mirrors TextOps.tokens).
   private val duckToks = """list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)"""
 
+  // The q33/s08 MERGE fixture: a 4-column orders snapshot and the
+  // deterministic changelog derived from it (updates on every 10th key,
+  // deletes on every 17th ≡ 3 — later ord, so they beat same-key updates
+  // — inserts with new keys +10⁸ on every 1000th ≡ 1).
+  private def ordersSnapshot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+  private def ordersChangelog(snap: DataFrame): DataFrame = {
+    val updates = snap
+      .filter(col("o_orderkey") % 10 === 0)
+      .select(
+        col("o_orderkey"), lit(1L).as("ord"), lit("U").as("op"),
+        col("o_custkey"), col("o_orderstatus"),
+        (col("o_totalprice") + 100.0).as("o_totalprice"))
+    val deletes = snap
+      .filter(col("o_orderkey") % 17 === 3)
+      .select(
+        col("o_orderkey"), lit(2L).as("ord"), lit("D").as("op"),
+        lit(null).cast("long").as("o_custkey"), lit(null).cast("string").as("o_orderstatus"),
+        lit(null).cast("double").as("o_totalprice"))
+    val inserts = snap
+      .filter(col("o_orderkey") % 1000 === 1)
+      .select(
+        (col("o_orderkey") + 100000000L).as("o_orderkey"), lit(1L).as("ord"), lit("I").as("op"),
+        col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+    updates.unionByName(deletes).unionByName(inserts)
+  }
+  // Shared by q33 (batch) and s08 (streaming fold) — the two MUST agree.
+  private val mergeOracleSql =
+    "WITH snap AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders), " +
+      "ch AS (" +
+      "SELECT o_orderkey, 1 AS ord, 'U' AS op, o_custkey, o_orderstatus, o_totalprice + 100.0 AS o_totalprice " +
+      "FROM snap WHERE o_orderkey % 10 = 0 " +
+      "UNION ALL SELECT o_orderkey, 2, 'D', NULL, NULL, NULL FROM snap WHERE o_orderkey % 17 = 3 " +
+      "UNION ALL SELECT o_orderkey + 100000000, 1, 'I', o_custkey, o_orderstatus, o_totalprice " +
+      "FROM snap WHERE o_orderkey % 1000 = 1), " +
+      "latest AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY o_orderkey " +
+      "ORDER BY ord DESC, op DESC) AS rn FROM ch) WHERE rn = 1), " +
+      "existing AS (SELECT s.o_orderkey, " +
+      "CASE WHEN l.op IS NOT NULL THEN l.o_custkey ELSE s.o_custkey END AS o_custkey, " +
+      "CASE WHEN l.op IS NOT NULL THEN l.o_orderstatus ELSE s.o_orderstatus END AS o_orderstatus, " +
+      "CASE WHEN l.op IS NOT NULL THEN l.o_totalprice ELSE s.o_totalprice END AS o_totalprice " +
+      "FROM snap s LEFT JOIN latest l USING (o_orderkey) WHERE l.op IS NULL OR l.op <> 'D'), " +
+      "fresh AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM latest " +
+      "WHERE op <> 'D' AND o_orderkey NOT IN (SELECT o_orderkey FROM snap)) " +
+      "SELECT * FROM existing UNION ALL SELECT * FROM fresh ORDER BY o_orderkey"
+
   val defs: Seq[NamedQuery] = Seq(
 
     // =====================================================================
@@ -1680,6 +1726,42 @@ object PipelineQueries {
       },
       None),
 
+    // Streaming CDC apply (StreamingOps.applyChangelogStream): the q33
+    // changelog arrives as KEY-DISJOINT micro-batches (each key's full
+    // history in one batch — the replayed/compacted-changelog contract,
+    // so arrival order cannot change the fold) and each batch is merged
+    // into the maintained snapshot with the SAME Merge.applyChangelog the
+    // batch query runs. The final folded state crosses the IDENTICAL
+    // DuckDB oracle as q33 — hash-green proves streaming-incremental ≡
+    // batch MERGE over every key of the table.
+    NamedQuery(
+      "s08_stream_cdc_apply",
+      (s, dir) => {
+        val snap = ordersSnapshot(s, dir)
+        val changes = ordersChangelog(snap)
+          .withColumn("batch", pmod(xxhash64(col("o_orderkey")), lit(3)))
+        val tmp = java.nio.file.Files.createTempDirectory("s08_ch_")
+        val (rows, schema) = withShufflePartitions(s, 8) { try {
+          val inDir = s"$tmp/in"
+          (0 until 3).foreach { b =>
+            changes.filter(col("batch") === b).drop("batch")
+              .coalesce(1).write.mode("append").parquet(inDir)
+          }
+          val stream = s.readStream
+            .schema(changes.drop("batch").schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(inDir)
+          val (q, state) = graft.streaming.StreamingOps
+            .applyChangelogStream(stream, snap, "o_orderkey", "ord", "op")
+          try q.processAllAvailable()
+          finally q.stop()
+          val shaped = state.get().orderBy("o_orderkey")
+          (shaped.collect().toSeq, shaped.schema)
+        } finally deleteRecursively(tmp) }
+        s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
+      },
+      Some(mergeOracleSql)),
+
     // =====================================================================
     // Multimodal (binary-column plumbing; decode is a documented stub)
     // =====================================================================
@@ -2418,48 +2500,10 @@ object PipelineQueries {
     NamedQuery(
       "q33_merge_upsert",
       (s, dir) => {
-        val snap = t(s, dir, "orders")
-          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
-        val nullS = lit(null).cast("string")
-        val updates = snap
-          .filter(col("o_orderkey") % 10 === 0)
-          .select(
-            col("o_orderkey"), lit(1L).as("ord"), lit("U").as("op"),
-            col("o_custkey"), col("o_orderstatus"),
-            (col("o_totalprice") + 100.0).as("o_totalprice"))
-        val deletes = snap
-          .filter(col("o_orderkey") % 17 === 3)
-          .select(
-            col("o_orderkey"), lit(2L).as("ord"), lit("D").as("op"),
-            lit(null).cast("long").as("o_custkey"), nullS.as("o_orderstatus"),
-            lit(null).cast("double").as("o_totalprice"))
-        val inserts = snap
-          .filter(col("o_orderkey") % 1000 === 1)
-          .select(
-            (col("o_orderkey") + 100000000L).as("o_orderkey"), lit(1L).as("ord"), lit("I").as("op"),
-            col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+        val snap = ordersSnapshot(s, dir)
         Merge
-          .applyChangelog(
-            snap, updates.unionByName(deletes).unionByName(inserts),
-            "o_orderkey", "ord", "op")
+          .applyChangelog(snap, ordersChangelog(snap), "o_orderkey", "ord", "op")
           .orderBy("o_orderkey")
       },
-      Some(
-        "WITH snap AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders), " +
-          "ch AS (" +
-          "SELECT o_orderkey, 1 AS ord, 'U' AS op, o_custkey, o_orderstatus, o_totalprice + 100.0 AS o_totalprice " +
-          "FROM snap WHERE o_orderkey % 10 = 0 " +
-          "UNION ALL SELECT o_orderkey, 2, 'D', NULL, NULL, NULL FROM snap WHERE o_orderkey % 17 = 3 " +
-          "UNION ALL SELECT o_orderkey + 100000000, 1, 'I', o_custkey, o_orderstatus, o_totalprice " +
-          "FROM snap WHERE o_orderkey % 1000 = 1), " +
-          "latest AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY o_orderkey " +
-          "ORDER BY ord DESC, op DESC) AS rn FROM ch) WHERE rn = 1), " +
-          "existing AS (SELECT s.o_orderkey, " +
-          "CASE WHEN l.op IS NOT NULL THEN l.o_custkey ELSE s.o_custkey END AS o_custkey, " +
-          "CASE WHEN l.op IS NOT NULL THEN l.o_orderstatus ELSE s.o_orderstatus END AS o_orderstatus, " +
-          "CASE WHEN l.op IS NOT NULL THEN l.o_totalprice ELSE s.o_totalprice END AS o_totalprice " +
-          "FROM snap s LEFT JOIN latest l USING (o_orderkey) WHERE l.op IS NULL OR l.op <> 'D'), " +
-          "fresh AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM latest " +
-          "WHERE op <> 'D' AND o_orderkey NOT IN (SELECT o_orderkey FROM snap)) " +
-          "SELECT * FROM existing UNION ALL SELECT * FROM fresh ORDER BY o_orderkey")))
+      Some(mergeOracleSql)))
 }

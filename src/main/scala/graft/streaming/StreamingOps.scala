@@ -60,6 +60,41 @@ object StreamingOps {
       .start()
   }
 
+  /** Streaming CDC apply: fold a stream of changelog micro-batches into a
+    * maintained current-state snapshot with [[graft.rel.Merge]] — MERGE
+    * INTO as a continuously-updated table, sharing one code path (and one
+    * semantics) with the batch operator, exactly like [[ingest]] shares
+    * the batch insert.
+    *
+    * Cross-batch ordering: each micro-batch applies atop the state the
+    * previous batches produced, so a key whose changes span batches
+    * resolves by ARRIVAL order, batch-internally by `ordCol` — the
+    * standard CDC contract (a replayed/compacted changelog partitions
+    * each key's history into one batch and is order-free). Every fold
+    * `localCheckpoint`s the new state: lineage stays O(1) in batches, and
+    * the superseded epoch's blocks drop eagerly.
+    *
+    * The evolving snapshot lives in the returned AtomicReference. */
+  def applyChangelogStream(
+      changes: DataFrame,
+      initial: DataFrame,
+      keyCol: String,
+      ordCol: String,
+      opCol: String): (StreamingQuery, java.util.concurrent.atomic.AtomicReference[DataFrame]) = {
+    val state = new java.util.concurrent.atomic.AtomicReference[DataFrame](initial)
+    val q = changes.writeStream
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val next = graft.rel.Merge
+            .applyChangelog(state.get(), batch.toDF(), keyCol, ordCol, opCol)
+            .localCheckpoint()
+          state.set(next)
+        }
+      }
+      .start()
+    (q, state)
+  }
+
   /** One [[adaptiveMaintain]] batch summary: what the loop saw and did. */
   final case class MaintainTick(
       batch_id: Long,

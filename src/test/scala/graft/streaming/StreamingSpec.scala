@@ -33,6 +33,26 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("applyChangelogStream folds key-disjoint micro-batches to the batch MERGE answer") {
+    implicit val sqlCtx = spark.sqlContext
+    val snapshot = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v")
+    // batch 1: update k=1, insert k=4; batch 2: delete k=2, update k=4
+    // (cross-batch sequencing: the later batch sees batch 1's insert)
+    val source = MemoryStream[(Long, Long, String, Double)]
+    val stream = source.toDF().toDF("k", "ord", "op", "v")
+    val (query, state) = StreamingOps.applyChangelogStream(stream, snapshot, "k", "ord", "op")
+    try {
+      source.addData((1L, 1L, "U", 11.0), (4L, 1L, "I", 40.0))
+      query.processAllAvailable()
+      assert(state.get().orderBy("k").as[(Long, Double)].collect().toSeq ==
+        Seq((1L, 11.0), (2L, 20.0), (3L, 30.0), (4L, 40.0)))
+      source.addData((2L, 2L, "D", 0.0), (4L, 2L, "U", 41.0))
+      query.processAllAvailable()
+      assert(state.get().orderBy("k").as[(Long, Double)].collect().toSeq ==
+        Seq((1L, 11.0), (3L, 30.0), (4L, 41.0)))
+    } finally query.stop()
+  }
+
   test("adaptiveMaintain splits the partition the query stream heats — and only then") {
     implicit val sqlCtx = spark.sqlContext
     val initial: IvfModel = IvfBuild.build(emb, 64)
