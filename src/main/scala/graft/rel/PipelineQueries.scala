@@ -2441,6 +2441,61 @@ object PipelineQueries {
           "SELECT doc_id, h, position, position * 16 // n AS shard FROM r ORDER BY position"
       }),
 
+    // The corpus-to-epoch pipeline END TO END in one oracled query:
+    // quality gate (n_chars ≥ 200) → exact-dedup keepers (min doc_id per
+    // sha256) → temperature targets per language (p02's formulas, alpha
+    // 0.5, 2000 rows) → per-group quota sample at those targets
+    // (Sampling.quotaByTargets — the execution half of the mix) → epoch
+    // shuffle positions + shards (p08's two-level rank). Every stage is
+    // individually portable, so DuckDB replays the WHOLE chain from first
+    // principles — hash-green certifies the composition, not just the
+    // parts: the exact documents sampled, their permutation positions,
+    // and their shard assignment.
+    NamedQuery(
+      "p09_epoch_plan",
+      (s, dir) => {
+        val kept = {
+          val q = t(s, dir, "documents")
+            .filter(col("n_chars") >= 200)
+            .select("doc_id", "lang", "text")
+          val keepers = q
+            .groupBy(sha2(col("text"), 256).as("h"))
+            .agg(min("doc_id").as("doc_id"))
+            .select("doc_id")
+          q.join(keepers, Seq("doc_id")).select("doc_id", "lang")
+        }
+        val targets = Sampling
+          .temperatureTargets(kept, "lang", 0.5, 2000L)
+          .select("lang", "target_rows")
+        val sampled = Sampling.quotaByTargets(kept, "lang", "doc_id", targets)
+        EpochShuffle
+          .shuffle(sampled.select("doc_id"), "doc_id", seed = 9L, shards = 8)
+          .join(sampled, Seq("doc_id"))
+          .select("doc_id", "lang", "position", "shard")
+          .orderBy("position")
+      },
+      Some {
+        val m = EpochShuffle.seedMult(9L)
+        val a = EpochShuffle.seedAdd(9L)
+        val p = EpochShuffle.P
+        "WITH q AS (SELECT doc_id, lang, text FROM documents WHERE n_chars >= 200), " +
+          "k AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY sha256(text)), " +
+          "kept AS (SELECT q.doc_id, q.lang FROM q JOIN k USING (doc_id)), " +
+          "counts AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_rows FROM kept GROUP BY lang), " +
+          "tw AS (SELECT lang, CAST(CAST(pow(CAST(n_rows AS DOUBLE), 0.5) AS REAL) AS DOUBLE) AS weight FROM counts), " +
+          "sh AS (SELECT lang, CAST(CAST(weight / sum(weight) OVER () AS REAL) AS DOUBLE) AS share FROM tw), " +
+          "tg AS (SELECT lang, CAST(floor(share * 2000.0 + 0.5) AS BIGINT) AS target_rows FROM sh), " +
+          "samp AS (SELECT doc_id, lang FROM (SELECT kept.doc_id, kept.lang, tg.target_rows, " +
+          "row_number() OVER (PARTITION BY kept.lang " +
+          "ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn " +
+          "FROM kept JOIN tg USING (lang)) WHERE rn <= target_rows), " +
+          s"hsh AS (SELECT doc_id, lang, ((doc_id % $p) * $m + $a) % $p AS h FROM samp), " +
+          "r AS (SELECT doc_id, lang, h, " +
+          "CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS BIGINT) AS position, " +
+          "CAST(count(*) OVER () AS BIGINT) AS n FROM hsh) " +
+          "SELECT doc_id, lang, position, position * 8 // n AS shard FROM r ORDER BY position"
+      }),
+
     // Z-order layout + zone-map pruning: Morton-interleave (partkey,
     // suppkey) (ZOrder.interleave — a codegen'd bitwise ladder), bucket by
     // the code's high bits (each bucket IS a contiguous z-range), build

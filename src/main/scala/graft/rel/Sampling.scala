@@ -36,6 +36,26 @@ object Sampling {
       .drop("_rn")
   }
 
+  /** [[quotaPerGroup]] with a PER-GROUP quota — the execution half of a
+    * temperature-rebalanced mix: feed it [[temperatureTargets]]'s
+    * `(group, target_rows)` and it materializes the planned epoch sample.
+    * `targets` is per-group metadata (one row per group) and broadcasts;
+    * the data pays the same single group-key shuffle as the constant-n
+    * quota. Groups absent from `targets` are dropped (target 0). */
+  def quotaByTargets(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      targets: DataFrame,
+      targetCol: String = "target_rows"): DataFrame = {
+    require(!df.columns.contains("_rn"), "input must not already carry a _rn column")
+    val w = Window.partitionBy(col(groupCol)).orderBy(priority(col(idCol)), col(idCol))
+    df.join(broadcast(targets.select(col(groupCol), col(targetCol))), Seq(groupCol))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= col(targetCol))
+      .drop("_rn", targetCol)
+  }
+
   /** Deterministic train/val/test assignment: bucket = hash-priority of the
     * id mod 100, split by percentage ranges. The standard corpus-split rule
     * for training pipelines — membership is a pure function of the id, so

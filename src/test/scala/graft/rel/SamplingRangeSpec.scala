@@ -34,6 +34,22 @@ class SamplingRangeSpec extends SparkSpec {
     assert(atHalf("a") < 80L && atHalf("c") > 5L, "alpha<1 must flatten toward uniform")
   }
 
+  test("quotaByTargets: per-group quotas honored, absent groups dropped, same keep-order as quotaPerGroup") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = (1L to 100L).map(i => (i, if (i <= 60) "big" else if (i <= 90) "mid" else "tiny"))
+      .toDF("id", "g")
+    val targets = Seq(("big", 5L), ("mid", 30L)).toDF("g", "target_rows") // tiny absent
+    val out = Sampling.quotaByTargets(df, "g", "id", targets)
+    val byG = out.groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(byG == Map("big" -> 5L, "mid" -> 30L), s"got $byG")
+    // the kept 5 of "big" must equal constant-quota keep at n=5 (same priority order)
+    val viaConst = Sampling.quotaPerGroup(df.filter($"g" === "big"), "g", "id", 5)
+      .select("id").as[Long].collect().toSet
+    val viaTargets = out.filter($"g" === "big").select("id").as[Long].collect().toSet
+    assert(viaConst == viaTargets)
+  }
+
   test("pointInInterval matches the naive BETWEEN join across bucket widths") {
     val points = Seq((1L, 5L), (2L, 10L), (3L, 99L), (4L, 100L), (5L, 250L))
       .toDF("pid", "ts")
