@@ -141,6 +141,43 @@ object KnnJoin {
   }
 
   /** Accept either `(query_id, qvec)` or `(vec_id, embedding)` shapes. */
+  /** Range (radius) search — FAISS's `range_search` as a join: EVERY
+    * corpus row within squared L2 `r2` of each query, unranked. There is
+    * no top-k heap because the result size is data-dependent by design
+    * (dense neighborhoods return more); callers bound it with the radius.
+    * Exact path: broadcast queries against one corpus scan — the same
+    * plan family as [[exact]], minus the heap (a pure filter keeps the
+    * whole pipeline in one codegen stage). Output
+    * `(query_id, vec_id, dist2)`, dist2 ≤ r2. */
+  def radiusExact(queries: DataFrame, corpus: DataFrame, r2: Double): DataFrame =
+    corpus
+      .select("vec_id", "embedding")
+      .crossJoin(broadcast(normalizeQueries(queries)))
+      .withColumn("dist2", graft.vector.VectorOps.l2Sq(col("qvec"), col("embedding")))
+      .filter(col("dist2") <= r2)
+      .select("query_id", "vec_id", "dist2")
+
+  /** IVF-pruned radius search: scan only the APS-probed partitions, then
+    * range-filter — approximate (an unprobed partition can hide in-range
+    * rows near its boundary; KnnJoinSpec pins recall against
+    * [[radiusExact]]), but the scan shrinks from the whole corpus to the
+    * probed cells exactly as in [[ivf]]. */
+  def radiusIvf(
+      model: IvfModel,
+      queries: DataFrame,
+      r2: Double,
+      targetRecall: Double = 0.9,
+      maxProbe: Int = 64): DataFrame = {
+    val probes = IvfSearch
+      .chooseProbes(model, normalizeQueries(queries), IvfSearch.Params(1, targetRecall, maxProbe))
+      .select("query_id", "partition_id", "qvec")
+    model.vectors
+      .join(broadcast(probes), Seq("partition_id"))
+      .withColumn("dist2", graft.vector.VectorOps.l2Sq(col("qvec"), col("embedding")))
+      .filter(col("dist2") <= r2)
+      .select("query_id", "vec_id", "dist2")
+  }
+
   private def normalizeQueries(queries: DataFrame): DataFrame =
     if (queries.columns.contains("query_id")) queries.select("query_id", "qvec")
     else queries.select(col("vec_id").as("query_id"), col("embedding").as("qvec"))

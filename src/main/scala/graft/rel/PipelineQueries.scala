@@ -247,6 +247,30 @@ object PipelineQueries {
           "SELECT query_id, rnk, vec_id, round(CAST(CAST(dist2 AS REAL) AS DOUBLE), 3) + 0.0 AS dist2 " +
           "FROM r WHERE rnk <= 10 ORDER BY query_id, rnk")),
 
+    // Range (radius) search — FAISS range_search as a join
+    // (KnnJoin.radiusExact): every in-range (query, vector) pair, no
+    // top-k heap, result size radius-bounded. Spark and DuckDB compute
+    // l2 with the same double accumulation order, so the raw-distance
+    // range predicate agrees bitwise and hash-green certifies the exact
+    // membership of every neighborhood. The IVF-pruned variant
+    // (radiusIvf) is recall-pinned in KnnJoinSpec.
+    NamedQuery(
+      "v17_radius_search",
+      (s, dir) =>
+        graft.index.KnnJoin
+          .radiusExact(
+            embQueries(s, dir, 5),
+            t(s, dir, "embeddings").select("vec_id", "embedding"),
+            r2 = 1.9)
+          .select(col("query_id"), col("vec_id"), f32round(col("dist2"), 3).as("dist2"))
+          .orderBy("query_id", "vec_id"),
+      Some(
+        "WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5), " +
+          s"d AS (SELECT q.query_id, e.vec_id, ${duckL2("q.qvec", "e.embedding")} AS dist2 " +
+          "FROM q CROSS JOIN embeddings e) " +
+          "SELECT query_id, vec_id, round(CAST(CAST(dist2 AS REAL) AS DOUBLE), 3) + 0.0 AS dist2 " +
+          "FROM d WHERE dist2 <= 1.9 ORDER BY query_id, vec_id")),
+
     // IVF APS search (reference search, quake_min.py:147-168) over the
     // two-level index — deterministic build, but the probe math is not
     // SQL-portable → rows-only check; recall is asserted by v06 + tests.

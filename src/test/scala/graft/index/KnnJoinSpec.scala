@@ -21,6 +21,29 @@ class KnnJoinSpec extends SparkSpec {
     self.foreach { case (q, _) => assert(ivfTop(q) == q, s"ivf top-1 for $q") }
   }
 
+  test("radius search: exact membership is the brute-force rule; ivf variant is a high-recall subset") {
+    val queries = emb.filter(col("vec_id") < 5)
+    val r2 = 1.9
+    val exact = KnnJoin.radiusExact(queries, emb, r2)
+    // membership check against a hand-rolled distance on a sample query
+    val got = exact.filter(col("query_id") === 0).select("vec_id").as[Long].collect().toSet
+    val q0 = emb.filter(col("vec_id") === 0).select("embedding").as[Seq[Float]].head()
+    val all = emb.select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+    val want = all.filter { case (_, e) =>
+      e.zip(q0).map { case (a, b) => (a.toDouble - b.toDouble) * (a.toDouble - b.toDouble) }.sum <= r2
+    }.map(_._1).toSet
+    assert(got == want, s"exact radius membership: ${got.size} vs ${want.size}")
+    assert(exact.filter(col("dist2") > r2).isEmpty)
+
+    val model = IvfBuild.build(emb, 64)
+    val ivf = KnnJoin.radiusIvf(model, queries, r2, targetRecall = 0.95)
+    val exactPairs = exact.select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val ivfPairs = ivf.select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(ivfPairs.subsetOf(exactPairs), "pruned scan can only shrink the neighborhood")
+    val recall = ivfPairs.size.toDouble / exactPairs.size
+    assert(recall >= 0.9, s"ivf radius recall $recall below bar")
+  }
+
   test("lsh knn join: planted near-identical neighbors surface at rank 1") {
     // queries = perturbed copies of corpus vectors (cos ≈ 0.999 with their
     // source): the LSH buckets must recover the source as the top cosine
