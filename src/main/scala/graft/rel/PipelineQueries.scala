@@ -2465,6 +2465,51 @@ object PipelineQueries {
           "SELECT doc_id, h, position, position * 16 // n AS shard FROM r ORDER BY position"
       }),
 
+    // Time-series gap-fill / resample: per-type daily event counts
+    // DENSIFIED over the full observed [min_day, max_day] range — missing
+    // (day, type) cells materialize as zeros. The dense calendar grid is
+    // sequence()-generated from one 1-row min/max aggregate and
+    // cross-joined with the distinct type set (both broadcast-sized
+    // metadata at any scale); the observed counts LEFT-join onto the
+    // grid, so the fact table pays exactly one aggregation shuffle and
+    // the densification itself moves no data. The standard warehouse
+    // resample shape (a window-lag interpolation would be the same grid
+    // + one more window).
+    NamedQuery(
+      "q34_gap_fill",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(to_date(col("ts")).as("day"), col("event_type"), col("value"))
+        val daily = ev
+          .groupBy("day", "event_type")
+          .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+        val span = ev.agg(min("day").as("d0"), max("day").as("d1"))
+        val grid = span
+          .select(explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+          .crossJoin(ev.select("event_type").distinct())
+        grid
+          .join(daily, Seq("day", "event_type"), "left")
+          .select(
+            date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("event_type"),
+            coalesce(col("n_events"), lit(0L)).as("n_events"),
+            coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+          .orderBy("day", "event_type")
+      },
+      Some(
+        "WITH ev AS (SELECT CAST(ts AS DATE) AS day, event_type, value FROM events), " +
+          "daily AS (SELECT day, event_type, CAST(count(*) AS BIGINT) AS n_events, " +
+          "round(sum(value), 2) AS sum_value FROM ev GROUP BY day, event_type), " +
+          "span AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev), " +
+          "grid AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day " +
+          "FROM span), " +
+          "full_grid AS (SELECT g.day, t.event_type FROM grid g " +
+          "CROSS JOIN (SELECT DISTINCT event_type FROM ev) t) " +
+          "SELECT strftime(f.day, '%Y-%m-%d') AS day, f.event_type, " +
+          "COALESCE(d.n_events, 0) AS n_events, COALESCE(d.sum_value, 0.0) AS sum_value " +
+          "FROM full_grid f LEFT JOIN daily d ON f.day = d.day AND f.event_type = d.event_type " +
+          "ORDER BY 1, 2")),
+
     // The corpus-to-epoch pipeline END TO END in one oracled query:
     // quality gate (n_chars ≥ 200) → exact-dedup keepers (min doc_id per
     // sha256) → temperature targets per language (p02's formulas, alpha
