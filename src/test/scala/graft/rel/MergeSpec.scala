@@ -40,6 +40,32 @@ class MergeSpec extends SparkSpec {
     assert(twice.orderBy("k").collect().toSeq == once.orderBy("k").collect().toSeq)
   }
 
+  test("randomized differential: applyChangelog equals an in-memory reference on seeded scenarios") {
+    val rnd = new scala.util.Random(20260813L)
+    (1 to 10).foreach { scenario =>
+      val snapshot = (1L to (5 + rnd.nextInt(20)).toLong)
+        .filter(_ => rnd.nextBoolean())
+        .map(k => (k, rnd.nextInt(100).toDouble))
+      // unique ord per row, so latest-op is unambiguous
+      val changeRows = (1 to rnd.nextInt(30)).map { i =>
+        (1L + rnd.nextInt(25), i.toLong, Seq("I", "U", "D")(rnd.nextInt(3)), rnd.nextInt(1000).toDouble)
+      }
+      val latest = changeRows.groupBy(_._1).view.mapValues(_.maxBy(_._2)).toMap
+      val snapMap = snapshot.toMap
+      val expected = (snapMap.keySet ++ latest.keySet).toSeq.flatMap { k =>
+        latest.get(k) match {
+          case Some((_, _, "D", _))  => None
+          case Some((_, _, _, v))    => Some((k, v))
+          case None                  => snapMap.get(k).map((k, _))
+        }
+      }.sorted
+      val got = Merge
+        .applyChangelog(snapshot.toDF("k", "v"), changeRows.toDF("k", "ord", "op", "v"), "k", "ord", "op")
+        .as[(Long, Double)].collect().toSeq.sorted
+      assert(got == expected, s"scenario $scenario: $got != $expected")
+    }
+  }
+
   test("plan shape: the snapshot side is joined, not window-shuffled; joins broadcast") {
     val out = Merge.applyChangelog(snapshot, changes, "k", "ord", "op")
     out.collect()
