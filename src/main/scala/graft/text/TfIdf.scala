@@ -38,7 +38,11 @@ object TfIdf {
   def topTerms(docs: DataFrame, k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val tok = docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
-    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // Cached: df and N both derive from tf — uncached, each branch would
+    // re-run the tokenize+explode (the pipeline's CPU) over the corpus.
+    // CacheScope-tracked so a long-lived session drops it after the query.
+    val tf = graft.CacheScope.track(
+      tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf")).cache())
     val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = tf.agg(countDistinct(col("doc_id")).as("n_docs"))
 
