@@ -392,11 +392,20 @@ object PipelineQueries {
         val params = IvfSearch.Params(k = 10, targetRecall = 0.9, maxProbe = 64)
         val res = IvfSearch.search(model, qs, params)
         val exact = IvfSearch.exactTopK(t(s, dir, "embeddings").select("vec_id", "embedding"), qs, 10)
+        // q31's certification trick: the seeded recall VALUE is not
+        // SQL-portable, but the acceptance BOUND is — the oracle expects
+        // the flag row, so hash-green proves the bar held (observed
+        // 0.97-0.975 across sfs vs the 0.9 bar; raw values stay visible
+        // in the replay record and IvfSpec).
         IvfSearch
           .recallAtK(res, exact, 10, qs)
-          .agg(count(lit(1)).as("n_queries"), round(avg("recall"), 4).as("mean_recall"))
+          .agg(count(lit(1)).as("n_queries"), avg("recall").as("m"))
+          .select(
+            col("n_queries"),
+            when(col("m") >= 0.9, 1L).otherwise(0L).as("recall_ok"))
       },
-      None),
+      Some(
+        "SELECT CAST(20 AS BIGINT) AS n_queries, CAST(1 AS BIGINT) AS recall_ok")),
 
     // The batched-scan exact k-NN (the replay's hot path) under the SAME
     // DuckDB oracle as v01 — hash-verifies scanTopKLocal end-to-end.
@@ -1082,11 +1091,17 @@ object PipelineQueries {
         // — cached like v14's, or the full corpus scan runs twice inside
         // one query (CacheScope drops it after)
         val exact = graft.CacheScope.track(graft.index.KnnJoin.exact(qs, emb, 10).cache())
+        // bound-certified like v06: observed 0.695-0.755 across sfs vs
+        // the 0.5 bar KnnJoinSpec pins for this exact config
         IvfSearch
           .recallAtK(lsh, exact, 10, qs)
-          .agg(count(lit(1)).as("n_queries"), round(avg("recall"), 4).as("mean_recall"))
+          .agg(count(lit(1)).as("n_queries"), avg("recall").as("m"))
+          .select(
+            col("n_queries"),
+            when(col("m") >= 0.5, 1L).otherwise(0L).as("recall_ok"))
       },
-      None),
+      Some(
+        "SELECT CAST(20 AS BIGINT) AS n_queries, CAST(1 AS BIGINT) AS recall_ok")),
 
     // PQ-vs-exact recall@k — the acceptance metric for the COMPRESSED
     // vector path: 16-byte ADC codes standing in for 256-byte float32
@@ -1112,18 +1127,28 @@ object PipelineQueries {
         // two recallAtK calls × two reads each = four exact-side scans
         // without the cache (CacheScope drops it after)
         val exact = graft.CacheScope.track(graft.index.KnnJoin.exact(qs, emb, 10).cache())
-        // ADC's own top-10 is just the top-100's rank prefix (same ordering)
+        // ADC's own top-10 is just the top-100's rank prefix (same ordering).
+        // Bound-certified like v06: re-ranked observed 0.87-0.96 across
+        // sfs vs the 0.8 bar; raw ADC observed 0.345-0.52 vs the 0.3
+        // floor (the re-rank's whole point is the gap between the two).
         val adcRecall = IvfSearch
           .recallAtK(adc.filter(col("rank") <= 10), exact, 10, qs)
-          .agg(round(avg("recall"), 4).as("mean_recall_adc"))
+          .agg(avg("recall").as("m_adc"))
         IvfSearch
           .recallAtK(reranked, exact, 10, qs)
-          .agg(count(lit(1)).as("n_queries"), round(avg("recall"), 4).as("mean_recall"))
+          .agg(count(lit(1)).as("n_queries"), avg("recall").as("m"))
           .crossJoin(adcRecall)
-          .withColumn("bytes_per_vec", lit(model.m))
-          .withColumn("bytes_raw", lit(model.dim * 4))
+          .select(
+            col("n_queries"),
+            when(col("m") >= 0.8, 1L).otherwise(0L).as("rerank_ok"),
+            when(col("m_adc") >= 0.3, 1L).otherwise(0L).as("adc_ok"),
+            lit(model.m.toLong).as("bytes_per_vec"),
+            lit(model.dim.toLong * 4L).as("bytes_raw"))
       },
-      None),
+      Some(
+        "SELECT CAST(20 AS BIGINT) AS n_queries, CAST(1 AS BIGINT) AS rerank_ok, " +
+          "CAST(1 AS BIGINT) AS adc_ok, CAST(16 AS BIGINT) AS bytes_per_vec, " +
+          "CAST(256 AS BIGINT) AS bytes_raw")),
 
     // IVF + PQ composed — the 100 TB flagship shape, now full IVFADC
     // (Jégou et al. 2011): the APS probe set prunes which partitions are
@@ -1190,18 +1215,25 @@ object PipelineQueries {
           "lsh" -> graft.index.KnnJoin.lsh(qs, emb, dim, k = 10, nPlanes = 32, bands = 8),
           "pq" -> graft.index.KnnJoin.pq(model, pqResidualFor(s, dir), codes, qs, 10),
           "sq" -> graft.index.KnnJoin.sq(sqModel, Sq.encode(emb, sqModel), qs, emb, 10))
+        // per-backend acceptance bars, bound-certified like v06 (observed
+        // across sfs: exact 1.0 by construction, ivf 0.97-0.975,
+        // lsh 0.695-0.755, pq 0.86-0.96, sq 1.0)
+        val bars = Map("exact" -> 1.0, "ivf" -> 0.9, "lsh" -> 0.5, "pq" -> 0.8, "sq" -> 0.95)
         backends
           .map { case (name, res) =>
             IvfSearch
               .recallAtK(res, exact, 10, qs)
-              .agg(round(avg("recall"), 4).as("mean_recall"))
-              .withColumn("backend", lit(name))
+              .agg(avg("recall").as("m"))
+              .select(
+                lit(name).as("backend"),
+                when(col("m") >= bars(name), 1L).otherwise(0L).as("recall_ok"))
           }
           .reduce(_.unionByName(_))
-          .select("backend", "mean_recall")
           .orderBy("backend")
       },
-      None),
+      Some(
+        "SELECT unnest(['exact','ivf','lsh','pq','sq']) AS backend, " +
+          "CAST(1 AS BIGINT) AS recall_ok ORDER BY backend")),
 
     // Int8 scalar quantization (the 4× compression tier below Pq's 16×),
     // hash-checked END-TO-END: per-dimension min/max grid → byte codes →
@@ -1274,12 +1306,18 @@ object PipelineQueries {
         // recallAtK reads the exact side twice — cache it (CacheScope
         // drops it after)
         val exact = graft.CacheScope.track(graft.index.KnnJoin.exact(qs, emb, 10).cache())
+        // bound-certified like v06: observed 0.97-0.975 across sfs vs 0.9
         IvfSearch
           .recallAtK(approx, exact, 10, qs)
-          .agg(count(lit(1)).as("n_queries"), round(avg("recall"), 4).as("mean_recall"))
-          .withColumn("bytes_per_vec", lit(sqm.dim))
+          .agg(count(lit(1)).as("n_queries"), avg("recall").as("m"))
+          .select(
+            col("n_queries"),
+            when(col("m") >= 0.9, 1L).otherwise(0L).as("recall_ok"),
+            lit(sqm.dim.toLong).as("bytes_per_vec"))
       },
-      None),
+      Some(
+        "SELECT CAST(20 AS BIGINT) AS n_queries, CAST(1 AS BIGINT) AS recall_ok, " +
+          "CAST(64 AS BIGINT) AS bytes_per_vec")),
 
     // Perceptual image dedup, hash-checked END-TO-END: real PNG bytes are
     // encoded on executors (blocky gray pattern images whose 8×8-px
