@@ -1178,12 +1178,18 @@ object PipelineQueries {
         // recallAtK reads the exact side twice — cache it (CacheScope
         // drops it after)
         val exact = graft.CacheScope.track(graft.index.KnnJoin.exact(qs, emb, 10).cache())
+        // bound-certified like v12: observed 0.86-0.96 across sfs vs 0.8
         IvfSearch
           .recallAtK(approx, exact, 10, qs)
-          .agg(count(lit(1)).as("n_queries"), round(avg("recall"), 4).as("mean_recall"))
-          .withColumn("bytes_per_vec", lit(pq.m))
+          .agg(count(lit(1)).as("n_queries"), avg("recall").as("m"))
+          .select(
+            col("n_queries"),
+            when(col("m") >= 0.8, 1L).otherwise(0L).as("recall_ok"),
+            lit(pq.m.toLong).as("bytes_per_vec"))
       },
-      None),
+      Some(
+        "SELECT CAST(20 AS BIGINT) AS n_queries, CAST(1 AS BIGINT) AS recall_ok, " +
+          "CAST(16 AS BIGINT) AS bytes_per_vec")),
 
     // The four KnnJoin backends side by side under ONE output contract —
     // the operator a user actually reaches for ("join these tables on
@@ -1599,7 +1605,14 @@ object PipelineQueries {
             (col("query_id") === col("vec_id")).as("found_self"))
           .orderBy("query_id")
       },
-      None),
+      // the routing state isn't SQL-portable, but the CONTRACT is constant:
+      // each planted vector must be its own rank-1 hit after the streamed
+      // ingest — the oracle states those exact 10 rows, so hash-green
+      // certifies the end-to-end stream→index→search loop
+      Some(
+        "SELECT CAST(500000 + i AS BIGINT) AS query_id, " +
+          "CAST(500000 + i AS BIGINT) AS found_id, true AS found_self " +
+          "FROM range(10) r(i) ORDER BY query_id")),
 
     // Stream-stream interval join, hash-checked: click→purchase attribution
     // per user within 30 minutes, both sides watermarked so the join state
