@@ -2561,6 +2561,38 @@ object PipelineQueries {
           "FROM full_grid f LEFT JOIN daily d ON f.day = d.day AND f.event_type = d.event_type " +
           "ORDER BY 1, 2")),
 
+    // Per-group outlier screening: z-score each event's value against its
+    // type's mean/stddev and keep |z| > 3 — the data-quality gate that
+    // precedes any aggregate a pipeline trusts. The per-type stats are a
+    // one-row-per-group aggregate (map-side partial) broadcast back onto
+    // the fact stream, so the facts pay ZERO extra shuffles — scan, probe
+    // the tiny stats table, filter. z crosses the oracle f32-squeezed
+    // (one sqrt + one division of exact-sum-derived doubles).
+    NamedQuery(
+      "q35_value_outliers",
+      (s, dir) => {
+        val ev = t(s, dir, "events").select("event_id", "event_type", "value")
+        val stats = ev
+          .groupBy("event_type")
+          .agg(avg("value").as("mu"), stddev_samp(col("value")).as("sigma"))
+        ev.join(broadcast(stats), Seq("event_type"))
+          .withColumn("z", (col("value") - col("mu")) / col("sigma"))
+          .filter(abs(col("z")) > 3.0)
+          .select(
+            col("event_id"), col("event_type"),
+            round(col("value"), 4).as("value"),
+            f32round(col("z"), 3).as("z"))
+          .orderBy("event_id")
+      },
+      Some(
+        "WITH stats AS (SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma " +
+          "FROM events GROUP BY event_type), " +
+          "z AS (SELECT e.event_id, e.event_type, e.value, (e.value - s.mu) / s.sigma AS z " +
+          "FROM events e JOIN stats s USING (event_type)) " +
+          "SELECT event_id, event_type, round(value, 4) AS value, " +
+          "round(CAST(CAST(z AS REAL) AS DOUBLE), 3) + 0.0 AS z " +
+          "FROM z WHERE abs(z) > 3.0 ORDER BY event_id")),
+
     // The corpus-to-epoch pipeline END TO END in one oracled query:
     // quality gate (n_chars ≥ 200) → exact-dedup keepers (min doc_id per
     // sha256) → temperature targets per language (p02's formulas, alpha
