@@ -50,23 +50,29 @@ object IvfMaintain {
     math.max(splitSize / HotSplitMultiplier, math.min(splitSize * 2.0, raw))
   }
 
+  /** `compactHusks` defaults ON: the engine path compacts merged-away
+    * husks (the r8/r9 A/B measured nprobe 6.8 vs 13.8 at equal recall —
+    * dead metadata costs every query forever). Reference fidelity —
+    * husks kept, quake_min.py:209-210 — stays available behind
+    * `compactHusks = false`, which is what the BASELINE replay passes so
+    * its numbers stay protocol-comparable to the reference's. */
   def maintain(
       model: IvfModel,
       hotQpsWindow: Double = HotQpsWindow,
       splitSize: Long = SplitSize,
       mergeSize: Long = MergeSize,
-      compactHusks: Boolean = false): IvfModel = {
+      compactHusks: Boolean = true): IvfModel = {
     val afterSplit = splitHot(model, hotQpsWindow, splitSize)
     val merged = mergeTiny(afterSplit, mergeSize)
     if (compactHusks) compact(merged) else merged
   }
 
-  /** [engine-added, OFF by default] Drop zero-size husk partitions and
-    * renumber pids densely. The reference NEVER removes husks
-    * (quake_min.py:209-210) — they linger in `base_parts` and get scored
-    * on every query forever — so default behavior reproduces that; this
-    * flag is the engine improvement for long-running indexes where dead
-    * metadata would otherwise accumulate without bound. */
+  /** [engine-added] Drop zero-size husk partitions and renumber pids
+    * densely. The reference NEVER removes husks (quake_min.py:209-210) —
+    * they linger in `base_parts` and get scored on every query forever —
+    * `maintain(compactHusks = false)` reproduces that quirk; the engine
+    * default compacts, because long-running indexes would otherwise
+    * accumulate dead metadata without bound. */
   private[graft] def compact(model: IvfModel): IvfModel = {
     val live = model.partitions.filter(_.size > 0L)
     if (live.length == model.partitions.length) return model

@@ -53,7 +53,11 @@ object EpochShuffle {
   def seedAdd(seed: Long): Long = math.floorMod(seed, P)
 
   /** Seeded portable hash of a numeric id, reproducible in plain SQL as
-    * `((id % P) * seedMult(seed) + seedAdd(seed)) % P`. */
+    * `((id % P) * seedMult(seed) + seedAdd(seed)) % P` — for NON-NEGATIVE
+    * ids. This side uses `pmod` (always ≥ 0) while SQL's `%` follows the
+    * dividend's sign, so an external replayer with signed ids would
+    * diverge on negatives; replaying signed ids needs a double-pmod
+    * (`((id % P) + P) % P`) in the SQL recipe. */
   def portableHash(id: org.apache.spark.sql.Column, seed: Long): org.apache.spark.sql.Column =
     pmod(pmod(id.cast("long"), lit(P)) * lit(seedMult(seed)) + lit(seedAdd(seed)), lit(P))
 

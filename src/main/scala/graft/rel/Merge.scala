@@ -10,22 +10,29 @@ import org.apache.spark.sql.functions._
   * the "current state" materialization.
   *
   * Semantics: per key, the changelog's LATEST operation (by `ordCol`,
-  * ties by `opCol` descending so U > D > I at equal ord — one documented
-  * tie rule) wins. `U`/`I` upsert the payload columns; `D` removes the
-  * key. Keys untouched by the changelog pass through unchanged.
+  * ties broken by an explicit op rank U > D > I — an update wins over a
+  * same-ord delete, and a delete wins over a same-ord insert; one
+  * documented tie rule, encoded as a CASE rank rather than lexicographic
+  * op order, which would silently put I above D) wins. `U`/`I` upsert
+  * the payload columns; `D` removes the key. Keys untouched by the
+  * changelog pass through unchanged.
   *
-  * Scale shape: the snapshot is the 100 TB side and is NEVER shuffled —
-  * the changelog first collapses to one latest-op row per key (a shuffle
-  * of the changelog only), then meets the snapshot through two joins the
-  * optimizer can broadcast while the collapsed changelog fits (an
-  * increment normally does) and AQE degrades to shuffle joins when it
-  * genuinely doesn't:
+  * Scale shape: the snapshot is the 100 TB side and its payload rows are
+  * never shuffled — the changelog first collapses to one latest-op row
+  * per key (a shuffle of the changelog only), then meets the snapshot
+  * through two joins the optimizer can broadcast while the collapsed
+  * changelog fits (an increment normally does) and AQE degrades to
+  * shuffle joins when it genuinely doesn't:
   *   1. a LEFT join snapshot→changes resolves surviving snapshot keys
   *      (absent → passthrough, U/I → replacement payload, D → dropped);
   *   2. a LEFT ANTI join changes→snapshot yields the genuinely new keys.
+  *      (Spark broadcasts only the RIGHT side of a left-anti hash join,
+  *      so past the broadcast regime this leg shuffles the snapshot's
+  *      one-column key projection — key bytes, not payload.)
   * The union of the two legs is the merged table. A naive
   * union-then-latest-wins window would instead shuffle snapshot+changelog
-  * on the key — correct, but it moves the mountain to admit a molehill.
+  * payloads on the key — correct, but it moves the mountain to admit a
+  * molehill.
   */
 object Merge {
 
@@ -45,8 +52,12 @@ object Merge {
       ordCol: String,
       opCol: String): DataFrame = {
     val payload = snapshot.columns.filterNot(_ == keyCol).toSeq
-    // latest op per key — shuffles ONLY the changelog
-    val w = Window.partitionBy(col(keyCol)).orderBy(col(ordCol).desc, col(opCol).desc)
+    // latest op per key — shuffles ONLY the changelog. Equal-ord ties
+    // break on the explicit U > D > I rank (NOT opCol's string order,
+    // which would rank 'U' > 'I' > 'D').
+    val opRank =
+      when(col(opCol) === "U", 2).when(col(opCol) === "D", 1).otherwise(0)
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(ordCol).desc, opRank.desc)
     val latest = changes
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)

@@ -205,8 +205,10 @@ object PipelineQueries {
       "UNION ALL SELECT o_orderkey, 2, 'D', NULL, NULL, NULL FROM snap WHERE o_orderkey % 17 = 3 " +
       "UNION ALL SELECT o_orderkey + 100000000, 1, 'I', o_custkey, o_orderstatus, o_totalprice " +
       "FROM snap WHERE o_orderkey % 1000 = 1), " +
+      // equal-ord ties: explicit U > D > I rank, mirroring Merge.applyChangelog
       "latest AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY o_orderkey " +
-      "ORDER BY ord DESC, op DESC) AS rn FROM ch) WHERE rn = 1), " +
+      "ORDER BY ord DESC, CASE op WHEN 'U' THEN 2 WHEN 'D' THEN 1 ELSE 0 END DESC) AS rn " +
+      "FROM ch) WHERE rn = 1), " +
       "existing AS (SELECT s.o_orderkey, " +
       "CASE WHEN l.op IS NOT NULL THEN l.o_custkey ELSE s.o_custkey END AS o_custkey, " +
       "CASE WHEN l.op IS NOT NULL THEN l.o_orderstatus ELSE s.o_orderstatus END AS o_orderstatus, " +
@@ -272,16 +274,56 @@ object PipelineQueries {
           "FROM d WHERE dist2 <= 1.9 ORDER BY query_id, vec_id")),
 
     // IVF APS search (reference search, quake_min.py:147-168) over the
-    // two-level index — deterministic build, but the probe math is not
-    // SQL-portable → rows-only check; recall is asserted by v06 + tests.
+    // two-level index. The probe math (k-means state + APS softmax) is
+    // not SQL-portable, but the acceptance FACTS about the result are —
+    // the q31/v06 bound-flag shape: every returned id is a corpus member,
+    // every query returns exactly k contiguous ranks, dist2 is monotone
+    // in rank, and recall@10 vs the exact oracle (computed in-query)
+    // clears the reference's own 0.9 bar (observed 0.97+ across sfs).
+    // The oracle states the expected flag row, so hash-green certifies
+    // the flagship ANN pipeline's output shape AND accuracy in the
+    // driver record; raw rows stay visible in IvfSpec and the replay.
     NamedQuery(
       "v02_ivf_search",
-      (s, dir) =>
-        IvfSearch
-          .search(indexFor(s, dir), embQueries(s, dir, 20), IvfSearch.Params(k = 10, targetRecall = 0.9, maxProbe = 64))
-          .select(col("query_id"), col("rank").cast("int").as("rnk"), col("vec_id"))
-          .orderBy("query_id", "rnk"),
-      None),
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+        val qs = embQueries(s, dir, 20)
+        val params = IvfSearch.Params(k = 10, targetRecall = 0.9, maxProbe = 64)
+        // read three times (shape, membership, recall) — CacheScope drops it
+        val res = graft.CacheScope.track(
+          IvfSearch.search(indexFor(s, dir), qs, params).cache())
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy("rank")
+        val shape = res
+          .withColumn("prev_d", lag(col("dist2"), 1).over(w))
+          .groupBy("query_id")
+          .agg(
+            count(lit(1)).as("n"),
+            min("rank").as("r0"),
+            max("rank").as("r1"),
+            min(when(col("prev_d").isNull || col("dist2") >= col("prev_d"), 1L)
+              .otherwise(0L)).as("mono"))
+          .agg(
+            count(lit(1)).as("n_queries"),
+            sum("n").as("n_rows"),
+            min(when(col("n") === 10 && col("r0") === 1 && col("r1") === 10, 1L)
+              .otherwise(0L)).as("shape_ok"),
+            min("mono").as("monotone_ok"))
+        val member = res
+          .join(emb.select("vec_id"), Seq("vec_id"), "left_anti")
+          .agg(count(lit(1)).as("bad"))
+          .select(when(col("bad") === 0, 1L).otherwise(0L).as("member_ok"))
+        val exact = IvfSearch.exactTopK(emb, qs, 10)
+        val recall = IvfSearch
+          .recallAtK(res, exact, 10, qs)
+          .agg(avg("recall").as("m"))
+          .select(when(col("m") >= 0.9, 1L).otherwise(0L).as("recall_ok"))
+        shape.crossJoin(member).crossJoin(recall)
+      },
+      Some(
+        "SELECT CAST(20 AS BIGINT) AS n_queries, CAST(200 AS BIGINT) AS n_rows, " +
+          "CAST(1 AS BIGINT) AS shape_ok, CAST(1 AS BIGINT) AS monotone_ok, " +
+          "CAST(1 AS BIGINT) AS member_ok, CAST(1 AS BIGINT) AS recall_ok")),
 
     // Per-label centroids via the VectorMean partial aggregator (O5) —
     // projected to the first 8 dims so DuckDB can check element-wise.
@@ -632,6 +674,66 @@ object PipelineQueries {
         s"SELECT doc_id + 400000 AS delta_id, doc_id AS corpus_id " +
           s"FROM (SELECT doc_id, $duckToks AS w FROM documents) " +
           "WHERE len(w) >= 20 ORDER BY corpus_id")),
+
+    // SEMANTIC (embedding-space) dedup composed end to end — SemDeDup
+    // (Dedup.semDedup): cluster assignment → within-cluster cosine pairs
+    // → connected components → keep the min-id representative. The
+    // corpus has no natural near-dups (max pairwise cosine ≈ 0.51), so
+    // each vector v gets TWO planted copies: A = v ± 0.01 (alternating)
+    // under v+100000 and B = v ± 0.02 under v+200000 — a CHAIN whose
+    // v–A and A–B links always clear the 0.99 bar while v–B sits near
+    // the boundary, so CC must genuinely propagate the min label (pair
+    // logic alone would under-delete B whenever v–B misses). The cluster
+    // assignment is pinned to vec_id % 8 (copies land with their source:
+    // 100000 ≡ 200000 ≡ 0 mod 8 — the v08 trick), making the WHOLE
+    // pipeline SQL-replayable: DuckDB recomputes the three float32
+    // perturbation cosines per vector and resolves 3-node connectivity
+    // in closed form. Hash-green certifies pair generation, transitive
+    // closure, and representative choice at once; SemDedupSpec pins the
+    // real k-means-clustered path against the exact single-cluster one.
+    NamedQuery(
+      "d09_semantic_dedup",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+        def copy(offset: Long, amp: Float) = emb.select(
+          (col("vec_id") + offset).as("vec_id"),
+          transform(
+            col("embedding"),
+            (x, i) => x + when(pmod(i, lit(2)) === 0, lit(amp)).otherwise(lit(-amp)))
+            .as("embedding"))
+        // the pair join reads its input on both sides — CacheScope drops it
+        val all = graft.CacheScope.track(
+          emb.unionByName(copy(100000L, 0.01f)).unionByName(copy(200000L, 0.02f)).cache())
+        val assign = all.select(col("vec_id"), pmod(col("vec_id"), lit(8L)).as("cluster_id"))
+        Dedup.semDedup(all, assign, minCosine = 0.99).orderBy("vec_id")
+      },
+      Some(
+        // DuckDB lambda indices are 1-based vs Spark's 0-based transform:
+        // Spark's even positions (+amp) are DuckDB's odd i. FLOAT + FLOAT
+        // stays FLOAT, so the perturbed arrays are bit-identical to
+        // Spark's float32 arithmetic (the v05 convention).
+        "WITH pert AS (SELECT vec_id, embedding AS v, " +
+          "list_transform(embedding, (x, i) -> x + CASE WHEN i % 2 = 1 " +
+          "THEN CAST(0.01 AS REAL) ELSE CAST(-0.01 AS REAL) END) AS va, " +
+          "list_transform(embedding, (x, i) -> x + CASE WHEN i % 2 = 1 " +
+          "THEN CAST(0.02 AS REAL) ELSE CAST(-0.02 AS REAL) END) AS vb FROM embeddings), " +
+          s"links AS (SELECT vec_id, " +
+          s"${duckDot("v", "va")} / (${duckNorm("v")} * ${duckNorm("va")}) >= 0.99 AS e1, " +
+          s"${duckDot("v", "vb")} / (${duckNorm("v")} * ${duckNorm("vb")}) >= 0.99 AS e2, " +
+          s"${duckDot("va", "vb")} / (${duckNorm("va")} * ${duckNorm("vb")}) >= 0.99 AS e3 " +
+          "FROM pert), " +
+          // 3-node connectivity in closed form: a copy joins v's component
+          // iff a path to v exists; B falls back to A's component when
+          // only the A–B edge holds; min id of the component is the rep
+          "o AS (SELECT vec_id, vec_id AS rep_id, CAST(1 AS BIGINT) AS kept FROM links " +
+          "UNION ALL SELECT vec_id + 100000, " +
+          "CASE WHEN e1 OR (e2 AND e3) THEN vec_id ELSE vec_id + 100000 END, " +
+          "CAST(CASE WHEN e1 OR (e2 AND e3) THEN 0 ELSE 1 END AS BIGINT) FROM links " +
+          "UNION ALL SELECT vec_id + 200000, " +
+          "CASE WHEN e2 OR (e1 AND e3) THEN vec_id WHEN e3 THEN vec_id + 100000 " +
+          "ELSE vec_id + 200000 END, " +
+          "CAST(CASE WHEN e2 OR (e1 AND e3) OR e3 THEN 0 ELSE 1 END AS BIGINT) FROM links) " +
+          "SELECT vec_id, rep_id, kept FROM o ORDER BY vec_id")),
 
     // Exact n-gram Jaccard similarity join, blocked by (source, lang) —
     // fully SQL-expressible set arithmetic, top-20 most similar in-block
@@ -1050,9 +1152,15 @@ object PipelineQueries {
     // LSH-bucketed approximate cosine k-NN join (KnnJoin.lsh) — the
     // index-free ANN scale path the pipeline brief names next to IVF.
     // Queries are planted near-identical perturbations of corpus vectors,
-    // so each query's expected rank-1 hit is its source vector; output is
-    // the raw top-k rows (query_id, rnk, vec_id, cos). Plane hashes
-    // aren't SQL-portable → rows-only; KnnJoinSpec pins ≥90% rank-1 hits.
+    // so each query's expected rank-1 hit is its source vector. Plane
+    // hashes aren't SQL-portable, but the acceptance facts are — the
+    // v02/v06 bound-flag shape: corpus membership of every returned id,
+    // exactly k contiguous ranks per query, cosine monotone non-
+    // increasing in rank, and ≥90% of queries recovering their source
+    // vector at rank 1 (the bar KnnJoinSpec pins; observed 100% across
+    // sfs — the planted pair's cos ≈ 0.9997 vs ≈ 0.51 max natural).
+    // The oracle states the expected flag row → hash-green certifies
+    // the LSH ANN path end to end in the driver record.
     NamedQuery(
       "v10_lsh_ann",
       (s, dir) => {
@@ -1063,15 +1171,41 @@ object PipelineQueries {
           transform(
             col("embedding"),
             (x, i) => x + when(pmod(i, lit(2)) === 0, lit(0.003f)).otherwise(lit(-0.003f))).as("qvec"))
-        graft.index.KnnJoin.lsh(queries, emb, dim, k = 5)
-          .select(
-            col("query_id"),
-            col("rank").cast("int").as("rnk"),
-            col("vec_id"),
-            f32round(col("cos"), 4).as("cos"))
-          .orderBy("query_id", "rnk")
+        // read three times (shape, membership, rank-1 hits) — CacheScope
+        // drops it after the query
+        val res = graft.CacheScope.track(
+          graft.index.KnnJoin.lsh(queries, emb, dim, k = 5).cache())
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy("rank")
+        val shape = res
+          .withColumn("prev_c", lag(col("cos"), 1).over(w))
+          .groupBy("query_id")
+          .agg(
+            count(lit(1)).as("n"),
+            min("rank").as("r0"),
+            max("rank").as("r1"),
+            min(when(col("prev_c").isNull || col("cos") <= col("prev_c"), 1L)
+              .otherwise(0L)).as("mono"))
+          .agg(
+            count(lit(1)).as("n_queries"),
+            sum("n").as("n_rows"),
+            min(when(col("n") === 5 && col("r0") === 1 && col("r1") === 5, 1L)
+              .otherwise(0L)).as("shape_ok"),
+            min("mono").as("monotone_ok"))
+        val member = res
+          .join(emb.select("vec_id"), Seq("vec_id"), "left_anti")
+          .agg(count(lit(1)).as("bad"))
+          .select(when(col("bad") === 0, 1L).otherwise(0L).as("member_ok"))
+        val rank1 = res
+          .filter(col("rank") === 1)
+          .agg(sum(when(col("vec_id") === col("query_id"), 1L).otherwise(0L)).as("hits"))
+          .select(when(col("hits") >= 18L, 1L).otherwise(0L).as("rank1_ok"))
+        shape.crossJoin(member).crossJoin(rank1)
       },
-      None),
+      Some(
+        "SELECT CAST(20 AS BIGINT) AS n_queries, CAST(100 AS BIGINT) AS n_rows, " +
+          "CAST(1 AS BIGINT) AS shape_ok, CAST(1 AS BIGINT) AS monotone_ok, " +
+          "CAST(1 AS BIGINT) AS member_ok, CAST(1 AS BIGINT) AS rank1_ok")),
 
     // LSH-vs-exact recall@k — the acceptance metric for the index-free LSH
     // ANN path, mirroring v06's role for the IVF path: same corpus-member
@@ -1749,9 +1883,14 @@ object PipelineQueries {
     // on-target hits pull the clamped threshold floor 0.933×size under
     // the partition) — so the split can ONLY happen because the stream
     // heated the partition, which the query REQUIREs. mergeSize 0
-    // disables merging so the tick rows isolate the split axis. Index +
-    // k-means state → rows-only; StreamingSpec pins the split-during-
-    // stream behavior.
+    // disables merging so the ticks isolate the split axis. The raw tick
+    // stream depends on micro-batch slicing and k-means state, but the
+    // acceptance facts don't — the v02/v06 bound-flag shape: 200 queries
+    // seen in total (robust to slicing: a sum over ticks), the split
+    // fired at least once, the partition count grew and never shrank,
+    // and the vector multiset survived maintain intact. The oracle
+    // states the expected flag row → the streaming-adaptivity loop is
+    // certified in the driver record; raw ticks stay in StreamingSpec.
     NamedQuery(
       "s07_adaptive_maintain",
       (s, dir) => {
@@ -1788,18 +1927,31 @@ object PipelineQueries {
           require(
             finalModel.partitions.length > model0.partitions.length,
             "adaptive maintain never split the heated partition")
-          ticks.zipWithIndex.map { case (tk, i) =>
-            (i.toLong, tk.n_queries, tk.query_counter - model0.queryCounter,
-              if (tk.maintain_fired) 1L else 0L, tk.n_partitions.toLong, tk.n_live.toLong)
-          }.toSeq
+          val nQueries = ticks.map(_.n_queries).sum
+          val splitOk = finalModel.partitions.length > model0.partitions.length
+          val firedOk = ticks.exists(_.maintain_fired)
+          val growthOk = ticks.map(_.n_partitions)
+            .foldLeft((model0.partitions.length.toLong, true)) {
+              case ((prev, ok), n) => (n, ok && n >= prev)
+            }._2
+          val vectorsOk =
+            finalModel.partitions.map(_.size).sum == model0.partitions.map(_.size).sum
+          Seq((
+            nQueries,
+            if (splitOk) 1L else 0L,
+            if (firedOk) 1L else 0L,
+            if (growthOk) 1L else 0L,
+            if (vectorsOk) 1L else 0L))
         } finally deleteRecursively(tmp)
         import s.implicits._
         rows
-          .toDF("batch_seq", "n_queries", "queries_seen", "fired", "n_partitions", "n_live")
+          .toDF("n_queries", "split_ok", "fired_ok", "growth_ok", "vectors_ok")
           .coalesce(1)
-          .orderBy("batch_seq")
       },
-      None),
+      Some(
+        "SELECT CAST(200 AS BIGINT) AS n_queries, CAST(1 AS BIGINT) AS split_ok, " +
+          "CAST(1 AS BIGINT) AS fired_ok, CAST(1 AS BIGINT) AS growth_ok, " +
+          "CAST(1 AS BIGINT) AS vectors_ok")),
 
     // Streaming CDC apply (StreamingOps.applyChangelogStream): the q33
     // changelog arrives as KEY-DISJOINT micro-batches (each key's full
@@ -2192,18 +2344,22 @@ object PipelineQueries {
               lit(if (orcPlanOk) 1L else 0L).as("plan_ok"))
           val li = t(s, dir, "lineitem").select("l_orderkey", "l_quantity")
           val ord = t(s, dir, "orders").select("o_orderkey", "o_totalprice")
-          s.sql("DROP TABLE IF EXISTS q30_b_lineitem")
-          s.sql("DROP TABLE IF EXISTS q30_b_orders")
-          li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("q30_b_lineitem")
-          ord.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("q30_b_orders")
+          // per-run token so two concurrent sessions sharing a warehouse
+          // can't clobber each other's managed tables
+          val tok = java.lang.Long.toHexString(
+            System.nanoTime() ^ (Thread.currentThread().getId << 48))
+          val liTable = s"q30_b_lineitem_$tok"
+          val ordTable = s"q30_b_orders_$tok"
+          li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(liTable)
+          ord.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(ordTable)
           // broadcast disabled: the fixture's tiny tables would otherwise
           // skip the shuffle-join regime — which is exactly the regime
           // where bucketing must eliminate the exchanges
           val prevBc = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
           s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
           try {
-            val joined = s.table("q30_b_lineitem")
-              .join(s.table("q30_b_orders"), col("l_orderkey") === col("o_orderkey"))
+            val joined = s.table(liTable)
+              .join(s.table(ordTable), col("l_orderkey") === col("o_orderkey"))
             val bucketPlanOk = !joined.queryExecution.executedPlan.toString.contains("Exchange")
             val bAgg = joined.agg(
               count(lit(1)).as("n_rows"),
@@ -2216,8 +2372,8 @@ object PipelineQueries {
             (out.collect().toSeq, out.schema)
           } finally {
             s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
-            s.sql("DROP TABLE IF EXISTS q30_b_lineitem")
-            s.sql("DROP TABLE IF EXISTS q30_b_orders")
+            s.sql(s"DROP TABLE IF EXISTS $liTable")
+            s.sql(s"DROP TABLE IF EXISTS $ordTable")
           }
         } finally deleteRecursively(tmp)
         s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
@@ -2566,8 +2722,11 @@ object PipelineQueries {
     // precedes any aggregate a pipeline trusts. The per-type stats are a
     // one-row-per-group aggregate (map-side partial) broadcast back onto
     // the fact stream, so the facts pay ZERO extra shuffles — scan, probe
-    // the tiny stats table, filter. z crosses the oracle f32-squeezed
-    // (one sqrt + one division of exact-sum-derived doubles).
+    // the tiny stats table, filter. The |z| > 3 cut is taken on the SAME
+    // f32-squeezed+rounded z that crosses the oracle: Spark and DuckDB
+    // sum in different orders, so a raw-double z a few ulps either side
+    // of 3.0 could otherwise be admitted by one engine and dropped by the
+    // other, flipping the row set at a new scale factor.
     NamedQuery(
       "q35_value_outliers",
       (s, dir) => {
@@ -2576,21 +2735,21 @@ object PipelineQueries {
           .groupBy("event_type")
           .agg(avg("value").as("mu"), stddev_samp(col("value")).as("sigma"))
         ev.join(broadcast(stats), Seq("event_type"))
-          .withColumn("z", (col("value") - col("mu")) / col("sigma"))
+          .withColumn("z", f32round((col("value") - col("mu")) / col("sigma"), 3))
           .filter(abs(col("z")) > 3.0)
           .select(
             col("event_id"), col("event_type"),
             round(col("value"), 4).as("value"),
-            f32round(col("z"), 3).as("z"))
+            col("z"))
           .orderBy("event_id")
       },
       Some(
         "WITH stats AS (SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma " +
           "FROM events GROUP BY event_type), " +
-          "z AS (SELECT e.event_id, e.event_type, e.value, (e.value - s.mu) / s.sigma AS z " +
+          "z AS (SELECT e.event_id, e.event_type, e.value, " +
+          "round(CAST(CAST((e.value - s.mu) / s.sigma AS REAL) AS DOUBLE), 3) + 0.0 AS z " +
           "FROM events e JOIN stats s USING (event_type)) " +
-          "SELECT event_id, event_type, round(value, 4) AS value, " +
-          "round(CAST(CAST(z AS REAL) AS DOUBLE), 3) + 0.0 AS z " +
+          "SELECT event_id, event_type, round(value, 4) AS value, z " +
           "FROM z WHERE abs(z) > 3.0 ORDER BY event_id")),
 
     // The corpus-to-epoch pipeline END TO END in one oracled query:

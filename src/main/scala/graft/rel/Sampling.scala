@@ -41,7 +41,10 @@ object Sampling {
     * `(group, target_rows)` and it materializes the planned epoch sample.
     * `targets` is per-group metadata (one row per group) and broadcasts;
     * the data pays the same single group-key shuffle as the constant-n
-    * quota. Groups absent from `targets` are dropped (target 0). */
+    * quota. Groups absent from `targets` are dropped (target 0).
+    * Duplicate group rows in `targets` are collapsed to their max quota
+    * before the join — a duplicated target row must not fan out the join
+    * and silently emit duplicate sampled rows. */
   def quotaByTargets(
       df: DataFrame,
       groupCol: String,
@@ -50,7 +53,10 @@ object Sampling {
       targetCol: String = "target_rows"): DataFrame = {
     require(!df.columns.contains("_rn"), "input must not already carry a _rn column")
     val w = Window.partitionBy(col(groupCol)).orderBy(priority(col(idCol)), col(idCol))
-    df.join(broadcast(targets.select(col(groupCol), col(targetCol))), Seq(groupCol))
+    val uniqueTargets = targets
+      .groupBy(col(groupCol))
+      .agg(max(col(targetCol)).as(targetCol))
+    df.join(broadcast(uniqueTargets), Seq(groupCol))
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") <= col(targetCol))
       .drop("_rn", targetCol)

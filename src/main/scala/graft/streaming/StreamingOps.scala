@@ -120,7 +120,13 @@ object StreamingOps {
     *
     * `queryStream` carries `(query_id long, qvec array<float>)`. The
     * evolving model lives in the returned AtomicReference; `onTick` gets
-    * one summary per non-empty micro-batch. */
+    * one summary per non-empty micro-batch.
+    *
+    * Single-stream contract: the model is read-modify-written from THIS
+    * query's foreachBatch thread with no CAS loop — one adaptiveMaintain
+    * stream per AtomicReference. Two concurrent streams sharing one
+    * reference would silently drop each other's hit accounting; start a
+    * second stream only against its own reference/model. */
   def adaptiveMaintain(
       queryStream: DataFrame,
       initial: IvfModel,

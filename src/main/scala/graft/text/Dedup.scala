@@ -581,6 +581,59 @@ object Dedup {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** [engine-added] SemDeDup-style SEMANTIC dedup (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space, find near-duplicate
+    * pairs (cosine ≥ `minCosine`) only WITHIN each cluster, close them
+    * transitively with [[connectedComponents]], and keep the min-id
+    * representative of every near-dup group. The composition of the
+    * engine's existing parts — a k-means/IVF assignment supplies the
+    * clusters, the within-cluster pair join supplies the candidates, CC
+    * supplies the groups — into the one LLM-pipeline dedup family member
+    * (embedding-space, meaning-level) the string-hash family can't see.
+    *
+    * `assign` decouples the clustering from the dedup rule: pass a
+    * [[graft.vector.KMeans]] assignment for the real semantic path, or
+    * any deterministic partitioner for an oracle-replayable pinned run
+    * (the v08 trick). Pairs crossing cluster boundaries are invisible by
+    * design — that is SemDeDup's approximation; SemDedupSpec pins the
+    * clustered result against the exact single-cluster one on planted
+    * duplicates.
+    *
+    * Scale shape: the self-join shuffles each side once on `cluster_id`
+    * and the quadratic blow-up is bounded per cluster — cluster COUNT
+    * grows with the corpus (SemDeDup runs ~100k clusters at web scale),
+    * so per-cluster work stays O((n/k)²) and embarrassingly parallel
+    * across clusters. For clusters too large even so, swap the inner
+    * all-pairs for [[cosineLshPairs]] run per cluster — same contract.
+    * CC then touches only the edge list (pair count, not corpus count).
+    *
+    * @param emb    `(vec_id long, embedding array<float>)`
+    * @param assign `(vec_id long, cluster_id long)` — one row per vector
+    * @return one row per input vector: `(vec_id, rep_id, kept)` with
+    *         `rep_id` the min id of the vector's near-dup group (itself
+    *         when unique) and `kept` 1 exactly when `vec_id == rep_id`
+    */
+  def semDedup(emb: DataFrame, assign: DataFrame, minCosine: Double): DataFrame = {
+    val e = emb.join(assign, Seq("vec_id"))
+    val a = e.select(col("cluster_id"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val b = e.select(col("cluster_id"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    val pairs = a
+      .join(b, Seq("cluster_id"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(graft.vector.VectorOps.cosine(col("emb_a"), col("emb_b")) >= minCosine)
+      .select("id_a", "id_b")
+    val comps = connectedComponents(pairs)
+    emb
+      .select("vec_id")
+      .join(comps.select(col("id").as("vec_id"), col("comp")), Seq("vec_id"), "left")
+      .select(
+        col("vec_id"),
+        coalesce(col("comp"), col("vec_id")).as("rep_id"),
+        when(coalesce(col("comp"), col("vec_id")) === col("vec_id"), 1L)
+          .otherwise(0L)
+          .as("kept"))
+  }
+
   /** Connected components over an undirected duplicate-pair list — the
     * transitive-closure step that turns near-dup PAIRS (minhashLsh,
     * simhashPairs, cosineLshPairs output) into dedup CLUSTERS with a

@@ -157,14 +157,15 @@ class IvfSpec extends SparkSpec {
   }
 
   test("merged-away partitions stay as zero-size husks (quake_min.py:209-210)") {
-    val m2 = IvfMaintain.maintain(model, splitSize = 1000000L, mergeSize = 1000000L)
+    // reference fidelity is behind compactHusks = false (engine default compacts)
+    val m2 = IvfMaintain.maintain(model, splitSize = 1000000L, mergeSize = 1000000L, compactHusks = false)
     // with mergeSize huge every partition is tiny -> chains absorb; husks remain
     assert(m2.partitions.length == model.partitions.length, "husks must not be compacted away")
     assert(m2.totalVectors == model.totalVectors)
   }
 
   test("compactHusks drops zero-size partitions, renumbers densely, preserves vectors") {
-    val merged = IvfMaintain.maintain(model, splitSize = 1000000L, mergeSize = 1000000L)
+    val merged = IvfMaintain.maintain(model, splitSize = 1000000L, mergeSize = 1000000L, compactHusks = false)
     assert(merged.partitions.exists(_.size == 0L), "precondition: husks exist")
     val compacted = IvfMaintain.maintain(model, splitSize = 1000000L, mergeSize = 1000000L, compactHusks = true)
     assert(compacted.partitions.forall(_.size > 0L))

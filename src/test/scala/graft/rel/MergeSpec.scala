@@ -40,6 +40,22 @@ class MergeSpec extends SparkSpec {
     assert(twice.orderBy("k").collect().toSeq == once.orderBy("k").collect().toSeq)
   }
 
+  test("equal-ord ties break on the explicit U > D > I rank, not op string order") {
+    // key 1: U vs D at the same ord — the update wins (U outranks D);
+    // key 2: D vs I at the same ord — the delete wins (D outranks I;
+    //        lexicographic op order would wrongly keep the insert);
+    // key 8: I vs D at the same ord on a fresh key — never lands
+    val tied = Seq(
+      (1L, 1L, "D", null, 0.0), (1L, 1L, "U", "a2", 11.0),
+      (2L, 1L, "I", "b2", 21.0), (2L, 1L, "D", null, 0.0),
+      (8L, 1L, "I", "h", 80.0), (8L, 1L, "D", null, 0.0)
+    ).toDF("k", "ord", "op", "name", "v")
+    val out = Merge.applyChangelog(snapshot, tied, "k", "ord", "op")
+      .orderBy("k").as[(Long, String, Double)].collect()
+    assert(out.toSeq == Seq(
+      (1L, "a2", 11.0), (3L, "c", 30.0), (4L, "d", 40.0)))
+  }
+
   test("randomized differential: applyChangelog equals an in-memory reference on seeded scenarios") {
     val rnd = new scala.util.Random(20260813L)
     (1 to 10).foreach { scenario =>
