@@ -140,6 +140,57 @@ object KnnJoin {
     graft.vector.Pq.rerankExact(adc, corpus.select("vec_id", "embedding"), q, k)
   }
 
+  /** Filtered (metadata-constrained) exact k-NN — vector-engine "search
+    * with a payload filter": top-k among only the corpus rows satisfying
+    * `pred`, evaluated against the corpus row's own columns. The filter
+    * runs BEFORE any distance arithmetic, inside the same codegen stage
+    * as the scan (source-pushable shapes — equality, range, IN — prune at
+    * the parquet reader itself; computed predicates like `label % 3 = 0`
+    * evaluate right after the scan, still upstream of every distance), so
+    * a selective filter makes filtered search CHEAPER than unfiltered —
+    * never a post-filter of a top-k that would under-fill k. Same output
+    * contract as [[exact]]. */
+  def exactFiltered(
+      queries: DataFrame,
+      corpus: DataFrame,
+      pred: org.apache.spark.sql.Column,
+      k: Int): DataFrame =
+    exact(queries, corpus.filter(pred), k)
+
+  /** Filtered IVF k-NN: APS chooses the probe set exactly as [[ivf]]
+    * (probe choice sees the full index — the filter does not move
+    * centroids), then the probed partitions are scanned restricted to
+    * the ids in `keep` (the predicate's pre-filtered id set) via a
+    * left-semi join BEFORE distance compute. When `keep` fits the
+    * broadcast threshold the restriction is shuffle-free; past it, AQE
+    * degrades the semi-join to a shuffle of (probed-scan ids × keep
+    * keys) — key bytes, not vectors. A corpus that carries its metadata
+    * IN the index table can instead filter inline like [[exactFiltered]]
+    * and skip the join entirely (the layout a production deployment
+    * should choose); this entry point serves the side-table layout.
+    *
+    * Selective filters thin each probed cell, so matching ranks of the
+    * filtered exact answer needs MORE probes than unfiltered search at
+    * equal recall — callers compensate with `targetRecall`/`maxProbe`
+    * (KnnJoinSpec pins recall vs [[exactFiltered]] at the defaults). */
+  def ivfFiltered(
+      model: IvfModel,
+      queries: DataFrame,
+      keep: DataFrame,
+      k: Int,
+      targetRecall: Double = 0.9,
+      maxProbe: Int = 64): DataFrame = {
+    val q = normalizeQueries(queries)
+    val probes = IvfSearch
+      .chooseProbes(model, q, IvfSearch.Params(k, targetRecall, maxProbe))
+      .select("query_id", "partition_id", "qvec")
+    val kept = model.vectors.join(keep.select("vec_id"), Seq("vec_id"), "left_semi")
+    val scanned = kept
+      .join(broadcast(probes), Seq("partition_id"))
+      .withColumn("dist2", graft.vector.VectorOps.l2Sq(col("qvec"), col("embedding")))
+    graft.vector.TopK.perQuery(scanned, k)
+  }
+
   /** Accept either `(query_id, qvec)` or `(vec_id, embedding)` shapes. */
   /** Range (radius) search — FAISS's `range_search` as a join: EVERY
     * corpus row within squared L2 `r2` of each query, unranked. There is

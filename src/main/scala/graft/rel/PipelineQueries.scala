@@ -273,6 +273,129 @@ object PipelineQueries {
           "SELECT query_id, vec_id, round(CAST(CAST(dist2 AS REAL) AS DOUBLE), 3) + 0.0 AS dist2 " +
           "FROM d WHERE dist2 <= 1.9 ORDER BY query_id, vec_id")),
 
+    // Filtered vector search (KnnJoin.exactFiltered): top-k restricted to
+    // corpus rows passing a metadata predicate (label ≡ 0 mod 3 here) —
+    // the "search with a payload filter" every vector engine exposes. The
+    // filter runs BEFORE distance arithmetic inside the scan stage (a
+    // post-filtered top-k would under-fill k; .explain places the
+    // predicate directly over the parquet scan). DuckDB replays the same
+    // filtered exact ranking, so hash-green certifies both the filter
+    // semantics (no leaked out-of-predicate ids) and the ranking. The
+    // IVF-pruned variant (KnnJoin.ivfFiltered) is recall-pinned vs this
+    // exact path in KnnJoinSpec.
+    NamedQuery(
+      "v18_filtered_knn",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        graft.index.KnnJoin
+          .exactFiltered(embQueries(s, dir, 5), emb, col("label") % 3 === 0, k = 10)
+          .select(
+            col("query_id"),
+            col("rank").cast("int").as("rnk"),
+            col("vec_id"),
+            f32round(col("dist2"), 3).as("dist2"))
+          .orderBy("query_id", "rnk")
+      },
+      Some(
+        "WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5), " +
+          s"d AS (SELECT q.query_id, e.vec_id, ${duckL2("q.qvec", "e.embedding")} AS dist2 " +
+          "FROM q CROSS JOIN embeddings e WHERE e.label % 3 = 0), " +
+          "r AS (SELECT query_id, vec_id, dist2, CAST(row_number() OVER " +
+          "(PARTITION BY query_id ORDER BY dist2 ASC, vec_id ASC) AS INTEGER) AS rnk FROM d) " +
+          "SELECT query_id, rnk, vec_id, round(CAST(CAST(dist2 AS REAL) AS DOUBLE), 3) + 0.0 AS dist2 " +
+          "FROM r WHERE rnk <= 10 ORDER BY query_id, rnk")),
+
+    // Hybrid retrieval: BM25 keyword top-50 + exact cosine top-50 fused by
+    // Reciprocal Rank Fusion (Hybrid.rrf, k0=60 — the Cormack/Clarke/
+    // Büttcher constant every production engine defaults to). Both input
+    // rankings are individually cross-engine-stable (BM25 ranks on the
+    // f32-squeezed score exactly as hash-green t08; cosine ranks on the
+    // identical double DAG as hash-green v04), and the fused score is two
+    // exact IEEE divisions summed in a fixed order, so DuckDB replays the
+    // ENTIRE hybrid pipeline — tokenization, BM25, cosine, fusion, final
+    // ordering — and hash-green certifies end-to-end hybrid search.
+    // Fusion joins two 50-row lists: metadata-sized at any corpus scale.
+    NamedQuery(
+      "v19_hybrid_rrf",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val kw = Bm25
+          .score(docs, Seq("vector", "spark", "merge"))
+          .select(col("doc_id"), f32round(col("score"), 4).as("score"))
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(50)
+          .withColumn(
+            "rank",
+            row_number().over(org.apache.spark.sql.expressions.Window
+              .orderBy(col("score").desc, col("doc_id"))))
+        val vec = t(s, dir, "embeddings")
+          .crossJoin(broadcast(embQueries(s, dir, 1)))
+          .withColumn("cos", graft.vector.VectorOps.cosine(col("qvec"), col("embedding")))
+          .select(col("vec_id").as("doc_id"), col("cos"))
+          .orderBy(col("cos").desc, col("doc_id"))
+          .limit(50)
+          .withColumn(
+            "rank",
+            row_number().over(org.apache.spark.sql.expressions.Window
+              .orderBy(col("cos").desc, col("doc_id"))))
+        graft.text.Hybrid
+          .rrf(kw, vec, k0 = 60)
+          .select(
+            col("doc_id"),
+            // 0 = absent from that list (NOT rank 0) — keeps the emitted
+            // column a non-null int so both engines' parquet/pandas
+            // normalization agree byte-for-byte
+            coalesce(col("kw_rank"), lit(0)).cast("int").as("kw_rank"),
+            coalesce(col("vec_rank"), lit(0)).cast("int").as("vec_rank"),
+            f32round(col("rrf"), 6).as("rrf"))
+          .orderBy(col("rrf").desc, col("doc_id"))
+          .limit(20)
+          .withColumn(
+            "rnk",
+            row_number()
+              .over(org.apache.spark.sql.expressions.Window
+                .orderBy(col("rrf").desc, col("doc_id")))
+              .cast("int"))
+          .orderBy("rnk")
+      },
+      Some {
+        def term(i: Int): String =
+          s"ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df$i AS DOUBLE) + 0.5) / (CAST(df$i AS DOUBLE) + 0.5))" +
+            s" * CAST(tf$i AS DOUBLE) * (1.2 + 1.0) / (CAST(tf$i AS DOUBLE) + 1.2 * " +
+            s"(1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / (CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))"
+        s"WITH tok AS (SELECT doc_id, unnest($duckToks) AS tok FROM documents), " +
+          "perdoc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl, " +
+          "CAST(sum(CASE WHEN tok = 'vector' THEN 1 ELSE 0 END) AS BIGINT) AS tf0, " +
+          "CAST(sum(CASE WHEN tok = 'spark' THEN 1 ELSE 0 END) AS BIGINT) AS tf1, " +
+          "CAST(sum(CASE WHEN tok = 'merge' THEN 1 ELSE 0 END) AS BIGINT) AS tf2 " +
+          "FROM tok GROUP BY doc_id), " +
+          "stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_dl, " +
+          "CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0, " +
+          "CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1, " +
+          "CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2 FROM perdoc), " +
+          "kwsc AS (SELECT doc_id, " +
+          s"round(CAST(CAST(${term(0)} + ${term(1)} + ${term(2)} AS REAL) AS DOUBLE), 4) + 0.0 AS score " +
+          "FROM perdoc, stats), " +
+          "kw AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS kw_rank " +
+          "FROM kwsc ORDER BY score DESC, doc_id LIMIT 50), " +
+          "q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0), " +
+          s"cs AS (SELECT e.vec_id AS doc_id, ${duckDot("q.qvec", "e.embedding")} / " +
+          s"(${duckNorm("q.qvec")} * ${duckNorm("e.embedding")}) AS cos FROM embeddings e, q), " +
+          "vec AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS INTEGER) AS vec_rank " +
+          "FROM cs ORDER BY cos DESC, doc_id LIMIT 50), " +
+          "fused AS (SELECT coalesce(kw.doc_id, vec.doc_id) AS doc_id, " +
+          "CAST(coalesce(kw.kw_rank, 0) AS INTEGER) AS kw_rank, " +
+          "CAST(coalesce(vec.vec_rank, 0) AS INTEGER) AS vec_rank, " +
+          "coalesce(1.0 / (60.0 + kw.kw_rank), 0.0) + coalesce(1.0 / (60.0 + vec.vec_rank), 0.0) AS rrf " +
+          "FROM kw FULL OUTER JOIN vec ON kw.doc_id = vec.doc_id), " +
+          "cut AS (SELECT doc_id, kw_rank, vec_rank, " +
+          "round(CAST(CAST(rrf AS REAL) AS DOUBLE), 6) + 0.0 AS rrf " +
+          "FROM fused ORDER BY rrf DESC, doc_id LIMIT 20) " +
+          "SELECT doc_id, kw_rank, vec_rank, rrf, " +
+          "CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INTEGER) AS rnk " +
+          "FROM cut ORDER BY rnk"
+      }),
+
     // IVF APS search (reference search, quake_min.py:147-168) over the
     // two-level index. The probe math (k-means state + APS softmax) is
     // not SQL-portable, but the acceptance FACTS about the result are —
@@ -896,6 +1019,46 @@ object PipelineQueries {
           "SELECT t.doc_id, b.bench_id, CAST(len(list_intersect(t.sh, b.sh)) AS BIGINT) AS n_shared " +
           "FROM train t, bench b WHERE len(list_intersect(t.sh, b.sh)) >= 1 " +
           "ORDER BY doc_id, bench_id")),
+
+    // Exact repeated-substring screening (Dedup.repeatedSpanStats — the
+    // span-level dedup signal of Lee et al. ACL 2022, cross-document): an
+    // 8-token gram is duplicated when ≥2 distinct docs contain it, and
+    // each doc reports how much of it is such shared boilerplate. Docs
+    // 0–4 are PLANTED as full copies under -(doc_id+1) (the d06 negative-
+    // id convention), so every span of those docs is duplicated by
+    // construction (dup_ratio 1.0) on top of whatever natural 8-gram
+    // repeats the corpus carries; DuckDB recomputes the complete
+    // occurrence/frequency/ratio table from first principles, so
+    // hash-green proves the gram accounting missed nothing and invented
+    // nothing. dup_ratio is a pure int/int double — portable unrounded,
+    // rounded to 6 only for display stability.
+    NamedQuery(
+      "d10_repeated_spans",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        val planted = docs
+          .filter(col("doc_id") < 5)
+          .select((-(col("doc_id") + 1L)).as("doc_id"), col("text"))
+        Dedup
+          .repeatedSpanStats(docs.unionByName(planted), w = 8, minDocs = 2)
+          .select(
+            col("doc_id"), col("n_spans"), col("n_dup_spans"),
+            round(col("dup_ratio"), 6).as("dup_ratio"))
+          .orderBy("doc_id")
+      },
+      Some(
+        "WITH corpus AS (SELECT doc_id, text FROM documents " +
+          "UNION ALL SELECT -(doc_id + 1) AS doc_id, text FROM documents WHERE doc_id < 5), " +
+          s"tok AS (SELECT doc_id, $duckToks AS w FROM corpus), " +
+          "g AS (SELECT doc_id, unnest(list_transform(" +
+          "generate_series(1, greatest(len(w) - 7, 0)), " +
+          "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || " +
+          "w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7])) AS s FROM tok), " +
+          "dup AS (SELECT s FROM (SELECT s, count(DISTINCT doc_id) AS nd FROM g GROUP BY s) WHERE nd >= 2) " +
+          "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans, " +
+          "CAST(sum(CASE WHEN s IN (SELECT s FROM dup) THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans, " +
+          "round(CAST(sum(CASE WHEN s IN (SELECT s FROM dup) THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_ratio " +
+          "FROM g GROUP BY doc_id ORDER BY doc_id")),
 
     // =====================================================================
     // Text analysis (documents)

@@ -253,6 +253,49 @@ object Dedup {
       .select("block", "doc_a", "doc_b", "jaccard")
   }
 
+  /** Exact repeated-substring screening (the span-level dedup of Lee et
+    * al., "Deduplicating Training Data Makes Language Models Better",
+    * ACL 2022, framed cross-document): a `w`-token span is DUPLICATED
+    * when its exact gram occurs in ≥ `minDocs` distinct documents.
+    * Returns per-document duplication stats —
+    * `(doc_id, n_spans, n_dup_spans, dup_ratio)` — the signal a curation
+    * pipeline thresholds on ("drop/trim documents that are >X% boilerplate
+    * shared with the rest of the corpus"). Documents shorter than `w`
+    * tokens have no spans and are absent from the output.
+    *
+    * Dataflow: one row-parallel shingle pass ([[TextOps.shingleRows]],
+    * zero shuffles), then (1) per-doc-distinct grams aggregate to
+    * cross-document frequency — map-side partial combine on the gram key;
+    * (2) grams seen in ≥ `minDocs` docs rejoin the occurrence rows —
+    * the duplicated-gram table is the corpus's shared boilerplate, tiny
+    * relative to the corpus, so AQE broadcasts it in the common case and
+    * degrades to a key-only shuffle join when a pathological corpus makes
+    * it genuinely large; (3) one per-doc count aggregate. Grams travel as
+    * strings (w·~6 bytes — same shuffle currency as the d03/d06 shingle
+    * joins), keeping every value DuckDB-replayable; a deployment at the
+    * far end of 100 TB can swap the gram key for a 64-bit hash at the
+    * cost of a documented collision width. */
+  def repeatedSpanStats(docs: DataFrame, w: Int, minDocs: Int = 2): DataFrame = {
+    val grams = TextOps.shingleRows(docs, w, distinctSet = false)
+    val dupGrams = grams
+      .select("s", "doc_id")
+      .distinct()
+      .groupBy("s")
+      .agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("s")
+      .withColumn("_dup", lit(1L))
+    grams
+      .join(dupGrams, Seq("s"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(coalesce(col("_dup"), lit(0L))).as("n_dup_spans"))
+      .withColumn(
+        "dup_ratio",
+        col("n_dup_spans").cast("double") / col("n_spans").cast("double"))
+  }
+
   /** Benchmark decontamination (the GPT-3/Pile n-gram rule): flag every
     * training document sharing at least one distinct `shingleN`-token
     * shingle with any benchmark document, with the overlap size per

@@ -128,4 +128,33 @@ class KnnJoinSpec extends SparkSpec {
     assert(common.nonEmpty)
     common.foreach(kk => assert(math.abs(got(kk) - want(kk)) < 1e-9, s"dist mismatch at $kk"))
   }
+
+  test("filtered knn: exact leaks no out-of-predicate ids and equals exact on the pre-filtered corpus; ivf variant clears the recall bar") {
+    val embL = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val pred = col("label") % 3 === 0
+    val queries = embL.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val ex = KnnJoin.exactFiltered(queries, embL, pred, k = 10)
+
+    val keepIds = embL.filter(pred).select("vec_id").as[Long].collect().toSet
+    val returned = ex.select("vec_id").as[Long].collect()
+    assert(returned.nonEmpty && returned.forall(keepIds), "exactFiltered leaked an out-of-predicate id")
+
+    // filtered search ≡ plain search over the pre-filtered corpus
+    val ref = KnnJoin.exact(queries, embL.filter(pred).select("vec_id", "embedding"), k = 10)
+    val got = ex.select("query_id", "rank", "vec_id").as[(Long, Long, Long)].collect().toSet
+    val want = ref.select("query_id", "rank", "vec_id").as[(Long, Long, Long)].collect().toSet
+    assert(got == want, "exactFiltered diverged from exact-on-filtered-corpus")
+
+    // IVF variant: probe-pruned scan restricted to the keep set — never
+    // leaks, and recall@10 vs the filtered exact answer clears the bar
+    val model = IvfBuild.build(embL.select("vec_id", "embedding"), 64)
+    val keep = embL.filter(pred).select("vec_id")
+    val ivf = KnnJoin.ivfFiltered(model, queries, keep, k = 10, targetRecall = 0.95)
+    val ivfIds = ivf.select("vec_id").as[Long].collect()
+    assert(ivfIds.nonEmpty && ivfIds.forall(keepIds), "ivfFiltered leaked an out-of-predicate id")
+    val recall = IvfSearch.recallAtK(ivf, ex, 10, queries)
+      .agg(avg("recall")).head.getDouble(0)
+    assert(recall >= 0.9, s"ivfFiltered recall@10 = $recall below bar")
+  }
 }
