@@ -396,6 +396,67 @@ object PipelineQueries {
           "FROM cut ORDER BY rnk"
       }),
 
+    // MMR diversity re-ranking (Mmr.rerank, Carbonell & Goldstein 1998):
+    // greedy λ·rel − (1−λ)·max-sim selection of 5 from the cosine top-20
+    // of each query. The greedy trajectory is sequential in k but the
+    // oracle replays it EXACTLY: each of the 5 rounds is unrolled into
+    // its own CTE chain (remaining = anti-join vs selected, max-sim
+    // aggregate, argmax pick), and every pick ranks on the float32-
+    // squeezed score with vec_id ties on both sides — one ulp of cosine
+    // wobble can never flip a pick, so the whole cascade is
+    // bit-reproducible and hash-green certifies all 5 selection rounds.
+    NamedQuery(
+      "v20_mmr_rerank",
+      (s, dir) => {
+        import graft.vector.{Mmr, VectorOps}
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy(col("rel").desc, col("vec_id"))
+        val cand = t(s, dir, "embeddings")
+          .crossJoin(broadcast(embQueries(s, dir, 3)))
+          .filter(col("vec_id") =!= col("query_id"))
+          .withColumn("rel", VectorOps.cosine(col("qvec"), col("embedding")))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 20)
+          .select("query_id", "vec_id", "rel", "embedding")
+        Mmr
+          .rerank(cand, k = 5, lambda = 0.7)
+          .select(
+            col("query_id"), col("sel_rank"), col("vec_id"),
+            f32round(col("mmr"), 4).as("mmr"))
+          .orderBy("query_id", "sel_rank")
+      },
+      Some {
+        def cos(a: String, b: String) =
+          s"${duckDot(a, b)} / (${duckNorm(a)} * ${duckNorm(b)})"
+        val sb = new StringBuilder
+        sb ++= "WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 3), "
+        sb ++= s"scored AS (SELECT q.query_id, e.vec_id, ${cos("q.qvec", "e.embedding")} AS rel, e.embedding " +
+          "FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id), "
+        sb ++= "cand AS (SELECT query_id, vec_id, rel, embedding FROM (SELECT *, " +
+          "row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, vec_id) AS rnk FROM scored) WHERE rnk <= 20), "
+        sb ++= "s1 AS (SELECT query_id, 1 AS sel_rank, vec_id, mmr, embedding FROM (" +
+          "SELECT query_id, vec_id, 0.7 * rel AS mmr, embedding, row_number() OVER (PARTITION BY query_id " +
+          "ORDER BY round(CAST(CAST(0.7 * rel AS REAL) AS DOUBLE), 4) DESC, vec_id) AS rn FROM cand) WHERE rn = 1), "
+        for (step <- 2 to 5) {
+          val selU = (1 until step).map(i => s"SELECT * FROM s$i").mkString(" UNION ALL ")
+          sb ++= s"sel${step - 1} AS ($selU), "
+          sb ++= s"r$step AS (SELECT c.query_id, c.vec_id, c.rel, c.embedding FROM cand c " +
+            s"WHERE NOT EXISTS (SELECT 1 FROM sel${step - 1} s WHERE s.query_id = c.query_id AND s.vec_id = c.vec_id)), "
+          sb ++= s"m$step AS (SELECT r.query_id, r.vec_id, any_value(r.rel) AS rel, any_value(r.embedding) AS embedding, " +
+            s"max(${cos("r.embedding", "s.embedding")}) AS max_sim " +
+            s"FROM r$step r JOIN sel${step - 1} s ON s.query_id = r.query_id GROUP BY r.query_id, r.vec_id), "
+          sb ++= s"s$step AS (SELECT query_id, $step AS sel_rank, vec_id, mmr, embedding FROM (" +
+            s"SELECT query_id, vec_id, 0.7 * rel - (1.0 - 0.7) * max_sim AS mmr, embedding, " +
+            "row_number() OVER (PARTITION BY query_id " +
+            "ORDER BY round(CAST(CAST(0.7 * rel - (1.0 - 0.7) * max_sim AS REAL) AS DOUBLE), 4) DESC, vec_id) AS rn " +
+            s"FROM m$step) WHERE rn = 1), "
+        }
+        sb ++= "allsel AS (" + (1 to 5).map(i => s"SELECT * FROM s$i").mkString(" UNION ALL ") + ") "
+        sb ++= "SELECT query_id, sel_rank, vec_id, round(CAST(CAST(mmr AS REAL) AS DOUBLE), 4) + 0.0 AS mmr " +
+          "FROM allsel ORDER BY query_id, sel_rank"
+        sb.toString
+      }),
+
     // IVF APS search (reference search, quake_min.py:147-168) over the
     // two-level index. The probe math (k-means state + APS softmax) is
     // not SQL-portable, but the acceptance FACTS about the result are —
@@ -807,8 +868,14 @@ object PipelineQueries {
     // v–A and A–B links always clear the 0.99 bar while v–B sits near
     // the boundary, so CC must genuinely propagate the min label (pair
     // logic alone would under-delete B whenever v–B misses). The cluster
-    // assignment is pinned to vec_id % 8 (copies land with their source:
-    // 100000 ≡ 200000 ≡ 0 mod 8 — the v08 trick), making the WHOLE
+    // assignment is pinned to vec_id % 100 (copies land with their
+    // source: 100000 ≡ 200000 ≡ 0 mod 100 — the v08 trick; 100 clusters
+    // instead of the original 8 cuts the in-cluster quadratic ~12× and
+    // spreads the pair join across the full task width — at sf0.1 the
+    // 8-cluster form paid 28M fanned pairs on 8 effective tasks, ~17 s
+    // of the old 51 s cost — while provably NOT changing output: no
+    // natural pair can reach cos 0.99, so only the in-cluster planted
+    // pairs ever cross the bar under either modulus), making the WHOLE
     // pipeline SQL-replayable: DuckDB recomputes the three float32
     // perturbation cosines per vector and resolves 3-node connectivity
     // in closed form. Hash-green certifies pair generation, transitive
@@ -827,7 +894,7 @@ object PipelineQueries {
         // the pair join reads its input on both sides — CacheScope drops it
         val all = graft.CacheScope.track(
           emb.unionByName(copy(100000L, 0.01f)).unionByName(copy(200000L, 0.02f)).cache())
-        val assign = all.select(col("vec_id"), pmod(col("vec_id"), lit(8L)).as("cluster_id"))
+        val assign = all.select(col("vec_id"), pmod(col("vec_id"), lit(100L)).as("cluster_id"))
         Dedup.semDedup(all, assign, minCosine = 0.99).orderBy("vec_id")
       },
       Some(

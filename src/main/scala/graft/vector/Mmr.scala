@@ -1,0 +1,82 @@
+package graft.vector
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** [engine-added] Maximal Marginal Relevance diversity re-ranking
+  * (Carbonell & Goldstein, SIGIR 1998) — the standard "don't return five
+  * copies of the same document" pass a retrieval engine runs over its
+  * top-N candidates:
+  *
+  *   next = argmax_{d ∈ C∖S} [ λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s) ]
+  *
+  * applied greedily k times per query, where rel is the query-candidate
+  * score and sim the candidate-candidate cosine. λ=1 degenerates to the
+  * input ranking; λ→0 maximizes pairwise diversity.
+  *
+  * Scale shape: the greedy loop is inherently sequential in k but fully
+  * parallel across queries — each of the k rounds is one join of the
+  * remaining candidates (≤N rows per query) against the selected set
+  * (≤k rows per query) on `query_id`, one max-aggregate, and one
+  * window-pick. All metadata-sized: the corpus was already cut to top-N
+  * per query by the upstream search; nothing here touches corpus scale.
+  *
+  * Determinism: each round picks its argmax on the FLOAT32-SQUEEZED
+  * score (ties by `vec_id`). The mmr score mixes cosines whose last ulp
+  * can wobble across engines; an ulp must not flip a selection, because
+  * one flipped pick cascades through every later round. The squeeze
+  * makes the pick — and therefore the whole greedy trajectory —
+  * bit-reproducible, and is how the driver oracle (v20) replays the
+  * exact selection in SQL.
+  *
+  * @param candidates per-query candidate lists:
+  *                   (`query_id`, `vec_id`, `rel`, `embedding`) — `rel`
+  *                   higher-is-better (e.g. cosine to the query)
+  * @param k          selections per query
+  * @param lambda     relevance↔diversity trade-off in [0, 1]
+  * @return (`query_id`, `sel_rank` 1..k, `vec_id`, `mmr`) — `mmr` the
+  *         raw (unsqueezed) score the pick won with
+  */
+object Mmr {
+
+  private def f32(c: org.apache.spark.sql.Column) =
+    round(c.cast("float").cast("double"), 4)
+
+  def rerank(candidates: DataFrame, k: Int, lambda: Double): DataFrame = {
+    require(lambda >= 0.0 && lambda <= 1.0, "lambda must be in [0, 1]")
+    val cand = candidates.select("query_id", "vec_id", "rel", "embedding")
+
+    var selected: DataFrame = null // (query_id, sel_rank, vec_id, embedding, mmr)
+    var remaining = cand
+    for (step <- 1 to k) {
+      val scored =
+        if (selected == null) remaining.withColumn("mmr", lit(lambda) * col("rel"))
+        else {
+          val sel = selected.select(
+            col("query_id"),
+            col("embedding").as("sel_emb"))
+          remaining
+            .join(sel, Seq("query_id"))
+            .withColumn("sim", VectorOps.cosine(col("embedding"), col("sel_emb")))
+            .groupBy("query_id", "vec_id")
+            .agg(
+              first(col("rel")).as("rel"),
+              first(col("embedding")).as("embedding"),
+              max(col("sim")).as("max_sim"))
+            .withColumn("mmr", lit(lambda) * col("rel") - lit(1.0 - lambda) * col("max_sim"))
+        }
+      val w = Window.partitionBy("query_id").orderBy(f32(col("mmr")).desc, col("vec_id"))
+      val pick = scored
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .select(
+          col("query_id"), lit(step).as("sel_rank"), col("vec_id"),
+          col("embedding"), col("mmr"))
+      selected = if (selected == null) pick else selected.unionByName(pick)
+      remaining = remaining.join(
+        pick.select("query_id", "vec_id"), Seq("query_id", "vec_id"), "left_anti")
+    }
+    selected.select("query_id", "sel_rank", "vec_id", "mmr")
+  }
+}

@@ -52,8 +52,18 @@ object VectorOps {
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(normSq(a))
 
-  /** Cosine similarity. */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity — the native codegen'd [[CosineSim]] expression
+    * (one fused primitive loop; bitwise-identical to [[cosineHof]], which
+    * walks the pair three times). */
+  def cosine(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(CosineSim(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+  }
+
+  /** Higher-order-function form of [[cosine]] (built-in `zip_with` +
+    * `aggregate`): kept as the semantic reference for parity tests and as
+    * the portable fallback. */
+  def cosineHof(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Dimension-check predicate used at index-build time (the reference has
     * no validation at all — a bad dim crashes NumPy broadcasting,

@@ -59,6 +59,34 @@ class VectorOpsSpec extends SparkSpec {
     assert(df.select(VectorOps.l2SqHof(col("a"), col("b"))).head.isNullAt(0))
   }
 
+  test("codegen CosineSim matches the higher-order-function form ULP-EXACT on fixture pairs") {
+    // bit-compatibility is load-bearing: every hash-certified oracle that
+    // replays cosine (v04/v05/v19/d09/v20) assumes the fused loop emits
+    // the HOF's exact double — `=!=` on doubles is bitwise-meaningful here
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(30)
+    val pairs = emb.select(col("vec_id").as("ia"), col("embedding").as("a"))
+      .crossJoin(emb.select(col("vec_id").as("ib"), col("embedding").as("b")))
+    val diff = pairs
+      .select(
+        VectorOps.cosine(col("a"), col("b")).as("fast"),
+        VectorOps.cosineHof(col("a"), col("b")).as("hof"))
+      .filter(col("fast") =!= col("hof"))
+    assert(diff.count() == 0)
+  }
+
+  test("CosineSim edge cases: NULL on length mismatch; zero-norm yields NaN where the ANSI HOF throws") {
+    val mismatch = Seq((Seq(1f, 2f), Seq(1f, 2f, 3f))).toDF("a", "b")
+    assert(mismatch.select(VectorOps.cosine(col("a"), col("b"))).head.isNullAt(0))
+    // deliberate divergence (documented in CosineSim): a degenerate zero
+    // vector NaNs out of every threshold instead of killing the job
+    val zero = Seq((Seq(0f, 0f), Seq(1f, 2f))).toDF("a", "b")
+    assert(zero.select(VectorOps.cosine(col("a"), col("b"))).head.getDouble(0).isNaN)
+    val e = intercept[Throwable] {
+      zero.select(VectorOps.cosineHof(col("a"), col("b"))).head
+    }
+    assert(e.toString.contains("DIVIDE_BY_ZERO"), s"expected ANSI divide-by-zero, got $e")
+  }
+
   test("l2_squared and simhash64 are callable from SQL after extension registration") {
     graft.GraftExtensions.register(spark)
     Seq((Seq(1f, 2f, 3f), Seq(4f, 6f, 3f))).toDF("a", "b").createOrReplaceTempView("vec_pairs")
