@@ -457,6 +457,108 @@ object PipelineQueries {
         sb.toString
       }),
 
+    // The full retrieval stack COMPOSED (the p09 trick applied to
+    // search): metadata filter → BM25 keyword top-30 + cosine vector
+    // top-30 over the FILTERED corpus → Reciprocal Rank Fusion → top-10
+    // cut → MMR diversity re-rank to a final 5. Every stage is the
+    // already-certified machinery (v18 filter, t08 BM25, v04 cosine, v19
+    // fusion, v20 MMR), and every stage's arithmetic is portable, so one
+    // DuckDB query replays the ENTIRE stack — a user's production
+    // retrieval pipeline certified end-to-end in a single hash.
+    NamedQuery(
+      "v21_retrieval_pipeline",
+      (s, dir) => {
+        import graft.vector.{Mmr, VectorOps}
+        val W = org.apache.spark.sql.expressions.Window
+        val emb = t(s, dir, "embeddings")
+        val keepEmb = emb.filter(col("label") % 2 === 0)
+        val docs = t(s, dir, "documents")
+          .join(keepEmb.select(col("vec_id").as("doc_id")), Seq("doc_id"))
+        val kw = Bm25
+          .score(docs, Seq("vector", "spark", "merge"))
+          .select(col("doc_id"), f32round(col("score"), 4).as("score"))
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(30)
+          .withColumn("rank", row_number().over(W.orderBy(col("score").desc, col("doc_id"))))
+        val vec = keepEmb
+          .crossJoin(broadcast(embQueries(s, dir, 1)))
+          .withColumn("cos", VectorOps.cosine(col("qvec"), col("embedding")))
+          .select(col("vec_id").as("doc_id"), col("cos"))
+          .orderBy(col("cos").desc, col("doc_id"))
+          .limit(30)
+          .withColumn("rank", row_number().over(W.orderBy(col("cos").desc, col("doc_id"))))
+        val cut = graft.text.Hybrid
+          .rrf(kw, vec, k0 = 60)
+          .orderBy(f32round(col("rrf"), 6).desc, col("doc_id"))
+          .limit(10)
+        val cand = cut
+          .join(keepEmb.select(col("vec_id").as("doc_id"), col("embedding")), Seq("doc_id"))
+          .select(
+            lit(0L).as("query_id"), col("doc_id").as("vec_id"),
+            col("rrf").as("rel"), col("embedding"))
+        Mmr
+          .rerank(cand, k = 5, lambda = 0.7)
+          .select(
+            col("sel_rank"), col("vec_id").as("doc_id"),
+            f32round(col("mmr"), 6).as("mmr"))
+          .orderBy("sel_rank")
+      },
+      Some {
+        def term(i: Int): String =
+          s"ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df$i AS DOUBLE) + 0.5) / (CAST(df$i AS DOUBLE) + 0.5))" +
+            s" * CAST(tf$i AS DOUBLE) * (1.2 + 1.0) / (CAST(tf$i AS DOUBLE) + 1.2 * " +
+            s"(1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / (CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))"
+        def cos(a: String, b: String) =
+          s"${duckDot(a, b)} / (${duckNorm(a)} * ${duckNorm(b)})"
+        val sb = new StringBuilder
+        sb ++= "WITH fe AS (SELECT vec_id, embedding FROM embeddings WHERE label % 2 = 0), "
+        sb ++= "fd AS (SELECT d.doc_id, d.text FROM documents d JOIN fe ON fe.vec_id = d.doc_id), "
+        sb ++= s"tok AS (SELECT doc_id, unnest(${duckToks.replace("text", "fd.text")}) AS tk FROM fd), "
+        sb ++= "perdoc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl, " +
+          "CAST(sum(CASE WHEN tk = 'vector' THEN 1 ELSE 0 END) AS BIGINT) AS tf0, " +
+          "CAST(sum(CASE WHEN tk = 'spark' THEN 1 ELSE 0 END) AS BIGINT) AS tf1, " +
+          "CAST(sum(CASE WHEN tk = 'merge' THEN 1 ELSE 0 END) AS BIGINT) AS tf2 FROM tok GROUP BY doc_id), "
+        sb ++= "stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_dl, " +
+          "CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0, " +
+          "CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1, " +
+          "CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2 FROM perdoc), "
+        sb ++= "kwsc AS (SELECT doc_id, " +
+          s"round(CAST(CAST(${term(0)} + ${term(1)} + ${term(2)} AS REAL) AS DOUBLE), 4) + 0.0 AS score " +
+          "FROM perdoc, stats), "
+        sb ++= "kw AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS kw_rank " +
+          "FROM kwsc ORDER BY score DESC, doc_id LIMIT 30), "
+        sb ++= "q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0), "
+        sb ++= s"csim AS (SELECT e.vec_id AS doc_id, ${cos("q.qvec", "e.embedding")} AS c FROM fe e, q), "
+        sb ++= "vec AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY c DESC, doc_id) AS INTEGER) AS vec_rank " +
+          "FROM csim ORDER BY c DESC, doc_id LIMIT 30), "
+        sb ++= "fused AS (SELECT coalesce(kw.doc_id, vec.doc_id) AS doc_id, " +
+          "coalesce(1.0 / (60.0 + kw.kw_rank), 0.0) + coalesce(1.0 / (60.0 + vec.vec_rank), 0.0) AS rrf " +
+          "FROM kw FULL OUTER JOIN vec ON kw.doc_id = vec.doc_id), "
+        sb ++= "cut AS (SELECT doc_id, rrf FROM fused " +
+          "ORDER BY round(CAST(CAST(rrf AS REAL) AS DOUBLE), 6) DESC, doc_id LIMIT 10), "
+        sb ++= "cand AS (SELECT c.doc_id AS vec_id, c.rrf AS rel, fe.embedding FROM cut c " +
+          "JOIN fe ON fe.vec_id = c.doc_id), "
+        sb ++= "s1 AS (SELECT 1 AS sel_rank, vec_id, mmr, embedding FROM (" +
+          "SELECT vec_id, 0.7 * rel AS mmr, embedding, row_number() OVER (" +
+          "ORDER BY round(CAST(CAST(0.7 * rel AS REAL) AS DOUBLE), 4) DESC, vec_id) AS rn FROM cand) WHERE rn = 1), "
+        for (step <- 2 to 5) {
+          val selU = (1 until step).map(i => s"SELECT * FROM s$i").mkString(" UNION ALL ")
+          sb ++= s"sel${step - 1} AS ($selU), "
+          sb ++= s"r$step AS (SELECT c.vec_id, c.rel, c.embedding FROM cand c " +
+            s"WHERE NOT EXISTS (SELECT 1 FROM sel${step - 1} s WHERE s.vec_id = c.vec_id)), "
+          sb ++= s"m$step AS (SELECT r.vec_id, any_value(r.rel) AS rel, any_value(r.embedding) AS embedding, " +
+            s"max(${cos("r.embedding", "s.embedding")}) AS max_sim FROM r$step r, sel${step - 1} s GROUP BY r.vec_id), "
+          sb ++= s"s$step AS (SELECT $step AS sel_rank, vec_id, mmr, embedding FROM (" +
+            s"SELECT vec_id, 0.7 * rel - (1.0 - 0.7) * max_sim AS mmr, embedding, row_number() OVER (" +
+            s"ORDER BY round(CAST(CAST(0.7 * rel - (1.0 - 0.7) * max_sim AS REAL) AS DOUBLE), 4) DESC, vec_id) AS rn " +
+            s"FROM m$step) WHERE rn = 1), "
+        }
+        sb ++= "allsel AS (" + (1 to 5).map(i => s"SELECT * FROM s$i").mkString(" UNION ALL ") + ") "
+        sb ++= "SELECT sel_rank, vec_id AS doc_id, round(CAST(CAST(mmr AS REAL) AS DOUBLE), 6) + 0.0 AS mmr " +
+          "FROM allsel ORDER BY sel_rank"
+        sb.toString
+      }),
+
     // IVF APS search (reference search, quake_min.py:147-168) over the
     // two-level index. The probe math (k-means state + APS softmax) is
     // not SQL-portable, but the acceptance FACTS about the result are —
@@ -1126,6 +1228,49 @@ object PipelineQueries {
           "CAST(sum(CASE WHEN s IN (SELECT s FROM dup) THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans, " +
           "round(CAST(sum(CASE WHEN s IN (SELECT s FROM dup) THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_ratio " +
           "FROM g GROUP BY doc_id ORDER BY doc_id")),
+
+    // Shingle-containment join (Dedup.containmentPairs): the asymmetric
+    // |A∩B|/|A| that catches a SHORT doc living inside a LONG one where
+    // Jaccard stays low (the union is dominated by the long doc). Probes
+    // are PLANTED: the first 10 docs truncated to their first-half
+    // tokens under -(doc_id+1) — every prefix 3-gram occurs in the
+    // source, so each probe must surface its source at containment 1.0,
+    // plus whatever natural overlaps the small-vocabulary corpus yields
+    // at the 0.5 bar. DuckDB recomputes every probe shingle set, every
+    // intersection, and the exact int/int ratio, so hash-green certifies
+    // the broadcast semi-join found exactly the true containment pairs.
+    NamedQuery(
+      "d11_containment",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        val toks = TextOps.tokens(col("text"))
+        val probes = docs
+          .filter(col("doc_id") < 10)
+          .select(
+            (-(col("doc_id") + 1L)).as("doc_id"),
+            concat_ws(" ", slice(toks, lit(1), size(toks) / 2)).as("text"))
+        Dedup
+          .containmentPairs(docs, probes, shingleN = 3, minContainment = 0.5)
+          .select(
+            col("probe_id"), col("doc_id"), col("n_shared"),
+            round(col("containment"), 6).as("containment"))
+          .orderBy("probe_id", "doc_id")
+      },
+      Some(
+        "WITH gram AS (SELECT doc_id, w, list_distinct(list_transform(" +
+          "generate_series(1, greatest(len(w) - 2, 0)), " +
+          "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh " +
+          s"FROM (SELECT doc_id, $duckToks AS w FROM documents)), " +
+          "probe AS (SELECT -(doc_id + 1) AS probe_id, list_distinct(list_transform(" +
+          "generate_series(1, greatest(len(h) - 2, 0)), " +
+          "i -> h[i] || ' ' || h[i+1] || ' ' || h[i+2])) AS sh " +
+          "FROM (SELECT doc_id, w[1 : len(w) // 2] AS h FROM gram WHERE doc_id < 10)), " +
+          "pairs AS (SELECT p.probe_id, g.doc_id, " +
+          "CAST(len(list_intersect(g.sh, p.sh)) AS BIGINT) AS n_shared, " +
+          "CAST(len(list_intersect(g.sh, p.sh)) AS DOUBLE) / len(p.sh) AS containment " +
+          "FROM probe p, gram g WHERE len(p.sh) > 0 AND len(list_intersect(g.sh, p.sh)) > 0) " +
+          "SELECT probe_id, doc_id, n_shared, round(containment, 6) AS containment " +
+          "FROM pairs WHERE containment >= 0.5 ORDER BY probe_id, doc_id")),
 
     // =====================================================================
     // Text analysis (documents)

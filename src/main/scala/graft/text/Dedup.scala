@@ -321,6 +321,51 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Shingle CONTAINMENT join — the asymmetric cousin of Jaccard that
+    * catches a SHORT document living inside a LONG one (quote farms,
+    * boilerplate wrappers, excerpt pages), where Jaccard stays low
+    * because the long doc's size dominates the union:
+    *
+    *   containment(probe, corpus) = |Sh(probe) ∩ Sh(corpus)| / |Sh(probe)|
+    *
+    * — 1.0 when every probe shingle occurs in the corpus doc, regardless
+    * of how much else the corpus doc contains.
+    *
+    * Scale shape = [[contaminatedDocs]]'s: the probe side is the small
+    * one (the suspect excerpts / the new crawl increment), so its
+    * distinct-shingle rows BROADCAST and the corpus pays one scan and one
+    * (probe_id, doc_id) count aggregate — the corpus is never shuffled.
+    * Probe shingle-set sizes come from a second pass over the (small)
+    * probe side only. Pairs sharing no shingle never materialize, hence
+    * `minContainment > 0`.
+    *
+    * @return (`probe_id`, `doc_id`, `n_shared`, `containment`) with
+    *         containment ≥ `minContainment`; containment is an exact
+    *         int/int double
+    */
+  def containmentPairs(
+      corpus: DataFrame,
+      probes: DataFrame,
+      shingleN: Int,
+      minContainment: Double): DataFrame = {
+    require(minContainment > 0.0, "zero-overlap pairs never materialize; use minContainment > 0")
+    val corpusSh = TextOps.shingleRows(corpus.select("doc_id", "text"), shingleN, distinctSet = true)
+    val probeSh = graft.CacheScope.track(
+      TextOps
+        .shingleRows(probes.select("doc_id", "text"), shingleN, distinctSet = true)
+        .withColumnRenamed("doc_id", "probe_id")
+        .cache())
+    val probeSize = probeSh.groupBy("probe_id").agg(count(lit(1)).as("n_probe"))
+    corpusSh
+      .join(broadcast(probeSh), "s")
+      .groupBy("probe_id", "doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(probeSize), Seq("probe_id"))
+      .withColumn("containment", col("n_shared").cast("double") / col("n_probe").cast("double"))
+      .filter(col("containment") >= minContainment)
+      .select("probe_id", "doc_id", "n_shared", "containment")
+  }
+
   /** Sparse (inverted-index) form of the blocked n-gram Jaccard join: the
     * shingle sets are EXPLODED and pairs meet through an equality join on
     * `(block, shingle)` — a pair's join-match count IS |A∩B|, and
