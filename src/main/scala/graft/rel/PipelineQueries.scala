@@ -1272,6 +1272,43 @@ object PipelineQueries {
           "SELECT probe_id, doc_id, n_shared, round(containment, 6) AS containment " +
           "FROM pairs WHERE containment >= 0.5 ORDER BY probe_id, doc_id")),
 
+    // The span-scrub TRANSFORM (Dedup.scrubRepeatedSpans): d10 found the
+    // duplicated spans; this query actually rewrites the corpus with
+    // them removed (Lee et al. §4 — edit, don't drop). Same planted
+    // corpus as d10, so the planted full copies (and their sources) must
+    // come back fully scrubbed (text = '', n_removed = n_tokens) while
+    // clean docs pass through untouched. The oracle recomputes every
+    // dup-gram start position and re-derives each kept token list with a
+    // 1-based indexed lambda mirroring Spark's 0-based one — hash-green
+    // certifies the exact rewritten TEXT of every document, not just
+    // counts.
+    NamedQuery(
+      "d12_span_scrub",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        val planted = docs
+          .filter(col("doc_id") < 5)
+          .select((-(col("doc_id") + 1L)).as("doc_id"), col("text"))
+        Dedup
+          .scrubRepeatedSpans(docs.unionByName(planted), w = 8, minDocs = 2)
+          .orderBy("doc_id")
+      },
+      Some(
+        "WITH corpus AS (SELECT doc_id, text FROM documents " +
+          "UNION ALL SELECT -(doc_id + 1) AS doc_id, text FROM documents WHERE doc_id < 5), " +
+          s"tok AS (SELECT doc_id, $duckToks AS w FROM corpus), " +
+          "g AS (SELECT doc_id, i, w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || " +
+          "w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7] AS s " +
+          "FROM tok, unnest(generate_series(1, greatest(len(w) - 7, 0))) AS t(i)), " +
+          "dup AS (SELECT s FROM (SELECT s, count(DISTINCT doc_id) AS nd FROM g GROUP BY s) WHERE nd >= 2), " +
+          "starts AS (SELECT doc_id, list(i) AS st FROM (SELECT DISTINCT doc_id, i FROM g " +
+          "WHERE s IN (SELECT s FROM dup)) GROUP BY doc_id), " +
+          "joined AS (SELECT t.doc_id, t.w, coalesce(s.st, []) AS st FROM tok t LEFT JOIN starts s USING (doc_id)), " +
+          "scrub AS (SELECT doc_id, w, list_filter(w, (x, j) -> " +
+          "len(list_filter(st, v -> v <= j AND j < v + 8)) = 0) AS kept FROM joined) " +
+          "SELECT doc_id, coalesce(array_to_string(kept, ' '), '') AS text, CAST(len(w) AS BIGINT) AS n_tokens, " +
+          "CAST(len(w) - len(kept) AS BIGINT) AS n_removed FROM scrub ORDER BY doc_id")),
+
     // =====================================================================
     // Text analysis (documents)
     // =====================================================================
@@ -3181,6 +3218,29 @@ object PipelineQueries {
           "CAST(count(*) OVER () AS BIGINT) AS n FROM hsh) " +
           "SELECT doc_id, lang, position, position * 8 // n AS shard FROM r ORDER BY position"
       }),
+
+    // Weighted sampling without replacement (Sampling.weightedSample,
+    // Efraimidis–Spirakis A-ES): top-20 docs per lang by the key
+    // ln(u)/weight with u the deterministic hash-uniform of the id and
+    // weight = n_chars — the quality-weighted downsample. ln is the one
+    // libm step, absorbed by ranking on the float32-squeezed key (the
+    // temperatureTargets convention); the hash-uniform is pure integer
+    // arithmetic, so DuckDB replays the exact selection and hash-green
+    // certifies membership AND the weighted order of every group.
+    NamedQuery(
+      "p10_weighted_sample",
+      (s, dir) =>
+        Sampling
+          .weightedSample(
+            t(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+            "lang", "doc_id", "n_chars", n = 20)
+          .orderBy("lang", "doc_id"),
+      Some(
+        "SELECT lang, doc_id, n_chars FROM (SELECT lang, doc_id, n_chars, " +
+          "row_number() OVER (PARTITION BY lang ORDER BY " +
+          "CAST(CAST(ln(CAST((doc_id * 2654435761) % 4294967296 + 1 AS DOUBLE) / 4294967296.0) " +
+          "/ CAST(n_chars AS DOUBLE) AS REAL) AS DOUBLE) DESC, doc_id) AS rn " +
+          "FROM documents) WHERE rn <= 20 ORDER BY lang, doc_id")),
 
     // Z-order layout + zone-map pruning: Morton-interleave (partkey,
     // suppkey) (ZOrder.interleave — a codegen'd bitwise ladder), bucket by

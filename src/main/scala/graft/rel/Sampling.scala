@@ -96,6 +96,41 @@ object Sampling {
     * [[quotaPerGroup]]. `floor(x + 0.5)` rather than `round` for the same
     * reason (one documented tie rule, no HALF_EVEN/HALF_UP ambiguity).
     */
+  /** Weighted sampling WITHOUT replacement (Efraimidis & Spirakis 2006,
+    * algorithm A-ES): keep the top `n` rows per group by the key
+    * `ln(u) / weight`, where `u ∈ (0, 1]` is the deterministic
+    * hash-uniform of the id. Selecting the n LARGEST keys draws subsets
+    * with inclusion probability proportional to weight — the
+    * quality-weighted corpus downsample ("sample documents ∝ quality
+    * score"), seed-free and rerun-stable like every sampler here.
+    * `ln(u)/w` is monotone-equivalent to the textbook `u^(1/w)` at one
+    * ln and one divide per row.
+    *
+    * `ln` is libm-dependent, so ranking uses the FLOAT32-SQUEEZED key
+    * with the id tiebreak (the [[temperatureTargets]] convention) — any
+    * engine replaying the integer hash lands on the identical sample.
+    * One group-key shuffle; the sort is per-group. Weights must be
+    * strictly positive (caller contract — a zero/negative weight
+    * produces ±Inf/NaN keys and poisons its group's ordering).
+    */
+  def weightedSample(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      weightCol: String,
+      n: Int): DataFrame = {
+    require(!df.columns.contains("_wkey"), "input must not already carry a _wkey column")
+    val u = (priority(col(idCol)) + lit(1L)).cast("double") / lit(4294967296.0)
+    val key = log(u) / col(weightCol).cast("double")
+    val w = Window
+      .partitionBy(col(groupCol))
+      .orderBy(col("_wkey").cast("float").cast("double").desc, col(idCol))
+    df.withColumn("_wkey", key)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= n)
+      .drop("_wkey", "_rn")
+  }
+
   def temperatureTargets(df: DataFrame, groupCol: String, alpha: Double, total: Long): DataFrame = {
     val f32 = (c: Column) => c.cast("float").cast("double")
     val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_rows"))

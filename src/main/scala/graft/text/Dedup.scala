@@ -296,6 +296,61 @@ object Dedup {
         col("n_dup_spans").cast("double") / col("n_spans").cast("double"))
   }
 
+  /** The TRANSFORM companion of [[repeatedSpanStats]]: rewrite each
+    * document with its cross-corpus duplicated spans REMOVED (Lee et al.
+    * ACL 2022 §4 — the dedup that actually edits the corpus rather than
+    * dropping whole documents). A token is scrubbed when ANY `w`-token
+    * gram covering it occurs in ≥ `minDocs` distinct documents; the
+    * kept tokens re-join in order.
+    *
+    * Dataflow: the duplicated-gram table is built exactly as in
+    * [[repeatedSpanStats]]; each doc then rejoins ONLY its own dup-gram
+    * start positions (collect_set per doc — bounded by the doc's span
+    * count), and the rewrite is one row-local indexed `filter` lambda
+    * over the token array. Corpus text is never shuffled: the shuffled
+    * currency is (gram, doc_id, pos) rows and the per-doc start-position
+    * sets.
+    *
+    * @return (`doc_id`, `text` scrubbed, `n_tokens`, `n_removed`) — one
+    *         row per input doc; docs shorter than `w` pass through
+    *         unchanged
+    */
+  def scrubRepeatedSpans(docs: DataFrame, w: Int, minDocs: Int = 2): DataFrame = {
+    val withToks = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("_toks"))
+    val grams = withToks.select(
+      col("doc_id"),
+      posexplode(TextOps.shingles(col("_toks"), w)).as(Seq("pos", "s")))
+    val dupGrams = grams
+      .select("s", "doc_id")
+      .distinct()
+      .groupBy("s")
+      .agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("s")
+    val starts = grams
+      .join(dupGrams, Seq("s"), "left_semi")
+      .groupBy("doc_id")
+      .agg(collect_set(col("pos")).as("_starts"))
+    withToks
+      .join(starts, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("_toks"),
+        coalesce(col("_starts"), array().cast("array<int>")).as("_st"))
+      .select(
+        col("doc_id"),
+        // token i survives unless a dup gram starts in (i-w, i]
+        filter(
+          col("_toks"),
+          (_, i) => !exists(col("_st"), st => st <= i && i < st + w)).as("_kept"),
+        size(col("_toks")).cast("long").as("n_tokens"))
+      .select(
+        col("doc_id"),
+        concat_ws(" ", col("_kept")).as("text"),
+        col("n_tokens"),
+        (col("n_tokens") - size(col("_kept"))).cast("long").as("n_removed"))
+  }
+
   /** Benchmark decontamination (the GPT-3/Pile n-gram rule): flag every
     * training document sharing at least one distinct `shingleN`-token
     * shingle with any benchmark document, with the overlap size per

@@ -15,6 +15,26 @@ class SamplingRangeSpec extends SparkSpec {
     assert(s1 == s2, "sample must not depend on partitioning")
   }
 
+  test("weightedSample: deterministic across partitionings, caps per group, dominant weight always wins the top slot") {
+    val df = (1L to 200L)
+      .map(i => (i, if (i % 2 == 0) "even" else "odd", 1.0 + (i % 7)))
+      .toDF("id", "grp", "w")
+    val s1 = Sampling.weightedSample(df, "grp", "id", "w", 15)
+      .as[(Long, String, Double)].collect().toSet
+    assert(s1.count(_._2 == "even") == 15 && s1.count(_._2 == "odd") == 15)
+    val s2 = Sampling.weightedSample(df.repartition(7), "grp", "id", "w", 15)
+      .as[(Long, String, Double)].collect().toSet
+    assert(s1 == s2, "sample must not depend on partitioning")
+
+    // a weight 12 orders of magnitude above the rest pins key ln(u)/w to
+    // ~0⁻, above every unit-weight key for any u — it must always be kept
+    val dom = ((1L to 50L).map(i => (i, "g", 1.0)) :+ ((99L, "g", 1e12)))
+      .toDF("id", "grp", "w")
+    val kept1 = Sampling.weightedSample(dom, "grp", "id", "w", 1)
+      .select("id").as[Long].collect().toSeq
+    assert(kept1 == Seq(99L), s"dominant weight must win, got $kept1")
+  }
+
   test("quota priority spreads: the kept set is not just the lowest ids") {
     val df = (1L to 1000L).map((_, "g")).toDF("id", "grp")
     val kept = Sampling.quotaPerGroup(df, "grp", "id", 50).as[(Long, String)].collect().map(_._1)

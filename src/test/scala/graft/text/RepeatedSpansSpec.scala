@@ -34,6 +34,29 @@ class RepeatedSpansSpec extends SparkSpec {
     assert(ratios(0L) == 1.0 && ratios(2L) == 0.0 && ratios(4L) == 0.25)
   }
 
+  test("scrubRepeatedSpans rewrites docs: full copies empty out, partial overlap loses exactly the shared span, clean docs pass through") {
+    val docs = Seq(
+      (0L, "a b c d e f g h i j"),
+      (1L, "a b c d e f g h i j"),          // full copy → fully scrubbed
+      (2L, "z y x w v u t s"),              // clean → untouched
+      (3L, "p q r s p q r s p q r s"),      // self-repeating only → untouched
+      (4L, "a b c d k1 k2 k3")              // loses tokens covered by 'a b c d'
+    ).toDF("doc_id", "text")
+    val res = Dedup.scrubRepeatedSpans(docs, w = 4, minDocs = 2)
+      .select("doc_id", "text", "n_tokens", "n_removed")
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(res(0L) == (("", 10L, 10L)))
+    assert(res(1L) == (("", 10L, 10L)))
+    assert(res(2L) == (("z y x w v u t s", 8L, 0L)))
+    assert(res(3L) == (("p q r s p q r s p q r s", 12L, 0L)))
+    assert(res(4L) == (("k1 k2 k3", 7L, 4L)))
+    // sub-window docs pass through with zero spans
+    val short = Dedup.scrubRepeatedSpans(Seq((9L, "a b")).toDF("doc_id", "text"), w = 4)
+      .select("text", "n_removed").as[(String, Long)].head()
+    assert(short == (("a b", 0L)))
+  }
+
   test("repeatedSpanStats: docs shorter than the window vanish; minDocs raises the duplication bar") {
     val docs = Seq(
       (0L, "a b c"),              // 3 toks < w=4 → no spans
