@@ -197,6 +197,29 @@ object PipelineQueries {
     updates.unionByName(deletes).unionByName(inserts)
   }
   // Shared by q33 (batch) and s08 (streaming fold) — the two MUST agree.
+  // Shared by t09 (batch CMS) and s09 (streaming CMS) — the two MUST
+  // agree: sketch-counter addition is commutative, so micro-batch
+  // slicing cannot change the grid, and one oracle certifies both.
+  private lazy val cmsOracleSql = {
+    def kr(e: String, init: Int, base: Int, mod: Long): String =
+      s"list_reduce(list_prepend(CAST($init AS BIGINT), list_transform(generate_series(1, len($e)), " +
+        s"i -> CAST(ord(substring($e, i, 1)) AS BIGINT))), (a, c) -> (a * $base + c) % $mod)"
+    def mixes(e: String): String =
+      s"(${kr(e, 7, 131, 1000000007L)} * 2654435761) % 1000000007 AS m1, " +
+        s"(${kr(e, 11, 137, 998244353L)} * 2246822519) % 998244353 AS m2"
+    s"WITH tok AS (SELECT unnest($duckToks) AS tok FROM documents), " +
+      s"h AS (SELECT tok, ${mixes("tok")} FROM tok), " +
+      "cell AS (SELECT r.j AS j, (m1 + r.j * m2) % 512 AS cell FROM h, range(4) r(j)), " +
+      "sk AS (SELECT j, cell, CAST(count(*) AS BIGINT) AS cnt FROM cell GROUP BY j, cell), " +
+      "exact AS (SELECT tok, CAST(count(*) AS BIGINT) AS exact_n FROM tok GROUP BY tok), " +
+      "top AS (SELECT tok, exact_n FROM exact ORDER BY exact_n DESC, tok LIMIT 20), " +
+      s"th AS (SELECT tok, exact_n, ${mixes("tok")} FROM top), " +
+      "probe AS (SELECT tok, exact_n, r.j AS j, (m1 + r.j * m2) % 512 AS cell FROM th, range(4) r(j)), " +
+      "est AS (SELECT p.tok, p.exact_n, min(s.cnt) AS est_n FROM probe p " +
+      "JOIN sk s ON s.j = p.j AND s.cell = p.cell GROUP BY p.tok, p.exact_n) " +
+      "SELECT tok, exact_n, est_n, est_n - exact_n AS overcount FROM est ORDER BY exact_n DESC, tok"
+  }
+
   private val mergeOracleSql =
     "WITH snap AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders), " +
       "ch AS (" +
@@ -2284,6 +2307,58 @@ object PipelineQueries {
           "SELECT DISTINCT t.doc_id FROM train t, bench b " +
           "WHERE len(list_intersect(t.sh, b.sh)) >= 1 ORDER BY doc_id")),
 
+    // Streaming CMS ≡ batch CMS, proven on t09's OWN oracle (the q33/s08
+    // batch≡stream technique applied to sketches): the document corpus
+    // arrives as 4 single-file micro-batches (maxFilesPerTrigger=1), the
+    // 4×512 counter grid accumulates across triggers as complete-mode
+    // streaming state — bounded at 2048 cells for ANY stream length,
+    // which is the entire reason to sketch a stream — and the final grid
+    // serves the same top-20 heavy-hitter estimates as the batch sketch.
+    // Counter addition is commutative and micro-batch slicing only
+    // re-associates it, so the grids are identical and one oracle
+    // certifies both paths.
+    NamedQuery(
+      "s09_stream_cms",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        val tmp = java.nio.file.Files.createTempDirectory("s09_docs_")
+        val qname = s"s09_sink_${streamSinkCounter.incrementAndGet()}"
+        val (rows, schema) = withShufflePartitions(s, 8) { try {
+          val inDir = s"$tmp/in"
+          docs.repartition(4).write.mode("overwrite").parquet(inDir)
+          val stream = s.readStream
+            .schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(inDir)
+          val toks = stream.select(explode(TextOps.tokens(col("text"))).as("tok"))
+          val grid = graft.streaming.StreamingOps.cmsSketchStream(toks, "tok", depth = 4, width = 512)
+          val query = grid.writeStream
+            .format("memory").queryName(qname).outputMode("complete").start()
+          try query.processAllAvailable()
+          finally query.stop()
+          val sk = s.table(qname)
+          val toksB = docs.select(explode(TextOps.tokens(col("text"))).as("tok"))
+          val top = toksB
+            .groupBy("tok").agg(count(lit(1)).as("exact_n"))
+            .orderBy(col("exact_n").desc, col("tok"))
+            .limit(20)
+          val shaped = Cms
+            .estimate(top, "tok", sk, depth = 4, width = 512)
+            .select(
+              col("tok"), col("exact_n"), col("est_n"),
+              (col("est_n") - col("exact_n")).as("overcount"))
+            .orderBy(col("exact_n").desc, col("tok"))
+          (shaped.collect().toSeq, shaped.schema)
+        } finally {
+          try s.catalog.dropTempView(qname)
+          catch { case _: Exception => () }
+          deleteRecursively(tmp)
+        }
+        }
+        s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
+      },
+      Some(cmsOracleSql)),
+
     // The adaptive loop CLOSED ONLINE (§7.5's last open item): a stream of
     // queries skewed onto the index's largest partition drives live hit
     // accounting, and maintain() fires inside the stream when that
@@ -2991,25 +3066,7 @@ object PipelineQueries {
           .select(col("tok"), col("exact_n"), col("est_n"), (col("est_n") - col("exact_n")).as("overcount"))
           .orderBy(col("exact_n").desc, col("tok"))
       },
-      Some {
-        def kr(e: String, init: Int, base: Int, mod: Long): String =
-          s"list_reduce(list_prepend(CAST($init AS BIGINT), list_transform(generate_series(1, len($e)), " +
-            s"i -> CAST(ord(substring($e, i, 1)) AS BIGINT))), (a, c) -> (a * $base + c) % $mod)"
-        def mixes(e: String): String =
-          s"(${kr(e, 7, 131, 1000000007L)} * 2654435761) % 1000000007 AS m1, " +
-            s"(${kr(e, 11, 137, 998244353L)} * 2246822519) % 998244353 AS m2"
-        s"WITH tok AS (SELECT unnest($duckToks) AS tok FROM documents), " +
-          s"h AS (SELECT tok, ${mixes("tok")} FROM tok), " +
-          "cell AS (SELECT r.j AS j, (m1 + r.j * m2) % 512 AS cell FROM h, range(4) r(j)), " +
-          "sk AS (SELECT j, cell, CAST(count(*) AS BIGINT) AS cnt FROM cell GROUP BY j, cell), " +
-          "exact AS (SELECT tok, CAST(count(*) AS BIGINT) AS exact_n FROM tok GROUP BY tok), " +
-          "top AS (SELECT tok, exact_n FROM exact ORDER BY exact_n DESC, tok LIMIT 20), " +
-          s"th AS (SELECT tok, exact_n, ${mixes("tok")} FROM top), " +
-          "probe AS (SELECT tok, exact_n, r.j AS j, (m1 + r.j * m2) % 512 AS cell FROM th, range(4) r(j)), " +
-          "est AS (SELECT p.tok, p.exact_n, min(s.cnt) AS est_n FROM probe p " +
-          "JOIN sk s ON s.j = p.j AND s.cell = p.cell GROUP BY p.tok, p.exact_n) " +
-          "SELECT tok, exact_n, est_n, est_n - exact_n AS overcount FROM est ORDER BY exact_n DESC, tok"
-      }),
+      Some(cmsOracleSql)),
 
     // Per-document tf·idf keyword extraction (TfIdf.topTerms): exact
     // integer tf/df/N, add-one-smoothed idf, ranks taken on the

@@ -247,6 +247,27 @@ object StreamingOps {
       .select("doc_id")
   }
 
+  /** Streaming Count-Min sketch: the d×w counter grid maintained as an
+    * UNBOUNDED streaming aggregation — the canonical reason sketches
+    * exist. State is the sketch itself: O(depth·width) grid rows
+    * regardless of stream length (2048 cells at the t09/s09 config),
+    * where exact streaming heavy-hitters would hold per-key state that
+    * grows with the vocabulary. Run with complete-mode output; each
+    * trigger emits the current grid, and because counter addition is
+    * commutative and micro-batch slicing only re-associates it, the
+    * final emission is IDENTICAL to the batch sketch of the same rows —
+    * the s09 driver query proves it against t09's own oracle (the
+    * q33/s08 batch≡stream technique applied to sketches).
+    *
+    * Deliberately the SAME plan as the batch path — this is
+    * [[graft.text.Cms.sketch]] applied to a streaming DataFrame (one
+    * code path, one semantics, like [[applyChangelogStream]] reusing
+    * the batch MERGE); the wrapper exists to document the streaming
+    * contract (complete output mode, bounded state).
+    */
+  def cmsSketchStream(toks: DataFrame, tokCol: String, depth: Int, width: Int): DataFrame =
+    graft.text.Cms.sketch(toks, tokCol, depth, width)
+
   /** Watermarked stream-stream interval join: match each left row to the
     * right rows with the same `key` whose event time falls in
     * `[leftTs, leftTs + maxLag]` — the click→purchase attribution shape.

@@ -319,4 +319,32 @@ class StreamingSpec extends SparkSpec {
       spark.catalog.dropTempView("s06_test")
     }
   }
+
+  test("streaming CMS grid accumulates across micro-batches to exactly the batch sketch; state is grid-bounded") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[String]
+    val toks = source.toDF.toDF("tok")
+    val grid = StreamingOps.cmsSketchStream(toks, "tok", depth = 4, width = 64)
+    val q = grid.writeStream.format("memory").queryName("s09_test").outputMode("complete").start()
+    try {
+      source.addData("a", "b", "a", "c")
+      q.processAllAvailable()
+      source.addData("a", "c", "d", "d", "d")
+      q.processAllAvailable()
+      val streamed = spark.table("s09_test")
+        .select("row_j", "cell", "cnt").as[(Int, Long, Long)].collect().toSet
+      val batch = graft.text.Cms
+        .sketch(Seq("a", "b", "a", "c", "a", "c", "d", "d", "d").toDF("tok"), "tok", 4, 64)
+        .select("row_j", "cell", "cnt").as[(Int, Long, Long)].collect().toSet
+      assert(streamed == batch, "streamed grid must equal the batch sketch of the same rows")
+      // state bound: the grid can never exceed depth × width cells
+      assert(streamed.size <= 4 * 64)
+      // total mass per row = total token occurrences (9)
+      assert(streamed.groupBy(_._1).forall(_._2.toSeq.map(_._3).sum == 9L))
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("s09_test")
+    }
+  }
 }
