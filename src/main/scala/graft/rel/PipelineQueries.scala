@@ -3,8 +3,8 @@ package graft.rel
 import graft.{NamedQuery, Tables}
 import graft.index.{IvfBuild, IvfModel, IvfSearch}
 import graft.multimodal.MultimodalOps
-import graft.text.{Bm25, Cms, Dedup, TextOps, TfIdf}
-import graft.vector.{Pq, Sq, VectorMean}
+import graft.text.{Bm25, Cms, Dedup, LangModel, TextOps, TfIdf}
+import graft.vector.{BinaryQuant, Pq, Sq, VectorMean}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -581,6 +581,48 @@ object PipelineQueries {
           "FROM allsel ORDER BY sel_rank"
         sb.toString
       }),
+
+    // Binary (sign-bit) quantization ANN (BinaryQuant.topK): 1 bit per
+    // dimension packed 32/word, codegen'd Hamming candidate scan, exact
+    // L2 re-rank of the top-40 — the 32×-compression end of the menu
+    // beside PQ (16×) and SQ (4×). The oracle replays the WHOLE pipeline
+    // from first principles: sign-bit disagreement count (≡ packed
+    // Hamming — the packing itself is spec-pinned in BinaryQuantSpec),
+    // the same (hamming, vec_id) candidate cut, the same exact re-rank.
+    // All-integer candidate math → no float wobble anywhere before the
+    // final squeezed distances.
+    NamedQuery(
+      "v22_binary_hamming_knn",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+        val dim = emb.select(size(col("embedding"))).head().getInt(0)
+        BinaryQuant
+          .topK(emb, embQueries(s, dir, 5), dim, k = 10, rerank = 4)
+          .select(
+            col("query_id"),
+            col("rank").cast("int").as("rnk"),
+            col("vec_id"),
+            f32round(col("dist2"), 3).as("dist2"))
+          .orderBy("query_id", "rnk")
+      },
+      Some(
+        "WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5), " +
+          "h AS (SELECT q.query_id, c.vec_id, CAST(list_sum(list_transform(" +
+          "generate_series(1, len(c.embedding)), i -> " +
+          "CASE WHEN (c.embedding[i] > 0) <> (q.qvec[i] > 0) THEN 1 ELSE 0 END)) AS INTEGER) AS hd " +
+          "FROM embeddings c CROSS JOIN q), " +
+          "cand AS (SELECT query_id, vec_id, row_number() OVER " +
+          "(PARTITION BY query_id ORDER BY hd ASC, vec_id ASC) AS crnk FROM h), " +
+          "d AS (SELECT cand.query_id, cand.vec_id, " +
+          "list_sum(list_transform(generate_series(1, len(e.embedding)), i -> " +
+          "(CAST(e.embedding[i] AS DOUBLE) - CAST(q.qvec[i] AS DOUBLE)) * " +
+          "(CAST(e.embedding[i] AS DOUBLE) - CAST(q.qvec[i] AS DOUBLE)))) AS dist2 " +
+          "FROM cand JOIN embeddings e ON e.vec_id = cand.vec_id " +
+          "JOIN q ON q.query_id = cand.query_id WHERE cand.crnk <= 40), " +
+          "r AS (SELECT query_id, vec_id, dist2, CAST(row_number() OVER " +
+          "(PARTITION BY query_id ORDER BY dist2 ASC, vec_id ASC) AS INTEGER) AS rnk FROM d) " +
+          "SELECT query_id, rnk, vec_id, round(CAST(CAST(dist2 AS REAL) AS DOUBLE), 3) + 0.0 AS dist2 " +
+          "FROM r WHERE rnk <= 10 ORDER BY query_id, rnk")),
 
     // IVF APS search (reference search, quake_min.py:147-168) over the
     // two-level index. The probe math (k-means state + APS softmax) is
@@ -3094,6 +3136,65 @@ object PipelineQueries {
           "FROM sc) " +
           "SELECT doc_id, term, tf, score, rnk FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk")),
 
+    // Corpus-trained bigram LM quality scoring (LangModel.bigramNll — the
+    // CCNet-style "perplexity gate"): add-one-smoothed bigram model trained
+    // on the corpus itself, each document scored by its average negative
+    // log-likelihood. Counts are exact integers; the ln sum crosses the
+    // oracle through the f32 squeeze. The DuckDB replay re-derives the
+    // whole model: token pairing via lead() over ordinality, the same
+    // c12/c1/V arithmetic, the same smoothing.
+    NamedQuery(
+      "t11_bigram_nll",
+      (s, dir) =>
+        LangModel
+          .bigramNll(t(s, dir, "documents").select("doc_id", "text"))
+          .orderBy("doc_id"),
+      Some(
+        s"WITH tk AS (SELECT doc_id, $duckToks AS toks FROM documents), " +
+          "pos AS (SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS pos " +
+          "FROM tk WHERE len(toks) >= 2), " +
+          "bg AS (SELECT doc_id, w AS w1, lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2 FROM pos), " +
+          "bgn AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS n FROM bg " +
+          "WHERE w2 IS NOT NULL GROUP BY doc_id, w1, w2), " +
+          "c12t AS (SELECT w1, w2, CAST(sum(n) AS BIGINT) AS c12 FROM bgn GROUP BY w1, w2), " +
+          "c1t AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12t GROUP BY w1), " +
+          "v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM " +
+          "(SELECT unnest(toks) AS w FROM tk)), " +
+          "lp AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams, " +
+          "sum(CAST(n AS DOUBLE) * ln((CAST(c12 AS DOUBLE) + 1.0) / " +
+          "(CAST(c1 AS DOUBLE) + CAST(v AS DOUBLE)))) AS s " +
+          "FROM bgn JOIN c12t USING (w1, w2) JOIN c1t USING (w1) CROSS JOIN v GROUP BY doc_id) " +
+          "SELECT doc_id, n_bigrams, " +
+          "round(CAST(CAST(-s / CAST(n_bigrams AS DOUBLE) AS REAL) AS DOUBLE), 4) + 0.0 AS avg_nll " +
+          "FROM lp ORDER BY doc_id")),
+
+    // PMI collocation mining (LangModel.pmiCollocations): the corpus's
+    // strongest adjacent-pair associations — ln(c12·T/(c1·c2)) over exact
+    // integer counts, global cut via TakeOrdered with (w1, w2) ties so
+    // the boundary SET is deterministic. The min-count floor (5) keeps
+    // the rare-pair PMI spike out, the standard collocation hygiene.
+    NamedQuery(
+      "t12_pmi_collocations",
+      (s, dir) =>
+        LangModel
+          .pmiCollocations(t(s, dir, "documents").select("doc_id", "text"), minCount = 5L, topK = 20)
+          .orderBy(col("pmi").desc, col("w1"), col("w2")),
+      Some(
+        s"WITH tk AS (SELECT doc_id, $duckToks AS toks FROM documents), " +
+          "pos AS (SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS pos " +
+          "FROM tk WHERE len(toks) >= 2), " +
+          "bg AS (SELECT doc_id, w AS w1, lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2 FROM pos), " +
+          "c12t AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bg " +
+          "WHERE w2 IS NOT NULL GROUP BY w1, w2), " +
+          "c1t AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12t GROUP BY w1), " +
+          "c2t AS (SELECT w2, CAST(sum(c12) AS BIGINT) AS c2 FROM c12t GROUP BY w2), " +
+          "tt AS (SELECT CAST(sum(c12) AS BIGINT) AS t FROM c12t), " +
+          "sc AS (SELECT w1, w2, c12, " +
+          "round(CAST(CAST(ln((CAST(c12 AS DOUBLE) * CAST(t AS DOUBLE)) / " +
+          "(CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE))) AS REAL) AS DOUBLE), 4) + 0.0 AS pmi " +
+          "FROM c12t JOIN c1t USING (w1) JOIN c2t USING (w2) CROSS JOIN tt WHERE c12 >= 5) " +
+          "SELECT w1, w2, c12, pmi FROM sc ORDER BY pmi DESC, w1, w2 LIMIT 20")),
+
     // SCD-2 change capture over the orders stream: each customer's
     // priority history collapsed to versioned rows with half-open
     // [valid_from, valid_to) windows (Scd.scd2 — ONE shuffle on the key,
@@ -3298,6 +3399,34 @@ object PipelineQueries {
           "CAST(CAST(ln(CAST((doc_id * 2654435761) % 4294967296 + 1 AS DOUBLE) / 4294967296.0) " +
           "/ CAST(n_chars AS DOUBLE) AS REAL) AS DOUBLE) DESC, doc_id) AS rn " +
           "FROM documents) WHERE rn <= 20 ORDER BY lang, doc_id")),
+
+    // Curriculum binning by exact token-count quantiles
+    // (Sampling.quantileBins): 8 equal-population buckets — the
+    // "schedule short documents first" primitive. NOT ntile (a global
+    // single-task sort): the rows reduce to a length HISTOGRAM, the
+    // boundary array comes from a cumulative sum over that metadata-sized
+    // table, and the assignment is a broadcast rejoin — all-integer, so
+    // the oracle replays the identical boundaries and bins.
+    NamedQuery(
+      "p11_curriculum_bins",
+      (s, dir) =>
+        Sampling
+          .quantileBins(
+            t(s, dir, "documents")
+              .select(col("doc_id"), size(TextOps.tokens(col("text"))).cast("long").as("n_tokens")),
+            "n_tokens", bins = 8)
+          .select(col("doc_id"), col("n_tokens"), col("bin"))
+          .orderBy("doc_id"),
+      Some(
+        s"WITH lens AS (SELECT doc_id, CAST(len($duckToks) AS BIGINT) AS n_tokens FROM documents), " +
+          "hist AS (SELECT n_tokens AS v, CAST(count(*) AS BIGINT) AS cnt FROM lens GROUP BY v), " +
+          "cum AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum, sum(cnt) OVER () AS n FROM hist), " +
+          "bs AS (SELECT unnest(generate_series(1, 7)) AS b), " +
+          "bnd AS (SELECT b, min(v) AS boundary FROM cum CROSS JOIN bs " +
+          "WHERE cum >= (b * n + 7) // 8 GROUP BY b) " +
+          "SELECT l.doc_id, l.n_tokens, CAST(1 + " +
+          "(SELECT count(*) FROM bnd WHERE boundary < l.n_tokens) AS INTEGER) AS bin " +
+          "FROM lens l ORDER BY doc_id")),
 
     // Z-order layout + zone-map pruning: Morton-interleave (partkey,
     // suppkey) (ZOrder.interleave — a codegen'd bitwise ladder), bucket by

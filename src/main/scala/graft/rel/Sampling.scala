@@ -131,6 +131,52 @@ object Sampling {
       .drop("_wkey", "_rn")
   }
 
+  /** Curriculum binning by EXACT value quantiles: assign each row to one
+    * of `bins` equal-population buckets of `valueCol` (ascending) — the
+    * "schedule short documents first" curriculum primitive, and the
+    * general equal-depth histogram.
+    *
+    * NOT `ntile`: a global ntile shuffles every row into one sorted
+    * window task. Here the rows reduce to a VALUE HISTOGRAM first
+    * (distinct values × counts — metadata-sized for any discrete measure
+    * like token counts, bounded by the max document length no matter how
+    * many rows), boundaries come from a cumulative sum over that
+    * histogram, and the assignment joins the boundary array back as a
+    * broadcast 1-row frame: the data pays one combinable aggregate and
+    * zero extra shuffles.
+    *
+    * Boundary `b` (1-based, `b < bins`) = min value whose cumulative
+    * count ≥ ceil(b·N/bins); a row lands in the smallest bin whose
+    * boundary admits it, i.e. `bin = 1 + #{b : boundary_b < value}`.
+    * Ties share a bin (equal values never straddle a boundary), so bin
+    * populations are equal only up to tie mass — exact, reproducible
+    * arithmetic, unlike approx_percentile. All integers → every engine
+    * replays the identical assignment. */
+  def quantileBins(df: DataFrame, valueCol: String, bins: Int): DataFrame = {
+    require(bins >= 2, s"bins must be ≥ 2, got $bins")
+    val hist = df.groupBy(col(valueCol)).agg(count(lit(1)).as("_cnt"))
+    // Single-partition window over the HISTOGRAM (metadata-sized), not
+    // the data — same shape as temperatureTargets' global-share window.
+    val cum = hist
+      .withColumn("_cum", sum(col("_cnt")).over(Window.orderBy(col(valueCol))))
+      .withColumn("_n", sum(col("_cnt")).over(Window.partitionBy()))
+    val boundaries = cum
+      .crossJoin(broadcast(
+        df.sparkSession.range(1, bins).select(col("id").as("_b"))))
+      // integer ceil(b·N/bins) without a float step (`div`, not `/` —
+      // Spark's `/` is always double division)
+      .filter(col("_cum") >= expr(s"(_b * _n + ${bins - 1}) div $bins"))
+      .groupBy(col("_b"))
+      .agg(min(col(valueCol)).as("_boundary"))
+      .agg(sort_array(collect_list(col("_boundary"))).as("_bnds"))
+    df.crossJoin(broadcast(boundaries))
+      .withColumn(
+        "bin",
+        (aggregate(col("_bnds"), lit(0),
+          (acc, bv) => acc + when(bv < col(valueCol), 1).otherwise(0)) + lit(1)).cast("int"))
+      .drop("_bnds")
+  }
+
   def temperatureTargets(df: DataFrame, groupCol: String, alpha: Double, total: Long): DataFrame = {
     val f32 = (c: Column) => c.cast("float").cast("double")
     val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_rows"))

@@ -127,6 +127,33 @@ class SamplingRangeSpec extends SparkSpec {
     intercept[IllegalArgumentException](Sampling.hashSplit(got, "id", 90, 5)) // split col collision
   }
 
+  test("quantileBins: equal populations on distinct values, ties share a bin, all-rows covered") {
+    // 1..80 over 4 bins → exact 20/20/20/20, bin increases with value
+    val df = (1L to 80L).map(i => (i, i)).toDF("id", "v")
+    val out = Sampling.quantileBins(df, "v", 4).collect().map(r => (r.getLong(1), r.getInt(2)))
+    assert(out.length == 80)
+    val byBin = out.groupBy(_._2).view.mapValues(_.map(_._1).sorted).toMap
+    assert(byBin.keySet == Set(1, 2, 3, 4))
+    assert(byBin(1).toSeq == (1L to 20L) && byBin(4).toSeq == (61L to 80L))
+
+    // heavy tie mass: value 5 holds ranks 1..70 of 80 → every 5 shares
+    // bin 1, later values push into the top bin
+    val tied = ((1L to 70L).map(i => (i, 5L)) ++ (71L to 80L).map(i => (i, i))).toDF("id", "v")
+    val tout = Sampling.quantileBins(tied, "v", 4).collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(tout.filter(_._2 == 5L).map(_._3).distinct.toSeq == Seq(1))
+    assert(tout.map(_._1).toSet == (1L to 80L).toSet)
+    assert(tout.filter(_._2 > 5L).forall(_._3 == 4))
+  }
+
+  test("quantileBins assignment is invariant to input partitioning") {
+    val df = (1L to 97L).map(i => (i, i % 13)).toDF("id", "v")
+    val a = Sampling.quantileBins(df.repartition(1), "v", 5)
+      .collect().map(r => (r.getLong(0), r.getInt(2))).sortBy(_._1).toSeq
+    val b = Sampling.quantileBins(df.repartition(7), "v", 5)
+      .collect().map(r => (r.getLong(0), r.getInt(2))).sortBy(_._1).toSeq
+    assert(a == b)
+  }
+
   test("pointInInterval with keys only matches same-key pairs; plans an equi-join, not a nested loop") {
     val points = Seq((1L, 5L, "u1"), (2L, 5L, "u2")).toDF("pid", "ts", "u")
     val ivals = Seq((10L, 0L, 10L, "u1")).toDF("iid", "s", "e", "iu")
