@@ -437,6 +437,64 @@ object MultimodalOps {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Per-frame audio analysis over decoded PCM16 WAV content — the
+    * audio-curation primitive (silence trimming, energy gating, crude
+    * voice-activity detection all read these): samples split into
+    * non-overlapping `frameLen`-sample frames, each frame reduced to its
+    * energy (Σs², exact integer — 16-bit samples keep the per-frame sum
+    * below 2⁶³ for any realistic frame) and its zero-crossing count
+    * (#{i : (sᵢ<0) ≠ (sᵢ₋₁<0)} within the frame). All-integer output, so
+    * an oracle can replay every value from the sample formula alone.
+    * One row per frame; undecodable/non-PCM16 assets emit nothing.
+    * Same mapPartitions shape as [[decodeWavAudio]] — a genuine
+    * imperative byte walk, row-parallel, no shuffle. */
+  def audioFrameFeatures(df: DataFrame, idCol: String, binCol: String, frameLen: Int): DataFrame = {
+    require(frameLen > 0, s"frameLen must be positive, got $frameLen")
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("n", IntegerType, nullable = false),
+      StructField("sum_sq", LongType, nullable = false),
+      StructField("zero_cross", IntegerType, nullable = false)))
+    val src = df.select(col(idCol).cast("long"), col(binCol))
+    val rdd = src.rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val bin = r.getAs[Array[Byte]](1)
+        val ais =
+          try javax.sound.sampled.AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bin))
+          catch { case _: Exception => null }
+        val fmt = if (ais == null) null else ais.getFormat
+        if (fmt == null || fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+          || fmt.getSampleSizeInBits != 16) Iterator.empty
+        else {
+          val pcm = ais.readAllBytes()
+          ais.close()
+          val bb = java.nio.ByteBuffer.wrap(pcm).order(
+            if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN else java.nio.ByteOrder.LITTLE_ENDIAN)
+          val n = pcm.length / 2
+          val nFrames = (n + frameLen - 1) / frameLen
+          (0 until nFrames).iterator.map { f =>
+            val lo = f * frameLen
+            val hi = math.min(n, lo + frameLen)
+            var sumSq = 0L
+            var zc = 0
+            var i = lo
+            while (i < hi) {
+              val s: Int = bb.getShort(2 * i).toInt
+              sumSq += s.toLong * s.toLong
+              if (i > lo && ((s < 0) != (bb.getShort(2 * (i - 1)).toInt < 0))) zc += 1
+              i += 1
+            }
+            Row(id, f, hi - lo, sumSq, zc)
+          }
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Feature extraction over asset batches: one executor-side pass per
     * partition (the mapInPandas shape). Output:
     * `(asset_id, features array<float>, checksum long)`. */

@@ -170,6 +170,15 @@ object PipelineQueries {
   // DuckDB-side tokens-of-lowered-text (mirrors TextOps.tokens).
   private val duckToks = """list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)"""
 
+  /** The d08/s10 planted-pair projection: every ≥20-token document gets a
+    * suffix-truncated near-copy at id+400000, and the screen must recover
+    * exactly those cross pairs — one oracle certifies both the batch
+    * increment screen and its streaming run. */
+  private lazy val d08PlantedPairsSql =
+    s"SELECT doc_id + 400000 AS delta_id, doc_id AS corpus_id " +
+      s"FROM (SELECT doc_id, $duckToks AS w FROM documents) " +
+      "WHERE len(w) >= 20 ORDER BY corpus_id"
+
   // The q33/s08 MERGE fixture: a 4-column orders snapshot and the
   // deterministic changelog derived from it (updates on every 10th key,
   // deletes on every 17th ≡ 3 — later ord, so they beat same-key updates
@@ -1021,10 +1030,49 @@ object PipelineQueries {
           .select("delta_id", "corpus_id")
           .orderBy("corpus_id")
       },
-      Some(
-        s"SELECT doc_id + 400000 AS delta_id, doc_id AS corpus_id " +
-          s"FROM (SELECT doc_id, $duckToks AS w FROM documents) " +
-          "WHERE len(w) >= 20 ORDER BY corpus_id")),
+      Some(d08PlantedPairsSql)),
+
+    // The SAME incremental screen run as a STREAM (s10 ↔ d08 the way
+    // s08 ↔ q33): the corpus LSH index is built ONCE (Dedup.lshIndex —
+    // signed + banded, cached), the planted delta arrives in 4 file-
+    // source micro-batches, and every trigger screens only its own
+    // documents against the static band table via the d08 broadcast-
+    // delta join (StreamingOps.lshScreenStream). Each delta doc lands
+    // wholly in one micro-batch and screening is per-document, so the
+    // accumulated pair set is provably the batch screen's — certified
+    // here by hashing against d08's OWN oracle.
+    NamedQuery(
+      "s10_stream_lsh_screen",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        val toks = TextOps.tokens(col("text"))
+        val delta = docs
+          .filter(size(toks) >= 20)
+          .select(
+            (col("doc_id") + 400000L).as("doc_id"),
+            concat_ws(" ", slice(toks, 3, 1000000)).as("text"))
+        val tmp = java.nio.file.Files.createTempDirectory("s10_delta_")
+        val (rows, schema) = withShufflePartitions(s, 8) { try {
+          val inDir = s"$tmp/in"
+          delta.repartition(4).write.mode("overwrite").parquet(inDir)
+          val idx = Dedup.lshIndex(docs, shingleN = 3, numHashes = 32, bands = 16)
+          val stream = s.readStream
+            .schema(delta.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(inDir)
+          val (query, state) =
+            graft.streaming.StreamingOps.lshScreenStream(idx, stream, minEstJaccard = 0.5)
+          try query.processAllAvailable()
+          finally query.stop()
+          val shaped = state.get()
+            .filter(col("delta_id") === col("corpus_id") + 400000L)
+            .select("delta_id", "corpus_id")
+            .orderBy("corpus_id")
+          (shaped.collect().toSeq, shaped.schema)
+        } finally deleteRecursively(tmp) }
+        s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
+      },
+      Some(d08PlantedPairsSql)),
 
     // SEMANTIC (embedding-space) dedup composed end to end — SemDeDup
     // (Dedup.semDedup): cluster assignment → within-cluster cosine pairs
@@ -2623,6 +2671,40 @@ object PipelineQueries {
           "SELECT asset_id, sr AS sample_rate, 1 AS channels, n AS n_samples, " +
           "CAST(list_min(xs) AS INTEGER) AS s_min, CAST(list_max(xs) AS INTEGER) AS s_max, " +
           "CAST(list_sum(xs) AS BIGINT) AS s_sum FROM s ORDER BY asset_id")),
+
+    // Per-frame audio features over the m03 WAV fixture
+    // (MultimodalOps.audioFrameFeatures): 64-sample frames reduced to
+    // exact-integer energy (Σs²) and zero-crossing counts — the
+    // silence-gate / VAD primitive of an audio-curation pipeline. The
+    // real decode path runs (RIFF bytes → javax.sound → frames); the
+    // oracle re-derives every frame from the sample formula alone, so
+    // hash-green proves header parsing, frame slicing, the energy sums
+    // and the crossing logic all at once.
+    NamedQuery(
+      "m06_audio_frame_features",
+      (s, dir) => {
+        val spec = t(s, dir, "documents")
+          .filter(col("doc_id") < 200)
+          .select(
+            col("doc_id").as("asset_id"),
+            (lit(200) + pmod(col("doc_id"), lit(57))).cast("int").as("n_samples"),
+            (lit(8000) + pmod(col("doc_id"), lit(3)) * lit(4000)).cast("int").as("sample_rate"),
+            col("doc_id").as("seed"))
+        val encoded = MultimodalOps.encodePcmWav(spec)
+        MultimodalOps
+          .audioFrameFeatures(encoded, "asset_id", "content", frameLen = 64)
+          .orderBy("asset_id", "frame_idx")
+      },
+      Some(
+        "WITH spec AS (SELECT doc_id AS asset_id, CAST(200 + doc_id % 57 AS INTEGER) AS n " +
+          "FROM documents WHERE doc_id < 200), " +
+          "s AS (SELECT asset_id, n, unnest(generate_series(0, n - 1)) AS i FROM spec), " +
+          "x AS (SELECT asset_id, i, (asset_id * 31 + i * 7919) % 65536 - 32768 AS v FROM s), " +
+          "lx AS (SELECT asset_id, i, v, lag(v) OVER (PARTITION BY asset_id ORDER BY i) AS pv FROM x) " +
+          "SELECT asset_id, CAST(i // 64 AS INTEGER) AS frame_idx, CAST(count(*) AS INTEGER) AS n, " +
+          "CAST(sum(v * v) AS BIGINT) AS sum_sq, " +
+          "CAST(sum(CASE WHEN i % 64 > 0 AND (v < 0) <> (pv < 0) THEN 1 ELSE 0 END) AS INTEGER) " +
+          "AS zero_cross FROM lx GROUP BY asset_id, i // 64 ORDER BY asset_id, frame_idx")),
 
     // Video-shaped frame sampling end-to-end: deterministic raw "clips"
     // (16-byte header + n×32-byte frames whose bytes follow a closed-form

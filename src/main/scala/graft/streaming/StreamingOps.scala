@@ -247,6 +247,49 @@ object StreamingOps {
       .select("doc_id")
   }
 
+  /** Streaming incremental near-dup screen: every micro-batch of NEW
+    * documents is checked against a STATIC corpus LSH index with the
+    * batch path ([[graft.text.Dedup.minhashLshAgainstIndex]]) — the
+    * online version of the nightly-increment screen (d08), and the
+    * near-dup sibling of [[decontaminateStream]]'s exact-contamination
+    * check. The corpus is signed and banded ONCE (the prebuilt
+    * [[graft.text.Dedup.LshIndex]], served from cache across every
+    * trigger); each micro-batch signs only its own documents and meets
+    * the corpus band table through the d08 broadcast-delta join, so the
+    * corpus is never re-shuffled per trigger.
+    *
+    * Because each delta document arrives wholly within one micro-batch
+    * and screening is per-document against the static corpus, the union
+    * of per-batch results is EXACTLY the batch screen of the full delta
+    * (s10 proves it against d08's own oracle — the q33/s08
+    * batch≡stream technique). Found pairs accumulate in the returned
+    * AtomicReference (localCheckpointed per batch, so lineage stays
+    * flat across triggers); same single-stream contract as
+    * [[applyChangelogStream]].
+    */
+  def lshScreenStream(
+      idx: graft.text.Dedup.LshIndex,
+      deltaStream: DataFrame,
+      minEstJaccard: Double): (StreamingQuery, java.util.concurrent.atomic.AtomicReference[DataFrame]) = {
+    val spark = idx.sig.sparkSession
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("delta_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("corpus_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("est_jaccard", org.apache.spark.sql.types.DoubleType))))
+    val state = new java.util.concurrent.atomic.AtomicReference[DataFrame](empty)
+    val q = deltaStream.writeStream
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val found = graft.text.Dedup.minhashLshAgainstIndex(idx, batch.toDF(), minEstJaccard)
+          state.set(state.get().unionByName(found).localCheckpoint())
+        }
+      }
+      .start()
+    (q, state)
+  }
+
   /** Streaming Count-Min sketch: the d×w counter grid maintained as an
     * UNBOUNDED streaming aggregation — the canonical reason sketches
     * exist. State is the sketch itself: O(depth·width) grid rows

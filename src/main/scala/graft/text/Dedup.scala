@@ -153,41 +153,76 @@ object Dedup {
       numHashes: Int = 16,
       bands: Int = 4,
       minEstJaccard: Double = 0.5,
-      broadcastDelta: Boolean = true): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
-    val sentinel = typedLit(Seq.fill(numHashes)(Long.MaxValue))
+      broadcastDelta: Boolean = true): DataFrame =
+    minhashLshAgainstIndex(
+      lshIndex(corpus, shingleN, numHashes, bands), delta, minEstJaccard, broadcastDelta)
 
-    def signed(docs: DataFrame) = graft.CacheScope.track(
-      minhashSignatures(docs, shingleN, numHashes)
+  /** The PRECOMPUTED corpus side of [[minhashLshAgainst]]: signature and
+    * banded-key tables, cached — at production scale this is the
+    * persisted artifact (same pattern as the saved IVF/PQ code tables)
+    * amortized over every increment, and the streaming screen
+    * (`StreamingOps.lshScreenStream`) reuses one index across every
+    * micro-batch instead of re-signing the corpus per trigger. */
+  final case class LshIndex(
+      sig: DataFrame, // (doc_id, sig) — empty-shingle docs already dropped
+      bands: DataFrame, // (corpus_id, band, band_hash)
+      shingleN: Int,
+      numHashes: Int,
+      bandCount: Int)
+
+  private def bandedKeys(sig: DataFrame, idOut: String, bands: Int, rows: Int): DataFrame = sig
+    .select(
+      col("doc_id").as(idOut),
+      posexplode(
+        transform(
+          sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows))))))
+    .withColumnRenamed("pos", "band")
+    .withColumnRenamed("col", "band_hash")
+
+  def lshIndex(
+      corpus: DataFrame,
+      shingleN: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4): LshIndex = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val sentinel = typedLit(Seq.fill(numHashes)(Long.MaxValue))
+    val sig = graft.CacheScope.track(
+      minhashSignatures(corpus, shingleN, numHashes)
         .filter(not(col("sig") === sentinel))
         .cache())
-    def banded(sig: DataFrame, idOut: String) = sig
-      .select(
-        col("doc_id").as(idOut),
-        posexplode(
-          transform(
-            sequence(lit(0), lit(bands - 1)),
-            b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows))))))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "band_hash")
+    val banded = graft.CacheScope.track(
+      bandedKeys(sig, "corpus_id", bands, numHashes / bands).cache())
+    LshIndex(sig, banded, shingleN, numHashes, bands)
+  }
 
-    val sigC = signed(corpus)
-    val sigD = signed(delta)
-    val bandsD = banded(sigD, "delta_id")
-    val pairs = banded(sigC, "corpus_id")
+  /** [[minhashLshAgainst]] against a prebuilt [[LshIndex]] — the shape a
+    * nightly (or streaming) increment actually runs: only the delta is
+    * signed, the corpus tables are served from the index. */
+  def minhashLshAgainstIndex(
+      idx: LshIndex,
+      delta: DataFrame,
+      minEstJaccard: Double = 0.5,
+      broadcastDelta: Boolean = true): DataFrame = {
+    val sentinel = typedLit(Seq.fill(idx.numHashes)(Long.MaxValue))
+    val sigD = graft.CacheScope.track(
+      minhashSignatures(delta, idx.shingleN, idx.numHashes)
+        .filter(not(col("sig") === sentinel))
+        .cache())
+    val bandsD = bandedKeys(sigD, "delta_id", idx.bandCount, idx.numHashes / idx.bandCount)
+    val pairs = idx.bands
       .join(if (broadcastDelta) broadcast(bandsD) else bandsD, Seq("band", "band_hash"))
       .select("delta_id", "corpus_id")
       .distinct()
     pairs
       .join(sigD.select(col("doc_id").as("delta_id"), col("sig").as("sig_d")), Seq("delta_id"))
-      .join(sigC.select(col("doc_id").as("corpus_id"), col("sig").as("sig_c")), Seq("corpus_id"))
+      .join(idx.sig.select(col("doc_id").as("corpus_id"), col("sig").as("sig_c")), Seq("corpus_id"))
       .withColumn(
         "est_jaccard",
         aggregate(
           zip_with(col("sig_d"), col("sig_c"), (x, y) => when(x === y, 1).otherwise(0)),
           lit(0),
-          (acc, v) => acc + v).cast("double") / lit(numHashes.toDouble))
+          (acc, v) => acc + v).cast("double") / lit(idx.numHashes.toDouble))
       .filter(col("est_jaccard") >= minEstJaccard)
       .select("delta_id", "corpus_id", "est_jaccard")
   }

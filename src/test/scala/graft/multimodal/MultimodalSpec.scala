@@ -106,6 +106,27 @@ class MultimodalSpec extends SparkSpec {
     assert(!bad.getBoolean(1) && bad.isNullAt(2))
   }
 
+  test("audioFrameFeatures: per-frame energy/ZCR match the sample formula; partial tail frame; garbage skipped") {
+    val spec = Seq((7L, 100, 8000, 7L)).toDF("asset_id", "n_samples", "sample_rate", "seed")
+    val wav = MultimodalOps.encodePcmWav(spec)
+    val out = MultimodalOps.audioFrameFeatures(wav, "asset_id", "content", frameLen = 32)
+      .collect().sortBy(_.getInt(1))
+    val xs = (0 until 100).map(i => (((7L * 31 + i * 7919L) % 65536L) - 32768L).toInt)
+    assert(out.length == 4) // 32+32+32+4
+    out.foreach { r =>
+      val f = r.getInt(1)
+      val frame = xs.slice(f * 32, math.min(100, f * 32 + 32))
+      assert(r.getInt(2) == frame.length)
+      assert(r.getLong(3) == frame.map(s => s.toLong * s.toLong).sum)
+      val zc = frame.sliding(2).count(p => p.length == 2 && ((p(1) < 0) != (p(0) < 0)))
+      assert(r.getInt(4) == zc, s"frame $f zcr")
+    }
+    // undecodable bytes emit no frames rather than crashing
+    val bad = MultimodalOps.audioFrameFeatures(
+      Seq((9L, Array[Byte](1, 2, 3))).toDF("id", "bin"), "id", "bin", frameLen = 32)
+    assert(bad.count() == 0)
+  }
+
   test("audioStats computes RMS and zero-crossings over 16-bit PCM payload") {
     // payload: alternating +256/-256 samples → every step crosses zero
     val pcm = Array.tabulate(8)(i => if (i % 2 == 0) Array[Byte](1, 0) else Array[Byte](-1, 0)).flatten

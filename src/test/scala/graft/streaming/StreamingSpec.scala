@@ -347,4 +347,35 @@ class StreamingSpec extends SparkSpec {
       spark.catalog.dropTempView("s09_test")
     }
   }
+
+  test("lshScreenStream accumulates the batch screen's pairs ACROSS micro-batches") {
+    // corpus of 12 long docs; delta = near-copies of docs 1..6 (suffix
+    // truncated) split over 3 files → 3 micro-batches, each screening
+    // only its own documents against the one prebuilt corpus index
+    def text(i: Long) = (1 to 40).map(j => s"w${(i * 31 + j * 7) % 97}").mkString(" ")
+    val corpus = (1L to 12L).map(i => (i, text(i))).toDF("doc_id", "text")
+    val delta = (1L to 6L)
+      .map(i => (i + 1000L, text(i).split(" ").drop(2).mkString(" ")))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_s10_test").toString
+    delta.repartition(3).write.mode("overwrite").parquet(s"$dir/in")
+
+    val idx = graft.text.Dedup.lshIndex(corpus, shingleN = 3, numHashes = 32, bands = 16)
+    val stream = spark.readStream
+      .schema(delta.schema).option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
+    val (q, state) = StreamingOps.lshScreenStream(idx, stream, minEstJaccard = 0.5)
+    try q.processAllAvailable()
+    finally q.stop()
+
+    val streamed = state.get()
+      .select("delta_id", "corpus_id", "est_jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = graft.text.Dedup
+      .minhashLshAgainstIndex(idx, delta, minEstJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed == batch, s"stream $streamed != batch $batch")
+    // every planted near-copy recovered
+    assert((1L to 6L).forall(i => streamed.exists(p => p._1 == i + 1000L && p._2 == i)))
+    graft.CacheScope.clear()
+  }
 }
