@@ -1074,6 +1074,58 @@ object PipelineQueries {
       },
       Some(d08PlantedPairsSql)),
 
+    // Fuzzy dedup APPLIED end to end (the NeMo-Curator / RefinedWeb
+    // shape): plant near-copies (d02's suffix-truncated twins at
+    // +100000), find pairs with MinHash+LSH, close them into clusters
+    // (connectedComponents), keep the min-id representative per cluster,
+    // and EMIT THE SURVIVING CORPUS — the d02→p03 machinery actually
+    // purging a corpus rather than reporting pairs. Purge scope is the
+    // PLANTED PROJECTION (pairs filtered to the d02-certified twin set,
+    // the convention every dedup oracle here uses): the fixture corpus
+    // itself contains generator-planted natural near-dups (j ≈ 0.97–0.99
+    // pairs — unguarded, the screen correctly purged 24 of 500 originals
+    // at sf0.01), whose membership is seeded-hash-dependent at the
+    // est ≥ 0.5 boundary and whose exact-Jaccard ground truth is an
+    // all-pairs oracle DuckDB cannot afford at sf0.1; d03/d07 certify
+    // that regime with exact arithmetic instead. Within the projection
+    // the surviving id set is closed form — every original lives, every
+    // planted twin dies — and each survivor carries a had_twin flag
+    // DERIVED FROM THE ACTUAL VICTIM SET, so hash-green proves no
+    // original was lost AND every planted dup was purged, per document,
+    // end to end through pairs, closure, representative choice, and the
+    // anti-join.
+    NamedQuery(
+      "d13_dedup_purge",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        val toksC = TextOps.tokens(col("text"))
+        val mutated = docs
+          .filter(size(toksC) >= 20)
+          .select(
+            (col("doc_id") + 100000L).as("doc_id"),
+            concat_ws(" ", slice(toksC, 3, 1000000)).as("text"))
+        val corpus = docs.unionByName(mutated)
+        val pairs = Dedup
+          .minhashLsh(corpus, shingleN = 3, numHashes = 32, bands = 16, minEstJaccard = 0.5)
+          .filter(col("doc_b") === col("doc_a") + 100000L)
+          .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
+        val comps = Dedup.connectedComponents(pairs)
+        val victims = comps.filter(col("id") =!= col("comp")).select(col("id").as("doc_id"))
+        // survivors, each carrying whether ITS planted twin was purged —
+        // the flag is derived from the actual victim set, so hash-green
+        // pins per-document purge behavior, not just the surviving count
+        val purgedTwin = victims
+          .select((col("doc_id") - 100000L).as("doc_id"), lit(true).as("had_twin"))
+        corpus
+          .join(victims, Seq("doc_id"), "left_anti")
+          .join(purgedTwin, Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("had_twin"), lit(false)).as("had_twin"))
+          .orderBy("doc_id")
+      },
+      Some(
+        s"SELECT doc_id, len($duckToks) >= 20 AS had_twin " +
+          "FROM documents ORDER BY doc_id")),
+
     // SEMANTIC (embedding-space) dedup composed end to end — SemDeDup
     // (Dedup.semDedup): cluster assignment → within-cluster cosine pairs
     // → connected components → keep the min-id representative. The
@@ -3276,6 +3328,100 @@ object PipelineQueries {
           "(CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE))) AS REAL) AS DOUBLE), 4) + 0.0 AS pmi " +
           "FROM c12t JOIN c1t USING (w1) JOIN c2t USING (w2) CROSS JOIN tt WHERE c12 >= 5) " +
           "SELECT w1, w2, c12, pmi FROM sc ORDER BY pmi DESC, w1, w2 LIMIT 20")),
+
+    // The composite curation GATE — what a production pipeline actually
+    // runs: every document (plus t07's planted spam) judged by four
+    // independent rules at once — length in [10, 1000] tokens,
+    // repetition (top-token share ≤ 0.3 AND dup-bigram fraction ≤ 0.4,
+    // t07's bars), quality score ≥ 0.35 (t03's f32-squeezed composite),
+    // confident language id (t04's classifier ≠ 'und') — emitting a
+    // keep verdict AND a fail bitmask (bit0 len, bit1 rep, bit2 qual,
+    // bit3 lang) so a curator sees WHY each document fell. One cached
+    // tokenization feeds all four rules; everything else is combinable
+    // aggregates + row-local expressions. The oracle recomputes all
+    // four rules and the bitmask from scratch.
+    NamedQuery(
+      "t13_quality_gate",
+      (s, dir) => {
+        val real = t(s, dir, "documents")
+        val junk = real.filter(col("doc_id") % 50 === 0)
+          .select((col("doc_id") + 200000L).as("doc_id"), repeat(lit("spam offer "), 40).as("text"))
+        val docs = real.select("doc_id", "text").unionByName(junk)
+        val toks = graft.CacheScope.track(
+          docs.select(col("doc_id"), col("text"), TextOps.tokens(col("text")).as("toks")).cache())
+        val base = toks.select(
+          col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          f32round(TextOps.qualityScore(col("text")), 4).as("quality"),
+          TextOps.langId(col("text")).as("plang"))
+        val tokAgg = toks
+          .select(col("doc_id"), explode(col("toks")).as("tk"))
+          .groupBy("doc_id", "tk").agg(count(lit(1)).as("n"))
+          .groupBy("doc_id").agg(max("n").as("top_tok"), sum("n").as("tot_tok"))
+        val bigAgg = toks
+          .select(col("doc_id"), explode(TextOps.shingles(col("toks"), 2)).as("sh"))
+          .groupBy("doc_id", "sh").agg(count(lit(1)).as("n"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("dist_big"), sum("n").as("tot_big"))
+        base
+          .join(tokAgg, Seq("doc_id"), "left")
+          .join(bigAgg, Seq("doc_id"), "left")
+          .select(
+            col("doc_id"),
+            col("n_tokens"),
+            (when(col("n_tokens") < 10 || col("n_tokens") > 1000, 1).otherwise(0) +
+              when(
+                round(coalesce(col("top_tok") / col("tot_tok"), lit(0.0)), 4) > 0.3 ||
+                  round(coalesce(lit(1.0) - col("dist_big") / col("tot_big"), lit(0.0)), 4) > 0.4,
+                2).otherwise(0) +
+              when(col("quality") < 0.35, 4).otherwise(0) +
+              when(col("plang") === "und", 8).otherwise(0)).cast("int").as("fail_mask"))
+          .withColumn("keep", (col("fail_mask") === 0).cast("boolean"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val stopList = TextOps.EnStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+        def langScore(l: String): String = {
+          val markers = TextOps.LangMarkers.toMap.apply(l).map(w => s"'$w'").mkString("[", ", ", "]")
+          s"len(list_filter(w, x -> list_contains($markers, x))) AS s_$l"
+        }
+        "WITH all_docs AS (SELECT doc_id, text FROM documents UNION ALL " +
+          "SELECT doc_id + 200000 AS doc_id, repeat('spam offer ', 40) AS text " +
+          "FROM documents WHERE doc_id % 50 = 0), " +
+          s"tok AS (SELECT doc_id, text, $duckToks AS w FROM all_docs), " +
+          "base AS (SELECT doc_id, len(w) AS n_tokens, " +
+          "round(CAST(CAST(greatest(0.0, least(1.0, " +
+          "0.3 * least(CAST(len(w) AS DOUBLE) / 50.0, 1.0) " +
+          "+ 0.3 * (CAST(len(list_distinct(w)) AS DOUBLE) / greatest(1, len(w))) " +
+          "+ 0.2 * least(stop_ratio * 5.0, 1.0) " +
+          "- 0.4 * (punct_ratio + digit_ratio) + 0.2)) AS REAL) AS DOUBLE), 4) + 0.0 AS quality, " +
+          "CASE WHEN s_en = best AND best > 0 THEN 'en' WHEN s_es = best AND best > 0 THEN 'es' " +
+          "WHEN s_fr = best AND best > 0 THEN 'fr' WHEN s_de = best AND best > 0 THEN 'de' " +
+          "ELSE 'und' END AS plang FROM (" +
+          "SELECT doc_id, w, stop_ratio, punct_ratio, digit_ratio, s_en, s_es, s_fr, s_de, " +
+          "greatest(s_en, s_es, s_fr, s_de) AS best FROM (" +
+          "SELECT doc_id, w, " +
+          raw"CAST(len(regexp_extract_all(text, '[.,;:!?''\"()\[\]{}-]')) AS DOUBLE) / greatest(1, len(text)) AS punct_ratio, " +
+          "CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / greatest(1, len(text)) AS digit_ratio, " +
+          s"CAST(len(list_filter(w, x -> list_contains($stopList, x))) AS DOUBLE) / greatest(1, len(w)) AS stop_ratio, " +
+          s"${langScore("en")}, ${langScore("es")}, ${langScore("fr")}, ${langScore("de")} FROM tok))), " +
+          "tokc AS (SELECT doc_id, t, count(*) AS n FROM " +
+          "(SELECT doc_id, unnest(w) AS t FROM tok) GROUP BY doc_id, t), " +
+          "toka AS (SELECT doc_id, max(n) AS top_tok, sum(n) AS tot_tok FROM tokc GROUP BY doc_id), " +
+          "bigc AS (SELECT doc_id, b, count(*) AS n FROM (SELECT doc_id, " +
+          "unnest(list_transform(generate_series(1, greatest(len(w) - 1, 0)), i -> w[i] || ' ' || w[i+1])) AS b " +
+          "FROM tok) GROUP BY doc_id, b), " +
+          "biga AS (SELECT doc_id, count(*) AS dist_big, sum(n) AS tot_big FROM bigc GROUP BY doc_id), " +
+          "m AS (SELECT base.doc_id, n_tokens, " +
+          "(CASE WHEN n_tokens < 10 OR n_tokens > 1000 THEN 1 ELSE 0 END + " +
+          "CASE WHEN round(coalesce(CAST(top_tok AS DOUBLE) / tot_tok, 0.0), 4) > 0.3 " +
+          "OR round(coalesce(1.0 - CAST(dist_big AS DOUBLE) / tot_big, 0.0), 4) > 0.4 THEN 2 ELSE 0 END + " +
+          "CASE WHEN quality < 0.35 THEN 4 ELSE 0 END + " +
+          "CASE WHEN plang = 'und' THEN 8 ELSE 0 END) AS fail_mask " +
+          "FROM base LEFT JOIN toka USING (doc_id) LEFT JOIN biga USING (doc_id)) " +
+          "SELECT doc_id, n_tokens, CAST(fail_mask AS INTEGER) AS fail_mask, " +
+          "fail_mask = 0 AS keep FROM m ORDER BY doc_id"
+      }),
 
     // SCD-2 change capture over the orders stream: each customer's
     // priority history collapsed to versioned rows with half-open
