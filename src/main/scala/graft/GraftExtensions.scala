@@ -28,6 +28,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           require(exprs.length == 1, s"simhash64 requires exactly 1 argument, got ${exprs.length}")
           graft.text.SimHash64(exprs(0))
         }))
+    ext.injectFunction(
+      (
+        FunctionIdentifier("cosine_sim"),
+        new ExpressionInfo(classOf[graft.vector.CosineSim].getName, "cosine_sim"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+          require(exprs.length == 2, s"cosine_sim requires exactly 2 arguments, got ${exprs.length}")
+          graft.vector.CosineSim(exprs(0), exprs(1))
+        }))
+    ext.injectFunction(
+      (
+        FunctionIdentifier("hamming_dist"),
+        new ExpressionInfo(classOf[graft.vector.HammingDist].getName, "hamming_dist"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+          require(exprs.length == 2, s"hamming_dist requires exactly 2 arguments, got ${exprs.length}")
+          graft.vector.HammingDist(exprs(0), exprs(1))
+        }))
   }
 }
 

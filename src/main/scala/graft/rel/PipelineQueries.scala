@@ -124,6 +124,23 @@ object PipelineQueries {
       tmp.toString
     })
 
+  private val bqArtifactPath = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** One saved binary-code artifact per fixture dir per JVM (the
+    * sqArtifactsFor pattern): codes carry the IVF partition key and are
+    * written partitioned by it, so v23's probed searches read only the
+    * probed code files. */
+  private def bqArtifactsFor(s: SparkSession, dir: String): String =
+    bqArtifactPath.getOrElseUpdate(dir, {
+      val model = indexFor(s, dir)
+      val dim = model.dim
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bq_")
+      sys.addShutdownHook(deleteRecursively(tmp))
+      graft.vector.BinaryQuant.saveCodes(
+        graft.vector.BinaryQuant.encodeWithPartition(model.vectors, dim), tmp.toString)
+      tmp.toString
+    })
+
   private def embQueries(s: SparkSession, dir: String, n: Int): DataFrame =
     t(s, dir, "embeddings")
       .filter(col("vec_id") < n)
@@ -632,6 +649,42 @@ object PipelineQueries {
           "(PARTITION BY query_id ORDER BY dist2 ASC, vec_id ASC) AS INTEGER) AS rnk FROM d) " +
           "SELECT query_id, rnk, vec_id, round(CAST(CAST(dist2 AS REAL) AS DOUBLE), 3) + 0.0 AS dist2 " +
           "FROM r WHERE rnk <= 10 ORDER BY query_id, rnk")),
+
+    // IVF + binary composed — the 32× sibling of v13 (IVFADC) and v16
+    // (IVF+SQ), completing the compression-menu symmetry: APS probe
+    // pruning decides WHICH partitions are read, sign-bit codes decide
+    // how many BYTES each read costs (8 B/vec at dim 64), and because
+    // the code is corpus-global (no per-partition statistic) pruning
+    // never changes a code's value — full-probe ≡ the plain v22 scan,
+    // spec-pinned in BinaryQuantSpec. Codes served from the saved
+    // partition_id-partitioned artifact (BinaryQuant.saveCodes →
+    // loadCodes), probed searches reading only probed files; Hamming
+    // candidates re-ranked exactly (bounded gather join). Probe set =
+    // k-means state → bound-certified like v16: recall@10 vs the exact
+    // oracle must clear the bar the spec pins.
+    NamedQuery(
+      "v23_ivf_binary_search",
+      (s, dir) => {
+        val model = indexFor(s, dir)
+        val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+        val codes = graft.vector.BinaryQuant.loadCodes(s, bqArtifactsFor(s, dir))
+        val qs = embQueries(s, dir, 20)
+        val probes = IvfSearch.chooseProbes(model, qs, IvfSearch.Params(k = 10))
+        val cands = graft.vector.BinaryQuant
+          .ivfTopK(codes, probes.select("query_id", "partition_id"), qs, model.dim, k = 10, rerank = 64)
+        val approx = Pq.rerankExact(cands, emb, qs, k = 10)
+        val exact = graft.CacheScope.track(graft.index.KnnJoin.exact(qs, emb, 10).cache())
+        IvfSearch
+          .recallAtK(approx, exact, 10, qs)
+          .agg(count(lit(1)).as("n_queries"), avg("recall").as("m"))
+          .select(
+            col("n_queries"),
+            when(col("m") >= 0.9, 1L).otherwise(0L).as("recall_ok"),
+            lit(8L).as("bytes_per_vec"))
+      },
+      Some(
+        "SELECT CAST(20 AS BIGINT) AS n_queries, CAST(1 AS BIGINT) AS recall_ok, " +
+          "CAST(8 AS BIGINT) AS bytes_per_vec")),
 
     // IVF APS search (reference search, quake_min.py:147-168) over the
     // two-level index. The probe math (k-means state + APS softmax) is

@@ -51,6 +51,58 @@ object BinaryQuant {
   def hamming(a: Column, b: Column): Column =
     GraftSqlBridge.column(HammingDist(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 
+  /** Packed codes keyed by their vectors' IVF partition — the
+    * composable artifact for probe-pruned binary search ([[ivfTopK]]).
+    * Because the sign-bit code is corpus-global (no per-partition
+    * statistic, like [[Sq]]'s grid and unlike [[Pq]]'s residuals),
+    * pruning never changes a code's value — full-probe search is
+    * bit-identical to the plain [[topK]] scan (spec-pinned). */
+  def encodeWithPartition(vectors: DataFrame, dim: Int): DataFrame =
+    encode(vectors, dim).select(col("vec_id"), col("partition_id"), col("code"))
+
+  /** Persist the partition-carrying code table partitioned by
+    * `partition_id`, so probed searches read ONLY the probed code files —
+    * the same layout contract as `Sq.saveCodes`/`Pq.saveCodes`. */
+  def saveCodes(codes: DataFrame, path: String): Unit =
+    codes
+      .repartition(col("partition_id"))
+      .write.mode("overwrite").partitionBy("partition_id")
+      .parquet(s"$path/bq_codes")
+
+  def loadCodes(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/bq_codes")
+      .select(col("vec_id").cast("long"), col("partition_id").cast("long"), col("code"))
+
+  /** Probe-pruned Hamming candidate scan: codes of the probed IVF
+    * partitions only (`probes(query_id, partition_id)` from APS), top
+    * k·`rerank` per query — callers restore metric fidelity with
+    * `Pq.rerankExact`. The probed partition list is driver-sized
+    * metadata pushed as a scan filter, so a [[saveCodes]] layout reads
+    * only the probed files (the `Sq.ivfAdcTopK` discipline). */
+  def ivfTopK(
+      codes: DataFrame,
+      probes: DataFrame,
+      queries: DataFrame,
+      dim: Int,
+      k: Int,
+      rerank: Int = 4): DataFrame = {
+    val qCodes = encode(queries.select(col("query_id"), col("qvec").as("embedding")), dim)
+      .select(col("query_id"), col("code").as("qcode"))
+    val pq = probes
+      .select(col("query_id"), col("partition_id"))
+      .join(qCodes, Seq("query_id"))
+    val pids = probes.select("partition_id").distinct().collect().map(_.getLong(0)).toSeq
+    TopK.perQuery(
+      codes
+        .filter(col("partition_id").isInCollection(pids))
+        .join(broadcast(pq), Seq("partition_id"))
+        .select(
+          col("query_id"),
+          hamming(col("code"), col("qcode")).cast("double").as("dist2"),
+          col("vec_id")),
+      k * rerank)
+  }
+
   /** Binary-quantized top-`k`: Hamming scan → top-(k·`rerank`) candidates
     * per query → exact L2 re-rank. `corpus(vec_id, embedding)`,
     * `queries(query_id, qvec)`; output `(query_id, rank, vec_id, dist2)`

@@ -42,5 +42,19 @@ object GraftSqlBridge {
         graft.text.SimHash64(exprs(0))
       },
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_sim",
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, s"cosine_sim requires exactly 2 arguments, got ${exprs.length}")
+        graft.vector.CosineSim(exprs(0), exprs(1))
+      },
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hamming_dist",
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, s"hamming_dist requires exactly 2 arguments, got ${exprs.length}")
+        graft.vector.HammingDist(exprs(0), exprs(1))
+      },
+      "scala_udf")
   }
 }

@@ -73,6 +73,45 @@ class BinaryQuantSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall below the 0.9 bar")
   }
 
+  test("ivfTopK: full-probe ≡ plain scan (corpus-global codes), saved codes ≡ fresh codes") {
+    val dim = 32
+    val centroids = Array.fill(6)(vec(dim))
+    val corpus = (0L until 240L).map { i =>
+      val c = centroids((i % 6).toInt)
+      (i, c.map(x => x + (rnd.nextFloat() - 0.5f) * 0.1f))
+    }.toDF("vec_id", "embedding")
+    val model = graft.index.IvfBuild.build(corpus, dim)
+    val queries = corpus.filter(col("vec_id") < 6)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val fresh = BinaryQuant.encodeWithPartition(model.vectors, dim)
+
+    val tmp = java.nio.file.Files.createTempDirectory("bq_spec_")
+    try {
+      BinaryQuant.saveCodes(fresh, tmp.toString)
+      val loaded = BinaryQuant.loadCodes(spark, tmp.toString)
+      assert(
+        loaded.orderBy("vec_id").collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2))).toSeq ==
+          fresh.select(col("vec_id").cast("long"), col("partition_id").cast("long"), col("code"))
+            .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2))).toSeq,
+        "save -> load must be bit-identical")
+
+      // every (query, partition) probed → pruning is a no-op and the
+      // composed path must equal the plain full-scan topK exactly
+      val allParts = model.vectors.select(col("partition_id")).distinct()
+      val probes = queries.select("query_id").crossJoin(allParts)
+      val cands = BinaryQuant.ivfTopK(loaded, probes, queries, dim, k = 5, rerank = 4)
+      val composed = Pq.rerankExact(cands, corpus, queries, k = 5)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq.sorted
+      val plain = BinaryQuant.topK(corpus, queries, dim, k = 5, rerank = 4)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq.sorted
+      assert(composed == plain, "full-probe composed path must equal the plain scan")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("uniform-random corpus (adversarial for sign bits) still clears 0.6 at rerank=4") {
     val dim = 64
     val corpus = (0L until 400L).map(i => (i, vec(dim))).toDF("vec_id", "embedding")

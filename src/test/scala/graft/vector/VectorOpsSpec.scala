@@ -99,6 +99,15 @@ class VectorOpsSpec extends SparkSpec {
     assert(viaSql == viaCol)
   }
 
+  test("cosine_sim and hamming_dist are callable from SQL after extension registration") {
+    graft.GraftExtensions.register(spark)
+    Seq((Seq(1f, 0f), Seq(0f, 1f))).toDF("a", "b").createOrReplaceTempView("cos_pairs")
+    assert(spark.sql("SELECT cosine_sim(a, b) AS c FROM cos_pairs").head.getDouble(0) === 0.0)
+    Seq((Seq(5L, 0L), Seq(6L, 1L))).toDF("x", "y").createOrReplaceTempView("ham_pairs")
+    // 5^6 = 3 (two bits), 0^1 = 1 (one bit) → 3
+    assert(spark.sql("SELECT hamming_dist(x, y) AS h FROM ham_pairs").head.getInt(0) == 3)
+  }
+
   test("hasDim validates vector length") {
     val df = Seq((1L, Seq(1f, 2f)), (2L, Seq(1f, 2f, 3f))).toDF("id", "v")
     val ok = df.filter(VectorOps.hasDim(col("v"), 2)).select("id").as[Long].collect()
