@@ -85,7 +85,11 @@ object LangModel {
     * size V counts distinct tokens over ALL documents, including the short
     * ones the bigram stream excludes. */
   def bigramNll(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+    // Cached: the vocab branch AND the bigram branch both read this
+    // projection — uncached, each would re-run the tokenizer over the
+    // full corpus (the t07 cross-aggregate re-tokenize trap).
+    val toks = graft.CacheScope.track(
+      docs.select(col("doc_id"), TextOps.tokens(col("text")).as("toks")).cache())
 
     // V over the full token stream (cheap re-reduce of the same projection).
     val vocab = toks

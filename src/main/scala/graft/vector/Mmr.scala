@@ -74,12 +74,19 @@ object Mmr {
             .withColumn("mmr", lit(lambda) * col("rel") - lit(1.0 - lambda) * col("max_sim"))
         }
       val w = Window.partitionBy("query_id").orderBy(f32(col("mmr")).desc, col("vec_id"))
+      // Each pick is MATERIALIZED (eager localCheckpoint, ≤|Q| rows):
+      // without it round k's plan re-derives rounds 1..k−1 from scratch
+      // through the union/anti-join chain — an O(k²) re-execution
+      // cascade the candidate cache alone does not stop (measured: the
+      // v20 driver query spent 10.3 s at sf0.1 on ~150 candidate rows;
+      // truncating the per-round lineage removes the cascade).
       val pick = scored
         .withColumn("_rn", row_number().over(w))
         .filter(col("_rn") === 1)
         .select(
           col("query_id"), lit(step).as("sel_rank"), col("vec_id"),
           col("embedding"), col("mmr"))
+        .localCheckpoint()
       selected = if (selected == null) pick else selected.unionByName(pick)
       remaining = remaining.join(
         pick.select("query_id", "vec_id"), Seq("query_id", "vec_id"), "left_anti")

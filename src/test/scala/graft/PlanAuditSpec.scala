@@ -133,4 +133,44 @@ class PlanAuditSpec extends SparkSpec {
     assert(aggLines.exists(l => l.contains("doc_a") && l.contains("doc_b") && !l.contains("sig")),
       s"pair dedup carries signature arrays through the shuffle:\n$plan")
   }
+
+  test("binary Hamming scan broadcasts the query codes — the corpus code table never shuffles") {
+    import graft.vector.BinaryQuant
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet").select("vec_id", "embedding")
+    val queries = emb.limit(3).select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val df = BinaryQuant.topK(emb, queries, dim = 64, k = 5, rerank = 4)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"query codes are not broadcast over the corpus scan:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"Hamming candidate scan fell back to a sort-merge join:\n$plan")
+  }
+
+  test("quantileBins: the data pays one histogram aggregate; assignment is a broadcast rejoin") {
+    import spark.implicits._
+    val df = (1L to 500L).map(i => (i, i % 37)).toDF("id", "v")
+    val out = graft.rel.Sampling.quantileBins(df, "v", 8)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastNestedLoopJoin"),
+      s"boundary array is not broadcast back to the data:\n$plan")
+    // the only windows allowed are over the HISTOGRAM (metadata), which
+    // appears as a single-partition exchange — the data side itself must
+    // not be globally sorted (no ntile over the full input)
+    assert(!plan.contains("ntile"), s"assignment regressed to a global ntile:\n$plan")
+  }
+
+  test("bigram LM pairing is row-local — no posexplode+window shuffle before the count aggregate") {
+    import spark.implicits._
+    val docs = (1L to 40L).map(i => (i, (1 to 30).map(j => s"w${(i + j) % 19}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = graft.text.LangModel.bigramNll(docs)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("WindowExec") && !plan.contains("Window ["),
+      s"bigram pairing regressed to a window over exploded positions:\n$plan")
+    graft.CacheScope.clear()
+  }
 }
