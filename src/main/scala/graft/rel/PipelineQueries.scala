@@ -2436,6 +2436,78 @@ object PipelineQueries {
           "AND epoch_us(p.ts) - epoch_us(c.ts) BETWEEN 0 AND 1800000000 " +
           "ORDER BY click_id, purchase_id")),
 
+    // The LEFT OUTER sibling of s05 — the conversion funnel WITH
+    // dropouts, and the genuinely distinct streaming semantics: an
+    // unmatched click emits (purchase columns null) only once the
+    // watermark proves no purchase can still arrive inside the lag
+    // window, which is exactly the state-expiry contract the interval
+    // condition buys. Two far-future sentinel events (one per side,
+    // filtered back out) advance both watermarks so every pending
+    // dropout flushes before the sink is read. The DuckDB oracle is the
+    // plain batch LEFT JOIN on the same microsecond arithmetic —
+    // hash-green proves matches emitted exactly once AND every dropout
+    // emitted exactly once, with nothing stuck in state.
+    NamedQuery(
+      "s11_stream_outer_join",
+      (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events").select("event_id", "user_id", "event_type", "ts")
+        val tmp = java.nio.file.Files.createTempDirectory("s11_events_")
+        val qname = s"s11_sink_${streamSinkCounter.incrementAndGet()}"
+        val (rows, schema) = withShufflePartitions(s, 8) { try {
+          val inDir = s"$tmp/in"
+          ev.write.mode("overwrite").parquet(inDir)
+          val src = s.readStream.schema(ev.schema).parquet(inDir)
+          val clicks = src
+            .filter(col("event_type") === "click")
+            .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+          val purchases = src
+            .filter(col("event_type") === "purchase")
+            .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+          val joined = graft.streaming.StreamingOps.intervalJoin(
+            clicks, purchases, "user_id", "click_ts", "purchase_ts",
+            watermarkDelay = "1 hour", maxLag = "30 MINUTES", joinType = "left_outer")
+          val query = joined.writeStream.format("memory").queryName(qname).outputMode("append").start()
+          try {
+            query.processAllAvailable()
+            // dropouts flush only when the watermark passes click_ts +
+            // lag; push BOTH sides' watermarks past the fixture horizon
+            val maxTs = ev.agg(max("ts")).head.getTimestamp(0)
+            val far = new java.sql.Timestamp(maxTs.getTime + 30L * 24 * 3600 * 1000)
+            Seq(
+              (-1L, -1L, "click", far),
+              (-2L, -2L, "purchase", far))
+              .toDF("event_id", "user_id", "event_type", "ts")
+              .write.mode("append").parquet(inDir)
+            query.processAllAvailable()
+          } finally query.stop()
+          val shaped = s.table(qname)
+            .filter(col("user_id") >= 0)
+            .select(
+              col("user_id"),
+              col("click_id"),
+              col("purchase_id"),
+              (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts"))).as("lag_us"),
+              col("purchase_id").isNotNull.as("converted"))
+            .orderBy("click_id", "purchase_id")
+          (shaped.collect().toSeq, shaped.schema)
+        } finally {
+          try s.catalog.dropTempView(qname)
+          catch { case _: Exception => () }
+          deleteRecursively(tmp)
+        }
+        }
+        s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
+      },
+      Some(
+        "SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id, " +
+          "epoch_us(p.ts) - epoch_us(c.ts) AS lag_us, p.event_id IS NOT NULL AS converted " +
+          "FROM (SELECT * FROM events WHERE event_type = 'click') c " +
+          "LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p " +
+          "ON c.user_id = p.user_id " +
+          "AND epoch_us(p.ts) - epoch_us(c.ts) BETWEEN 0 AND 1800000000 " +
+          "ORDER BY click_id, purchase_id")),
+
     // Stream-STATIC broadcast join — the one Structured Streaming join
     // class s01–s05 didn't cover: d06's decontamination rule applied at
     // INGEST time. Training docs (the d06 corpus, planted copies under

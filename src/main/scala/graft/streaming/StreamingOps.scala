@@ -326,6 +326,15 @@ object StreamingOps {
     * The two inputs must have disjoint column names apart from `key`
     * (pre-alias them, as any self-join requires).
     */
+  /** Watermarked stream-stream join on `key` with a `[0, maxLag]`
+    * event-time interval. `joinType` `"inner"` emits matches as soon as
+    * both sides arrive; `"left_outer"` ALSO emits each unmatched left row
+    * (right columns null) once the watermark passes its lag horizon and
+    * no match can still arrive — the conversion-funnel-with-dropouts
+    * shape, and the reason the interval condition is mandatory: it is
+    * what lets Spark expire join state and know when an unmatched row is
+    * final. State on both sides stays bounded by watermark + lag for
+    * either join type. */
   def intervalJoin(
       left: DataFrame,
       right: DataFrame,
@@ -333,14 +342,16 @@ object StreamingOps {
       leftTsCol: String,
       rightTsCol: String,
       watermarkDelay: String,
-      maxLag: String): DataFrame = {
+      maxLag: String,
+      joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark(leftTsCol, watermarkDelay).alias("l")
     val r = right.withWatermark(rightTsCol, watermarkDelay).alias("r")
     l.join(
         r,
         col(s"l.$key") === col(s"r.$key") &&
           col(rightTsCol) >= col(leftTsCol) &&
-          col(rightTsCol) <= col(leftTsCol) + expr(s"INTERVAL $maxLag"))
+          col(rightTsCol) <= col(leftTsCol) + expr(s"INTERVAL $maxLag"),
+        joinType)
       .drop(col(s"r.$key"))
   }
 

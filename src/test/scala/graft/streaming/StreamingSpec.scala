@@ -186,6 +186,43 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("intervalJoin left_outer emits dropouts exactly once, only after the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+    val clicks = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val purchases = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val joined = StreamingOps.intervalJoin(
+      clicks.toDF().toDF("user_id", "click_id", "click_ts"),
+      purchases.toDF().toDF("user_id", "purchase_id", "purchase_ts"),
+      "user_id", "click_ts", "purchase_ts",
+      watermarkDelay = "10 minutes", maxLag = "30 MINUTES", joinType = "left_outer")
+    val query = joined.writeStream.format("memory").queryName("ivjo").outputMode("append").start()
+    try {
+      // click 100 converts; click 101 never does (user 2 has no purchase)
+      clicks.addData((1L, 100L, ts(0)), (2L, 101L, ts(0)))
+      purchases.addData((1L, 200L, ts(20)))
+      query.processAllAvailable()
+      def rows() = spark.table("ivjo")
+        .select(col("click_id"), col("purchase_id"))
+        .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+      // dropout must NOT emit yet — a purchase inside the lag window could
+      // still arrive (watermark hasn't passed ts(0) + 30m + 10m)
+      assert(rows() == Set((100L, Some(200L))), s"premature dropout: ${rows()}")
+      // advance BOTH watermarks past the horizon → the dropout flushes
+      clicks.addData((99L, 900L, ts(200)))
+      purchases.addData((99L, 901L, ts(200)))
+      query.processAllAvailable()
+      clicks.addData((98L, 902L, ts(400)))
+      purchases.addData((98L, 903L, ts(400)))
+      query.processAllAvailable()
+      assert(rows().contains((101L, None)), s"dropout never flushed: ${rows()}")
+      assert(rows().count(_._1 == 101L) == 1, "dropout must emit exactly once")
+    } finally {
+      query.stop()
+      spark.catalog.dropTempView("ivjo")
+    }
+  }
+
   test("dedupExact drops within-watermark replays ACROSS micro-batches; state is keyed, not history") {
     // batch 1 introduces keys a,b; batch 2 replays a (inside the watermark
     // horizon, later event time) and introduces c — the replay must be
