@@ -2508,6 +2508,63 @@ object PipelineQueries {
           "AND epoch_us(p.ts) - epoch_us(c.ts) BETWEEN 0 AND 1800000000 " +
           "ORDER BY click_id, purchase_id")),
 
+    // Streaming percentile sketch (the GK/QuantileSummaries buffer as
+    // complete-mode streaming state — s09's streaming-sketch story
+    // applied to quantiles): per-event-type approx_percentile accumulates
+    // across micro-batches with state O(sketch), not O(values). Unlike
+    // the CMS grid, quantile-summary compression is merge-ORDER
+    // dependent, so the streaming estimate need not equal the batch
+    // estimate bit-for-bit — but the published rank-error bound holds
+    // under any merge order, which is exactly what the q31 bound-flag
+    // certifies: the STREAMING estimate must sit within 1% of the exact
+    // batch median. Hash-green proves the sketch survived micro-batch
+    // slicing with its guarantee intact.
+    NamedQuery(
+      "s12_stream_percentile",
+      (s, dir) => {
+        val ev = t(s, dir, "events").select(col("event_type"), col("value").cast("double").as("value"))
+        val tmp = java.nio.file.Files.createTempDirectory("s12_events_")
+        val qname = s"s12_sink_${streamSinkCounter.incrementAndGet()}"
+        val (rows, schema) = withShufflePartitions(s, 8) { try {
+          val inDir = s"$tmp/in"
+          ev.repartition(4).write.mode("overwrite").parquet(inDir)
+          val src = s.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1).parquet(inDir)
+          val agg = src
+            .groupBy("event_type")
+            .agg(
+              count(lit(1)).as("n_events"),
+              expr("approx_percentile(value, 0.5, 10000)").as("p50_approx"))
+          val query = agg.writeStream
+            .format("memory").queryName(qname).outputMode("complete").start()
+          try query.processAllAvailable()
+          finally query.stop()
+          val exact = ev.groupBy("event_type")
+            .agg(expr("percentile(value, 0.5)").as("p50_exact"))
+          val shaped = s.table(qname)
+            .join(exact, Seq("event_type"))
+            .select(
+              col("event_type"),
+              col("n_events"),
+              round(col("p50_exact"), 4).as("p50_exact"),
+              when(abs(col("p50_approx") - col("p50_exact")) / abs(col("p50_exact")) <= 0.01, 1L)
+                .otherwise(0L).as("gk_ok"))
+            .orderBy("event_type")
+          (shaped.collect().toSeq, shaped.schema)
+        } finally {
+          try s.catalog.dropTempView(qname)
+          catch { case _: Exception => () }
+          deleteRecursively(tmp)
+        }
+        }
+        s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
+      },
+      Some(
+        "SELECT event_type, CAST(count(*) AS BIGINT) AS n_events, " +
+          "round(quantile_cont(value, 0.5), 4) AS p50_exact, " +
+          "CAST(1 AS BIGINT) AS gk_ok " +
+          "FROM events GROUP BY event_type ORDER BY event_type")),
+
     // Stream-STATIC broadcast join — the one Structured Streaming join
     // class s01–s05 didn't cover: d06's decontamination rule applied at
     // INGEST time. Training docs (the d06 corpus, planted copies under
@@ -3547,6 +3604,37 @@ object PipelineQueries {
           "SELECT doc_id, n_tokens, CAST(fail_mask AS INTEGER) AS fail_mask, " +
           "fail_mask = 0 AS keep FROM m ORDER BY doc_id"
       }),
+
+    // Keyword-in-context concordance (the corpus-inspection tool behind
+    // "show me how the corpus uses this term"): every occurrence of the
+    // keyword with ±3 tokens of context. Occurrence positions come from
+    // a row-local filter over a sequence (the token array is NEVER
+    // exploded wholesale — a posexplode would copy the full array into
+    // every token row), context slices are row-local too; the only
+    // shuffle is the output sort. All-string/integer → DuckDB replays
+    // every position and slice exactly.
+    NamedQuery(
+      "t14_kwic_concordance",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+          .withColumn("p", explode(expr("filter(sequence(1, size(toks)), q -> toks[q - 1] = 'vector')")))
+          .select(
+            col("doc_id"),
+            col("p").cast("int").as("pos"),
+            array_join(expr("slice(toks, greatest(1, p - 3), p - greatest(1, p - 3))"), " ")
+              .as("left_ctx"),
+            array_join(expr("slice(toks, p + 1, least(3, size(toks) - p))"), " ")
+              .as("right_ctx"))
+          .orderBy("doc_id", "pos"),
+      Some(
+        s"WITH tk AS (SELECT doc_id, $duckToks AS w FROM documents), " +
+          "hits AS (SELECT doc_id, w, unnest(list_filter(generate_series(1, len(w)), " +
+          "q -> w[q] = 'vector')) AS p FROM tk) " +
+          "SELECT doc_id, CAST(p AS INTEGER) AS pos, " +
+          "coalesce(array_to_string(w[CASE WHEN p - 3 < 1 THEN 1 ELSE p - 3 END : p - 1], ' '), '') AS left_ctx, " +
+          "coalesce(array_to_string(w[p + 1 : CASE WHEN p + 3 > len(w) THEN len(w) ELSE p + 3 END], ' '), '') AS right_ctx " +
+          "FROM hits ORDER BY doc_id, pos")),
 
     // SCD-2 change capture over the orders stream: each customer's
     // priority history collapsed to versioned rows with half-open
