@@ -28,4 +28,25 @@ object CacheScope {
     var ds = tracked.poll()
     while (ds != null) { ds.unpersist(false); ds = tracked.poll() }
   }
+
+  /** Run `body` and drop ONLY the caches it tracked, leaving pre-existing
+    * entries (e.g. a long-lived corpus index) untouched — the per-trigger
+    * discipline a long-running stream needs: `foreachBatch` bodies that
+    * call caching operators would otherwise accumulate one tracked cache
+    * per micro-batch forever ([[clear]] only runs between driver
+    * queries). `body` must MATERIALIZE anything that outlives the scope
+    * (collect/localCheckpoint) before returning, since its caches drop on
+    * exit. Single-threaded scopes only: caches tracked concurrently by
+    * another thread during `body` would be swept up with the scope's. */
+  def scoped[T](body: => T): T = {
+    val before = new java.util.IdentityHashMap[Dataset[_], Unit]()
+    tracked.forEach(d => before.put(d, ()))
+    val out = body
+    val it = tracked.iterator()
+    while (it.hasNext) {
+      val d = it.next()
+      if (!before.containsKey(d)) { d.unpersist(false); it.remove() }
+    }
+    out
+  }
 }

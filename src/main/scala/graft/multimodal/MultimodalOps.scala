@@ -467,8 +467,10 @@ object MultimodalOps {
           catch { case _: Exception => null }
         val fmt = if (ais == null) null else ais.getFormat
         if (fmt == null || fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
-          || fmt.getSampleSizeInBits != 16) Iterator.empty
-        else {
+          || fmt.getSampleSizeInBits != 16) {
+          if (ais != null) ais.close() // reject path must not leak the decoder stream
+          Iterator.empty
+        } else {
           val pcm = ais.readAllBytes()
           ais.close()
           val bb = java.nio.ByteBuffer.wrap(pcm).order(

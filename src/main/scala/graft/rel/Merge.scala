@@ -54,10 +54,14 @@ object Merge {
     val payload = snapshot.columns.filterNot(_ == keyCol).toSeq
     // latest op per key — shuffles ONLY the changelog. Equal-ord ties
     // break on the explicit U > D > I rank (NOT opCol's string order,
-    // which would rank 'U' > 'I' > 'D').
+    // which would rank 'U' > 'I' > 'D'). The raw op string is the LAST
+    // tiebreak: any op code outside {U, D, I} falls into rank 0 with 'I',
+    // and without a total order row_number would pick whichever row the
+    // shuffle surfaced first — nondeterministic output on malformed input.
     val opRank =
       when(col(opCol) === "U", 2).when(col(opCol) === "D", 1).otherwise(0)
-    val w = Window.partitionBy(col(keyCol)).orderBy(col(ordCol).desc, opRank.desc)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(ordCol).desc, opRank.desc, col(opCol).desc)
     val latest = changes
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)

@@ -254,9 +254,10 @@ object PipelineQueries {
       "UNION ALL SELECT o_orderkey, 2, 'D', NULL, NULL, NULL FROM snap WHERE o_orderkey % 17 = 3 " +
       "UNION ALL SELECT o_orderkey + 100000000, 1, 'I', o_custkey, o_orderstatus, o_totalprice " +
       "FROM snap WHERE o_orderkey % 1000 = 1), " +
-      // equal-ord ties: explicit U > D > I rank, mirroring Merge.applyChangelog
+      // equal-ord ties: explicit U > D > I rank then the raw op string,
+      // mirroring Merge.applyChangelog's total order
       "latest AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY o_orderkey " +
-      "ORDER BY ord DESC, CASE op WHEN 'U' THEN 2 WHEN 'D' THEN 1 ELSE 0 END DESC) AS rn " +
+      "ORDER BY ord DESC, CASE op WHEN 'U' THEN 2 WHEN 'D' THEN 1 ELSE 0 END DESC, op DESC) AS rn " +
       "FROM ch) WHERE rn = 1), " +
       "existing AS (SELECT s.o_orderkey, " +
       "CASE WHEN l.op IS NOT NULL THEN l.o_custkey ELSE s.o_custkey END AS o_custkey, " +

@@ -81,21 +81,6 @@ object Sampling {
         .otherwise(lit("test")))
   }
 
-  /** Per-group mixture targets under temperature `alpha`: weight
-    * `n_g^alpha` normalized over groups, scaled to `total` rows. Pure
-    * metadata output (one row per group) — the aggregate is map-side
-    * partial, the normalization a single window over the tiny group set.
-    *
-    * `alpha = 1` keeps natural proportions, `alpha < 1` flattens toward
-    * uniform (upweights rare groups), `alpha = 0` is uniform.
-    *
-    * Reproducibility: `pow` may differ by an ulp across engines, so the
-    * weight and share are squeezed through float32 before the scale-and-
-    * floor — any engine computing the same counts lands on the identical
-    * `target_rows`, keeping the operator as seed-free portable as
-    * [[quotaPerGroup]]. `floor(x + 0.5)` rather than `round` for the same
-    * reason (one documented tie rule, no HALF_EVEN/HALF_UP ambiguity).
-    */
   /** Weighted sampling WITHOUT replacement (Efraimidis & Spirakis 2006,
     * algorithm A-ES): keep the top `n` rows per group by the key
     * `ln(u) / weight`, where `u ∈ (0, 1]` is the deterministic
@@ -120,6 +105,7 @@ object Sampling {
       weightCol: String,
       n: Int): DataFrame = {
     require(!df.columns.contains("_wkey"), "input must not already carry a _wkey column")
+    require(!df.columns.contains("_rn"), "input must not already carry a _rn column")
     val u = (priority(col(idCol)) + lit(1L)).cast("double") / lit(4294967296.0)
     val key = log(u) / col(weightCol).cast("double")
     val w = Window
@@ -151,7 +137,13 @@ object Sampling {
     * Ties share a bin (equal values never straddle a boundary), so bin
     * populations are equal only up to tie mass — exact, reproducible
     * arithmetic, unlike approx_percentile. All integers → every engine
-    * replays the identical assignment. */
+    * replays the identical assignment.
+    *
+    * Caller contract: `valueCol` must be DISCRETE (token counts, byte
+    * lengths, bucketed scores). A continuous double column makes the
+    * histogram as large as the data and the boundary window a single
+    * task — pre-round such a column (e.g. `round(x, 3)`) to bound the
+    * distinct-value count before binning. */
   def quantileBins(df: DataFrame, valueCol: String, bins: Int): DataFrame = {
     require(bins >= 2, s"bins must be ≥ 2, got $bins")
     val hist = df.groupBy(col(valueCol)).agg(count(lit(1)).as("_cnt"))
@@ -177,6 +169,21 @@ object Sampling {
       .drop("_bnds")
   }
 
+  /** Per-group mixture targets under temperature `alpha`: weight
+    * `n_g^alpha` normalized over groups, scaled to `total` rows. Pure
+    * metadata output (one row per group) — the aggregate is map-side
+    * partial, the normalization a single window over the tiny group set.
+    *
+    * `alpha = 1` keeps natural proportions, `alpha < 1` flattens toward
+    * uniform (upweights rare groups), `alpha = 0` is uniform.
+    *
+    * Reproducibility: `pow` may differ by an ulp across engines, so the
+    * weight and share are squeezed through float32 before the scale-and-
+    * floor — any engine computing the same counts lands on the identical
+    * `target_rows`, keeping the operator as seed-free portable as
+    * [[quotaPerGroup]]. `floor(x + 0.5)` rather than `round` for the same
+    * reason (one documented tie rule, no HALF_EVEN/HALF_UP ambiguity).
+    */
   def temperatureTargets(df: DataFrame, groupCol: String, alpha: Double, total: Long): DataFrame = {
     val f32 = (c: Column) => c.cast("float").cast("double")
     val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_rows"))

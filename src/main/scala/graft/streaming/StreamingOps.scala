@@ -282,8 +282,16 @@ object StreamingOps {
     val q = deltaStream.writeStream
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         if (!batch.isEmpty) {
-          val found = graft.text.Dedup.minhashLshAgainstIndex(idx, batch.toDF(), minEstJaccard)
-          state.set(state.get().unionByName(found).localCheckpoint())
+          // scoped: the screen caches the batch's signature table; a
+          // long-running stream must drop it at trigger end (one leaked
+          // cache per micro-batch otherwise) while the corpus index's
+          // own caches — tracked before the stream started — survive.
+          // localCheckpoint materializes the result before the drop.
+          val next = graft.CacheScope.scoped {
+            val found = graft.text.Dedup.minhashLshAgainstIndex(idx, batch.toDF(), minEstJaccard)
+            state.get().unionByName(found).localCheckpoint()
+          }
+          state.set(next)
         }
       }
       .start()
@@ -314,27 +322,23 @@ object StreamingOps {
   /** Watermarked stream-stream interval join: match each left row to the
     * right rows with the same `key` whose event time falls in
     * `[leftTs, leftTs + maxLag]` — the click→purchase attribution shape.
-    * Inner matches are emitted as soon as both sides arrive; the
-    * watermarks plus the two-sided time-range condition are what make the
-    * operator RUN UNBOUNDED: Spark derives each side's state-eviction
+    * The watermarks plus the two-sided time-range condition are what make
+    * the operator RUN UNBOUNDED: Spark derives each side's state-eviction
     * bound from them (a left row can be dropped once the right watermark
     * passes `leftTs + maxLag`, and vice versa), so buffered state holds
     * only the lag horizon, never stream history. A stream-stream join
     * without both ingredients buffers forever — that is the 100 TB/day
     * failure mode this signature forecloses.
     *
+    * `joinType` `"inner"` emits matches as soon as both sides arrive;
+    * `"left_outer"` ALSO emits each unmatched left row (right columns
+    * null) once the watermark proves no match can still arrive inside
+    * the lag window — the conversion-funnel-with-dropouts shape, riding
+    * the same state-expiry machinery.
+    *
     * The two inputs must have disjoint column names apart from `key`
     * (pre-alias them, as any self-join requires).
     */
-  /** Watermarked stream-stream join on `key` with a `[0, maxLag]`
-    * event-time interval. `joinType` `"inner"` emits matches as soon as
-    * both sides arrive; `"left_outer"` ALSO emits each unmatched left row
-    * (right columns null) once the watermark passes its lag horizon and
-    * no match can still arrive — the conversion-funnel-with-dropouts
-    * shape, and the reason the interval condition is mandatory: it is
-    * what lets Spark expire join state and know when an unmatched row is
-    * final. State on both sides stays bounded by watermark + lag for
-    * either join type. */
   def intervalJoin(
       left: DataFrame,
       right: DataFrame,

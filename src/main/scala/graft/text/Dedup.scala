@@ -311,7 +311,11 @@ object Dedup {
     * far end of 100 TB can swap the gram key for a 64-bit hash at the
     * cost of a documented collision width. */
   def repeatedSpanStats(docs: DataFrame, w: Int, minDocs: Int = 2): DataFrame = {
-    val grams = TextOps.shingleRows(docs, w, distinctSet = false)
+    // Cached: the dup-gram aggregate AND the final rejoin both read the
+    // gram stream — uncached, the corpus tokenizes+shingles twice (the
+    // t07 cross-aggregate re-tokenize trap; at 100 TB the dominant cost).
+    val grams = graft.CacheScope.track(
+      TextOps.shingleRows(docs, w, distinctSet = false).cache())
     val dupGrams = grams
       .select("s", "doc_id")
       .distinct()
@@ -351,10 +355,15 @@ object Dedup {
     *         unchanged
     */
   def scrubRepeatedSpans(docs: DataFrame, w: Int, minDocs: Int = 2): DataFrame = {
-    val withToks = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("_toks"))
-    val grams = withToks.select(
-      col("doc_id"),
-      posexplode(TextOps.shingles(col("_toks"), w)).as(Seq("pos", "s")))
+    // Both cached: withToks feeds the gram stream AND the final rewrite
+    // join; grams feeds the dup-gram aggregate AND the start-position
+    // semi-join — uncached, the tokenizer would run ~3× over the corpus.
+    val withToks = graft.CacheScope.track(
+      docs.select(col("doc_id"), TextOps.tokens(col("text")).as("_toks")).cache())
+    val grams = graft.CacheScope.track(
+      withToks.select(
+        col("doc_id"),
+        posexplode(TextOps.shingles(col("_toks"), w)).as(Seq("pos", "s"))).cache())
     val dupGrams = grams
       .select("s", "doc_id")
       .distinct()

@@ -45,41 +45,41 @@ object Mmr {
 
   def rerank(candidates: DataFrame, k: Int, lambda: Double): DataFrame = {
     require(lambda >= 0.0 && lambda <= 1.0, "lambda must be in [0, 1]")
-    // The greedy loop reads the candidate set in every round (and each
-    // round's `remaining` chains on it) — without a cache the WHOLE
-    // upstream lineage (candidate generation is typically a corpus-wide
-    // search) re-executes k+1 times. Candidates are top-N per query, so
-    // the cache is list-sized; CacheScope drops it when the caller's
-    // query finishes. Measured on the v21 pipeline: 21.0 s → 2.9 s.
+    // The greedy loop reads the candidate set in every round — without a
+    // cache the WHOLE upstream lineage (candidate generation is typically
+    // a corpus-wide search) re-executes k+1 times. Candidates are top-N
+    // per query, so the cache is list-sized; CacheScope drops it when the
+    // caller's query finishes. Measured on the v21 pipeline: 21.0 s →
+    // 2.9 s. A NaN rel (zero-norm query upstream) would sort FIRST under
+    // descending order and win every round — those rows carry no usable
+    // relevance signal and are dropped up front.
     val cand = graft.CacheScope.track(
-      candidates.select("query_id", "vec_id", "rel", "embedding").cache())
+      candidates
+        .select("query_id", "vec_id", "rel", "embedding")
+        .filter(not(isnan(col("rel").cast("double"))))
+        .cache())
 
-    var selected: DataFrame = null // (query_id, sel_rank, vec_id, embedding, mmr)
-    var remaining = cand
+    var selected: DataFrame = null // (query_id, sel_rank, vec_id, mmr)
+    // `_maxsim` carries the running max similarity to the selected set:
+    // each round joins ONLY the newest pick (1 row per query) and folds
+    // it in with greatest() — O(k·N) cosines total, where re-aggregating
+    // against the full selected set every round is O(k²·N). max is exact
+    // on doubles, so the fold computes the identical value (and therefore
+    // the identical greedy trajectory) as the re-aggregation form.
+    var remaining = cand.withColumn("_maxsim", lit(null).cast("double"))
     for (step <- 1 to k) {
-      val scored =
-        if (selected == null) remaining.withColumn("mmr", lit(lambda) * col("rel"))
-        else {
-          val sel = selected.select(
-            col("query_id"),
-            col("embedding").as("sel_emb"))
-          remaining
-            .join(sel, Seq("query_id"))
-            .withColumn("sim", VectorOps.cosine(col("embedding"), col("sel_emb")))
-            .groupBy("query_id", "vec_id")
-            .agg(
-              first(col("rel")).as("rel"),
-              first(col("embedding")).as("embedding"),
-              max(col("sim")).as("max_sim"))
-            .withColumn("mmr", lit(lambda) * col("rel") - lit(1.0 - lambda) * col("max_sim"))
-        }
+      val scored = remaining.withColumn(
+        "mmr",
+        lit(lambda) * col("rel") -
+          when(col("_maxsim").isNull, lit(0.0))
+            .otherwise(lit(1.0 - lambda) * col("_maxsim")))
       val w = Window.partitionBy("query_id").orderBy(f32(col("mmr")).desc, col("vec_id"))
       // Each pick is MATERIALIZED (eager localCheckpoint, ≤|Q| rows):
       // without it round k's plan re-derives rounds 1..k−1 from scratch
-      // through the union/anti-join chain — an O(k²) re-execution
-      // cascade the candidate cache alone does not stop (measured: the
-      // v20 driver query spent 10.3 s at sf0.1 on ~150 candidate rows;
-      // truncating the per-round lineage removes the cascade).
+      // through the join chain — an O(k²) re-execution cascade the
+      // candidate cache alone does not stop (measured: the v20 driver
+      // query spent 10.3 s at sf0.1 on ~150 candidate rows; truncating
+      // the per-round lineage removes the cascade).
       val pick = scored
         .withColumn("_rn", row_number().over(w))
         .filter(col("_rn") === 1)
@@ -88,8 +88,24 @@ object Mmr {
           col("embedding"), col("mmr"))
         .localCheckpoint()
       selected = if (selected == null) pick else selected.unionByName(pick)
-      remaining = remaining.join(
-        pick.select("query_id", "vec_id"), Seq("query_id", "vec_id"), "left_anti")
+      val newest = pick.select(
+        col("query_id"), col("vec_id").as("_pick_vid"), col("embedding").as("_pick_emb"))
+      remaining = remaining
+        .join(newest, Seq("query_id"))
+        .filter(col("vec_id") =!= col("_pick_vid"))
+        // nanvl: a zero-norm embedding yields NaN cosine, which Spark's
+        // ordering treats as LARGEST — unguarded it would poison every
+        // subsequent mmr score. Clamping degenerate similarity to 1.0
+        // (maximally similar → maximally demoted) is the conservative
+        // reading; on well-formed vectors nanvl is a no-op.
+        .withColumn(
+          "_sim",
+          nanvl(VectorOps.cosine(col("embedding"), col("_pick_emb")), lit(1.0)))
+        .withColumn(
+          "_maxsim",
+          when(col("_maxsim").isNull, col("_sim"))
+            .otherwise(greatest(col("_maxsim"), col("_sim"))))
+        .drop("_pick_vid", "_pick_emb", "_sim")
     }
     selected.select("query_id", "sel_rank", "vec_id", "mmr")
   }

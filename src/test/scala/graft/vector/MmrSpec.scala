@@ -44,4 +44,22 @@ class MmrSpec extends SparkSpec {
     // fewer candidates than k → fewer rows, never fabricated picks
     assert(byQ(1L).map(_._3).toSeq == Seq(20L))
   }
+
+  test("mmr: a zero-norm candidate cannot hijack the selection via NaN similarity") {
+    // vec 99 is all-zero → cosine(·, 99) is NaN; unguarded, NaN sorts as
+    // the largest mmr and wins round 1, then poisons every later round.
+    // rel of the zero vector is also NaN (as a cosine to the query would
+    // be) → it must be dropped entirely, and the real vectors must rank
+    // purely on their own merits.
+    val cands = Seq(
+      (0L, 1L, 0.9, Array(1f, 0f)),
+      (0L, 2L, 0.8, Array(0f, 1f)),
+      (0L, 99L, Double.NaN, Array(0f, 0f)))
+      .toDF("query_id", "vec_id", "rel", "embedding")
+    val out = Mmr.rerank(cands, k = 3, lambda = 0.5)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).sortBy(_._1)
+    assert(out.map(_._2).toSeq == Seq(1L, 2L), s"got $out")
+    assert(!out.map(_._1).contains(3), "the NaN row must not produce a third pick")
+    graft.CacheScope.clear()
+  }
 }
