@@ -456,6 +456,41 @@ object RelQueries {
           ", round(coalesce(sum(value) FILTER (WHERE event_type = 'purchase'), 0.0), 2) AS purchase_value " +
           "FROM events GROUP BY 1 ORDER BY day")),
 
+    // --- unpivot (melt): the wide-to-long inverse of q23 --------------
+    // Spark's native Dataset.unpivot turns q23's per-type count columns
+    // back into (day, event_type, n) rows — the round-trip proves pivot
+    // and unpivot are exact inverses INCLUDING the zero-count cells the
+    // wide form materializes and a bare groupBy would omit. The oracle
+    // replays the long form as a zero-filled day × type grid.
+    NamedQuery(
+      "q36_daily_type_unpivot",
+      (s, dir) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val aggs = types.map(ty => count(when(col("event_type") === ty, 1)).as(s"n_$ty"))
+        val wide = t(s, dir, "events")
+          .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+          .agg(aggs.head, aggs.tail: _*)
+        wide.unpivot(
+          ids = Array(col("day")),
+          values = types.map(ty => col(s"n_$ty")).toArray,
+          variableColumnName = "type_col",
+          valueColumnName = "n")
+          .select(
+            col("day"),
+            expr("substring(type_col, 3)").as("event_type"),
+            col("n"))
+          .orderBy("day", "event_type")
+      },
+      Some(
+        "WITH days AS (SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day FROM events), " +
+          "types AS (SELECT unnest(['click', 'error', 'purchase', 'signup', 'view']) AS event_type), " +
+          "grid AS (SELECT day, event_type FROM days CROSS JOIN types), " +
+          "cnt AS (SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, " +
+          "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2) " +
+          "SELECT g.day, g.event_type, coalesce(c.n, 0) AS n " +
+          "FROM grid g LEFT JOIN cnt c ON g.day = c.day AND g.event_type = c.event_type " +
+          "ORDER BY 1, 2")),
+
     // --- full outer join ----------------------------------------------
     NamedQuery(
       "q24_customer_order_coverage",

@@ -16,6 +16,21 @@ class CacheScopeSpec extends SparkSpec {
     untracked.unpersist()
   }
 
+  test("scoped drops only the caches the block tracked, keeping pre-existing ones") {
+    val outer = CacheScope.track(spark.range(80).toDF().cache())
+    outer.count()
+    val inner = CacheScope.scoped {
+      val d = CacheScope.track(spark.range(40).toDF().cache())
+      d.count()
+      assert(d.storageLevel.useMemory)
+      d
+    }
+    assert(!inner.storageLevel.useMemory, "scope-tracked cache must drop on exit")
+    assert(outer.storageLevel.useMemory, "pre-existing tracked cache must survive the scope")
+    CacheScope.clear()
+    assert(!outer.storageLevel.useMemory)
+  }
+
   test("census: minhashLsh + v05-style union caches vanish after a harness clear") {
     // the round-3 leak: minhashLsh's signature table (and v05's unioned
     // input) stayed cached for the JVM lifetime; after a query + clear the
