@@ -3,8 +3,8 @@ package graft.rel
 import graft.{NamedQuery, Tables}
 import graft.index.{IvfBuild, IvfModel, IvfSearch}
 import graft.multimodal.MultimodalOps
-import graft.text.{Bm25, Cms, Dedup, LangModel, TextOps, TfIdf}
-import graft.vector.{BinaryQuant, Pq, Sq, VectorMean}
+import graft.text.{Bm25, Cms, Dedup, LangModel, LineDedup, TextOps, TfIdf}
+import graft.vector.{BinaryQuant, Pq, RandomProjection, Sq, VectorMean}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -3934,5 +3934,326 @@ object PipelineQueries {
           .applyChangelog(snap, ordersChangelog(snap), "o_orderkey", "ord", "op")
           .orderBy("o_orderkey")
       },
-      Some(mergeOracleSql)))
+      Some(mergeOracleSql)),
+
+    // =====================================================================
+    // Round-11 wave
+    // =====================================================================
+
+    // JL random-projection ANN (RandomProjection.topK): the corpus drops
+    // from 64 to 16 dims through a seeded ±1 Rademacher matrix whose
+    // entry (i,j) is a pure multiplicative-hash function of its
+    // coordinates — never materialized, portable to SQL — candidates come
+    // from an L2 scan in the reduced space (¼ the float traffic), and an
+    // exact re-rank restores metric fidelity. Multiplying by ±1.0 is
+    // exact and both engines fold dimensions in the same ascending order,
+    // so every projected coordinate is BITWISE reproducible: the oracle
+    // replays projection, candidate cut, and re-rank from first
+    // principles — the only ANN family needing no recall bar at all.
+    NamedQuery(
+      "v24_random_projection_knn",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+        val dim = emb.select(size(col("embedding"))).head().getInt(0)
+        RandomProjection
+          .topK(emb, embQueries(s, dir, 5), dIn = dim, m = 16, k = 10, cand = 40)
+          .select(
+            col("query_id"),
+            col("rank").cast("int").as("rnk"),
+            col("vec_id"),
+            f32round(col("dist2"), 3).as("dist2"))
+          .orderBy("query_id", "rnk")
+      },
+      Some(
+        "WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5), " +
+          "cp AS (SELECT vec_id, list_transform(generate_series(0, 15), j -> " +
+          "list_sum(list_transform(generate_series(0, 63), i -> " +
+          "CAST(embedding[i+1] AS DOUBLE) * (1.0 - 2.0 * CAST((((i*16 + j + 1) * 2654435761) % 2038074743) % 2 AS DOUBLE))))) AS proj " +
+          "FROM embeddings), " +
+          "qp AS (SELECT query_id, list_transform(generate_series(0, 15), j -> " +
+          "list_sum(list_transform(generate_series(0, 63), i -> " +
+          "CAST(qvec[i+1] AS DOUBLE) * (1.0 - 2.0 * CAST((((i*16 + j + 1) * 2654435761) % 2038074743) % 2 AS DOUBLE))))) AS qproj " +
+          "FROM q), " +
+          "h AS (SELECT qp.query_id, c.vec_id, list_sum(list_transform(generate_series(1, 16), j -> " +
+          "(c.proj[j] - qp.qproj[j]) * (c.proj[j] - qp.qproj[j]))) AS pd FROM cp c CROSS JOIN qp), " +
+          "cand AS (SELECT query_id, vec_id, row_number() OVER " +
+          "(PARTITION BY query_id ORDER BY pd ASC, vec_id ASC) AS crnk FROM h), " +
+          "d AS (SELECT cand.query_id, cand.vec_id, " +
+          "list_sum(list_transform(generate_series(1, len(e.embedding)), i -> " +
+          "(CAST(e.embedding[i] AS DOUBLE) - CAST(q.qvec[i] AS DOUBLE)) * " +
+          "(CAST(e.embedding[i] AS DOUBLE) - CAST(q.qvec[i] AS DOUBLE)))) AS dist2 " +
+          "FROM cand JOIN embeddings e ON e.vec_id = cand.vec_id " +
+          "JOIN q ON q.query_id = cand.query_id WHERE cand.crnk <= 40), " +
+          "r AS (SELECT query_id, vec_id, dist2, CAST(row_number() OVER " +
+          "(PARTITION BY query_id ORDER BY dist2 ASC, vec_id ASC) AS INTEGER) AS rnk FROM d) " +
+          "SELECT query_id, rnk, vec_id, round(CAST(CAST(dist2 AS REAL) AS DOUBLE), 3) + 0.0 AS dist2 " +
+          "FROM r WHERE rnk <= 10 ORDER BY query_id, rnk")),
+
+    // CCNet-style LINE-level boilerplate removal (LineDedup
+    // .dropBoilerplateLines): aligned 8-token chunks stand in for lines
+    // (the fixture has no newlines); a line carried by ≥2 DISTINCT docs
+    // is boilerplate and is scrubbed from every carrier, the rest of
+    // each doc reassembled in order — edit, don't drop. Docs 0–4 are
+    // planted as full copies under -(doc_id+1) (the d10 convention), so
+    // their every line — and their sources' — must vanish, on top of the
+    // natural short-tail-chunk collisions a 30-word vocabulary yields.
+    // All-string exact arithmetic; the oracle recomputes every chunk,
+    // the distinct-doc counts, and each REASSEMBLED text, so hash-green
+    // certifies the rewritten corpus byte for byte.
+    NamedQuery(
+      "d14_line_dedup",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        val planted = docs
+          .filter(col("doc_id") < 5)
+          .select((-(col("doc_id") + 1L)).as("doc_id"), col("text"))
+        LineDedup
+          .dropBoilerplateLines(docs.unionByName(planted), lineTokens = 8, minDocs = 2)
+          .orderBy("doc_id")
+      },
+      Some(
+        "WITH corpus AS (SELECT doc_id, text FROM documents " +
+          "UNION ALL SELECT -(doc_id + 1) AS doc_id, text FROM documents WHERE doc_id < 5), " +
+          s"tok AS (SELECT doc_id, $duckToks AS w FROM corpus), " +
+          "lin AS (SELECT doc_id, i AS line_idx, array_to_string(w[(i*8+1):(i*8+8)], ' ') AS line " +
+          "FROM tok, unnest(generate_series(0, CAST(ceil(len(w) / 8.0) AS BIGINT) - 1)) AS u(i)), " +
+          "dup AS (SELECT line FROM (SELECT line, count(DISTINCT doc_id) AS nd FROM lin GROUP BY line) WHERE nd >= 2), " +
+          "f AS (SELECT doc_id, line_idx, line, line IN (SELECT line FROM dup) AS is_dup FROM lin) " +
+          "SELECT doc_id, coalesce(string_agg(line, ' ' ORDER BY line_idx) FILTER (WHERE NOT is_dup), '') AS text, " +
+          "CAST(count(*) AS BIGINT) AS n_lines, CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_removed " +
+          "FROM f GROUP BY doc_id ORDER BY doc_id")),
+
+    // Character-level unigram entropy — the randomness/quality signal
+    // that catches encoding junk, repeated-char padding, and base64
+    // blobs (low OR pathologically high entropy): p·ln p folded over the
+    // SORTED character alphabet, so both engines accumulate in the same
+    // order; ratios are exact int/int doubles and the lone libm ln is
+    // absorbed by the f32 squeeze. Entirely row-local — the plan has no
+    // shuffle at all, the 100 TB shape of a per-doc scoring pass.
+    NamedQuery(
+      "t15_char_entropy",
+      (s, dir) => {
+        val cs = filter(split(lower(col("text")), ""), c => length(c) > 0)
+        val base = t(s, dir, "documents")
+          .select(col("doc_id"), cs.as("cs"))
+          .select(
+            col("doc_id"), col("cs"),
+            size(col("cs")).as("n"),
+            array_sort(array_distinct(col("cs"))).as("alpha"))
+        val ent = aggregate(
+          col("alpha"),
+          lit(0.0),
+          (acc, ch) => {
+            val p = size(filter(col("cs"), x => x === ch)).cast("double") / col("n")
+            acc + p * log(p)
+          })
+        base.select(
+          col("doc_id"),
+          col("n").cast("long").as("n_chars"),
+          size(col("alpha")).cast("long").as("n_distinct"),
+          f32round(-ent, 4).as("entropy_nats"),
+          f32round(-ent / log(lit(2.0)), 4).as("bits_per_char"))
+          .orderBy("doc_id")
+      },
+      Some(
+        "WITH c AS (SELECT doc_id, regexp_extract_all(lower(text), '.') AS cs FROM documents), " +
+          "a AS (SELECT doc_id, cs, len(cs) AS n, list_sort(list_distinct(cs)) AS alpha FROM c), " +
+          "e AS (SELECT doc_id, n, len(alpha) AS n_distinct, " +
+          "-coalesce(list_sum(list_transform(alpha, ch -> " +
+          "(CAST(len(list_filter(cs, x -> x = ch)) AS DOUBLE) / n) * " +
+          "ln(CAST(len(list_filter(cs, x -> x = ch)) AS DOUBLE) / n))), 0.0) AS ent FROM a) " +
+          "SELECT doc_id, CAST(n AS BIGINT) AS n_chars, CAST(n_distinct AS BIGINT) AS n_distinct, " +
+          "round(CAST(CAST(ent AS REAL) AS DOUBLE), 4) + 0.0 AS entropy_nats, " +
+          "round(CAST(CAST(ent / ln(2.0) AS REAL) AS DOUBLE), 4) + 0.0 AS bits_per_char " +
+          "FROM e ORDER BY doc_id")),
+
+    // Bloom-filter semi-join reduction (BloomJoin.bloomSemiFilter): the
+    // orders fact side is pre-filtered by a broadcast Bloom filter built
+    // over the selective customer keys BEFORE any shuffle — the manual
+    // form of SPARK-32268's runtime row filter, as an operator a pipeline
+    // can aim at a 100 TB fact scan even when the planner declines.
+    // False positives only waste shuffle bytes (the join removes them),
+    // so the result is EXACTLY the plain join at any fpp — which is what
+    // the oracle hash proves. The final sum runs in DECIMAL(18,2) (exact
+    // integer cents) and is cast back to double only for display, so the
+    // aggregate carries no float summation-order wobble at any scale.
+    NamedQuery(
+      "q37_bloom_join",
+      (s, dir) => {
+        val dims = t(s, dir, "customer")
+          .filter(col("c_mktsegment") === "BUILDING" && col("c_acctbal") > 7000)
+          .select(col("c_custkey"), col("c_nationkey"))
+        val facts = t(s, dir, "orders").select(col("o_custkey"), col("o_totalprice"))
+        val pruned = BloomJoin
+          .bloomSemiFilter(facts, "o_custkey", dims, "c_custkey", expectedItems = 1L << 20, fpp = 0.01)
+        pruned
+          .join(dims, col("o_custkey") === col("c_custkey"))
+          .groupBy("c_nationkey")
+          .agg(
+            count(lit(1)).as("n_orders"),
+            round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2).as("spend"))
+          .orderBy("c_nationkey")
+      },
+      Some(
+        "SELECT c_nationkey, count(*) AS n_orders, " +
+          "round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS spend " +
+          "FROM orders JOIN customer ON o_custkey = c_custkey " +
+          "WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 7000 " +
+          "GROUP BY c_nationkey ORDER BY c_nationkey")),
+
+    // Incremental materialized-view maintenance (IncrementalMv): the
+    // daily per-type event view kept as MERGEABLE partial states
+    // (count/sum/min/max — Gray et al.'s distributive aggregates), the
+    // nightly delta folded in by state merge instead of base recompute —
+    // at 100 TB only the delta moves, the standing view is a groups-sized
+    // table. The split (event_id % 4) puts delta rows in EVERY group, so
+    // the merge path is exercised everywhere; the oracle recomputes the
+    // view from the full base, proving partial+merge ≡ recompute. AVG is
+    // derived from (sum, n) at read time — it doesn't merge. Sums are
+    // f32-squeezed on both sides (the two-phase fold re-associates the
+    // float addition).
+    NamedQuery(
+      "q38_incremental_mv",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val base  = IncrementalMv.partials(ev.filter(col("event_id") % 4 =!= 0))
+        val delta = IncrementalMv.partials(ev.filter(col("event_id") % 4 === 0))
+        IncrementalMv
+          .merge(base, delta)
+          .select(
+            col("day"), col("event_type"), col("n_events"),
+            f32round(col("sum_v"), 2).as("sum_value"),
+            round(col("min_v"), 2).as("min_value"),
+            round(col("max_v"), 2).as("max_value"),
+            f32round(col("sum_v") / col("n_events"), 4).as("avg_value"))
+          .orderBy("day", "event_type")
+      },
+      Some(
+        "SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, CAST(count(*) AS BIGINT) AS n_events, " +
+          "round(CAST(CAST(sum(value) AS REAL) AS DOUBLE), 2) + 0.0 AS sum_value, " +
+          "round(min(value), 2) AS min_value, round(max(value), 2) AS max_value, " +
+          "round(CAST(CAST(sum(value) / count(*) AS REAL) AS DOUBLE), 4) + 0.0 AS avg_value " +
+          "FROM events GROUP BY 1, 2 ORDER BY 1, 2")),
+
+    // NATIVE session windows (functions.session_window) as a stream —
+    // the built-in that covers the common case s03's custom
+    // flatMapGroupsWithState exists to generalize: per-user sessions
+    // closing 30 min after the LAST event, state merged by the session
+    // operator itself and flushed when the watermark passes a session's
+    // end. Same file-source + sentinel scaffolding as s03; the emitted
+    // sessions must equal the batch gap-sessionization the oracle
+    // computes. Boundary semantics (SessionWindowSpec-pinned): Spark
+    // merges sessions at a gap of EXACTLY the window length (closed
+    // [ts, ts+gap] merge test), so is_new fires only on a gap STRICTLY
+    // greater — identical to q22's `>` rule.
+    NamedQuery(
+      "s13_session_window",
+      (s, dir) => {
+        import s.implicits._
+        val evBatch = t(s, dir, "events")
+          .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("us"))
+        val tmp = java.nio.file.Files.createTempDirectory("s13_events_")
+        val qname = s"s13_sink_${streamSinkCounter.incrementAndGet()}"
+        val (rows, schema) = withShufflePartitions(s, 8) { try {
+          val inDir = s"$tmp/in"
+          evBatch.write.mode("overwrite").parquet(inDir)
+          val stream = s.readStream.schema(evBatch.schema).parquet(inDir)
+            .withWatermark("ts", "1 minute")
+          val out = stream
+            .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+            .agg(count(lit(1)).as("n_events"), min("us").as("start_us"), max("us").as("end_us"))
+            .select(col("user_id"), col("n_events"), col("start_us"), col("end_us"))
+          val query = out.writeStream.format("memory").queryName(qname).outputMode("append").start()
+          try {
+            query.processAllAvailable()
+            val maxUs = evBatch.agg(max("us")).head().getLong(0)
+            def sentinel(days: Long) = Seq(
+              (-1L, new java.sql.Timestamp(maxUs / 1000L + days * 24 * 3600 * 1000), maxUs))
+              .toDF("user_id", "ts", "us")
+            // first sentinel advances the watermark; second triggers the
+            // cycle that observes it advanced and flushes closed sessions
+            sentinel(40L).write.mode("append").parquet(inDir)
+            query.processAllAvailable()
+            sentinel(80L).write.mode("append").parquet(inDir)
+            query.processAllAvailable()
+          } finally query.stop()
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("user_id").orderBy("start_us")
+          val shaped = s.table(qname)
+            .filter(col("user_id") >= 0)
+            .select(
+              col("user_id"),
+              row_number().over(w).as("session_idx"),
+              col("n_events"),
+              col("start_us"),
+              (col("end_us") - col("start_us")).as("dur_us"))
+            .orderBy("user_id", "session_idx")
+          (shaped.collect().toSeq, shaped.schema)
+        } finally {
+          try s.catalog.dropTempView(qname)
+          catch { case _: Exception => () }
+          deleteRecursively(tmp)
+        }
+        }
+        s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
+      },
+      Some(
+        "SELECT user_id, session_idx, count(*) AS n_events, min(us) AS start_us, " +
+          "max(us) - min(us) AS dur_us FROM (" +
+          "SELECT user_id, us, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx FROM (" +
+          "SELECT user_id, event_id, us, CASE WHEN prev IS NULL OR us - prev > 30*60*1000000 " +
+          "THEN 1 ELSE 0 END AS is_new FROM (" +
+          "SELECT user_id, event_id, epoch_us(ts) AS us, " +
+          "lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev " +
+          "FROM events))) GROUP BY user_id, session_idx ORDER BY user_id, session_idx")),
+
+    // Streaming approximate distinct (HLL++ as complete-mode streaming
+    // state — the s09/s12 streaming-sketch story for COUNT DISTINCT):
+    // per-type distinct users accumulate across micro-batches in O(HLL
+    // registers) state for any stream length. Register merge is a
+    // pointwise max — commutative and idempotent — so micro-batch slicing
+    // cannot change the estimate, and the q31 bound-flag certifies it:
+    // the streaming estimate at rsd 0.01 must sit within 5% of the exact
+    // batch distinct the oracle recomputes.
+    NamedQuery(
+      "s14_stream_approx_distinct",
+      (s, dir) => {
+        val ev = t(s, dir, "events").select(col("event_type"), col("user_id"))
+        val tmp = java.nio.file.Files.createTempDirectory("s14_events_")
+        val qname = s"s14_sink_${streamSinkCounter.incrementAndGet()}"
+        val (rows, schema) = withShufflePartitions(s, 8) { try {
+          val inDir = s"$tmp/in"
+          ev.repartition(4).write.mode("overwrite").parquet(inDir)
+          val src = s.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1).parquet(inDir)
+          val agg = src
+            .groupBy("event_type")
+            .agg(approx_count_distinct(col("user_id"), 0.01).as("n_approx"))
+          val query = agg.writeStream
+            .format("memory").queryName(qname).outputMode("complete").start()
+          try query.processAllAvailable()
+          finally query.stop()
+          val exact = ev.groupBy("event_type")
+            .agg(countDistinct(col("user_id")).as("n_exact"))
+          val shaped = s.table(qname)
+            .join(exact, Seq("event_type"))
+            .select(
+              col("event_type"),
+              col("n_exact"),
+              when(abs(col("n_approx") - col("n_exact")).cast("double") / col("n_exact") <= 0.05, 1L)
+                .otherwise(0L).as("hll_ok"))
+            .orderBy("event_type")
+          (shaped.collect().toSeq, shaped.schema)
+        } finally {
+          try s.catalog.dropTempView(qname)
+          catch { case _: Exception => () }
+          deleteRecursively(tmp)
+        }
+        }
+        s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
+      },
+      Some(
+        "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact, " +
+          "CAST(1 AS BIGINT) AS hll_ok FROM events GROUP BY event_type ORDER BY event_type")))
 }

@@ -173,4 +173,44 @@ class PlanAuditSpec extends SparkSpec {
       s"bigram pairing regressed to a window over exploded positions:\n$plan")
     graft.CacheScope.clear()
   }
+
+  test("char entropy is entirely row-local — the scoring plan has zero shuffles") {
+    import spark.implicits._
+    val docs = (1L to 50L).map(i => (i, s"some text ${"ab" * (i % 7).toInt}")).toDF("doc_id", "text")
+    val cs = filter(split(lower(col("text")), ""), c => length(c) > 0)
+    val scored = docs
+      .select(col("doc_id"), cs.as("cs"))
+      .select(col("doc_id"), col("cs"), size(col("cs")).as("n"),
+        array_sort(array_distinct(col("cs"))).as("alpha"))
+      .select(col("doc_id"),
+        aggregate(col("alpha"), lit(0.0), (acc, ch) =>
+          acc + size(filter(col("cs"), x => x === ch)).cast("double") / col("n")).as("p_sum"))
+    scored.collect()
+    assert(countShuffles(scored) == 0,
+      s"per-doc scoring must not shuffle:\n${scored.queryExecution.executedPlan}")
+  }
+
+  test("line dedup: aligned chunking costs ≤ 3 shuffles (line agg, rejoin, doc reassembly)") {
+    import spark.implicits._
+    val docs = (1L to 60L).map(i =>
+      (i, (1 to 24).map(j => s"w${(i * 5 + j) % 29}").mkString(" "))).toDF("doc_id", "text")
+    val out = graft.text.LineDedup.dropBoilerplateLines(docs, lineTokens = 4, minDocs = 2)
+    out.collect()
+    assert(countShuffles(out) <= 3,
+      s"line dedup shuffles more than line-agg + rejoin + reassembly:\n${out.queryExecution.executedPlan}")
+  }
+
+  test("JL candidate top-k is the bounded-heap aggregator, not a window over all pairs") {
+    import spark.implicits._
+    val corpus = (0L until 100L).map(i =>
+      (i, (0 until 16).map(d => ((i * 16 + d) % 13).toFloat / 13f))).toDF("vec_id", "embedding")
+    val queries = (0L until 2L).map(i =>
+      (i, (0 until 16).map(d => ((i * 16 + d) % 13).toFloat / 13f))).toDF("query_id", "qvec")
+    val out = graft.vector.RandomProjection.topK(corpus, queries, dIn = 16, m = 4, k = 5, cand = 10)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"),
+      s"JL candidate selection lost the map-side partial heap:\n$plan")
+    assert(!plan.contains("WindowExec"),
+      s"JL candidate selection regressed to a window — every pair row would shuffle:\n$plan")
+  }
 }
