@@ -4255,5 +4255,142 @@ object PipelineQueries {
       },
       Some(
         "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact, " +
-          "CAST(1 AS BIGINT) AS hll_ok FROM events GROUP BY event_type ORDER BY event_type")))
+          "CAST(1 AS BIGINT) AS hll_ok FROM events GROUP BY event_type ORDER BY event_type")),
+
+    // REAL image thumbnailing end to end (MultimodalOps.resizeBlockMean):
+    // pattern PNGs (8-px uniform blocks, the m05 generator at jitter 0)
+    // are decoded through the genuine ImageIO path, block-mean downscaled
+    // 8× — each thumbnail pixel is the exact integer block value, since
+    // a uniform tile's floor-mean is its value — re-encoded as real PNG
+    // bytes, and decoded AGAIN for features. Every stage is the real
+    // codec; the oracle predicts the final mean gray analytically from
+    // the patternBlockValue formula, so hash-green certifies
+    // encode → decode → resize → encode → decode with zero float
+    // resampling anywhere.
+    NamedQuery(
+      "m07_image_resize",
+      (s, dir) => {
+        val spec = t(s, dir, "documents")
+          .filter(col("doc_id") < 40)
+          .select(
+            col("doc_id").as("asset_id"),
+            (col("doc_id") * 17 + 3).as("seed"),
+            lit(0).as("jitter"))
+        val imgs = MultimodalOps.encodePatternImages(spec) // 72×64 px, 8-px blocks
+        val thumbs = MultimodalOps.resizeBlockMean(imgs, "asset_id", "content", factor = 8)
+        MultimodalOps
+          .decodeImageIO(thumbs, "asset_id", "content")
+          .select(
+            col("asset_id"), col("decoded"), col("width"), col("height"),
+            f32round(element_at(col("mean_rgb"), 1).cast("double"), 4).as("mean_gray"))
+          .orderBy("asset_id")
+      },
+      Some(
+        "WITH spec AS (SELECT doc_id AS asset_id, doc_id*17 + 3 AS seed FROM documents WHERE doc_id < 40), " +
+          "grid AS (SELECT asset_id, seed*31 + x*7 + y*13 AS a " +
+          "FROM spec, generate_series(0, 8) gx(x), generate_series(0, 7) gy(y)), " +
+          "cells AS (SELECT asset_id, (a*a*7 + a*13) % 241 AS v FROM grid), " +
+          "m AS (SELECT asset_id, sum(v) AS sv FROM cells GROUP BY asset_id) " +
+          "SELECT asset_id, true AS decoded, 9 AS width, 8 AS height, " +
+          "round(CAST(CAST(sv / 72.0 AS REAL) AS DOUBLE), 4) + 0.0 AS mean_gray " +
+          "FROM m ORDER BY asset_id")),
+
+    // Referential-integrity audit (DataQuality): the pre-flight a
+    // pipeline runs before training on a joined corpus — orphaned
+    // foreign keys (left-anti on the parent's pruned key column),
+    // duplicated primary keys (count-filtered aggregate), each check a
+    // declarative plan whose result is a metadata-sized count frame.
+    // Violations are PLANTED (every 100th order re-keyed to an
+    // impossible customer, every 500th duplicated) so the checks
+    // demonstrably fire; the oracle recomputes every count from the same
+    // dirty table.
+    NamedQuery(
+      "q39_integrity_audit",
+      (s, dir) => {
+        val cust = t(s, dir, "customer").select("c_custkey")
+        val orders = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+        val li = t(s, dir, "lineitem").select("l_orderkey")
+        val orphans = orders
+          .filter(col("o_orderkey") % 100 === 0)
+          .select(
+            (col("o_orderkey") + 1000000000L).as("o_orderkey"),
+            (col("o_custkey") + 1000000000L).as("o_custkey"))
+        val dups = orders.filter(col("o_orderkey") % 500 === 0)
+        val dirty = orders.unionByName(orphans).unionByName(dups)
+        DataQuality
+          .auditCounts(
+            "orders_orphan_custkey" -> DataQuality.orphans(dirty, "o_custkey", cust, "c_custkey"),
+            "orders_dup_orderkey" -> DataQuality.duplicateKeys(dirty, "o_orderkey"),
+            "lineitem_orphan_orderkey" -> DataQuality.orphans(li, "l_orderkey", dirty, "o_orderkey"))
+          .orderBy("check_name")
+      },
+      Some(
+        "WITH dirty AS (SELECT o_orderkey, o_custkey FROM orders " +
+          "UNION ALL SELECT o_orderkey + 1000000000, o_custkey + 1000000000 FROM orders WHERE o_orderkey % 100 = 0 " +
+          "UNION ALL SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 500 = 0) " +
+          "SELECT 'lineitem_orphan_orderkey' AS check_name, CAST(count(*) AS BIGINT) AS n_violations " +
+          "FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM dirty) " +
+          "UNION ALL SELECT 'orders_dup_orderkey', CAST(count(*) AS BIGINT) FROM " +
+          "(SELECT o_orderkey FROM dirty GROUP BY 1 HAVING count(*) > 1) " +
+          "UNION ALL SELECT 'orders_orphan_custkey', CAST(count(*) AS BIGINT) " +
+          "FROM dirty WHERE o_custkey NOT IN (SELECT c_custkey FROM customer) " +
+          "ORDER BY check_name")),
+
+    // Streaming tumbling-window top-k — the "trending items" shape: 6-h
+    // windows aggregate per event type in append mode (watermark-bounded
+    // state, the s01 sentinel flush), and the per-window top-3 rank is
+    // taken over the EMITTED window aggregates (a metadata-sized frame —
+    // ranking belongs after the stream, where the window's rows are
+    // final). Emitted windows must equal the batch group-by, so one
+    // batch oracle replays windows, counts, and ranks end to end.
+    NamedQuery(
+      "s15_stream_window_topk",
+      (s, dir) => {
+        import s.implicits._
+        val evBatch = t(s, dir, "events").select(col("ts"), col("event_type"))
+        val tmp = java.nio.file.Files.createTempDirectory("s15_events_")
+        val qname = s"s15_sink_${streamSinkCounter.incrementAndGet()}"
+        val (rows, schema) = withShufflePartitions(s, 8) { try {
+          val inDir = s"$tmp/in"
+          evBatch.write.mode("overwrite").parquet(inDir)
+          val stream = s.readStream.schema(evBatch.schema).parquet(inDir)
+            .withWatermark("ts", "1 minute")
+          val out = stream
+            .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
+            .agg(count(lit(1)).as("n"))
+            .select(unix_micros(col("w.start")).as("window_start_us"), col("event_type"), col("n"))
+          val query = out.writeStream.format("memory").queryName(qname).outputMode("append").start()
+          try {
+            query.processAllAvailable()
+            val maxTs = evBatch.agg(max(col("ts"))).head().getTimestamp(0)
+            def sentinel(days: Long) = Seq(
+              (new java.sql.Timestamp(maxTs.getTime + days * 24 * 3600 * 1000), "__sentinel"))
+              .toDF("ts", "event_type")
+            sentinel(40L).write.mode("append").parquet(inDir)
+            query.processAllAvailable()
+            sentinel(80L).write.mode("append").parquet(inDir)
+            query.processAllAvailable()
+          } finally query.stop()
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("window_start_us").orderBy(col("n").desc, col("event_type"))
+          val shaped = s.table(qname)
+            .filter(col("event_type") =!= "__sentinel")
+            .withColumn("rnk", row_number().over(w))
+            .filter(col("rnk") <= 3)
+            .orderBy("window_start_us", "rnk")
+          (shaped.collect().toSeq, shaped.schema)
+        } finally {
+          try s.catalog.dropTempView(qname)
+          catch { case _: Exception => () }
+          deleteRecursively(tmp)
+        }
+        }
+        s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
+      },
+      Some(
+        "WITH c AS (SELECT (epoch_us(ts) // 21600000000) * 21600000000 AS window_start_us, " +
+          "event_type, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), " +
+          "r AS (SELECT *, CAST(row_number() OVER (PARTITION BY window_start_us " +
+          "ORDER BY n DESC, event_type) AS INTEGER) AS rnk FROM c) " +
+          "SELECT window_start_us, event_type, n, rnk FROM r WHERE rnk <= 3 ORDER BY 1, 4")))
 }
