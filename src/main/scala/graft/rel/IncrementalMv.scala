@@ -28,14 +28,22 @@ object IncrementalMv {
         min("value").as("min_v"),
         max("value").as("max_v"))
 
-  /** Merge any number of partial states into the final view. */
-  def merge(parts: DataFrame*): DataFrame =
+  /** Merge partial states into a partial state (closed under merging —
+    * what a continuously-maintained view folds on). */
+  def mergePartials(parts: DataFrame*): DataFrame =
     parts
       .reduce(_ unionByName _)
       .groupBy("day", "event_type")
       .agg(
-        sum("n").as("n_events"),
+        sum("n").as("n"),
         sum("sum_v").as("sum_v"),
         min("min_v").as("min_v"),
         max("max_v").as("max_v"))
+
+  /** Merge any number of partial states into the final view. */
+  def merge(parts: DataFrame*): DataFrame =
+    mergePartials(parts: _*)
+      .select(
+        col("day"), col("event_type"),
+        col("n").as("n_events"), col("sum_v"), col("min_v"), col("max_v"))
 }

@@ -165,6 +165,25 @@ object PipelineQueries {
     finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** The q38/s16 materialized-view contract: finalized-view display
+    * shaping (shared by the batch incremental merge and the streaming
+    * fold) and the one oracle that certifies both — the full recompute. */
+  private def mvFinalize(view: DataFrame): DataFrame =
+    view.select(
+      col("day"), col("event_type"), col("n_events"),
+      f32round(col("sum_v"), 2).as("sum_value"),
+      round(col("min_v"), 2).as("min_value"),
+      round(col("max_v"), 2).as("max_value"),
+      f32round(col("sum_v") / col("n_events"), 4).as("avg_value"))
+      .orderBy("day", "event_type")
+
+  private val mvOracleSql: String =
+    "SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, CAST(count(*) AS BIGINT) AS n_events, " +
+      "round(CAST(CAST(sum(value) AS REAL) AS DOUBLE), 2) + 0.0 AS sum_value, " +
+      "round(min(value), 2) AS min_value, round(max(value), 2) AS max_value, " +
+      "round(CAST(CAST(sum(value) / count(*) AS REAL) AS DOUBLE), 4) + 0.0 AS avg_value " +
+      "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+
   /** float32-squeeze + round: the cross-engine-stable float projection.
     * The trailing `+ 0.0` collapses IEEE negative zero (-0.0 + 0.0 = 0.0) —
     * DuckDB rounds tiny negatives to -0.0 where Spark emits 0.0, so every
@@ -4118,22 +4137,9 @@ object PipelineQueries {
         val ev = t(s, dir, "events")
         val base  = IncrementalMv.partials(ev.filter(col("event_id") % 4 =!= 0))
         val delta = IncrementalMv.partials(ev.filter(col("event_id") % 4 === 0))
-        IncrementalMv
-          .merge(base, delta)
-          .select(
-            col("day"), col("event_type"), col("n_events"),
-            f32round(col("sum_v"), 2).as("sum_value"),
-            round(col("min_v"), 2).as("min_value"),
-            round(col("max_v"), 2).as("max_value"),
-            f32round(col("sum_v") / col("n_events"), 4).as("avg_value"))
-          .orderBy("day", "event_type")
+        mvFinalize(IncrementalMv.merge(base, delta))
       },
-      Some(
-        "SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, CAST(count(*) AS BIGINT) AS n_events, " +
-          "round(CAST(CAST(sum(value) AS REAL) AS DOUBLE), 2) + 0.0 AS sum_value, " +
-          "round(min(value), 2) AS min_value, round(max(value), 2) AS max_value, " +
-          "round(CAST(CAST(sum(value) / count(*) AS REAL) AS DOUBLE), 4) + 0.0 AS avg_value " +
-          "FROM events GROUP BY 1, 2 ORDER BY 1, 2")),
+      Some(mvOracleSql)),
 
     // NATIVE session windows (functions.session_window) as a stream —
     // the built-in that covers the common case s03's custom
@@ -4392,5 +4398,91 @@ object PipelineQueries {
           "event_type, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), " +
           "r AS (SELECT *, CAST(row_number() OVER (PARTITION BY window_start_us " +
           "ORDER BY n DESC, event_type) AS INTEGER) AS rnk FROM c) " +
-          "SELECT window_start_us, event_type, n, rnk FROM r WHERE rnk <= 3 ORDER BY 1, 4")))
+          "SELECT window_start_us, event_type, n, rnk FROM r WHERE rnk <= 3 ORDER BY 1, 4")),
+
+    // Sparse tf·idf cosine near-dup (SparseSim.cosineAgainst): the
+    // lexical similarity tier between MinHash's set Jaccard (d02/d08)
+    // and embedding cosine (d09) — documents as corpus-idf-weighted
+    // sparse vectors, probe-vs-corpus cosine through an inverted-index
+    // token join (Bayardo et al., WWW 2007). Probes are planted
+    // 60%-prefix truncations of docs 0–9 (the d08 incremental framing:
+    // probe tf × CORPUS idf, nothing retrained per delta); each must
+    // surface its source above the 0.7 bar, plus whatever natural
+    // lexical neighbors the shared-vocabulary corpus yields. The oracle
+    // recomputes tf, df, N, every weight, both norm tables, and every
+    // dot product; the bar compares the f32-squeezed cosine on both
+    // engines (the t10 discipline).
+    NamedQuery(
+      "d15_tfidf_cosine",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        val toksC = TextOps.tokens(col("text"))
+        val probes = docs
+          .filter(col("doc_id") < 10)
+          .select(
+            (-(col("doc_id") + 1L)).as("probe_id"),
+            concat_ws(" ",
+              slice(toksC, lit(1), greatest(floor(size(toksC) * 3 / 5).cast("int"), lit(1))))
+              .as("text"))
+        graft.text.SparseSim
+          .cosineAgainst(docs, probes, minCosine = 0.7)
+          .select(
+            col("probe_id"), col("doc_id"), col("n_shared"),
+            f32round(col("cosine"), 6).as("cosine"))
+          .orderBy("probe_id", "doc_id")
+      },
+      Some(
+        s"WITH tok AS (SELECT doc_id, $duckToks AS w FROM documents), " +
+          "tf AS (SELECT doc_id, tk, CAST(count(*) AS BIGINT) AS tf FROM " +
+          "(SELECT doc_id, unnest(w) AS tk FROM tok) GROUP BY 1, 2), " +
+          "df AS (SELECT tk, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tk), " +
+          "nn AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM tf), " +
+          "cw AS (SELECT doc_id, tf.tk, tf * ln((n + 1.0) / (df + 1.0)) AS w " +
+          "FROM tf JOIN df ON tf.tk = df.tk CROSS JOIN nn), " +
+          "cnorm AS (SELECT doc_id, sum(w * w) AS norm2 FROM cw GROUP BY doc_id), " +
+          "ptok AS (SELECT -(doc_id + 1) AS probe_id, " +
+          "w[1 : greatest(len(w) * 3 // 5, 1)] AS pw FROM tok WHERE doc_id < 10), " +
+          "ptf AS (SELECT probe_id, tk, CAST(count(*) AS BIGINT) AS tf FROM " +
+          "(SELECT probe_id, unnest(pw) AS tk FROM ptok) GROUP BY 1, 2), " +
+          "pw AS (SELECT probe_id, ptf.tk, ptf.tf * ln((n + 1.0) / (df + 1.0)) AS pw " +
+          "FROM ptf JOIN df ON ptf.tk = df.tk CROSS JOIN nn), " +
+          "pnorm AS (SELECT probe_id, sum(pw * pw) AS pnorm2 FROM pw GROUP BY probe_id), " +
+          "dots AS (SELECT probe_id, doc_id, CAST(count(*) AS BIGINT) AS n_shared, " +
+          "sum(cw.w * pw.pw) AS dot FROM cw JOIN pw ON cw.tk = pw.tk GROUP BY 1, 2), " +
+          "cos AS (SELECT d.probe_id, d.doc_id, d.n_shared, " +
+          "d.dot / sqrt(c.norm2 * p.pnorm2) AS cosine FROM dots d " +
+          "JOIN cnorm c ON c.doc_id = d.doc_id JOIN pnorm p ON p.probe_id = d.probe_id) " +
+          "SELECT probe_id, doc_id, n_shared, " +
+          "round(CAST(CAST(cosine AS REAL) AS DOUBLE), 6) + 0.0 AS cosine " +
+          "FROM cos WHERE CAST(CAST(cosine AS REAL) AS DOUBLE) >= 0.7 " +
+          "ORDER BY probe_id, doc_id")),
+
+    // Streaming incremental MV maintenance (StreamingOps.maintainMvStream
+    // — q38 AS A STREAM, the q33/s08 batch≡stream technique applied to
+    // aggregates): the events fixture arrives as 4 single-file
+    // micro-batches, each batch's PARTIAL state folds into the maintained
+    // view via IncrementalMv.mergePartials (the literal batch code path),
+    // and because partial states are commutative monoids the fold is
+    // slicing-invariant — the final view must equal the full batch
+    // recompute, certified against q38's OWN oracle.
+    NamedQuery(
+      "s16_stream_mv_maintain",
+      (s, dir) => {
+        val ev = t(s, dir, "events").select("ts", "event_type", "value")
+        val tmp = java.nio.file.Files.createTempDirectory("s16_events_")
+        val (rows, schema) = withShufflePartitions(s, 8) { try {
+          val inDir = s"$tmp/in"
+          ev.repartition(4).write.mode("overwrite").parquet(inDir)
+          val src = s.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1).parquet(inDir)
+          val (query, state) = graft.streaming.StreamingOps.maintainMvStream(src)
+          try query.processAllAvailable()
+          finally query.stop()
+          val shaped = mvFinalize(IncrementalMv.merge(state.get()))
+          (shaped.collect().toSeq, shaped.schema)
+        } finally deleteRecursively(tmp)
+        }
+        s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
+      },
+      Some(mvOracleSql)))
 }

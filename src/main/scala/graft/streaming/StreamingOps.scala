@@ -95,6 +95,36 @@ object StreamingOps {
     (q, state)
   }
 
+  /** Streaming incremental materialized-view maintenance: fold each
+    * micro-batch's PARTIAL aggregate state into a maintained view with
+    * [[graft.rel.IncrementalMv.mergePartials]] — the aggregate sibling of
+    * [[applyChangelogStream]], sharing one code path (and one semantics)
+    * with the batch q38 operator. Partial states are commutative monoids
+    * (count/sum/min/max), so micro-batch slicing only re-associates the
+    * fold — the final view equals the batch recompute, which is what the
+    * shared oracle certifies. Every fold `localCheckpoint`s: lineage
+    * stays O(1) in batches. Single-stream contract as
+    * [[adaptiveMaintain]]: one stream per AtomicReference.
+    *
+    * The evolving PARTIAL-schema view lives in the returned reference;
+    * finalize with [[graft.rel.IncrementalMv.merge]]. */
+  def maintainMvStream(
+      events: DataFrame): (StreamingQuery, java.util.concurrent.atomic.AtomicReference[DataFrame]) = {
+    val state = new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+    val q = events.writeStream
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val part = graft.rel.IncrementalMv.partials(batch.toDF())
+          val cur = state.get()
+          val next = (if (cur == null) part else graft.rel.IncrementalMv.mergePartials(cur, part))
+            .localCheckpoint()
+          state.set(next)
+        }
+      }
+      .start()
+    (q, state)
+  }
+
   /** One [[adaptiveMaintain]] batch summary: what the loop saw and did. */
   final case class MaintainTick(
       batch_id: Long,
