@@ -87,6 +87,72 @@ object KnnJoin {
       .select(col("query_id"), col("rank"), col("vec_id"), (-col("dist2")).as("cos"))
   }
 
+  /** Multi-probe LSH k-NN join (Lv et al., VLDB 2007): the [[lsh]]
+    * backend plus QUERY-SIDE bucket perturbation — for every band, the
+    * query also probes the `rows` buckets whose sketch differs in exactly
+    * one bit, the buckets a true neighbor most likely fell into when a
+    * single hyperplane voted the other way. Candidate recall rises from
+    * `1−(1−p^r)^B` to `1−(1−p^r −r·p^(r−1)(1−p))^B` (p = per-bit
+    * agreement, r = rows/band, B = bands) for the cost of (r+1)× more
+    * QUERY bucket rows — the corpus is sketched, banded, and joined
+    * EXACTLY as in single-probe (bit flips happen before the bucket
+    * hash, on the delta-sized side), which is the entire point at scale:
+    * recall of many more hash tables without touching the corpus index.
+    * Single-probe candidates are a strict subset (the unperturbed hash is
+    * probed too — spec-pinned), so recall can only rise. */
+  def lshMultiProbe(
+      queries: DataFrame,
+      corpus: DataFrame,
+      dim: Int,
+      k: Int,
+      nPlanes: Int = 16,
+      bands: Int = 4): DataFrame = {
+    require(nPlanes % bands == 0, "bands must divide nPlanes")
+    import graft.text.Dedup
+    val planes = Dedup.hyperplanes(dim, nPlanes)
+    val rows = nPlanes / bands
+    val q = normalizeQueries(queries)
+    val c = corpus.select("vec_id", "embedding")
+
+    val cBanded = c
+      .select(col("vec_id"), Dedup.bandHashes(Dedup.sketchBits(col("embedding"), planes), nPlanes, bands))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_hash")
+
+    // query probes: per band, the original bucket + one bucket per flipped
+    // bit — probe index pi ∈ [0, rows], pi = 0 is the identity probe
+    val qBanded = q
+      .select(col("query_id"), Dedup.sketchBits(col("qvec"), planes).as("bits"))
+      .select(
+        col("query_id"),
+        posexplode(transform(
+          sequence(lit(0), lit(bands * (rows + 1) - 1)),
+          idx => {
+            val bnd = (idx / (rows + 1)).cast("int")
+            val pi = pmod(idx, lit(rows + 1)).cast("int")
+            xxhash64(transform(
+              slice(col("bits"), bnd * rows + 1, lit(rows)),
+              (b, i) => when(i === pi - 1, lit(1) - b).otherwise(b)))
+          })))
+      .select(
+        col("query_id"),
+        (col("pos") / (rows + 1)).cast("int").as("band"),
+        col("col").as("band_hash"))
+
+    val cands = qBanded
+      .join(cBanded, Seq("band", "band_hash"))
+      .select("query_id", "vec_id")
+      .distinct()
+
+    val reranked = cands
+      .join(broadcast(q), Seq("query_id"))
+      .join(c, Seq("vec_id"))
+      .withColumn("cos", graft.vector.VectorOps.cosine(col("qvec"), col("embedding")))
+      .withColumn("dist2", -col("cos"))
+    graft.vector.TopK.perQuery(reranked, k)
+      .select(col("query_id"), col("rank"), col("vec_id"), (-col("dist2")).as("cos"))
+  }
+
   /** IVFADC-compressed approximate k-NN join — the fourth backend, same
     * output contract as [[exact]]/[[ivf]]: APS chooses the probe set
     * (quake_min.py:139-145), the probed partitions are scanned as RESIDUAL

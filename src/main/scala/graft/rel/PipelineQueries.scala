@@ -1887,6 +1887,37 @@ object PipelineQueries {
       Some(
         "SELECT CAST(20 AS BIGINT) AS n_queries, CAST(1 AS BIGINT) AS recall_ok")),
 
+    // Multi-probe LSH vs single-probe (KnnJoin.lshMultiProbe, Lv et al.
+    // VLDB 2007): every band also probes the r buckets one sign-flip
+    // away — the buckets a true neighbor most likely landed in when one
+    // hyperplane voted wrong. Perturbation is entirely QUERY-side (bit
+    // flips before the bucket hash), so the corpus sketch/band/join is
+    // byte-identical to v10/v11's — more recall without touching the
+    // index, which is the scale story. Bound-certified like v11: the
+    // multi-probe recall must clear a bar single-probe does NOT
+    // (observed single ≈ 0.70-0.76, multi ≈ 0.93-0.97 at this config),
+    // and must dominate single-probe (candidate superset, spec-pinned).
+    NamedQuery(
+      "v25_lsh_multiprobe",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+        val dim = emb.select(size(col("embedding"))).head().getInt(0)
+        val qs = embQueries(s, dir, 20)
+        val single = graft.index.KnnJoin.lsh(qs, emb, dim, k = 10, nPlanes = 32, bands = 8)
+        val multi = graft.index.KnnJoin.lshMultiProbe(qs, emb, dim, k = 10, nPlanes = 32, bands = 8)
+        val exact = graft.CacheScope.track(graft.index.KnnJoin.exact(qs, emb, 10).cache())
+        val rs = IvfSearch.recallAtK(single, exact, 10, qs).agg(avg("recall").as("r_single"))
+        val rm = IvfSearch.recallAtK(multi, exact, 10, qs).agg(avg("recall").as("r_multi"))
+        rs.crossJoin(rm)
+          .select(
+            lit(20L).as("n_queries"),
+            when(col("r_multi") >= col("r_single"), 1L).otherwise(0L).as("multi_dominates"),
+            when(col("r_multi") >= 0.85, 1L).otherwise(0L).as("recall_ok"))
+      },
+      Some(
+        "SELECT CAST(20 AS BIGINT) AS n_queries, CAST(1 AS BIGINT) AS multi_dominates, " +
+          "CAST(1 AS BIGINT) AS recall_ok")),
+
     // PQ-vs-exact recall@k — the acceptance metric for the COMPRESSED
     // vector path: 16-byte ADC codes standing in for 256-byte float32
     // vectors (16×), searched via per-query lookup tables and the same
@@ -4484,5 +4515,92 @@ object PipelineQueries {
         }
         s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
       },
-      Some(mvOracleSql)))
+      Some(mvOracleSql)),
+
+    // Explicit GROUPING SETS — the third member of the grouped-analysis
+    // family beside q10's ROLLUP and q18's CUBE: an arbitrary subset of
+    // groupings ((status, priority), (status), ()) computed in ONE pass
+    // through Catalyst's Expand (each input row fans out once per
+    // grouping — no re-scan per level, the property that matters at
+    // 100 TB). Null grouping columns are projected to '<all>' markers so
+    // the level is explicit; sums run in DECIMAL(18,2) (exact cents, the
+    // q37 discipline) so the multi-level aggregate carries no float
+    // wobble.
+    NamedQuery(
+      "q40_grouping_sets",
+      (s, dir) => {
+        val view = s"q40_orders_${streamSinkCounter.incrementAndGet()}"
+        t(s, dir, "orders").createOrReplaceTempView(view)
+        try s.sql(
+          s"""SELECT coalesce(o_orderstatus, '<all>') AS status,
+             |       coalesce(o_orderpriority, '<all>') AS priority,
+             |       count(*) AS n_orders,
+             |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS spend
+             |FROM $view
+             |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+             |ORDER BY status, priority""".stripMargin)
+        finally s.catalog.dropTempView(view)
+      },
+      Some(
+        "SELECT coalesce(o_orderstatus, '<all>') AS status, " +
+          "coalesce(o_orderpriority, '<all>') AS priority, " +
+          "count(*) AS n_orders, " +
+          "round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS spend " +
+          "FROM orders GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ()) " +
+          "ORDER BY status, priority")),
+
+    // Corpus vocabulary / Zipf health report — the one-page diagnostic a
+    // curation run prints before training: vocabulary size, hapax count
+    // (freq-1 tokens — OCR junk and typo mass live there), top-token
+    // share, and the Zipf slope (OLS of ln freq on ln rank over the
+    // top-20 ranks; natural text sits near −1). Term frequencies reduce
+    // once (cached); every derived statistic is a re-reduction of that
+    // metadata-sized table. Slope numerator/denominator are 20-term
+    // sums — f32-squeezed on both sides, the t10 libm discipline.
+    NamedQuery(
+      "t16_vocab_zipf",
+      (s, dir) => {
+        val tf = graft.CacheScope.track(
+          t(s, dir, "documents")
+            .select(explode(TextOps.tokens(col("text"))).as("tok"))
+            .groupBy("tok")
+            .agg(count(lit(1)).as("freq"))
+            .cache())
+        val totals = tf.agg(
+          count(lit(1)).as("vocab_size"),
+          sum("freq").as("total_tokens"),
+          sum(when(col("freq") === 1, 1L).otherwise(0L)).as("n_hapax"),
+          max("freq").as("max_freq"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("freq").desc, col("tok"))
+        val top = tf
+          .orderBy(col("freq").desc, col("tok")).limit(20)
+          .withColumn("rank", row_number().over(w))
+          .select(log(col("rank").cast("double")).as("x"), log(col("freq").cast("double")).as("y"))
+          .agg(
+            count(lit(1)).cast("double").as("np"),
+            sum("x").as("sx"), sum("y").as("sy"),
+            sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+        totals
+          .crossJoin(top)
+          .select(
+            col("vocab_size"), col("total_tokens"), col("n_hapax"),
+            f32round(col("max_freq").cast("double") / col("total_tokens"), 6).as("top_share"),
+            f32round(
+              (col("np") * col("sxy") - col("sx") * col("sy")) /
+                (col("np") * col("sxx") - col("sx") * col("sx")), 4).as("zipf_slope"))
+      },
+      Some(
+        s"WITH tf AS (SELECT tk, CAST(count(*) AS BIGINT) AS freq FROM " +
+          s"(SELECT unnest($duckToks) AS tk FROM documents) GROUP BY tk), " +
+          "tot AS (SELECT CAST(count(*) AS BIGINT) AS vocab_size, CAST(sum(freq) AS BIGINT) AS total_tokens, " +
+          "CAST(sum(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax, max(freq) AS max_freq FROM tf), " +
+          "top AS (SELECT ln(CAST(row_number() OVER (ORDER BY freq DESC, tk) AS DOUBLE)) AS x, " +
+          "ln(CAST(freq AS DOUBLE)) AS y FROM tf ORDER BY freq DESC, tk LIMIT 20), " +
+          "sl AS (SELECT CAST(count(*) AS DOUBLE) AS np, sum(x) AS sx, sum(y) AS sy, " +
+          "sum(x * y) AS sxy, sum(x * x) AS sxx FROM top) " +
+          "SELECT vocab_size, total_tokens, n_hapax, " +
+          "round(CAST(CAST(CAST(max_freq AS DOUBLE) / total_tokens AS REAL) AS DOUBLE), 6) + 0.0 AS top_share, " +
+          "round(CAST(CAST((np * sxy - sx * sy) / (np * sxx - sx * sx) AS REAL) AS DOUBLE), 4) + 0.0 AS zipf_slope " +
+          "FROM tot, sl")))
 }
