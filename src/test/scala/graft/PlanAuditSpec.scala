@@ -174,20 +174,24 @@ class PlanAuditSpec extends SparkSpec {
     graft.CacheScope.clear()
   }
 
-  test("char entropy is entirely row-local — the scoring plan has zero shuffles") {
+  test("char entropy is two codegen aggregations — no HOF lambda work, no window") {
     import spark.implicits._
     val docs = (1L to 50L).map(i => (i, s"some text ${"ab" * (i % 7).toInt}")).toDF("doc_id", "text")
     val cs = filter(split(lower(col("text")), ""), c => length(c) > 0)
     val scored = docs
-      .select(col("doc_id"), cs.as("cs"))
-      .select(col("doc_id"), col("cs"), size(col("cs")).as("n"),
-        array_sort(array_distinct(col("cs"))).as("alpha"))
-      .select(col("doc_id"),
-        aggregate(col("alpha"), lit(0.0), (acc, ch) =>
-          acc + size(filter(col("cs"), x => x === ch)).cast("double") / col("n")).as("p_sum"))
+      .select(col("doc_id"), explode(cs).as("ch"))
+      .groupBy("doc_id", "ch").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id").agg(
+        sum("cnt").as("n"),
+        sum(col("cnt").cast("double") * log(col("cnt").cast("double"))).as("slc"))
     scored.collect()
-    assert(countShuffles(scored) == 0,
-      s"per-doc scoring must not shuffle:\n${scored.queryExecution.executedPlan}")
+    // (doc, char) → doc re-aggregation: at most the two grouping shuffles,
+    // and the per-element work is codegen'd aggregate arithmetic — the
+    // row-local alphabet-fold variant cost 10.4 s at sf0.1
+    assert(countShuffles(scored) <= 2,
+      s"entropy plan shuffles more than its two aggregations:\n${scored.queryExecution.executedPlan}")
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(!plan.contains("WindowExec"), s"entropy regressed to a window:\n$plan")
   }
 
   test("line dedup: aligned chunking costs ≤ 3 shuffles (line agg, rejoin, doc reassembly)") {
