@@ -380,6 +380,65 @@ object MultimodalOps {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** REAL audio downsampling — the m07 resize story for sound: decode
+    * PCM16 mono WAV through `javax.sound.sampled`, decimate by integer
+    * block mean (`floorDiv` of each `factor`-sample block — exact integer
+    * arithmetic, no resampling filter, platform-stable), re-encode as a
+    * genuine RIFF/PCM16 WAV at `rate / factor`. Trailing samples that
+    * don't fill a block are dropped (crop-to-multiple). Non-PCM16 or
+    * undecodable payloads are dropped from the output. Same mapPartitions
+    * contract as [[audioFrameFeatures]]. */
+  def decimatePcmWav(df: DataFrame, idCol: String, binCol: String, factor: Int): DataFrame = {
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = false)))
+    val src = df.select(col(idCol).cast("long"), col(binCol))
+    val rdd = src.rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val ais =
+          try javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          catch { case _: Exception => null }
+        val fmt = if (ais == null) null else ais.getFormat
+        if (fmt == null || fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+          || fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1) {
+          if (ais != null) ais.close()
+          None
+        } else {
+          val pcm = ais.readAllBytes()
+          ais.close()
+          val in = java.nio.ByteBuffer.wrap(pcm).order(
+            if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN else java.nio.ByteOrder.LITTLE_ENDIAN)
+          val n = pcm.length / 2
+          val outN = n / factor
+          val outRate = math.max(1, fmt.getSampleRate.toInt / factor)
+          val data = 2 * outN
+          val buf = java.nio.ByteBuffer.allocate(44 + data).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + data).put("WAVE".getBytes("US-ASCII"))
+          buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+            .putShort(1).putShort(1).putInt(outRate).putInt(outRate * 2).putShort(2).putShort(16)
+          buf.put("data".getBytes("US-ASCII")).putInt(data)
+          var j = 0
+          while (j < outN) {
+            var sum = 0L
+            var i = j * factor
+            while (i < (j + 1) * factor) { sum += in.getShort(2 * i); i += 1 }
+            // floorDiv, not /: JVM / truncates toward zero, so negative
+            // block sums would round the other way than the floor the
+            // SQL replay computes
+            buf.putShort(java.lang.Math.floorDiv(sum, factor.toLong).toShort)
+            j += 1
+          }
+          Some(Row(id, buf.array()))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** REAL WAV decode through the JDK's `javax.sound.sampled` (headless —
     * audio file parsing needs no sound device): format metadata comes from
     * the parsed header, samples from the decoded PCM stream, features are

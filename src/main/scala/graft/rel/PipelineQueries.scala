@@ -4600,5 +4600,150 @@ object PipelineQueries {
           "SELECT vocab_size, total_tokens, n_hapax, " +
           "round(CAST(CAST(CAST(max_freq AS DOUBLE) / total_tokens AS REAL) AS DOUBLE), 6) + 0.0 AS top_share, " +
           "round(CAST(CAST((np * sxy - sx * sy) / (np * sxx - sx * sx) AS REAL) AS DOUBLE), 4) + 0.0 AS zipf_slope " +
-          "FROM tot, sl")))
+          "FROM tot, sl")),
+
+    // Time-RANGE window frames — the window feature q07's running total
+    // (ROWS frame) doesn't cover: a trailing 24-hour average per user,
+    // frame membership decided by the ORDER-BY VALUE (microseconds), not
+    // row position, so peers at identical timestamps share one frame and
+    // the result is arrival-order-independent. One user-key shuffle; the
+    // frame scan is per-partition. avg is f32-squeezed (Spark's sliding
+    // accumulation and DuckDB's segment tree associate differently).
+    NamedQuery(
+      "q41_range_frame",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("us").rangeBetween(-86400000000L, 0L)
+        t(s, dir, "events")
+          .select(
+            col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("us"), col("value"))
+          .select(
+            col("event_id"), col("user_id"), col("us"),
+            count(lit(1)).over(w).as("n_24h"),
+            f32round(avg("value").over(w), 4).as("avg_24h"))
+          .orderBy("event_id")
+      },
+      Some(
+        "SELECT event_id, user_id, epoch_us(ts) AS us, " +
+          "CAST(count(*) OVER w AS BIGINT) AS n_24h, " +
+          "round(CAST(CAST(avg(value) OVER w AS REAL) AS DOUBLE), 4) + 0.0 AS avg_24h " +
+          "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) " +
+          "RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW) ORDER BY event_id")),
+
+    // Audio decimation end to end (MultimodalOps.decimatePcmWav — the
+    // m07 resize story for sound): synthetic PCM16 WAVs decode through
+    // the REAL javax.sound path, decimate 2× by exact integer block mean
+    // (floorDiv — no resampling filter), re-encode as genuine half-rate
+    // RIFF bytes, and the decimated stream's frame features (m06's
+    // operator) come back out. The oracle re-derives every decimated
+    // sample from the closed-form source formula and floor division, so
+    // hash-green certifies decode → decimate → encode → decode → frame
+    // features with all-integer arithmetic throughout.
+    NamedQuery(
+      "m08_audio_decimate",
+      (s, dir) => {
+        val spec = t(s, dir, "documents")
+          .filter(col("doc_id") < 100)
+          .select(
+            col("doc_id").as("asset_id"),
+            (lit(200) + pmod(col("doc_id"), lit(57))).cast("int").as("n_samples"),
+            lit(8000).cast("int").as("sample_rate"),
+            col("doc_id").as("seed"))
+        val encoded = MultimodalOps.encodePcmWav(spec)
+        val half = MultimodalOps.decimatePcmWav(encoded, "asset_id", "content", factor = 2)
+        MultimodalOps
+          .audioFrameFeatures(half, "asset_id", "content", frameLen = 32)
+          .orderBy("asset_id", "frame_idx")
+      },
+      Some(
+        "WITH spec AS (SELECT doc_id AS asset_id, CAST(200 + doc_id % 57 AS INTEGER) AS n " +
+          "FROM documents WHERE doc_id < 100), " +
+          "s AS (SELECT asset_id, unnest(generate_series(0, n // 2 - 1)) AS j FROM spec), " +
+          "x AS (SELECT asset_id, j, CAST(floor((" +
+          "((asset_id * 31 + (2 * j) * 7919) % 65536 - 32768) + " +
+          "((asset_id * 31 + (2 * j + 1) * 7919) % 65536 - 32768)) / 2.0) AS BIGINT) AS v FROM s), " +
+          "lx AS (SELECT asset_id, j, v, lag(v) OVER (PARTITION BY asset_id ORDER BY j) AS pv FROM x) " +
+          "SELECT asset_id, CAST(j // 32 AS INTEGER) AS frame_idx, CAST(count(*) AS INTEGER) AS n, " +
+          "CAST(sum(v * v) AS BIGINT) AS sum_sq, " +
+          "CAST(sum(CASE WHEN j % 32 > 0 AND (v < 0) <> (pv < 0) THEN 1 ELSE 0 END) AS INTEGER) " +
+          "AS zero_cross FROM lx GROUP BY asset_id, j // 32 ORDER BY asset_id, frame_idx")),
+
+    // Watermark late-data accounting — the streaming correctness surface
+    // the s01-s16 queries rely on, certified directly: real events flow
+    // through a watermarked daily aggregation; a second file of PLANTED
+    // late rows (stamped 7 days before the corpus minimum, arriving
+    // after the watermark advanced past them) must be dropped BEFORE the
+    // state operator, must not leak into any emitted window, and must be
+    // COUNTED by numRowsDroppedByWatermark — the observability contract
+    // an at-least-once pipeline audits at 100 TB/day. The metric counts
+    // at STATE-OPERATOR granularity, i.e. after the partial aggregation
+    // (500 identical late rows pre-combine to ONE dropped row — measured
+    // while building this query), so each planted row carries a unique
+    // event_type and the expected count is the late GROUP count.
+    // Bound-flags state all three facts; windows and totals replay from
+    // the clean batch.
+    NamedQuery(
+      "s17_late_data_accounting",
+      (s, dir) => {
+        import s.implicits._
+        val evBatch = t(s, dir, "events").select(col("ts"), col("event_type"))
+        val nLate = t(s, dir, "events").filter(col("event_id") % 20 === 0).count()
+        val tmp = java.nio.file.Files.createTempDirectory("s17_events_")
+        val qname = s"s17_sink_${streamSinkCounter.incrementAndGet()}"
+        val (rows, schema) = withShufflePartitions(s, 8) { try {
+          val inDir = s"$tmp/in"
+          evBatch.write.mode("overwrite").parquet(inDir)
+          val stream = s.readStream.schema(evBatch.schema).parquet(inDir)
+            .withWatermark("ts", "1 hour")
+          val out = stream
+            .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+            .agg(count(lit(1)).as("n"))
+            .select(unix_micros(col("w.start")).as("window_start_us"), col("event_type"), col("n"))
+          val query = out.writeStream.format("memory").queryName(qname).outputMode("append").start()
+          try {
+            query.processAllAvailable() // batch 0: all real rows; watermark → max − 1 h
+            val bounds = evBatch.agg(min(col("ts")), max(col("ts"))).head()
+            val (minTs, maxTs) = (bounds.getTimestamp(0), bounds.getTimestamp(1))
+            // planted LATE rows: a week before the corpus minimum — far
+            // behind the already-advanced watermark under any slicing
+            t(s, dir, "events").filter(col("event_id") % 20 === 0)
+              .select(
+                lit(new java.sql.Timestamp(minTs.getTime - 7L * 24 * 3600 * 1000)).as("ts"),
+                concat(lit("__late_"), col("event_id")).as("event_type"))
+              .write.mode("append").parquet(inDir)
+            query.processAllAvailable()
+            def sentinel(days: Long) = Seq(
+              (new java.sql.Timestamp(maxTs.getTime + days * 24 * 3600 * 1000), "__sentinel"))
+              .toDF("ts", "event_type")
+            sentinel(40L).write.mode("append").parquet(inDir)
+            query.processAllAvailable()
+            sentinel(80L).write.mode("append").parquet(inDir)
+            query.processAllAvailable()
+          } finally query.stop()
+          val dropped = query.recentProgress
+            .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+            .map(_.numRowsDroppedByWatermark).sum
+          val shaped = s.table(qname)
+            .filter(col("event_type") =!= "__sentinel")
+            .agg(
+              count(lit(1)).as("n_windows"),
+              sum("n").as("total_events"),
+              sum(when(col("event_type").startsWith("__late_"), 1L).otherwise(0L)).as("late_leaked"))
+            .select(
+              col("n_windows"), col("total_events"), col("late_leaked"),
+              when(lit(dropped) === nLate, 1L).otherwise(0L).as("dropped_counted_ok"))
+          (shaped.collect().toSeq, shaped.schema)
+        } finally {
+          try s.catalog.dropTempView(qname)
+          catch { case _: Exception => () }
+          deleteRecursively(tmp)
+        }
+        }
+        s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
+      },
+      Some(
+        "SELECT CAST(count(*) AS BIGINT) AS n_windows, CAST(sum(n) AS BIGINT) AS total_events, " +
+          "CAST(0 AS BIGINT) AS late_leaked, CAST(1 AS BIGINT) AS dropped_counted_ok FROM " +
+          "(SELECT epoch_us(ts) // 86400000000, event_type, count(*) AS n FROM events GROUP BY 1, 2)")))
 }
