@@ -85,6 +85,23 @@ object EpochShuffle {
         .as[(Long, Long)]
         .cache())
 
+    twoLevelRank(s, ranged, shards).toDF(idCol, "h", "position", "shard")
+  }
+
+  /** The shared two-level global rank over a range-partitioned,
+    * within-partition-sorted `(key, id)` layout: per-partition subtotals
+    * → broadcast cumulative bases → per-partition sequential positions,
+    * plus balanced contiguous shard assignment. One range shuffle, never
+    * a single-task global window — the only total-order primitive that
+    * survives 100 TB. Caller must pass a CACHED dataset (it is read
+    * twice and the partition assignment must be identical across reads;
+    * a drift self-check throws loudly). Returns `(id, key, position,
+    * shard)` unnamed — callers `.toDF` their own column names. */
+  private[rel] def twoLevelRank(
+      s: org.apache.spark.sql.SparkSession,
+      ranged: org.apache.spark.sql.Dataset[(Long, Long)],
+      shards: Int): org.apache.spark.sql.Dataset[(Long, Long, Long, Long)] = {
+    import s.implicits._
     // .rdd.mapPartitionsWithIndex, NOT Dataset.mapPartitions +
     // TaskContext.getPartitionId: the task's partition id is the STAGE
     // partition index, which drifts from the dataset's own partition
@@ -123,12 +140,12 @@ object EpochShuffle {
           val expected = bCounts.value.getOrElse(pid, 0L)
           if (acc - base != expected)
             throw new IllegalStateException(
-              s"epochShuffle partition $pid drifted between passes: " +
+              s"twoLevelRank partition $pid drifted between passes: " +
                 s"count pass saw $expected rows, rank pass saw ${acc - base} — " +
                 "range partition assignment was not stable across reads")
           Iterator.empty
         }
       }
-      .toDF(idCol, "h", "position", "shard")
+      .toDS()
   }
 }

@@ -4745,5 +4745,105 @@ object PipelineQueries {
       Some(
         "SELECT CAST(count(*) AS BIGINT) AS n_windows, CAST(sum(n) AS BIGINT) AS total_events, " +
           "CAST(0 AS BIGINT) AS late_leaked, CAST(1 AS BIGINT) AS dropped_counted_ok FROM " +
-          "(SELECT epoch_us(ts) // 86400000000, event_type, count(*) AS n FROM events GROUP BY 1, 2)")))
+          "(SELECT epoch_us(ts) // 86400000000, event_type, count(*) AS n FROM events GROUP BY 1, 2)")),
+
+    // Total-order export (SortedExport.positions): every doc's exact
+    // 0-based position under a global (n_chars, doc_id) sort plus a
+    // balanced contiguous shard — the "write the corpus out in
+    // curriculum order across k files" step. One repartitionByRange +
+    // the p08 two-level rank; NO single-task sort or global window
+    // anywhere (the thing `row_number() OVER (ORDER BY …)` cannot
+    // avoid). The oracle replays the complete permutation with exactly
+    // that one-task window — DuckDB can afford it, a cluster cannot —
+    // so hash-green proves the distributed rank equals the sequential
+    // definition position by position.
+    NamedQuery(
+      "p12_sorted_export",
+      (s, dir) => {
+        SortedExport
+          .positions(
+            t(s, dir, "documents").select("doc_id", "n_chars"),
+            col("n_chars"), "doc_id", shards = 8)
+          .orderBy("position")
+      },
+      Some(
+        "WITH r AS (SELECT doc_id, n_chars AS sort_key, " +
+          "CAST(row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS BIGINT) AS position, " +
+          "CAST(count(*) OVER () AS BIGINT) AS total FROM documents) " +
+          "SELECT doc_id, sort_key, position, position * 8 // total AS shard " +
+          "FROM r ORDER BY position")),
+
+    // IVF × JL composed (RandomProjection.ivfTopK) — the fourth
+    // compression composition beside v13 (IVFADC, 16×), v16 (IVF+SQ,
+    // 4×), v23 (IVF+binary, 32×): APS probes pick the partitions, the
+    // 16-dim projection pays ¼ the floats per scanned row, exact re-rank
+    // restores the metric. What THIS query certifies is the composition,
+    // not JL's intrinsic quality (the unit-RANDOM fixture is JL's
+    // hardest regime — absolute recall ≈ 0.2-0.5 like raw ADC's 0.52,
+    // already v24's documented business): the sign matrix is
+    // corpus-global, so probe pruning never changes a projected value
+    // (full-probe ≡ plain v24, spec-pinned) and the bound-flag pins that
+    // pruning costs ≤ 0.05 recall vs the UNPRUNED JL scan at the same
+    // candidate budget (measured loss ≤ 0.005 across sfs — APS pruning
+    // is nearly free, the v13 finding again).
+    NamedQuery(
+      "v26_ivf_projection_search",
+      (s, dir) => {
+        val model = indexFor(s, dir)
+        val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+        val proj = graft.vector.RandomProjection
+          .project(model.vectors, model.dim, 16, "embedding")
+          .select("vec_id", "partition_id", "proj")
+        val qs = embQueries(s, dir, 20)
+        val probes = IvfSearch.chooseProbes(model, qs, IvfSearch.Params(k = 10))
+        val cands = graft.vector.RandomProjection
+          .ivfTopK(proj, probes.select("query_id", "partition_id"), qs, model.dim, 16, k = 10, cand = 64)
+        val pruned = Pq.rerankExact(cands, emb, qs, k = 10)
+        val unpruned = graft.vector.RandomProjection.topK(emb, qs, model.dim, 16, k = 10, cand = 64)
+        val exact = graft.CacheScope.track(graft.index.KnnJoin.exact(qs, emb, 10).cache())
+        val rp = IvfSearch.recallAtK(pruned, exact, 10, qs).agg(avg("recall").as("r_pruned"))
+        val ru = IvfSearch.recallAtK(unpruned, exact, 10, qs).agg(avg("recall").as("r_unpruned"))
+        rp.crossJoin(ru)
+          .select(
+            lit(20L).as("n_queries"),
+            when(col("r_unpruned") - col("r_pruned") <= 0.05, 1L).otherwise(0L).as("prune_loss_ok"),
+            lit(16L).as("dims_scanned"))
+      },
+      Some(
+        "SELECT CAST(20 AS BIGINT) AS n_queries, CAST(1 AS BIGINT) AS prune_loss_ok, " +
+          "CAST(16 AS BIGINT) AS dims_scanned")),
+
+    // Inline pipeline observability (Dataset.observe / CollectMetrics):
+    // audit metrics — row count, null count, value sum — ride the SAME
+    // pass as the real aggregation, no second scan (at 100 TB the
+    // difference between "audited" and "audited at double cost"). The
+    // query runs a per-type aggregate, reads the observed metrics off
+    // the executed plan, and emits consistency flags: the observed
+    // totals must equal what the aggregate's own output re-derives
+    // (count exactly; the float sum under the f32 squeeze).
+    NamedQuery(
+      "q42_observed_metrics",
+      (s, dir) => {
+        val observed = t(s, dir, "events")
+          .observe(
+            "q42_audit",
+            count(lit(1)).as("n_rows"),
+            sum(when(col("value").isNull, 1L).otherwise(0L)).as("n_null_value"),
+            sum("value").as("sum_value"))
+        val agg = observed.groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("value").as("s"))
+        val perType = agg.collect() // one pass: aggregate AND metrics
+        val m = agg.queryExecution.observedMetrics("q42_audit")
+        val (nRows, nNulls, sumV) = (m.getLong(0), m.getLong(1), m.getDouble(2))
+        val totN = perType.map(_.getAs[Long]("n")).sum
+        val totS = perType.map(_.getAs[Double]("s")).sum
+        import s.implicits._
+        Seq((nRows, nNulls,
+          if (nRows == totN) 1L else 0L,
+          if (sumV.toFloat == totS.toFloat) 1L else 0L))
+          .toDF("n_rows", "n_null_value", "count_consistent", "sum_consistent")
+      },
+      Some(
+        "SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS n_null_value, " +
+          "CAST(1 AS BIGINT) AS count_consistent, CAST(1 AS BIGINT) AS sum_consistent FROM events")))
 }

@@ -70,6 +70,41 @@ object RandomProjection {
         acc + d * d
       })
 
+  /** Probe-pruned JL search — IVF × dimensionality reduction, the fourth
+    * composition beside IVFADC (v13), IVF+SQ (v16), and IVF+binary
+    * (v23): APS probes decide WHICH partitions are scanned, the m-dim
+    * projection decides how many floats each scanned row costs, and an
+    * exact re-rank restores metric fidelity. The sign matrix is
+    * corpus-GLOBAL (a pure function of (i, j), no per-partition
+    * statistic), so pruning never changes a projected value — full-probe
+    * ≡ the plain [[topK]] scan, spec-pinned. `proj` is the
+    * partition-keyed projected corpus from [[project]] over the index's
+    * vectors; `probes(query_id, partition_id)` from APS. */
+  def ivfTopK(
+      proj: DataFrame,
+      probes: DataFrame,
+      queries: DataFrame,
+      dIn: Int,
+      m: Int,
+      k: Int,
+      cand: Int): DataFrame = {
+    require(k > 0 && cand >= k, s"bad k=$k cand=$cand")
+    val qProj = project(
+      queries.select(col("query_id"), col("qvec").as("embedding")), dIn, m, "embedding")
+      .select(col("query_id"), col("proj").as("qproj"))
+    val pq = probes.select("query_id", "partition_id").join(qProj, Seq("query_id"))
+    val pids = probes.select("partition_id").distinct().collect().map(_.getLong(0)).toSeq
+    TopK.perQuery(
+      proj
+        .filter(col("partition_id").isInCollection(pids))
+        .join(broadcast(pq), Seq("partition_id"))
+        .select(
+          col("query_id"),
+          projL2(col("proj"), col("qproj"), m).as("dist2"),
+          col("vec_id")),
+      cand)
+  }
+
   /** JL top-`k`: reduced-space candidate scan (top `cand` per query by
     * (projected L2, vec_id)) → exact L2 re-rank. `corpus(vec_id,
     * embedding)`, `queries(query_id, qvec)`; output `(query_id, rank,

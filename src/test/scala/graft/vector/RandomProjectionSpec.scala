@@ -54,4 +54,24 @@ class RandomProjectionSpec extends SparkSpec {
     val recall = (0L until 10L).map(q => (got(q) & exact(q)).size.toDouble / 10).sum / 10
     assert(recall >= 0.8, s"JL recall@10 = $recall below bar")
   }
+
+  test("full-probe ivfTopK + exact re-rank ≡ the plain topK scan (projection is corpus-global)") {
+    val dim = 16; val m = 4; val n = 120L
+    val corpus = (0L until n).map(i => (i, vec(i, dim).toSeq)).toDF("vec_id", "embedding")
+    val parted = corpus.withColumn("partition_id", pmod(col("vec_id"), lit(4L)))
+    val queries = (0L until 4L).map(i => (i, vec(i * 13 + 7, dim).toSeq)).toDF("query_id", "qvec")
+    val proj = RandomProjection.project(parted, dim, m, "embedding")
+      .select("vec_id", "partition_id", "proj")
+    // every query probes every partition → pruning filters nothing
+    val probes = queries.select("query_id")
+      .crossJoin(spark.range(4).select(col("id").as("partition_id")))
+    val full = graft.vector.Pq.rerankExact(
+      RandomProjection.ivfTopK(proj, probes, queries, dim, m, k = 5, cand = 20),
+      corpus, queries, k = 5)
+      .select("query_id", "rank", "vec_id").as[(Long, Int, Long)].collect().toSet
+    val plain = RandomProjection.topK(corpus, queries, dim, m, k = 5, cand = 20)
+      .select("query_id", "rank", "vec_id").as[(Long, Int, Long)].collect().toSet
+    assert(full == plain, "full-probe pruned scan diverged from the plain scan")
+    graft.CacheScope.clear()
+  }
 }
