@@ -4845,5 +4845,95 @@ object PipelineQueries {
       },
       Some(
         "SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS n_null_value, " +
-          "CAST(1 AS BIGINT) AS count_consistent, CAST(1 AS BIGINT) AS sum_consistent FROM events")))
+          "CAST(1 AS BIGINT) AS count_consistent, CAST(1 AS BIGINT) AS sum_consistent FROM events")),
+
+    // Two-sample Kolmogorov–Smirnov drift statistic per event type — the
+    // train/serve-skew detector a pipeline runs between yesterday's and
+    // today's feed: D = max_v |F_A(v) − F_B(v)| over the two empirical
+    // CDFs. Computed EXACTLY in integers until the final display
+    // division: the max is taken over |c_A·n_B − c_B·n_A| (cumulative
+    // counts cross-multiplied), so no float CDF ever decides the
+    // answer. One (type, value) aggregation + one per-type cumulative
+    // window over DISTINCT values (value-count-sized, not row-sized —
+    // the 100 TB shape); raw fixture doubles sort identically in any
+    // engine because no arithmetic touches them.
+    NamedQuery(
+      "q43_ks_drift",
+      (s, dir) => {
+        val ev = t(s, dir, "events").select(
+          col("event_type"), col("value"),
+          when(col("event_id") % 4 =!= 0, 1L).otherwise(0L).as("in_a"))
+        val counts = ev
+          .groupBy("event_type", "value")
+          .agg(sum("in_a").as("ca"), sum(lit(1L) - col("in_a")).as("cb"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type").orderBy("value")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        val cum = counts.select(
+          col("event_type"),
+          sum("ca").over(w).as("cum_a"),
+          sum("cb").over(w).as("cum_b"))
+        val totals = ev.groupBy("event_type")
+          .agg(sum("in_a").as("na"), sum(lit(1L) - col("in_a")).as("nb"))
+        cum
+          .join(totals, "event_type")
+          .groupBy("event_type")
+          .agg(
+            first("na").as("n_a"), first("nb").as("n_b"),
+            max(abs(col("cum_a") * col("nb") - col("cum_b") * col("na"))).as("dnum"))
+          .select(
+            col("event_type"), col("n_a"), col("n_b"),
+            f32round(col("dnum").cast("double") / (col("n_a") * col("n_b")).cast("double"), 6).as("ks"))
+          .orderBy("event_type")
+      },
+      Some(
+        "WITH ev AS (SELECT event_type, value, CASE WHEN event_id % 4 <> 0 THEN 1 ELSE 0 END AS in_a FROM events), " +
+          "c AS (SELECT event_type, value, CAST(sum(in_a) AS BIGINT) AS ca, " +
+          "CAST(sum(1 - in_a) AS BIGINT) AS cb FROM ev GROUP BY 1, 2), " +
+          "cum AS (SELECT event_type, sum(ca) OVER (PARTITION BY event_type ORDER BY value " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a, " +
+          "sum(cb) OVER (PARTITION BY event_type ORDER BY value " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b FROM c), " +
+          "tot AS (SELECT event_type, CAST(sum(in_a) AS BIGINT) AS n_a, " +
+          "CAST(sum(1 - in_a) AS BIGINT) AS n_b FROM ev GROUP BY 1) " +
+          "SELECT c.event_type, t.n_a, t.n_b, " +
+          "round(CAST(CAST(max(abs(c.cum_a * t.n_b - c.cum_b * t.n_a)) / " +
+          "(CAST(t.n_a AS DOUBLE) * t.n_b) AS REAL) AS DOUBLE), 6) + 0.0 AS ks " +
+          "FROM cum c JOIN tot t ON t.event_type = c.event_type " +
+          "GROUP BY c.event_type, t.n_a, t.n_b ORDER BY c.event_type")),
+
+    // Max-inner-product top-k (MIPS) — the third metric beside L2 (v01)
+    // and cosine (v04): the retrieval scoring for unnormalized learned
+    // embeddings where magnitude IS signal. Same bounded-heap scan shape
+    // as every backend (query batch broadcast over one corpus pass); the
+    // dot product folds dimensions in ascending order on both engines,
+    // so the oracle replays every score bitwise and the ranking needs no
+    // recall bar.
+    NamedQuery(
+      "v27_mips_topk",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+        val qs = embQueries(s, dir, 5)
+        graft.vector.TopK.perQuery(
+          emb.crossJoin(broadcast(qs))
+            .select(
+              col("query_id"),
+              (-graft.vector.VectorOps.dot(col("qvec"), col("embedding"))).as("dist2"),
+              col("vec_id")),
+          10)
+          .select(
+            col("query_id"),
+            col("rank").cast("int").as("rnk"),
+            col("vec_id"),
+            f32round(-col("dist2"), 6).as("dot"))
+          .orderBy("query_id", "rnk")
+      },
+      Some(
+        "WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5), " +
+          s"d AS (SELECT q.query_id, e.vec_id, ${duckDot("q.qvec", "e.embedding")} AS dp " +
+          "FROM embeddings e CROSS JOIN q), " +
+          "r AS (SELECT query_id, vec_id, dp, CAST(row_number() OVER " +
+          "(PARTITION BY query_id ORDER BY dp DESC, vec_id ASC) AS INTEGER) AS rnk FROM d) " +
+          "SELECT query_id, rnk, vec_id, round(CAST(CAST(dp AS REAL) AS DOUBLE), 6) + 0.0 AS dot " +
+          "FROM r WHERE rnk <= 10 ORDER BY query_id, rnk")))
 }
