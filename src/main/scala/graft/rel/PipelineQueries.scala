@@ -4935,5 +4935,66 @@ object PipelineQueries {
           "r AS (SELECT query_id, vec_id, dp, CAST(row_number() OVER " +
           "(PARTITION BY query_id ORDER BY dp DESC, vec_id ASC) AS INTEGER) AS rnk FROM d) " +
           "SELECT query_id, rnk, vec_id, round(CAST(CAST(dp AS REAL) AS DOUBLE), 6) + 0.0 AS dot " +
-          "FROM r WHERE rnk <= 10 ORDER BY query_id, rnk")))
+          "FROM r WHERE rnk <= 10 ORDER BY query_id, rnk")),
+
+    // Stream-static TEMPORAL dimension lookup — the warehouse enrich
+    // pattern p07 (SCD-2) and q26 (as-of) exist to serve, composed as a
+    // stream: each arriving fact joins the dimension VERSION valid at
+    // its own event time (`valid_from ≤ ts < valid_to`, half-open
+    // windows ⇒ exactly one version per fact even at change-point
+    // timestamp ties). The SCD-2 dimension is built once as a static
+    // frame and broadcast into every micro-batch (stream-static inner
+    // joins need no watermark — no cross-batch state at all, the
+    // cheapest streaming join class); facts stream from a file source.
+    // The batch oracle replays dimension build AND temporal join, so
+    // hash-green proves the streamed enrichment ≡ the warehouse batch
+    // backfill.
+    NamedQuery(
+      "s18_stream_scd_lookup",
+      (s, dir) => {
+        val facts = t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+        val dim = Scd
+          .scd2(t(s, dir, "orders"), "o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority")
+          .select(
+            col("o_custkey").as("d_custkey"), col("version"),
+            col("o_orderpriority").as("priority"),
+            col("valid_from"), col("valid_to"))
+        val tmp = java.nio.file.Files.createTempDirectory("s18_orders_")
+        val qname = s"s18_sink_${streamSinkCounter.incrementAndGet()}"
+        val (rows, schema) = withShufflePartitions(s, 8) { try {
+          val inDir = s"$tmp/in"
+          facts.write.mode("overwrite").parquet(inDir)
+          val stream = s.readStream.schema(facts.schema).parquet(inDir)
+          val joined = stream
+            .join(
+              broadcast(dim),
+              col("o_custkey") === col("d_custkey") &&
+                col("o_orderdate") >= col("valid_from") &&
+                (col("valid_to").isNull || col("o_orderdate") < col("valid_to")))
+            .select("o_orderkey", "o_custkey", "version", "priority")
+          val query = joined.writeStream.format("memory").queryName(qname).outputMode("append").start()
+          try query.processAllAvailable()
+          finally query.stop()
+          val shaped = s.table(qname).orderBy("o_orderkey")
+          (shaped.collect().toSeq, shaped.schema)
+        } finally {
+          try s.catalog.dropTempView(qname)
+          catch { case _: Exception => () }
+          deleteRecursively(tmp)
+        }
+        }
+        s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
+      },
+      Some(
+        "WITH m AS (SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority, " +
+          "lag(o_orderpriority) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev, " +
+          "row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn " +
+          "FROM orders), " +
+          "c AS (SELECT * FROM m WHERE rn = 1 OR prev IS DISTINCT FROM o_orderpriority), " +
+          "v AS (SELECT o_custkey AS d_custkey, CAST(row_number() OVER w AS INTEGER) AS version, " +
+          "o_orderpriority AS priority, o_orderdate AS valid_from, lead(o_orderdate) OVER w AS valid_to " +
+          "FROM c WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)) " +
+          "SELECT o.o_orderkey, o.o_custkey, v.version, v.priority FROM orders o JOIN v " +
+          "ON v.d_custkey = o.o_custkey AND o.o_orderdate >= v.valid_from " +
+          "AND (v.valid_to IS NULL OR o.o_orderdate < v.valid_to) ORDER BY o.o_orderkey")))
 }
