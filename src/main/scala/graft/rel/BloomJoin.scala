@@ -22,8 +22,18 @@ import org.apache.spark.sql.functions._
 object BloomJoin {
 
   /** Rows of `facts` whose `factKey` might be present in `dims.dimKey`.
-    * The Bloom build is one aggregation over the dim side (driver holds
-    * only the filter bits, never the keys). */
+    *
+    * Contract notes:
+    *  - EAGER: the Bloom build runs one aggregation job over the dim side
+    *    AT CALL TIME (the filter must exist before the fact plan can be
+    *    built — same as any runtime filter). Build once and reuse the
+    *    returned frame; don't call per micro-batch.
+    *  - Keys must be integral (the bloom hashes longs); enforced here
+    *    rather than failing inside the dim aggregation.
+    *  - NULL fact keys are dropped: a NULL can never equi-join, so a
+    *    pre-JOIN filter discarding them is semantics-preserving — but use
+    *    this only ahead of an inner/semi join, not as a general sieve.
+    *  - The driver holds only the filter bits, never the dim keys. */
   def bloomSemiFilter(
       facts: DataFrame,
       factKey: String,
@@ -31,6 +41,10 @@ object BloomJoin {
       dimKey: String,
       expectedItems: Long,
       fpp: Double = 0.01): DataFrame = {
+    val kt = dims.schema(dimKey).dataType
+    require(
+      kt == org.apache.spark.sql.types.LongType || kt == org.apache.spark.sql.types.IntegerType,
+      s"bloomSemiFilter needs an integral key, got $kt for $dimKey")
     val bf = dims.stat.bloomFilter(dimKey, math.max(expectedItems, 1L), fpp)
     val bc = facts.sparkSession.sparkContext.broadcast(bf)
     val might = udf((k: Long) => bc.value.mightContain(k))

@@ -16,12 +16,18 @@ import org.apache.spark.sql.functions._
   */
 object DataQuality {
 
-  /** Child rows whose `childKey` has no match in `parent.parentKey`. */
+  /** Child rows whose NON-NULL `childKey` has no match in
+    * `parent.parentKey`. NULL keys are excluded — they are a different
+    * defect (a null-key check's business, and `NOT IN` semantics agree:
+    * a NULL never counts as an orphan), so the two checks never
+    * double-count one row. */
   def orphans(child: DataFrame, childKey: String, parent: DataFrame, parentKey: String): DataFrame =
-    child.join(
-      parent.select(col(parentKey).as(childKey)).distinct(),
-      Seq(childKey),
-      "left_anti")
+    child
+      .filter(col(childKey).isNotNull)
+      .join(
+        parent.select(col(parentKey).as(childKey)).distinct(),
+        Seq(childKey),
+        "left_anti")
 
   /** Key values carried by more than one row. */
   def duplicateKeys(df: DataFrame, key: String): DataFrame =

@@ -4068,10 +4068,13 @@ object PipelineQueries {
           "lin AS (SELECT doc_id, i AS line_idx, array_to_string(w[(i*8+1):(i*8+8)], ' ') AS line " +
           "FROM tok, unnest(generate_series(0, CAST(ceil(len(w) / 8.0) AS BIGINT) - 1)) AS u(i)), " +
           "dup AS (SELECT line FROM (SELECT line, count(DISTINCT doc_id) AS nd FROM lin GROUP BY line) WHERE nd >= 2), " +
-          "f AS (SELECT doc_id, line_idx, line, line IN (SELECT line FROM dup) AS is_dup FROM lin) " +
-          "SELECT doc_id, coalesce(string_agg(line, ' ' ORDER BY line_idx) FILTER (WHERE NOT is_dup), '') AS text, " +
+          "f AS (SELECT doc_id, line_idx, line, line IN (SELECT line FROM dup) AS is_dup FROM lin), " +
+          "g AS (SELECT doc_id, coalesce(string_agg(line, ' ' ORDER BY line_idx) FILTER (WHERE NOT is_dup), '') AS text, " +
           "CAST(count(*) AS BIGINT) AS n_lines, CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_removed " +
-          "FROM f GROUP BY doc_id ORDER BY doc_id")),
+          "FROM f GROUP BY doc_id) " +
+          // zero-line docs (empty text) never reach f — reinstate like the engine
+          "SELECT c.doc_id, coalesce(g.text, '') AS text, coalesce(g.n_lines, 0) AS n_lines, " +
+          "coalesce(g.n_removed, 0) AS n_removed FROM corpus c LEFT JOIN g USING (doc_id) ORDER BY doc_id")),
 
     // Character-level unigram entropy — the randomness/quality signal
     // that catches encoding junk, repeated-char padding, and base64
@@ -4480,7 +4483,8 @@ object PipelineQueries {
           "sum(cw.w * pw.pw) AS dot FROM cw JOIN pw ON cw.tk = pw.tk GROUP BY 1, 2), " +
           "cos AS (SELECT d.probe_id, d.doc_id, d.n_shared, " +
           "d.dot / sqrt(c.norm2 * p.pnorm2) AS cosine FROM dots d " +
-          "JOIN cnorm c ON c.doc_id = d.doc_id JOIN pnorm p ON p.probe_id = d.probe_id) " +
+          "JOIN cnorm c ON c.doc_id = d.doc_id JOIN pnorm p ON p.probe_id = d.probe_id " +
+          "WHERE c.norm2 > 0 AND p.pnorm2 > 0) " +
           "SELECT probe_id, doc_id, n_shared, " +
           "round(CAST(CAST(cosine AS REAL) AS DOUBLE), 6) + 0.0 AS cosine " +
           "FROM cos WHERE CAST(CAST(cosine AS REAL) AS DOUBLE) >= 0.7 " +
@@ -4797,7 +4801,7 @@ object PipelineQueries {
         val qs = embQueries(s, dir, 20)
         val probes = IvfSearch.chooseProbes(model, qs, IvfSearch.Params(k = 10))
         val cands = graft.vector.RandomProjection
-          .ivfTopK(proj, probes.select("query_id", "partition_id"), qs, model.dim, 16, k = 10, cand = 64)
+          .ivfTopK(proj, probes.select("query_id", "partition_id"), qs, model.dim, 16, cand = 64)
         val pruned = Pq.rerankExact(cands, emb, qs, k = 10)
         val unpruned = graft.vector.RandomProjection.topK(emb, qs, model.dim, 16, k = 10, cand = 64)
         val exact = graft.CacheScope.track(graft.index.KnnJoin.exact(qs, emb, 10).cache())

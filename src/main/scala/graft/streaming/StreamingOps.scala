@@ -110,14 +110,17 @@ object StreamingOps {
     * finalize with [[graft.rel.IncrementalMv.merge]]. */
   def maintainMvStream(
       events: DataFrame): (StreamingQuery, java.util.concurrent.atomic.AtomicReference[DataFrame]) = {
-    val state = new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+    val s = events.sparkSession
+    // initial state = the empty partial view, so an all-empty stream
+    // finalizes to an empty view instead of handing callers a null
+    val empty = graft.rel.IncrementalMv.partials(
+      s.createDataFrame(s.sparkContext.emptyRDD[Row], events.schema))
+    val state = new java.util.concurrent.atomic.AtomicReference[DataFrame](empty)
     val q = events.writeStream
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         if (!batch.isEmpty) {
           val part = graft.rel.IncrementalMv.partials(batch.toDF())
-          val cur = state.get()
-          val next = (if (cur == null) part else graft.rel.IncrementalMv.mergePartials(cur, part))
-            .localCheckpoint()
+          val next = graft.rel.IncrementalMv.mergePartials(state.get(), part).localCheckpoint()
           state.set(next)
         }
       }

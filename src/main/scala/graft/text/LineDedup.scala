@@ -30,7 +30,9 @@ object LineDedup {
 
   /** docs(doc_id, text) → (doc_id, text, n_lines, n_removed) with the
     * boilerplate lines removed and the survivors rejoined in original
-    * order. */
+    * order. EVERY input doc appears in the output — an empty or
+    * whitespace-only doc comes back as ('', 0, 0), never silently
+    * dropped (edit, don't drop applies to degenerate inputs too). */
   def dropBoilerplateLines(docs: DataFrame, lineTokens: Int = 8, minDocs: Int = 2): DataFrame = {
     val toks = TextOps.tokens(col("text"))
     val w = lineTokens
@@ -43,7 +45,8 @@ object LineDedup {
       .select(
         col("doc_id"),
         // guard: sequence(0, -1) would step BACKWARD in Spark, so empty
-        // docs must short-circuit to an empty line array
+        // docs must short-circuit to an empty line array (posexplode then
+        // emits no rows — the doc rejoins through the left join below)
         when(size(toks) > 0, lineArr).otherwise(array().cast("array<string>")).as("lines"))
       .select(col("doc_id"), posexplode(col("lines")).as(Seq("line_idx", "line")))
 
@@ -53,7 +56,7 @@ object LineDedup {
       .filter(col("nd") >= minDocs)
       .select(col("line"), lit(true).as("is_dup"))
 
-    lines
+    val perDoc = lines
       .join(dup, Seq("line"), "left")
       .groupBy("doc_id")
       .agg(
@@ -66,6 +69,15 @@ object LineDedup {
             array_sort(collect_list(when(col("is_dup").isNull, struct(col("line_idx"), col("line"))))),
             x => x.getField("line")),
           " ").as("text"))
-      .select(col("doc_id"), col("text"), col("n_lines"), col("n_removed"))
+
+    // zero-line docs produced no exploded rows — reinstate them
+    docs
+      .select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("text"), lit("")).as("text"),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"))
   }
 }

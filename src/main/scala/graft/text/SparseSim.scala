@@ -76,6 +76,12 @@ object SparseSim {
     dots
       .join(broadcast(pNorms), "probe_id")
       .join(cNorms, "doc_id")
+      // zero-norm guard: a side whose every token is corpus-universal has
+      // idf 0 everywhere → norm² = 0 → cosine = 0/0 = NaN, and BOTH
+      // engines order NaN above every number, so an unguarded NaN would
+      // sail over any threshold. A zero-weight document carries no
+      // lexical signal — it can't be similar to anything.
+      .filter(col("norm2") > 0.0 && col("pnorm2") > 0.0)
       .select(
         col("probe_id"), col("doc_id"), col("n_shared"),
         (col("dot") / sqrt(col("norm2") * col("pnorm2"))).as("cosine"))

@@ -70,25 +70,28 @@ object RandomProjection {
         acc + d * d
       })
 
-  /** Probe-pruned JL search — IVF × dimensionality reduction, the fourth
-    * composition beside IVFADC (v13), IVF+SQ (v16), and IVF+binary
-    * (v23): APS probes decide WHICH partitions are scanned, the m-dim
-    * projection decides how many floats each scanned row costs, and an
-    * exact re-rank restores metric fidelity. The sign matrix is
-    * corpus-GLOBAL (a pure function of (i, j), no per-partition
-    * statistic), so pruning never changes a projected value — full-probe
-    * ≡ the plain [[topK]] scan, spec-pinned. `proj` is the
-    * partition-keyed projected corpus from [[project]] over the index's
-    * vectors; `probes(query_id, partition_id)` from APS. */
+  /** Probe-pruned JL CANDIDATE scan — IVF × dimensionality reduction,
+    * the fourth composition beside IVFADC (v13), IVF+SQ (v16), and
+    * IVF+binary (v23): APS probes decide WHICH partitions are scanned,
+    * the m-dim projection decides how many floats each scanned row
+    * costs. Returns the top-`cand` candidates per query ranked by
+    * REDUCED-SPACE L2 (`dist2` is projected distance, not the metric) —
+    * callers restore metric fidelity with `Pq.rerankExact` against the
+    * float vectors, exactly like [[BinaryQuant.ivfTopK]]'s contract.
+    * The sign matrix is corpus-GLOBAL (a pure function of (i, j), no
+    * per-partition statistic), so pruning never changes a projected
+    * value — full-probe + re-rank ≡ the plain [[topK]] scan,
+    * spec-pinned. `proj` is the partition-keyed projected corpus from
+    * [[project]] over the index's vectors; `probes(query_id,
+    * partition_id)` from APS. */
   def ivfTopK(
       proj: DataFrame,
       probes: DataFrame,
       queries: DataFrame,
       dIn: Int,
       m: Int,
-      k: Int,
       cand: Int): DataFrame = {
-    require(k > 0 && cand >= k, s"bad k=$k cand=$cand")
+    require(cand > 0, s"bad cand=$cand")
     val qProj = project(
       queries.select(col("query_id"), col("qvec").as("embedding")), dIn, m, "embedding")
       .select(col("query_id"), col("proj").as("qproj"))

@@ -13,6 +13,13 @@ class DataQualitySpec extends SparkSpec {
     assert(o == Set(12L, 13L))
   }
 
+  test("orphans: NULL foreign keys are the null-check's business, not orphans") {
+    val withNull = Seq((10L, Some(1L)), (11L, None), (12L, Some(9L)))
+      .toDF("id", "fk")
+    val o = DataQuality.orphans(withNull, "fk", parent, "pk").select("id").as[Long].collect().toSet
+    assert(o == Set(12L), s"null fk must not count as an orphan: $o")
+  }
+
   test("orphans: duplicate parent keys don't fan out the child") {
     val dupParent = Seq(1L, 1L, 2L).toDF("pk")
     assert(DataQuality.orphans(child, "fk", dupParent, "pk").count() == 2)

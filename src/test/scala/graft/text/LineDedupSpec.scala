@@ -42,6 +42,13 @@ class LineDedupSpec extends SparkSpec {
     assert(out(1L) == (("a b a b", 2L, 0L)))
   }
 
+  test("empty and whitespace-only docs survive as ('', 0, 0) — never silently dropped") {
+    val out = run(Seq((1L, ""), (2L, "   "), (3L, "a b")))
+    assert(out(1L) == (("", 0L, 0L)))
+    assert(out(2L) == (("", 0L, 0L)))
+    assert(out(3L) == (("a b", 1L, 0L)))
+  }
+
   test("ragged tail chunk forms its own line and can itself be boilerplate") {
     val out = run(Seq(
       (1L, "p q r"),   // lines: "p q", "r"

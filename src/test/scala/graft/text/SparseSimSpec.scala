@@ -33,6 +33,22 @@ class SparseSimSpec extends SparkSpec {
     assert(pairs(Seq((-1L, "zzz qqq xxx www"))).isEmpty)
   }
 
+  test("zero-norm sides are filtered, not NaN-passed: a corpus-universal-token doc never pairs") {
+    // every doc contains 'the' → idf('the') applies everywhere; doc 4 is ONLY
+    // universal tokens → norm² = 0 → unguarded cosine would be NaN (> any bar)
+    val uni = Seq(
+      (1L, "the alpha beta"),
+      (2L, "the gamma delta"),
+      (3L, "the epsilon zeta"),
+      (4L, "the the the")).toDF("doc_id", "text")
+    val p = SparseSim.cosineAgainst(uni, Seq((-1L, "the alpha")).toDF("probe_id", "text"), 0.01)
+      .select("doc_id", "cosine").as[(Long, Double)].collect().toMap
+    assert(!p.contains(4L), "zero-norm doc leaked through the cosine bar")
+    assert(p.values.forall(v => !v.isNaN))
+    // a probe of only universal tokens has zero norm itself → no pairs at all
+    assert(SparseSim.cosineAgainst(uni, Seq((-2L, "the")).toDF("probe_id", "text"), 0.01).count() == 0)
+  }
+
   test("disjoint-vocabulary docs never pair; shared rare tokens outweigh shared text length") {
     val p = pairs(Seq((-1L, "apple banana")))
     assert(!p.contains((-1L, 2L)))                  // no shared tokens at all

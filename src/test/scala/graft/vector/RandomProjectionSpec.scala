@@ -66,7 +66,7 @@ class RandomProjectionSpec extends SparkSpec {
     val probes = queries.select("query_id")
       .crossJoin(spark.range(4).select(col("id").as("partition_id")))
     val full = graft.vector.Pq.rerankExact(
-      RandomProjection.ivfTopK(proj, probes, queries, dim, m, k = 5, cand = 20),
+      RandomProjection.ivfTopK(proj, probes, queries, dim, m, cand = 20),
       corpus, queries, k = 5)
       .select("query_id", "rank", "vec_id").as[(Long, Int, Long)].collect().toSet
     val plain = RandomProjection.topK(corpus, queries, dim, m, k = 5, cand = 20)
