@@ -5000,5 +5000,39 @@ object PipelineQueries {
           "FROM c WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)) " +
           "SELECT o.o_orderkey, o.o_custkey, v.version, v.priority FROM orders o JOIN v " +
           "ON v.d_custkey = o.o_custkey AND o.o_orderdate >= v.valid_from " +
-          "AND (v.valid_to IS NULL OR o.o_orderdate < v.valid_to) ORDER BY o.o_orderkey")))
+          "AND (v.valid_to IS NULL OR o.o_orderdate < v.valid_to) ORDER BY o.o_orderkey")),
+
+    // Index health introspection — the bookkeeping invariants an
+    // operations team alerts on, certified in the driver record: the
+    // index's partition METADATA must agree with its DATA (per-partition
+    // metadata sizes ≡ distributed recount of the vectors table), every
+    // corpus vector must be assigned to exactly one partition (no loss,
+    // no duplication — the multiset-preservation property every
+    // insert/delete/maintain cycle must keep), and live metadata must
+    // contain no phantom partitions. Partition count/sizes themselves
+    // are k-means state (not SQL-portable) — the flags are the contract.
+    NamedQuery(
+      "v28_index_stats",
+      (s, dir) => {
+        val model = indexFor(s, dir)
+        val emb = t(s, dir, "embeddings").select("vec_id")
+        val metaSizes = model.partitions.map(p => p.pid -> p.size).toMap
+        val actual = model.vectors
+          .groupBy("partition_id").agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val metaConsistent = metaSizes.filter(_._2 > 0) == actual
+        val assigned = model.vectors.select("vec_id")
+        val nCorpus = emb.count()
+        val nAssigned = assigned.count()
+        val nMatched = assigned.join(emb, "vec_id").count()
+        import s.implicits._
+        Seq((
+          nCorpus,
+          if (metaConsistent) 1L else 0L,
+          if (nAssigned == nCorpus && nMatched == nCorpus) 1L else 0L))
+          .toDF("n_vectors", "meta_consistent", "assignment_complete")
+      },
+      Some(
+        "SELECT CAST(count(*) AS BIGINT) AS n_vectors, CAST(1 AS BIGINT) AS meta_consistent, " +
+          "CAST(1 AS BIGINT) AS assignment_complete FROM embeddings")))
 }
