@@ -5034,5 +5034,51 @@ object PipelineQueries {
       },
       Some(
         "SELECT CAST(count(*) AS BIGINT) AS n_vectors, CAST(1 AS BIGINT) AS meta_consistent, " +
-          "CAST(1 AS BIGINT) AS assignment_complete FROM embeddings")))
+          "CAST(1 AS BIGINT) AS assignment_complete FROM embeddings")),
+
+    // Availability-capped temperature mixture by EXACT water-filling
+    // (Sampling.cappedMixture): p02's temperature targets made FEASIBLE —
+    // a source can't contribute more tokens than it has, so the water
+    // level λ rises until Σ min(avail_i, √avail_i·λ) meets the budget.
+    // λ has a closed form over the breakpoint-sorted sources (no
+    // iteration, no driver loop), and every step is portable: sqrt is
+    // IEEE-correctly-rounded in any engine, the cumulative sums run in
+    // one fixed sorted order, and the final allocations are f32-squeezed.
+    // The oracle re-derives availability, weights, breakpoints, the
+    // selected λ interval, and every allocation — hash-green certifies
+    // the whole feasibility computation, capped flags included.
+    NamedQuery(
+      "p13_capped_mixture",
+      (s, dir) => {
+        val toksC = TextOps.tokens(col("text"))
+        // the fixture's sources are near-uniform, where no cap ever binds
+        // — scale availability by the source index (src0 × 1 … src19 × 20)
+        // so the smallest sources genuinely hit their caps and BOTH
+        // water-filling branches are exercised under the oracle
+        val avail = t(s, dir, "documents")
+          .groupBy(col("source"))
+          .agg((sum(size(toksC)) * (lit(1L) + substring(col("source"), 4, 10).cast("long")))
+            .cast("long").as("avail"))
+        val total = avail.agg(sum("avail")).head().getLong(0)
+        Sampling
+          .cappedMixture(avail, budget = 0.4 * total, temperature = 0.5)
+          .orderBy("source")
+      },
+      Some(
+        s"WITH av AS (SELECT source, CAST(sum(len($duckToks)) * (1 + CAST(substr(source, 4) AS BIGINT)) AS BIGINT) AS avail " +
+          "FROM documents GROUP BY source), " +
+          "b AS (SELECT source, avail, sqrt(CAST(avail AS DOUBLE)) AS w, " +
+          "CAST(avail AS DOUBLE) / sqrt(CAST(avail AS DOUBLE)) AS r FROM av), " +
+          "c AS (SELECT *, sum(CAST(avail AS DOUBLE)) OVER wo AS cum_c, sum(w) OVER wo AS cum_w, " +
+          "sum(w) OVER () AS tw, sum(CAST(avail AS DOUBLE)) OVER () AS ta, " +
+          "lead(r) OVER (ORDER BY r, source) AS r_next FROM b " +
+          "WINDOW wo AS (ORDER BY r, source ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), " +
+          "f AS (SELECT *, CASE WHEN tw > cum_w AND (0.4 * ta - cum_c) / (tw - cum_w) >= r " +
+          "AND (r_next IS NULL OR (0.4 * ta - cum_c) / (tw - cum_w) < r_next) " +
+          "THEN (0.4 * ta - cum_c) / (tw - cum_w) END AS lam_valid FROM c), " +
+          "l AS (SELECT coalesce(max(lam_valid), 0.4 * max(ta) / max(tw)) AS lambda FROM f) " +
+          "SELECT b.source, b.avail, " +
+          "round(CAST(CAST(least(CAST(b.avail AS DOUBLE), b.w * l.lambda) AS REAL) AS DOUBLE), 6) + 0.0 AS t_target, " +
+          "CAST(b.avail AS DOUBLE) <= b.w * l.lambda AS capped " +
+          "FROM b CROSS JOIN l ORDER BY source")))
 }

@@ -194,4 +194,72 @@ object Sampling {
       .withColumn("target_rows", floor(col("share") * lit(total.toDouble) + lit(0.5)).cast("long"))
       .drop("weight")
   }
+
+  /** Availability-capped temperature mixture by EXACT water-filling: give
+    * source i the allocation `t_i = min(avail_i, w_i·λ)` with
+    * `w_i = avail_i^temperature` and λ the unique level at which the
+    * allocations sum to `budget` — the mixture [[temperatureTargets]]
+    * computes, made feasible when a source simply doesn't HAVE its
+    * uncapped share (the sampling-without-replacement reality every real
+    * corpus mix hits; uncapped temperature targets silently over-ask tiny
+    * sources). λ has a CLOSED FORM: sort sources by their cap breakpoint
+    * `r_i = avail_i / w_i` (ascending — the order in which caps bind as λ
+    * rises); if the first k sources are capped, λ_k = (budget − Σ_{≤k}
+    * avail) / (Σ_{>k} w), and exactly one k satisfies
+    * `r_k ≤ λ_k < r_{k+1}`. No iteration, no driver loop — one
+    * metadata-sized window pass, and every arithmetic step (IEEE-exact
+    * sqrt/pow of integer counts, cumulative sums in one fixed sorted
+    * order, a single division) replays identically in SQL.
+    *
+    * `avail(source, avail)` — one row per source, positive long
+    * availability; `budget ≤ Σ avail` (a larger budget caps everything).
+    * Output: (source, avail, t_target f32, capped). */
+  def cappedMixture(avail: DataFrame, budget: Double, temperature: Double): DataFrame = {
+    val f32 = (c: Column) => c.cast("float").cast("double")
+    val a = col("avail").cast("double")
+    // temperature 0.5 routes through sqrt: IEEE requires sqrt correctly
+    // rounded (pow does not), so the weights are BITWISE portable to any
+    // engine at the canonical temperature
+    val weight = if (temperature == 0.5) sqrt(a) else pow(a, lit(temperature))
+    val base = avail
+      .withColumn("w", weight)
+      .withColumn("r", a / col("w"))
+    val win = Window.orderBy("r", "source")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy()
+    val cum = base
+      .withColumn("cum_c", sum(a).over(win))
+      .withColumn("cum_w", sum("w").over(win))
+      .withColumn("tw", sum("w").over(all))
+      .withColumn("ta", sum(a).over(all))
+      .withColumn("r_next", lead(col("r"), 1).over(Window.orderBy("r", "source")))
+    // λ candidate for "sources up to and including this row are capped";
+    // valid iff the level sits in this row's breakpoint interval
+    val lam = (lit(budget) - col("cum_c")) / (col("tw") - col("cum_w"))
+    val flagged = cum.withColumn(
+      "lam_valid",
+      when(
+        col("tw") > col("cum_w"),
+        when(lam >= col("r") && (col("r_next").isNull || lam < col("r_next")), lam)))
+    // exactly one row carries a valid λ; none ⇒ no source capped (λ=T/ΣW)
+    // unless budget ≥ total availability ⇒ everything capped (λ=∞)
+    val lambda = flagged
+      .agg(
+        max("lam_valid").as("lam_k"),
+        max(col("tw")).as("tw0"),
+        max(col("ta")).as("ta0"))
+      .select(
+        when(lit(budget) >= col("ta0"), lit(Double.MaxValue))
+          .otherwise(coalesce(col("lam_k"), lit(budget) / col("tw0")))
+          .as("lambda"))
+    base
+      .crossJoin(broadcast(lambda))
+      .select(
+        col("source"), col("avail"),
+        f32round6(least(a, col("w") * col("lambda"))).as("t_target"),
+        (a <= col("w") * col("lambda")).as("capped"))
+  }
+
+  private def f32round6(c: Column): Column =
+    round(c.cast("float").cast("double"), 6) + lit(0.0)
 }
