@@ -5080,5 +5080,116 @@ object PipelineQueries {
           "SELECT b.source, b.avail, " +
           "round(CAST(CAST(least(CAST(b.avail AS DOUBLE), b.w * l.lambda) AS REAL) AS DOUBLE), 6) + 0.0 AS t_target, " +
           "CAST(b.avail AS DOUBLE) <= b.w * l.lambda AS capped " +
-          "FROM b CROSS JOIN l ORDER BY source")))
+          "FROM b CROSS JOIN l ORDER BY source")),
+
+    // MinHash estimator-accuracy audit — the STATISTICAL contract behind
+    // d02/d08/s10, certified directly: for every planted near-dup pair
+    // the signature-agreement estimate must sit within 0.15 of the TRUE
+    // 3-shingle Jaccard (128 components ⇒ σ ≈ 0.03 at J ≈ 0.9: a 5σ
+    // bar, and the seeded hashes make the outcome deterministic — green
+    // once is green forever). The exact Jaccard is portable int/int
+    // arithmetic the oracle recomputes; the estimate is seeded xxhash
+    // state, so it crosses as a bound flag (the v06 technique).
+    NamedQuery(
+      "d16_minhash_estimator_audit",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        val toksC = TextOps.tokens(col("text"))
+        val mutated = docs
+          .filter(size(toksC) >= 20)
+          .select(
+            (col("doc_id") + 100000L).as("doc_id"),
+            concat_ws(" ", slice(toksC, 3, 1000000)).as("text"))
+        val corpus = docs.unionByName(mutated)
+        val sigs = Dedup.minhashSignatures(corpus, shingleN = 3, numHashes = 128)
+        val sh = TextOps.shingleRows(corpus, 3, distinctSet = true)
+          .groupBy("doc_id").agg(collect_set(col("s")).as("sh"))
+        val pairs = docs
+          .filter(size(toksC) >= 20)
+          .select(col("doc_id").as("doc_a"), (col("doc_id") + 100000L).as("doc_b"))
+        pairs
+          .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+          .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+          .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+          .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+          .select(
+            col("doc_a"), col("doc_b"),
+            (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+              size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"),
+            (aggregate(
+              zip_with(col("sig_a"), col("sig_b"), (a, b) => when(a === b, 1).otherwise(0)),
+              lit(0),
+              (acc, x) => acc + x).cast("double") / 128.0).as("est"))
+          .select(
+            col("doc_a"), col("doc_b"),
+            f32round(col("jaccard"), 6).as("jaccard"),
+            when(abs(col("est") - col("jaccard")) <= 0.15, 1L).otherwise(0L).as("est_ok"))
+          .orderBy("doc_a")
+      },
+      Some(
+        "WITH tok AS (SELECT doc_id, w, list_distinct(list_transform(" +
+          "generate_series(1, greatest(len(w) - 2, 0)), " +
+          "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh " +
+          s"FROM (SELECT doc_id, $duckToks AS w FROM documents)), " +
+          "pairs AS (SELECT doc_id AS doc_a, sh AS sh_a, " +
+          "list_distinct(list_transform(generate_series(1, greatest(len(w) - 4, 0)), " +
+          "i -> w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS sh_b " +
+          "FROM tok WHERE len(w) >= 20) " +
+          "SELECT doc_a, doc_a + 100000 AS doc_b, " +
+          "round(CAST(CAST(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) / " +
+          "len(list_distinct(list_concat(sh_a, sh_b))) AS REAL) AS DOUBLE), 6) + 0.0 AS jaccard, " +
+          "CAST(1 AS BIGINT) AS est_ok FROM pairs ORDER BY doc_a")),
+
+    // Curation funnel accounting — the per-source billing table a data
+    // team reads after every run: docs/tokens RAW → after exact dedup
+    // (sha-256 min-id keeper) → after the quality gate (t03's score at
+    // the 0.35 bar on the f32-squeezed value). All-integer counts over
+    // already-certified machinery, and the oracle replays the WHOLE
+    // funnel — content hash, keeper choice, quality formula, bar — so
+    // hash-green certifies the accounting end to end.
+    NamedQuery(
+      "t17_curation_accounting",
+      (s, dir) => {
+        val toksC = TextOps.tokens(col("text"))
+        val f32q = TextOps.qualityScore(col("text")).cast("float").cast("double")
+        val enriched = t(s, dir, "documents")
+          .select(
+            col("source"), col("doc_id"),
+            size(toksC).cast("long").as("n_tok"),
+            sha2(col("text"), 256).as("h"),
+            f32q.as("q"))
+        val keeper = org.apache.spark.sql.expressions.Window.partitionBy("h")
+        enriched
+          .withColumn("keep_dedup", col("doc_id") === min("doc_id").over(keeper))
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum("n_tok").as("n_tokens"),
+            sum(when(col("keep_dedup"), 1L).otherwise(0L)).as("n_after_dedup"),
+            sum(when(col("keep_dedup"), col("n_tok")).otherwise(0L)).as("tok_after_dedup"),
+            sum(when(col("keep_dedup") && col("q") >= 0.35, 1L).otherwise(0L)).as("n_after_quality"),
+            sum(when(col("keep_dedup") && col("q") >= 0.35, col("n_tok")).otherwise(0L)).as("tok_after_quality"))
+          .orderBy("source")
+      },
+      Some {
+        val stopList = TextOps.EnStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+        "WITH base AS (SELECT source, doc_id, len(w) AS n_tok, sha256(text) AS h, " +
+          "CAST(greatest(0.0, least(1.0, " +
+          "0.3 * least(CAST(len(w) AS DOUBLE) / 50.0, 1.0) " +
+          "+ 0.3 * (CAST(len(list_distinct(w)) AS DOUBLE) / greatest(1, len(w))) " +
+          "+ 0.2 * least(stop_ratio * 5.0, 1.0) " +
+          "- 0.4 * (punct_ratio + digit_ratio) + 0.2)) AS REAL) AS q " +
+          "FROM (SELECT source, doc_id, text, w, " +
+          raw"CAST(len(regexp_extract_all(text, '[.,;:!?''\"()\[\]{}-]')) AS DOUBLE) / greatest(1, len(text)) AS punct_ratio, " +
+          "CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / greatest(1, len(text)) AS digit_ratio, " +
+          s"CAST(len(list_filter(w, x -> list_contains($stopList, x))) AS DOUBLE) / greatest(1, len(w)) AS stop_ratio " +
+          s"FROM (SELECT source, doc_id, text, $duckToks AS w FROM documents))), " +
+          "k AS (SELECT *, doc_id = min(doc_id) OVER (PARTITION BY h) AS keep_dedup FROM base) " +
+          "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens, " +
+          "CAST(sum(CASE WHEN keep_dedup THEN 1 ELSE 0 END) AS BIGINT) AS n_after_dedup, " +
+          "CAST(sum(CASE WHEN keep_dedup THEN n_tok ELSE 0 END) AS BIGINT) AS tok_after_dedup, " +
+          "CAST(sum(CASE WHEN keep_dedup AND q >= 0.35 THEN 1 ELSE 0 END) AS BIGINT) AS n_after_quality, " +
+          "CAST(sum(CASE WHEN keep_dedup AND q >= 0.35 THEN n_tok ELSE 0 END) AS BIGINT) AS tok_after_quality " +
+          "FROM k GROUP BY source ORDER BY source"
+      }))
 }
