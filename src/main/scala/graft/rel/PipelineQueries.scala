@@ -5191,5 +5191,49 @@ object PipelineQueries {
           "CAST(sum(CASE WHEN keep_dedup AND q >= 0.35 THEN 1 ELSE 0 END) AS BIGINT) AS n_after_quality, " +
           "CAST(sum(CASE WHEN keep_dedup AND q >= 0.35 THEN n_tok ELSE 0 END) AS BIGINT) AS tok_after_quality " +
           "FROM k GROUP BY source ORDER BY source"
-      }))
+      }),
+
+    // Late-interaction MaxSim retrieval (the ColBERT scoring shape,
+    // Khattab & Zaharia, SIGIR 2020): a "document" is a BAG of vectors
+    // (here: each label's embeddings — the multi-vector column layout a
+    // passage encoder produces), a query is a bag of query vectors, and
+    // score(doc) = Σ_q max_d cos(q, d) — every query vector finds its
+    // best match inside the doc independently. Dataflow: one
+    // (query-vec × doc-vec) cosine join grouped twice — max per
+    // (query_vec, doc), sum per (query, doc) — both combinable
+    // aggregations; the query bag broadcasts, the corpus is scanned
+    // once. Every cosine is the fixed-order fold the oracle replays, the
+    // max is exact, and the final sum runs over ≤|query bag| terms — so
+    // the whole late-interaction ranking is DuckDB-replayed, f32-squeeze
+    // only at display.
+    NamedQuery(
+      "v29_maxsim_retrieval",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings").select("vec_id", "embedding", "label")
+        // query bag: the first 4 vectors; doc bags: per-label vector sets
+        val qbag = emb.filter(col("vec_id") < 4)
+          .select(col("vec_id").as("q_vec"), col("embedding").as("qv"))
+        val scored = emb
+          .crossJoin(broadcast(qbag))
+          .select(
+            col("label"), col("q_vec"),
+            graft.vector.VectorOps.cosine(col("qv"), col("embedding")).as("c"))
+          .groupBy("label", "q_vec")
+          .agg(max("c").as("best"))
+          .groupBy("label")
+          .agg(count(lit(1)).as("n_qvecs"), sum("best").as("maxsim"))
+        scored
+          .select(
+            col("label"), col("n_qvecs"),
+            f32round(col("maxsim"), 6).as("maxsim"))
+          .orderBy(col("maxsim").desc, col("label"))
+      },
+      Some(
+        "WITH q AS (SELECT vec_id AS q_vec, embedding AS qv FROM embeddings WHERE vec_id < 4), " +
+          s"c AS (SELECT e.label, q.q_vec, ${duckDot("q.qv", "e.embedding")} / " +
+          s"(${duckNorm("q.qv")} * ${duckNorm("e.embedding")}) AS c FROM embeddings e CROSS JOIN q), " +
+          "b AS (SELECT label, q_vec, max(c) AS best FROM c GROUP BY 1, 2), " +
+          "m AS (SELECT label, CAST(count(*) AS BIGINT) AS n_qvecs, sum(best) AS maxsim FROM b GROUP BY label) " +
+          "SELECT label, n_qvecs, round(CAST(CAST(maxsim AS REAL) AS DOUBLE), 6) + 0.0 AS maxsim " +
+          "FROM m ORDER BY round(CAST(CAST(maxsim AS REAL) AS DOUBLE), 6) + 0.0 DESC, label")))
 }
