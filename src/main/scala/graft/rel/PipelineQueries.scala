@@ -5235,5 +5235,105 @@ object PipelineQueries {
           "b AS (SELECT label, q_vec, max(c) AS best FROM c GROUP BY 1, 2), " +
           "m AS (SELECT label, CAST(count(*) AS BIGINT) AS n_qvecs, sum(best) AS maxsim FROM b GROUP BY label) " +
           "SELECT label, n_qvecs, round(CAST(CAST(maxsim AS REAL) AS DOUBLE), 6) + 0.0 AS maxsim " +
-          "FROM m ORDER BY round(CAST(CAST(maxsim AS REAL) AS DOUBLE), 6) + 0.0 DESC, label")))
+          "FROM m ORDER BY round(CAST(CAST(maxsim AS REAL) AS DOUBLE), 6) + 0.0 DESC, label")),
+
+    // Ordered funnel conversion — the product-analytics staple: per
+    // (user, day), did a view happen, a click strictly AFTER the first
+    // view, a purchase strictly after that first qualifying click?
+    // The ORDER constraint is what plain per-type counts can't express;
+    // here it's two rounds of "min event time after the previous step's
+    // anchor" — each a join on the (day, user) key plus a conditional
+    // min, no windows at all. All-integer microsecond anchors; the only
+    // floats are the final f32-squeezed conversion rates.
+    NamedQuery(
+      "q44_funnel_conversion",
+      (s, dir) => {
+        val base = t(s, dir, "events").select(
+          date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+        val g1 = base.groupBy("day", "user_id")
+          .agg(min(when(col("event_type") === "view", col("us"))).as("v_us"))
+        val g2 = base.join(g1, Seq("day", "user_id"))
+          .groupBy("day", "user_id")
+          .agg(
+            first("v_us").as("v_us"),
+            min(when(col("event_type") === "click" && col("us") > col("v_us"), col("us"))).as("c_us"))
+        val g3 = base.join(g2, Seq("day", "user_id"))
+          .groupBy("day", "user_id")
+          .agg(
+            first("v_us").as("v_us"), first("c_us").as("c_us"),
+            min(when(col("event_type") === "purchase" && col("us") > col("c_us"), col("us"))).as("p_us"))
+        g3.groupBy("day")
+          .agg(
+            sum(when(col("v_us").isNotNull, 1L).otherwise(0L)).as("n_view"),
+            sum(when(col("c_us").isNotNull, 1L).otherwise(0L)).as("n_click_after_view"),
+            sum(when(col("p_us").isNotNull, 1L).otherwise(0L)).as("n_purchase_after_click"))
+          .select(
+            col("day"), col("n_view"), col("n_click_after_view"), col("n_purchase_after_click"),
+            f32round(col("n_click_after_view").cast("double") / greatest(col("n_view"), lit(1L)), 6)
+              .as("view_to_click"),
+            f32round(col("n_purchase_after_click").cast("double") / greatest(col("n_click_after_view"), lit(1L)), 6)
+              .as("click_to_purchase"))
+          .orderBy("day")
+      },
+      Some(
+        "WITH base AS (SELECT strftime(ts, '%Y-%m-%d') AS day, user_id, event_type, epoch_us(ts) AS us FROM events), " +
+          "g1 AS (SELECT day, user_id, min(CASE WHEN event_type = 'view' THEN us END) AS v_us " +
+          "FROM base GROUP BY 1, 2), " +
+          "g2 AS (SELECT b.day, b.user_id, any_value(g1.v_us) AS v_us, " +
+          "min(CASE WHEN b.event_type = 'click' AND b.us > g1.v_us THEN b.us END) AS c_us " +
+          "FROM base b JOIN g1 ON g1.day = b.day AND g1.user_id = b.user_id GROUP BY 1, 2), " +
+          "g3 AS (SELECT b.day, b.user_id, any_value(g2.v_us) AS v_us, any_value(g2.c_us) AS c_us, " +
+          "min(CASE WHEN b.event_type = 'purchase' AND b.us > g2.c_us THEN b.us END) AS p_us " +
+          "FROM base b JOIN g2 ON g2.day = b.day AND g2.user_id = b.user_id GROUP BY 1, 2) " +
+          "SELECT day, CAST(sum(CASE WHEN v_us IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view, " +
+          "CAST(sum(CASE WHEN c_us IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_click_after_view, " +
+          "CAST(sum(CASE WHEN p_us IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase_after_click, " +
+          "round(CAST(CAST(CAST(sum(CASE WHEN c_us IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / " +
+          "greatest(sum(CASE WHEN v_us IS NOT NULL THEN 1 ELSE 0 END), 1) AS REAL) AS DOUBLE), 6) + 0.0 AS view_to_click, " +
+          "round(CAST(CAST(CAST(sum(CASE WHEN p_us IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / " +
+          "greatest(sum(CASE WHEN c_us IS NOT NULL THEN 1 ELSE 0 END), 1) AS REAL) AS DOUBLE), 6) + 0.0 AS click_to_purchase " +
+          "FROM g3 GROUP BY day ORDER BY day")),
+
+    // Edit-distance fuzzy join (entity resolution): planted one-char
+    // typos of document "names" (their first-two-token string) must find
+    // their sources within Levenshtein ≤ 2, candidates generated by
+    // (first char, ±2 length band) BLOCKING — the classic cheap blocking
+    // key that keeps a 100 TB name-matching job off the all-pairs cliff
+    // (a one-char substitution preserves both). The DP distance is exact
+    // integer arithmetic both engines implement identically, so the
+    // oracle replays the planted mutation, the blocking predicate, and
+    // every distance.
+    NamedQuery(
+      "d17_fuzzy_name_join",
+      (s, dir) => {
+        val toksC = TextOps.tokens(col("text"))
+        val names = t(s, dir, "documents")
+          .select(col("doc_id"), concat_ws(" ", slice(toksC, 1, 2)).as("name"))
+        // typo: replace the 2nd char with 'q' (docs 0-29) — distance ≤ 1
+        val probes = names
+          .filter(col("doc_id") < 30)
+          .select(
+            (-(col("doc_id") + 1L)).as("probe_id"),
+            concat(substring(col("name"), 1, 1), lit("q"), expr("substring(name, 3)")).as("pname"))
+        probes
+          .join(
+            names,
+            substring(col("pname"), 1, 1) === substring(col("name"), 1, 1) &&
+              abs(length(col("pname")) - length(col("name"))) <= 2 &&
+              levenshtein(col("pname"), col("name")) <= 2)
+          .select(
+            col("probe_id"), col("doc_id"),
+            levenshtein(col("pname"), col("name")).as("dist"))
+          .orderBy("probe_id", "doc_id")
+      },
+      Some(
+        s"WITH names AS (SELECT doc_id, array_to_string(w[1:2], ' ') AS name " +
+          s"FROM (SELECT doc_id, $duckToks AS w FROM documents)), " +
+          "probes AS (SELECT -(doc_id + 1) AS probe_id, " +
+          "substr(name, 1, 1) || 'q' || substr(name, 3) AS pname FROM names WHERE doc_id < 30) " +
+          "SELECT p.probe_id, n.doc_id, CAST(levenshtein(p.pname, n.name) AS INTEGER) AS dist " +
+          "FROM probes p JOIN names n ON substr(p.pname, 1, 1) = substr(n.name, 1, 1) " +
+          "AND abs(len(p.pname) - len(n.name)) <= 2 AND levenshtein(p.pname, n.name) <= 2 " +
+          "ORDER BY probe_id, doc_id")))
 }
