@@ -47,7 +47,41 @@ object BloomJoin {
       s"bloomSemiFilter needs an integral key, got $kt for $dimKey")
     val bf = dims.stat.bloomFilter(dimKey, math.max(expectedItems, 1L), fpp)
     val bc = facts.sparkSession.sparkContext.broadcast(bf)
+    // A udf, deliberately: Spark's native BloomFilterMightContain
+    // expression exists but is not in the public function registry (it is
+    // planner-injected only), and a custom Expression here would buy one
+    // virtual call per row on a path whose cost is the scan, not the
+    // probe. The udf is the one non-codegen hop in this operator; the
+    // filter's job is shrinking the downstream SHUFFLE, which it does
+    // identically either way.
     val might = udf((k: Long) => bc.value.mightContain(k))
     facts.filter(might(col(factKey)))
+  }
+
+  /** [[bloomSemiFilter]] plus ownership of the broadcast: `body` receives
+    * the filtered frame, and the broadcast Bloom bits are destroyed when
+    * `body` returns — the lifecycle a long-lived pipeline needs, since
+    * each `bloomSemiFilter` call pins its (MB-scale at 100 TB dims)
+    * broadcast on driver and executors until the frame is GC'd. `body`
+    * must materialize anything that outlives the scope (the same contract
+    * as [[graft.CacheScope.scoped]]); the plain [[bloomSemiFilter]] leaves
+    * cleanup to the caller for frames with open-ended lifetimes. */
+  def withBloomSemiFilter[T](
+      facts: DataFrame,
+      factKey: String,
+      dims: DataFrame,
+      dimKey: String,
+      expectedItems: Long,
+      fpp: Double = 0.01)(body: DataFrame => T): T = {
+    val kt = dims.schema(dimKey).dataType
+    require(
+      kt == org.apache.spark.sql.types.LongType || kt == org.apache.spark.sql.types.IntegerType,
+      s"bloomSemiFilter needs an integral key, got $kt for $dimKey")
+    val bf = dims.stat.bloomFilter(dimKey, math.max(expectedItems, 1L), fpp)
+    val bc = facts.sparkSession.sparkContext.broadcast(bf)
+    try {
+      val might = udf((k: Long) => bc.value.mightContain(k))
+      body(facts.filter(might(col(factKey))))
+    } finally bc.destroy()
   }
 }

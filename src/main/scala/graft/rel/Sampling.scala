@@ -242,22 +242,27 @@ object Sampling {
         col("tw") > col("cum_w"),
         when(lam >= col("r") && (col("r_next").isNull || lam < col("r_next")), lam)))
     // exactly one row carries a valid λ; none ⇒ no source capped (λ=T/ΣW)
-    // unless budget ≥ total availability ⇒ everything capped (λ=∞)
+    // unless budget ≥ total availability ⇒ everything capped. The latter
+    // branch is short-circuited (`all_capped`) rather than signalled with
+    // an infinite λ: a Double.MaxValue sentinel only worked because
+    // w·MaxValue overflows to +Inf before least()/<= see it — correct
+    // today, but resting on IEEE overflow semantics surviving any future
+    // engine/SQL replay of the branch. A flag replays anywhere.
     val lambda = flagged
       .agg(
         max("lam_valid").as("lam_k"),
         max(col("tw")).as("tw0"),
         max(col("ta")).as("ta0"))
       .select(
-        when(lit(budget) >= col("ta0"), lit(Double.MaxValue))
-          .otherwise(coalesce(col("lam_k"), lit(budget) / col("tw0")))
-          .as("lambda"))
+        when(lit(budget) >= col("ta0"), lit(1L)).otherwise(lit(0L)).as("all_capped"),
+        coalesce(col("lam_k"), lit(budget) / col("tw0")).as("lambda"))
     base
       .crossJoin(broadcast(lambda))
       .select(
         col("source"), col("avail"),
-        f32round6(least(a, col("w") * col("lambda"))).as("t_target"),
-        (a <= col("w") * col("lambda")).as("capped"))
+        f32round6(when(col("all_capped") === 1L, a)
+          .otherwise(least(a, col("w") * col("lambda")))).as("t_target"),
+        (col("all_capped") === 1L || a <= col("w") * col("lambda")).as("capped"))
   }
 
   private def f32round6(c: Column): Column =

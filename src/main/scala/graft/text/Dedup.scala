@@ -262,13 +262,19 @@ object Dedup {
 
     val a = chunked.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"), col("chunk"), col("chunk_val"))
     val b = chunked.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"), col("chunk"), col("chunk_val"))
+    // Verify (hamming ≤ max) BEFORE dedup: the hamming check is codegen'd
+    // row-local arithmetic on the join output, so running it first shrinks
+    // the `distinct()` shuffle from every banded candidate pair to just
+    // the survivors. Order matters at scale — a 16-bit chunk whose value
+    // space is structurally narrowed (d04's 60-bit hash leaves the top
+    // chunk only 12 live bits) fattens candidate buckets 16×, and all of
+    // that fan-out used to flow through the distinct shuffle.
     a.join(b, Seq("chunk", "chunk_val"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sim_a", "sim_b")
-      .distinct()
       .withColumn("hamming", TextOps.hamming64(col("sim_a"), col("sim_b")).cast("int"))
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
+      .distinct()
   }
 
   /** Exact n-gram Jaccard similarity over a bounded candidate set: pairs

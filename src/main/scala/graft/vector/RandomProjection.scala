@@ -49,6 +49,15 @@ object RandomProjection {
     * Σ_{i<dIn} vec[i]·sign(i,j) folded in ascending i. */
   def project(df: DataFrame, dIn: Int, m: Int, vecCol: String, projCol: String = "proj"): DataFrame = {
     require(dIn > 0 && m > 0 && m <= dIn, s"bad dims dIn=$dIn m=$m")
+    // Bitwise-portability guard: signOf's intermediates stay exact in ANY
+    // 64-bit float engine only while (dIn·m + 1)·Mult < 2^53; beyond
+    // ~3.39e6 matrix entries a double-arithmetic replayer silently
+    // diverges from the long-arithmetic original. Fail loudly instead —
+    // a deployment with a bigger dIn·m swaps in a reduced-first mix (and
+    // re-pins its oracle) rather than inheriting a reproducibility bug.
+    require(
+      (dIn.toLong * m + 1) <= (1L << 53) / Mult,
+      s"dIn*m=${dIn.toLong * m} exceeds the exact-double bound for signOf (max ${(1L << 53) / Mult - 1})")
     df.withColumn(
       projCol,
       transform(
