@@ -730,4 +730,195 @@ object MultimodalOps {
       .select(col("asset_id"), (col("pos") * stride).as("frame_idx"), col("col").as("frame"))
       .filter(length(col("frame")) > 0)
   }
+
+  /** REAL multi-frame (animated) GIF encode via the JDK's ImageIO sequence
+    * writer — the video stand-in the stock JVM can actually compress: each
+    * asset becomes one GIF whose frames are LZW-encoded indexed rasters.
+    * Frames are uniform fills drawn through an explicit 2-entry
+    * `IndexColorModel` (fill color at index 0), so palette quantization
+    * cannot perturb a pixel and the decoded frame means are
+    * integer-exact — the construction that lets a driver oracle pin a
+    * genuine compressed-video codec path (encode → LZW → decode)
+    * end-to-end. Input `(asset_id long, width int, height int,
+    * fr_r array<int>, fr_g array<int>, fr_b array<int>)` (per-frame fill
+    * channels, equal lengths); output `(asset_id, content binary)` — real
+    * GIF89a bytes, one image block per frame. Same executor-side
+    * mapPartitions batch shape as [[encodeUniformImages]]. */
+  def encodeAnimatedGif(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = false)))
+    val src = df.select(
+      col("asset_id").cast("long"), col("width").cast("int"), col("height").cast("int"),
+      col("fr_r").cast("array<int>"), col("fr_g").cast("array<int>"), col("fr_b").cast("array<int>"))
+    val rdd = src.rdd.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { row =>
+        val w = row.getInt(1)
+        val h = row.getInt(2)
+        val rs = row.getSeq[Int](3)
+        val gs = row.getSeq[Int](4)
+        val bs = row.getSeq[Int](5)
+        require(rs.length == gs.length && gs.length == bs.length && rs.nonEmpty,
+          s"frame channel arrays must be equal-length and non-empty (asset ${row.getLong(0)})")
+        val it = javax.imageio.ImageIO.getImageWritersByFormatName("gif")
+        if (!it.hasNext) throw new IllegalStateException("no ImageIO writer for format 'gif'")
+        val writer = it.next()
+        val baos = new java.io.ByteArrayOutputStream()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+        try {
+          writer.setOutput(ios)
+          writer.prepareWriteSequence(null)
+          var k = 0
+          while (k < rs.length) {
+            val icm = new java.awt.image.IndexColorModel(8, 2,
+              Array(rs(k).toByte, 0.toByte), Array(gs(k).toByte, 0.toByte), Array(bs(k).toByte, 0.toByte))
+            // raster default-initializes to palette index 0 = the fill
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+            writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+            k += 1
+          }
+          writer.endWriteSequence()
+        } finally { ios.close(); writer.dispose() }
+        Row(row.getLong(0), baos.toByteArray)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** REAL multi-frame GIF decode — the frame-extraction half of the video
+    * stand-in: every stored image block of each GIF payload is decoded
+    * through the JDK reader and reduced to exact integer per-frame
+    * features (dimensions plus per-channel pixel sums; a frame mean is
+    * `sum_x / n_px`). One output row per decoded frame, so downstream
+    * frame-sampling/dedup operators can treat frames as first-class rows.
+    * Undecodable payloads yield a single `decoded = false` row (poison
+    * assets must not kill a 100 TB scan); a genuinely imperative per-byte
+    * walk, row-parallel, no shuffle — the mapPartitions slot a JNI
+    * libavcodec call would occupy unchanged. */
+  def decodeGifFrames(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("decoded", BooleanType, nullable = false),
+      StructField("frame", IntegerType, nullable = true),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("sum_r", LongType, nullable = true),
+      StructField("sum_g", LongType, nullable = true),
+      StructField("sum_b", LongType, nullable = true),
+      StructField("n_px", IntegerType, nullable = true)))
+    val src = df.select(col(idCol).cast("long"), col(binCol))
+    val rdd = src.rdd.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val out =
+          try {
+            val it = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
+            if (!it.hasNext) Nil
+            else {
+              val reader = it.next()
+              try {
+                reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+                  new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1))))
+                val n = reader.getNumImages(true)
+                (0 until n).map { k =>
+                  val img = reader.read(k)
+                  val w = img.getWidth
+                  val h = img.getHeight
+                  var sr = 0L; var sg = 0L; var sb = 0L
+                  var y = 0
+                  while (y < h) {
+                    var x = 0
+                    while (x < w) {
+                      val p = img.getRGB(x, y)
+                      sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+                      x += 1
+                    }
+                    y += 1
+                  }
+                  Row(id, true, k, w, h, sr, sg, sb, w * h)
+                }
+              } finally reader.dispose()
+            }
+          } catch { case _: Exception => Nil }
+        if (out.isEmpty) Seq(Row(id, false, null, null, null, null, null, null, null)) else out
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** REAL compressed-audio codec round-trip through the JDK's G.711 µ-law
+    * converter (`javax.sound.sampled` ships a ULAW
+    * `FormatConversionProvider`; headless, pure byte transcoding):
+    * deterministic int16 samples → µ-law (8 bits/sample — genuine 2:1
+    * lossy compression) → back to PCM16, validated against the ORIGINAL
+    * samples. µ-law decode values are a codec lookup table, so they cross
+    * an external oracle as bound flags, not raw values (the v06
+    * technique): over |s| ≤ 30000 the JDK codec's round-trip error is
+    * ≤ 512 (half the top-segment quantization step; measured exhaustively
+    * over all 16-bit values) and never flips a sign — samples are
+    * generated in that range because full-scale |s| > 32124 values
+    * saturate-wrap in the codec's clip region. `ulaw_bytes` pins the
+    * compression ratio exactly (1 byte/sample vs 2). Input `(asset_id
+    * long, n_samples int, sample_rate int, seed long)`; samples are
+    * `floorMod(seed·31 + i·7919, 60001) − 30000`. Output `(asset_id,
+    * n_samples, sample_rate, ulaw_bytes, max_abs_err, sign_viol)` — all
+    * exact integers. */
+  def ulawRoundtrip(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("n_samples", IntegerType, nullable = false),
+      StructField("sample_rate", IntegerType, nullable = false),
+      StructField("ulaw_bytes", IntegerType, nullable = false),
+      StructField("max_abs_err", IntegerType, nullable = false),
+      StructField("sign_viol", IntegerType, nullable = false)))
+    val src = df.select(
+      col("asset_id").cast("long"), col("n_samples").cast("int"),
+      col("sample_rate").cast("int"), col("seed").cast("long"))
+    val rdd = src.rdd.mapPartitions { rows =>
+      import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem}
+      rows.map { row =>
+        val n = row.getInt(1)
+        val sr = row.getInt(2)
+        val seed = row.getLong(3)
+        val orig = new Array[Int](n)
+        val pcm = new Array[Byte](2 * n)
+        var i = 0
+        while (i < n) {
+          val v = (java.lang.Math.floorMod(seed * 31L + i * 7919L, 60001L) - 30000L).toInt
+          orig(i) = v
+          pcm(2 * i) = (v & 0xff).toByte
+          pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+          i += 1
+        }
+        val pcmFmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, sr.toFloat, 16, 1, 2, sr.toFloat, false)
+        val ulawFmt = new AudioFormat(AudioFormat.Encoding.ULAW, sr.toFloat, 8, 1, 1, sr.toFloat, false)
+        val ulaw = AudioSystem.getAudioInputStream(ulawFmt,
+          new AudioInputStream(new java.io.ByteArrayInputStream(pcm), pcmFmt, n)).readAllBytes()
+        val backAis = AudioSystem.getAudioInputStream(pcmFmt,
+          new AudioInputStream(new java.io.ByteArrayInputStream(ulaw), ulawFmt, ulaw.length))
+        val back = backAis.readAllBytes()
+        val big = backAis.getFormat.isBigEndian
+        var maxErr = 0
+        var signViol = 0
+        i = 0
+        while (i < n) {
+          val lo = back(2 * i) & 0xff
+          val hi = back(2 * i + 1) & 0xff
+          val d = (if (big) (lo << 8) | hi else (hi << 8) | lo).toShort.toInt
+          val e = math.abs(d - orig(i))
+          if (e > maxErr) maxErr = e
+          if ((orig(i) > 0 && d < 0) || (orig(i) < 0 && d > 0)) signViol += 1
+          i += 1
+        }
+        Row(row.getLong(0), n, sr, ulaw.length, maxErr, signViol)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
 }
