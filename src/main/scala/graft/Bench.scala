@@ -156,17 +156,32 @@ object Bench {
         .groupMapReduce(_._1)(_._2)(math.min)
     }
     val fnByName = names.toMap
+    // Two triggers, one mechanism: (a) min-of-passes still >2.5× the
+    // query's own history floor — the machine-pressure case; (b) the two
+    // passes DISAGREE by >3× with each other (round 11: d16 7.7→40.6 s,
+    // s17/s18 similar) — min-of-2 already records the good pass, but a
+    // third measurement either confirms the fast time or documents that
+    // the spread is the query's real variance. Both get exactly one
+    // re-run; the better time wins; the record stamps who re-ran.
     val rerunNames: Seq[String] = results.collect {
       case (name, sec)
-          if !failed.contains(name) &&
+          if !failed.contains(name) && {
+            val passTimes = passes.map(_.toMap.apply(name))
             // sub-200ms floors are scheduler noise; 2.5× of noise is noise
-            histQueryMin.get(name).exists(h => h >= 0.2 && sec > 2.5 * h) =>
+            histQueryMin.get(name).exists(h => h >= 0.2 && sec > 2.5 * h) ||
+            (sec >= 0.2 && passTimes.max > 3.0 * passTimes.min)
+          } =>
         name
     }
     rerunNames.foreach { name =>
+      val reason = histQueryMin.get(name) match {
+        case Some(h) if results.toMap.apply(name) > 2.5 * h => f"> 2.5x history min $h%.2f s"
+        case _ =>
+          val ts = passes.map(_.toMap.apply(name))
+          f"pass spread ${ts.max}%.2f / ${ts.min}%.2f s > 3x"
+      }
       System.err.println(
-        f"[bench] OUTLIER $name: ${results.toMap.apply(name)}%.2f s > 2.5x history min " +
-          f"${histQueryMin(name)}%.2f s — re-running once")
+        f"[bench] OUTLIER $name: ${results.toMap.apply(name)}%.2f s ($reason) — re-running once")
     }
     val rerunTimes: Map[String, Double] = rerunNames.flatMap { name =>
       val (sec, ok) = timeOne(name, fnByName(name))
@@ -314,13 +329,66 @@ object Bench {
         } catch {
           case e: Throwable => System.err.println(s"[bench] husk replay failed: ${e.getMessage}"); "null"
         }
+    // Row-level online-mutation latency (SURVEY §7.4 closure) and the
+    // 1×-vs-10× scale rehearsal — both on by default for official runs,
+    // env-gated off for fast builder iteration.
+    val rowLevelJson =
+      if (sys.env.getOrElse("SPARK_GRAFT_ROW_LEVEL", "1") == "0") "null"
+      else
+        try {
+          val ev = sys.env.getOrElse("SPARK_GRAFT_ROW_LEVEL_EVENTS", "50").toInt
+          bench.Replay.rowLevelProbe(spark, events = ev).toJson
+        } catch { case e: Throwable => System.err.println(s"[bench] row-level probe failed: ${e.getMessage}"); "null" }
+    val scaleK = sys.env.getOrElse("SPARK_GRAFT_SCALE_PROBE_K", "10").toInt
+    val scalePoints: Seq[bench.ScaleProbe.Point] =
+      if (sys.env.getOrElse("SPARK_GRAFT_SCALE_PROBE", "1") == "0") Nil
+      else
+        try bench.ScaleProbe.run(spark, sfDir, scaleK)
+        catch { case e: Throwable => System.err.println(s"[bench] scale probe failed: ${e.getMessage}"); Nil }
+    val scaleJson = if (scalePoints.isEmpty) "null" else bench.ScaleProbe.toJson(scaleK, scalePoints)
+
     val qs = qjson(okResults)
     val total = r3(okResults.map(_._2).sum)
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""contended":$contended,"degraded":$degraded,"sentinel_sec":$sentinelSec,"rerun":$rerunJson,""" +
         s""""replay":$replayJson,"replay_40k_baseline_config":$replay40kJson,""" +
-        s""""replay_40k_b1":$replay40kB1Json,"replay_husks":$huskJson,"sf":"$sfDir"}""")
+        s""""replay_40k_b1":$replay40kB1Json,"replay_husks":$huskJson,""" +
+        s""""replay_row_level":$rowLevelJson,"scale_probe":$scaleJson,"sf":"$sfDir"}""")
+    // The round driver keeps only the LAST ~2000 characters of stdout and
+    // json-parses what it finds there — the full record above has never
+    // fit (every BENCH_r*.json shipped `parsed: null` with a mid-line
+    // tail). So the final line is a compact digest guaranteed to fit the
+    // capture window: headline totals, per-family times, the slowest
+    // queries, replay/row-level/scale-probe headlines, and a pointer to
+    // the durable full record (bench_queries.json).
+    locally {
+      val fams = okResults
+        .groupBy { case (name, _) => name.takeWhile(c => !c.isDigit) }
+        .toSeq.sortBy(_._1)
+        .map { case (f, rs) => s""""$f":${r3(rs.map(_._2).sum)}""" }
+        .mkString("{", ",", "}")
+      val top = okResults.sortBy(-_._2).take(8)
+        .map { case (n, v) => s""""$n":$v""" }.mkString("{", ",", "}")
+      val b1 = replay40kB1Json
+      def pull(json: String, key: String): String = {
+        val re = ("\"" + key + "\":([0-9.]+)").r
+        re.findFirstMatchIn(json).map(_.group(1)).getOrElse("null")
+      }
+      val scaleExp =
+        if (scalePoints.isEmpty) "null"
+        else scalePoints.map(p => s""""${p.name.takeWhile(_ != '_')}":${p.exponent}""").mkString("{", ",", "}")
+      val compact =
+        s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${okResults.size},""" +
+          s""""families_sec":$fams,"slowest":$top,"sentinel_sec":$sentinelSec,""" +
+          s""""contended":$contended,"degraded":$degraded,"rerun":$rerunJson,""" +
+          s""""b1_mean_ms":${pull(b1, "mean_latency_ms")},"b1_p95_ms":${pull(b1, "p95_ms")},""" +
+          s""""b1_recall":${pull(b1, "mean_recall")},"build_sec":${pull(b1, "build_sec")},""" +
+          s""""row_insert_ms":${pull(rowLevelJson, "insert_mean_ms")},"row_search_ms":${pull(rowLevelJson, "search_mean_ms")},""" +
+          s""""scale_probe_k":${if (scalePoints.isEmpty) "null" else scaleK},"scale_exp":$scaleExp,""" +
+          s""""full_record":"bench_queries.json"}"""
+      println(compact)
+    }
     spark.stop()
   }
 }

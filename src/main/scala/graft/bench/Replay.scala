@@ -392,5 +392,83 @@ object Replay {
       maintainEvents = maintainEvents)
   }
 
+  /** Row-at-a-time online mutation latency — closing the one open question
+    * from the reference-fidelity ledger (SURVEY §7.4): the reference's
+    * `insert`/`delete` are per-row in-memory calls (quake_min.py:92-125);
+    * this engine serves them at micro-batch granularity through the same
+    * operators, and this probe MEASURES what a batch size of exactly one
+    * costs end-to-end on the reference's own 40k×64 corpus: per event, one
+    * single-row [[IvfMutate.insert]] (timed), one single-query distributed
+    * search over the post-insert index (timed — the honest no-driver-mirror
+    * path, so the number holds when the corpus outgrows driver memory), and
+    * every fifth event one single-row [[IvfMutate.delete]] (timed).
+    * Lineage checkpoints every 20 events, untimed, like the b1 replay. */
+  final case class RowLevel(
+      events: Int,
+      insertMeanMs: Double, insertP50Ms: Double, insertP95Ms: Double,
+      searchMeanMs: Double, searchP50Ms: Double, searchP95Ms: Double,
+      deleteMeanMs: Double) {
+    def toJson: String =
+      s"""{"events":$events,"insert_mean_ms":$insertMeanMs,"insert_p50_ms":$insertP50Ms,""" +
+        s""""insert_p95_ms":$insertP95Ms,"search_mean_ms":$searchMeanMs,"search_p50_ms":$searchP50Ms,""" +
+        s""""search_p95_ms":$searchP95Ms,"delete_mean_ms":$deleteMeanMs}"""
+  }
+
+  def rowLevelProbe(spark: SparkSession, n: Int = 40000, d: Int = 64, events: Int = 50): RowLevel = {
+    import spark.implicits._
+    val rng = new scala.util.Random(7L)
+    val centers = Array.fill(60, d)((rng.nextGaussian() * 4.0).toFloat)
+    val rows = (0 until n).map { i =>
+      val c = centers(rng.nextInt(60))
+      (i.toLong, c.map(x => x + rng.nextGaussian().toFloat).toSeq)
+    }
+    val emb = rows.toDF("vec_id", "embedding").repartition(spark.sparkContext.defaultParallelism).cache()
+    var model = IvfBuild.build(emb, d, nRowsHint = Some(n.toLong))
+    val params = IvfSearch.Params(k = 10, targetRecall = 0.9, maxProbe = 64)
+    def oneSearch(qid: Long): Unit = {
+      val p = model.partitions(rng.nextInt(model.partitions.length))
+      val q = IndexedSeq((qid, p.centroid.map(x => x + (rng.nextGaussian() * 0.1).toFloat)))
+      val probes = IvfSearch.chooseProbesLocal(model, q, params)
+      val probing = probes.groupBy(_._2).view.mapValues(_ => Array(0)).toMap
+      IvfSearch.scanTopKLocal(model.vectors, q, probing, 10)
+    }
+    // untimed warmup: one insert + search + delete compiles every code path
+    model = IvfMutate.insert(model, Seq((20000000L, Seq.fill(d)(0.1f))).toDF("vec_id", "embedding"))
+    oneSearch(-1L)
+    model = IvfMutate.delete(model, Seq(20000000L).toDF("vec_id"))
+    model = IvfMutate.checkpoint(model)
+
+    val insMs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val schMs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val delMs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var e = 0
+    while (e < events) {
+      val vec = Seq.fill(d)((rng.nextGaussian() * 0.5 + rng.nextGaussian()).toFloat)
+      val t0 = System.nanoTime()
+      model = IvfMutate.insert(model, Seq((30000000L + e, vec)).toDF("vec_id", "embedding"))
+      insMs += (System.nanoTime() - t0) / 1e6
+      val t1 = System.nanoTime()
+      oneSearch(e.toLong)
+      schMs += (System.nanoTime() - t1) / 1e6
+      if (e % 5 == 4) {
+        val t2 = System.nanoTime()
+        model = IvfMutate.delete(model, Seq(rng.nextInt(n).toLong).toDF("vec_id"))
+        delMs += (System.nanoTime() - t2) / 1e6
+      }
+      if (e % 20 == 19) model = IvfMutate.checkpoint(model)
+      e += 1
+    }
+    emb.unpersist()
+    def stats(xs: Seq[Double]): (Double, Double, Double) = {
+      val s = xs.sorted
+      def pct(p: Double) = if (s.isEmpty) 0.0 else s(math.min(s.length - 1, (p * s.length).toInt))
+      (round3(s.sum / math.max(1, s.length)), round3(pct(0.5)), round3(pct(0.95)))
+    }
+    val (im, i50, i95) = stats(insMs.toSeq)
+    val (sm, s50, s95) = stats(schMs.toSeq)
+    val (dm, _, _) = stats(delMs.toSeq)
+    RowLevel(events, im, i50, i95, sm, s50, s95, dm)
+  }
+
   private def round3(d: Double): Double = math.rint(d * 1000) / 1000
 }

@@ -40,7 +40,7 @@ object PipelineQueries {
     * Swallows its own failures (stale walk snapshot, straggler-task write
     * racing the delete): callers invoke it from `finally` blocks, where a
     * cleanup throw would MASK the query's real exception. */
-  private def deleteRecursively(root: java.nio.file.Path): Unit =
+  private[graft] def deleteRecursively(root: java.nio.file.Path): Unit =
     try {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
@@ -5160,6 +5160,43 @@ object PipelineQueries {
           "round(CAST(CAST(least(CAST(b.avail AS DOUBLE), b.w * l.lambda) AS REAL) AS DOUBLE), 6) + 0.0 AS t_target, " +
           "CAST(b.avail AS DOUBLE) <= b.w * l.lambda AS capped " +
           "FROM b CROSS JOIN l ORDER BY source")),
+
+    // EXACT stratified train/val/test split by the largest-remainder
+    // method (Sampling.exactStratifiedSplit): within every source the
+    // split sizes are floor(n·pct/100) plus largest-remainder extras —
+    // quotas that sum to n EXACTLY, where p05's hash-bucket split is only
+    // proportional in expectation. Quota planning is all 64-bit integer
+    // div/mod on per-stratum counts (metadata-sized, broadcast); the data
+    // pays one stratum-key ranking shuffle; membership is the portable
+    // Knuth-hash rank, so DuckDB replays the entire allocation — which
+    // rows land where, not just how many — bit-for-bit.
+    NamedQuery(
+      "p14_exact_stratified_split",
+      (s, dir) => {
+        Sampling
+          .exactStratifiedSplit(
+            t(s, dir, "documents").select("doc_id", "source"),
+            "source", "doc_id",
+            Seq("train" -> 80, "val" -> 10, "test" -> 10))
+          .groupBy("source", "split")
+          .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"))
+          .orderBy("source", "split")
+      },
+      Some(
+        "WITH c AS (SELECT source, count(*) AS n_g FROM documents GROUP BY source), " +
+          "sp AS (SELECT * FROM (VALUES ('train', 80, 0), ('val', 10, 1), ('test', 10, 2)) AS t(split, pct, idx)), " +
+          "a AS (SELECT source, split, idx, n_g, (n_g * pct) // 100 AS fl, (n_g * pct) % 100 AS rem " +
+          "FROM c CROSS JOIN sp), " +
+          "b AS (SELECT *, n_g - sum(fl) OVER (PARTITION BY source) AS extras, " +
+          "row_number() OVER (PARTITION BY source ORDER BY rem DESC, idx) AS rrank FROM a), " +
+          "q AS (SELECT source, split, idx, fl + CASE WHEN rrank <= extras THEN 1 ELSE 0 END AS quota FROM b), " +
+          "bd AS (SELECT source, split, sum(quota) OVER (PARTITION BY source ORDER BY idx) AS hi, " +
+          "sum(quota) OVER (PARTITION BY source ORDER BY idx) - quota AS lo FROM q), " +
+          "r AS (SELECT doc_id, source, row_number() OVER (PARTITION BY source " +
+          "ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rk FROM documents) " +
+          "SELECT r.source, bd.split, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids " +
+          "FROM r JOIN bd ON r.source = bd.source AND r.rk > bd.lo AND r.rk <= bd.hi " +
+          "GROUP BY 1, 2 ORDER BY 1, 2")),
 
     // MinHash estimator-accuracy audit — the STATISTICAL contract behind
     // d02/d08/s10, certified directly: for every planted near-dup pair

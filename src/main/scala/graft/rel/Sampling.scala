@@ -267,4 +267,69 @@ object Sampling {
 
   private def f32round6(c: Column): Column =
     round(c.cast("float").cast("double"), 6) + lit(0.0)
+
+  /** EXACT stratified split by the largest-remainder (Hamilton) method:
+    * within every stratum the split sizes are exactly
+    * `floor(n_g·pct/100)` plus one extra for the splits with the largest
+    * integer remainders (ties broken by declared split order), so the
+    * quotas sum to `n_g` exactly — no stratum ever loses or gains a row,
+    * unlike bucket-based [[hashSplit]] whose per-stratum proportions are
+    * only correct in expectation (a 30-row stratum under 80/10/10
+    * bucketing can easily have zero validation rows; this operator
+    * guarantees 3). Membership is deterministic: rows rank within their
+    * stratum by the portable hash [[priority]], and rank ranges map to
+    * splits — reproducible across engines, reruns, and partitionings.
+    *
+    * Dataflow at 100 TB: quota planning runs on per-stratum COUNTS
+    * (metadata-sized — strata × splits rows, windowed on the stratum key,
+    * then broadcast); the data pays exactly one shuffle (the stratum-key
+    * window that ranks rows) and a broadcast range join against the quota
+    * intervals. Skew note: a single giant stratum ranks in one task —
+    * same caveat (and same mitigation) as [[quotaPerGroup]].
+    *
+    * `splits`: (name, percent) with percents positive and summing to 100.
+    * Output: input columns + `split`. All arithmetic is exact 64-bit
+    * integer (`n·pct` div/mod 100) — an external SQL engine replays the
+    * allocation bit-for-bit. */
+  def exactStratifiedSplit(
+      df: DataFrame,
+      stratumCol: String,
+      idCol: String,
+      splits: Seq[(String, Int)]): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0) && splits.map(_._2).sum == 100,
+      s"split percents must be positive and sum to 100, got $splits")
+    require(splits.map(_._1).distinct.length == splits.length, "split names must be unique")
+    require(!df.columns.contains("split"), "input must not already carry a split column")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n_g"))
+    val splitDf = splits.zipWithIndex
+      .map { case ((nm, p), i) => (nm, p, i) }
+      .toDF("split", "pct", "split_idx")
+    val byStratum = Window.partitionBy(col(stratumCol))
+    val remRank = Window.partitionBy(col(stratumCol))
+      .orderBy(col("rem").desc, col("split_idx"))
+    val cum = Window.partitionBy(col(stratumCol)).orderBy(col("split_idx"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val alloc = counts
+      .crossJoin(splitDf)
+      .withColumn("fl", expr("(n_g * pct) div 100"))
+      .withColumn("rem", (col("n_g") * col("pct")) % 100)
+      .withColumn("extras", col("n_g") - sum("fl").over(byStratum))
+      .withColumn("rrank", row_number().over(remRank))
+      .withColumn("quota", col("fl") + when(col("rrank") <= col("extras"), 1L).otherwise(0L))
+      .withColumn("hi", sum("quota").over(cum))
+      .withColumn("lo", col("hi") - col("quota"))
+      .select(col(stratumCol).as("_stratum"), col("split"), col("lo"), col("hi"))
+    val ranked = df.withColumn(
+      "_rk",
+      row_number().over(
+        Window.partitionBy(col(stratumCol)).orderBy(priority(col(idCol)), col(idCol))))
+    ranked
+      .join(
+        broadcast(alloc),
+        ranked(stratumCol) === alloc("_stratum") &&
+          col("_rk") > col("lo") && col("_rk") <= col("hi"))
+      .drop("_stratum", "_rk", "lo", "hi")
+  }
 }

@@ -163,4 +163,25 @@ class SamplingRangeSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       s"range join must stay an equi-join:\n$plan")
   }
+
+  test("exactStratifiedSplit: quotas are exactly largest-remainder, every row assigned once, deterministic") {
+    // strata sized to exercise remainder allocation: 30 → 24/3/3 exact;
+    // 33 → floors 26/3/3 (sum 32), one extra goes to train (rem 40 beats
+    // 30/30); 7 → floors 5/0/0, extras 2 → val and test get their row
+    val df = ((1L to 30L).map((_, "a")) ++ (31L to 63L).map((_, "b")) ++ (64L to 70L).map((_, "c")))
+      .toDF("id", "src")
+    val out = Sampling
+      .exactStratifiedSplit(df, "src", "id", Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      .as[(Long, String, String)].collect()
+    assert(out.length == 70, "every row lands in exactly one split")
+    assert(out.map(_._1).distinct.length == 70)
+    val sizes = out.groupBy(r => (r._2, r._3)).view.mapValues(_.length).toMap
+    assert(sizes(("a", "train")) == 24 && sizes(("a", "val")) == 3 && sizes(("a", "test")) == 3)
+    assert(sizes(("b", "train")) == 27 && sizes(("b", "val")) == 3 && sizes(("b", "test")) == 3)
+    assert(sizes(("c", "train")) == 5 && sizes(("c", "val")) == 1 && sizes(("c", "test")) == 1)
+    val out2 = Sampling
+      .exactStratifiedSplit(df.repartition(7), "src", "id", Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      .as[(Long, String, String)].collect()
+    assert(out.toSet == out2.toSet, "assignment must not depend on partitioning")
+  }
 }
