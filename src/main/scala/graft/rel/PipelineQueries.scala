@@ -5317,6 +5317,58 @@ object PipelineQueries {
           "FROM k GROUP BY source ORDER BY source"
       }),
 
+    // Vocabulary-growth (Heaps-law) curve — the corpus-analysis table a
+    // scaling study reads before committing tokenizer budget: vocabulary
+    // size V(n) as the corpus grows doc by doc, measured at ten equal
+    // checkpoints. Computed with the FIRST-OCCURRENCE trick: one
+    // row-parallel distinct-token explode, one min(doc_id) aggregate per
+    // token (map-side combinable — the only shuffle that touches data),
+    // then each token's first occurrence lands in a checkpoint bucket and
+    // a 10-row cumulative sum finishes on metadata. No per-checkpoint
+    // rescan: a naive ten-pass count(distinct) does 10 corpus scans, this
+    // does one at any corpus size. All-integer output — the oracle
+    // replays every count exactly.
+    NamedQuery(
+      "t18_vocab_growth",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        val n = docs.count()
+        val firstSeen = docs
+          .select(col("doc_id"), explode(array_distinct(TextOps.tokens(col("text")))).as("tok"))
+          .groupBy("tok").agg(min("doc_id").as("first_doc"))
+        // checkpoint c covers doc_id < (n·c) div 10; the smallest such c
+        // for first occurrence d is ceil(10(d+1)/n) — exact inverse of the
+        // integer-division boundary (d < floor(nc/10) ⟺ nc ≥ 10(d+1))
+        val newPerCp = firstSeen
+          .select(expr(s"(10 * (first_doc + 1) + $n - 1) div $n").cast("int").as("checkpoint"))
+          .groupBy("checkpoint").agg(count(lit(1)).as("new_tokens"))
+        val cps = s.range(1, 11).select(col("id").cast("int").as("checkpoint"))
+        cps
+          .join(newPerCp, Seq("checkpoint"), "left")
+          .na.fill(0L, Seq("new_tokens"))
+          .withColumn(
+            "vocab",
+            sum("new_tokens").over(org.apache.spark.sql.expressions.Window.orderBy("checkpoint")
+              .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+          .select(
+            col("checkpoint"),
+            expr(s"($n * checkpoint) div 10").as("n_docs"),
+            col("vocab"), col("new_tokens"))
+          .orderBy("checkpoint")
+      },
+      Some(
+        s"WITH fs AS (SELECT tok, min(doc_id) AS first_doc FROM (SELECT doc_id, unnest(list_distinct($duckToks)) AS tok " +
+          "FROM documents) GROUP BY tok), " +
+          "n AS (SELECT count(*) AS n FROM documents), " +
+          "np AS (SELECT CAST((10 * (first_doc + 1) + n.n - 1) // n.n AS INTEGER) AS checkpoint, " +
+          "CAST(count(*) AS BIGINT) AS new_tokens FROM fs, n GROUP BY 1), " +
+          "cp AS (SELECT unnest(generate_series(1, 10)) AS checkpoint) " +
+          "SELECT cp.checkpoint, CAST((n.n * cp.checkpoint) // 10 AS BIGINT) AS n_docs, " +
+          "CAST(sum(coalesce(np.new_tokens, 0)) OVER (ORDER BY cp.checkpoint) AS BIGINT) AS vocab, " +
+          "CAST(coalesce(np.new_tokens, 0) AS BIGINT) AS new_tokens " +
+          "FROM cp CROSS JOIN n LEFT JOIN np ON np.checkpoint = cp.checkpoint " +
+          "ORDER BY cp.checkpoint")),
+
     // Late-interaction MaxSim retrieval (the ColBERT scoring shape,
     // Khattab & Zaharia, SIGIR 2020): a "document" is a BAG of vectors
     // (here: each label's embeddings — the multi-vector column layout a
@@ -5459,5 +5511,136 @@ object PipelineQueries {
           "SELECT p.probe_id, n.doc_id, CAST(levenshtein(p.pname, n.name) AS INTEGER) AS dist " +
           "FROM probes p JOIN names n ON substr(p.pname, 1, 1) = substr(n.name, 1, 1) " +
           "AND abs(len(p.pname) - len(n.name)) <= 2 AND levenshtein(p.pname, n.name) <= 2 " +
-          "ORDER BY probe_id, doc_id")))
+          "ORDER BY probe_id, doc_id")),
+
+    // APS recall sweep — the cost-model claim behind O11 certified
+    // empirically: probing more partitions (by the SAME probability
+    // ranking) can only grow the candidate set, and an exact-top-k member
+    // inside the candidate set always survives the final top-k, so
+    // recall@10 is DETERMINISTICALLY monotone in nprobe and exactly 1.0
+    // at full probe (kCoarse·kBase ≤ 64 partitions by construction). The
+    // sweep fixes targetRecall = 1.0 and varies maxProbe — the cap then
+    // IS the probe count — and scores each run against the cached exact
+    // oracle. Recall values are seeded-k-means state, so the curve
+    // crosses as bound flags (v06 technique); the monotone flag and the
+    // recall-1.0-at-64 flag are exact invariants, not tolerances.
+    NamedQuery(
+      "v30_aps_recall_sweep",
+      (s, dir) => {
+        import s.implicits._
+        val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+        val qs = embQueries(s, dir, 10)
+        val model = indexFor(s, dir)
+        val exact = graft.CacheScope.track(IvfSearch.exactTopK(emb, qs, 10).cache())
+        val sweep = Seq(1, 2, 4, 8, 16, 32, 64)
+        val recalls: Seq[(Int, Double)] = sweep.map { np =>
+          val res = IvfSearch.search(model, qs, IvfSearch.Params(k = 10, targetRecall = 1.0, maxProbe = np))
+          np -> IvfSearch.recallAtK(res, exact, 10, qs).agg(avg(col("recall"))).head().getDouble(0)
+        }
+        recalls.zipWithIndex.map { case ((np, r), i) =>
+          val prev = if (i == 0) 0.0 else recalls(i - 1)._2
+          (np, 10L,
+            if (r >= prev) 1L else 0L,
+            if (np == 64) { if (r == 1.0) 1L else 0L } else 0L)
+        }.toDF("n_probe", "n_queries", "recall_ge_prev", "full_recall_at_max")
+          .orderBy("n_probe")
+      },
+      Some(
+        "SELECT * FROM (VALUES (1, 10, 1, 0), (2, 10, 1, 0), (4, 10, 1, 0), (8, 10, 1, 0), " +
+          "(16, 10, 1, 0), (32, 10, 1, 0), (64, 10, 1, 1)) " +
+          "AS t(n_probe, n_queries, recall_ge_prev, full_recall_at_max) ORDER BY n_probe")),
+
+    // LSH banding S-curve audit — the pigeonhole-probability contract of
+    // d02's (numHashes 32, bands 16, r 2) configuration certified at
+    // three planted similarity levels: suffix-drop (J ≈ 0.9), half-doc
+    // (J ≈ 0.5), and head-6-tokens (J ≈ 0.05). For true Jaccard J the
+    // banding-candidate probability is p = 1 − (1 − J²)¹⁶; per stratum
+    // the observed candidate rate (seeded hashes ⇒ deterministic — green
+    // once is green forever) must sit within 0.15 of the mean theoretical
+    // p (n ≈ 450 pairs per stratum at sf0.01 ⇒ σ of the mean ≤ 0.024: a
+    // 6σ bar). Every mutation keeps a CONTIGUOUS token span, so its
+    // shingles are a subset of the original's and the exact per-pair
+    // intersections/unions are pure integer arithmetic — `sum_inter` /
+    // `sum_union` replay in the oracle exactly; the rate comparison
+    // crosses as a bound flag. minEstJaccard = 0 so the audit sees RAW
+    // banding, before any estimate threshold.
+    NamedQuery(
+      "d18_lsh_scurve_audit",
+      (s, dir) => {
+        import s.implicits._
+        val toksC = TextOps.tokens(col("text"))
+        val base = t(s, dir, "documents")
+          .select("doc_id", "text")
+          .filter(size(toksC) >= 20)
+        val strata: Seq[(String, Long, org.apache.spark.sql.Column)] = Seq(
+          ("drop2", 100000L, concat_ws(" ", slice(toksC, 3, 1000000))),
+          ("half", 200000L, concat_ws(" ", slice(toksC, (size(toksC) / 2).cast("int") + 1, lit(1000000)))),
+          ("head6", 300000L, concat_ws(" ", slice(toksC, 1, 6))))
+        val mutated = strata.map { case (_, off, te) =>
+          base.select((col("doc_id") + off).as("doc_id"), te.as("text"))
+        }.reduce(_.unionByName(_))
+        val corpus = base.unionByName(mutated)
+        val found = Dedup
+          .minhashLsh(corpus, shingleN = 3, numHashes = 32, bands = 16, minEstJaccard = 0.0)
+          .select("doc_a", "doc_b")
+        // exact per-pair set arithmetic WITHOUT materialized arrays: one
+        // shingle-row table, per-doc distinct counts, and an equi-join on
+        // (orig shingle = mutated shingle) per planted pair
+        val sh = graft.CacheScope.track(
+          TextOps.shingleRows(corpus, 3, distinctSet = true).cache())
+        val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+        val offDf = strata.map { case (nm, off, _) => (nm, off) }.toDF("stratum", "off")
+        val pairs = base.select(col("doc_id").as("doc_a"))
+          .crossJoin(broadcast(offDf))
+          .select(col("stratum"), col("doc_a"), (col("doc_a") + col("off")).as("doc_b"))
+        // intersection via an equi-join on (source doc, shingle): the
+        // mutated id encodes its source (id mod 1e5), so the join is
+        // keyed and linear — never the unblocked shingle self-join
+        val shA = sh.filter(col("doc_id") < 100000L)
+          .select(col("doc_id").as("doc_a"), col("s"))
+        val shB = sh.filter(col("doc_id") >= 100000L)
+          .select(col("doc_id").as("doc_b"), pmod(col("doc_id"), lit(100000L)).as("doc_a"), col("s"))
+        val inter = shB.join(shA, Seq("doc_a", "s"))
+          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+        val audited = pairs
+          .join(cnt.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
+          .join(cnt.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
+          .join(inter, Seq("doc_a", "doc_b"), "left")
+          .na.fill(0L, Seq("n_inter"))
+          .join(found.withColumn("hit", lit(1L)), Seq("doc_a", "doc_b"), "left")
+          .na.fill(0L, Seq("hit"))
+          .withColumn("j", col("n_inter").cast("double") /
+            greatest(col("na") + col("nb") - col("n_inter"), lit(1L)))
+          .withColumn("y", lit(1.0) - col("j") * col("j"))
+          .withColumn("y2", col("y") * col("y"))
+          .withColumn("y4", col("y2") * col("y2"))
+          .withColumn("y8", col("y4") * col("y4"))
+          .withColumn("p_theory", lit(1.0) - col("y8") * col("y8"))
+        audited
+          .groupBy("stratum")
+          .agg(
+            count(lit(1)).as("n_pairs"),
+            sum("n_inter").as("sum_inter"),
+            sum(col("na") + col("nb") - col("n_inter")).as("sum_union"),
+            avg("hit").as("obs_rate"),
+            avg("p_theory").as("theory_rate"))
+          .select(
+            col("stratum"), col("n_pairs"), col("sum_inter"), col("sum_union"),
+            when(abs(col("obs_rate") - col("theory_rate")) <= 0.15, 1L).otherwise(0L).as("scurve_ok"))
+          .orderBy("stratum")
+      },
+      Some {
+        def shOf(expr: String) =
+          s"list_distinct(list_transform(generate_series(1, greatest(len($expr) - 2, 0)), " +
+            s"i -> ($expr)[i] || ' ' || ($expr)[i+1] || ' ' || ($expr)[i+2]))"
+        s"WITH tok AS (SELECT doc_id, w FROM (SELECT doc_id, $duckToks AS w FROM documents) WHERE len(w) >= 20), " +
+          s"st AS (SELECT doc_id, 'drop2' AS stratum, ${shOf("w")} AS sh_a, ${shOf("w[3:]")} AS sh_b FROM tok " +
+          s"UNION ALL SELECT doc_id, 'half', ${shOf("w")}, ${shOf("w[len(w) // 2 + 1:]")} FROM tok " +
+          s"UNION ALL SELECT doc_id, 'head6', ${shOf("w")}, ${shOf("w[1:6]")} FROM tok) " +
+          "SELECT stratum, CAST(count(*) AS BIGINT) AS n_pairs, " +
+          "CAST(sum(len(list_intersect(sh_a, sh_b))) AS BIGINT) AS sum_inter, " +
+          "CAST(sum(len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) AS BIGINT) AS sum_union, " +
+          "CAST(1 AS BIGINT) AS scurve_ok " +
+          "FROM st GROUP BY stratum ORDER BY stratum"
+      }))
 }
