@@ -175,7 +175,7 @@ object Bench {
     }
     rerunNames.foreach { name =>
       val reason = histQueryMin.get(name) match {
-        case Some(h) if results.toMap.apply(name) > 2.5 * h => f"> 2.5x history min $h%.2f s"
+        case Some(h) if h >= 0.2 && results.toMap.apply(name) > 2.5 * h => f"> 2.5x history min $h%.2f s"
         case _ =>
           val ts = passes.map(_.toMap.apply(name))
           f"pass spread ${ts.max}%.2f / ${ts.min}%.2f s > 3x"
@@ -216,14 +216,20 @@ object Bench {
       System.err.println(
         f"[bench] DEGRADED: sentinel $sentinelSec%.3f s vs history median " +
           f"${median(histSent)}%.3f s (>1.2x) — record stamped degraded")
-    locally {
+    // body is kept open-ended ("}"-less) so the replay/probe sections can
+    // be appended after they run; writeBenchQueries is called again then —
+    // the durable record must carry everything the truncated stdout can't.
+    val benchQueriesHead = locally {
       val passJson = passes.map(qjson).mkString("[", ",", "]")
-      val body = s"""{"sf":"$sfDir","kind":"$kind","cpus":$cpus,"contended":$contended,""" +
+      s"""{"sf":"$sfDir","kind":"$kind","cpus":$cpus,"contended":$contended,""" +
         s""""degraded":$degraded,"sentinel_sec":$sentinelSec,"rerun":$rerunJson,""" +
-        s""""queries_min":${qjson(okResults)},"passes":$passJson}"""
-      try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_queries.json"), body)
-      catch { case e: Throwable => System.err.println(s"[bench] queries file write failed: ${e.getMessage}") }
+        s""""queries_min":${qjson(okResults)},"passes":$passJson"""
     }
+    def writeBenchQueries(extra: String): Unit =
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("bench_queries.json"), benchQueriesHead + extra + "}")
+      catch { case e: Throwable => System.err.println(s"[bench] queries file write failed: ${e.getMessage}") }
+    writeBenchQueries("")
     // Cross-round trend line: append this run's per-query mins to
     // bench_history.json (JSONL, one entry per bench run) and flag >2×
     // regressions against the previous same-sf SAME-KIND entry on stderr —
@@ -346,6 +352,8 @@ object Bench {
         try bench.ScaleProbe.run(spark, sfDir, scaleK)
         catch { case e: Throwable => System.err.println(s"[bench] scale probe failed: ${e.getMessage}"); Nil }
     val scaleJson = if (scalePoints.isEmpty) "null" else bench.ScaleProbe.toJson(scaleK, scalePoints)
+    // re-write the durable record with the probe sections included
+    writeBenchQueries(s""","replay_row_level":$rowLevelJson,"scale_probe":$scaleJson""")
 
     val qs = qjson(okResults)
     val total = r3(okResults.map(_._2).sum)

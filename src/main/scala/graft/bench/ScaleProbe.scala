@@ -80,27 +80,40 @@ object ScaleProbe {
     val base = java.nio.file.Files.createTempDirectory("graft_scaleprobe_").toString
     sys.addShutdownHook(graft.rel.PipelineQueries.deleteRecursively(java.nio.file.Paths.get(base)))
     val queries = graft.SparkEntry.queries
+    // elapsed-to-failure is not a time: a query that throws at either
+    // scale is EXCLUDED from the published points (the same invariant the
+    // main suite enforces — a fast-throwing query must not read as a fast
+    // query, and here it would become a bogus scaling exponent)
     def timeAt(dir: String): Map[String, Double] = {
       // artifact warm pass (untimed): index + codebooks for this dir
       try queries("v14_knn_backends")(spark, dir).write.mode("overwrite").format("noop").save()
       catch { case e: Throwable => System.err.println(s"[scale-probe] warm failed: ${e.getMessage}") }
       graft.CacheScope.clear()
-      ProbeQueries.map { name =>
+      ProbeQueries.flatMap { name =>
         val t0 = System.nanoTime()
-        try queries(name)(spark, dir).write.mode("overwrite").format("noop").save()
-        catch { case e: Throwable => System.err.println(s"[scale-probe] $name failed at $dir: ${e.getMessage}") }
+        val ok =
+          try { queries(name)(spark, dir).write.mode("overwrite").format("noop").save(); true }
+          catch {
+            case e: Throwable =>
+              System.err.println(s"[scale-probe] $name FAILED at $dir — excluded: ${e.getMessage}")
+              false
+          }
         graft.CacheScope.clear()
-        name -> (System.nanoTime() - t0) / 1e9
+        if (ok) Some(name -> (System.nanoTime() - t0) / 1e9) else None
       }.toMap
     }
     val d1 = buildDir(spark, sfDir, 1, base)
     val dK = buildDir(spark, sfDir, k, base)
     val t1 = timeAt(d1)
     val tK = timeAt(dK)
-    ProbeQueries.map { name =>
-      val a = math.max(1e-3, t1(name))
-      val b = math.max(1e-3, tK(name))
-      Point(name, r3(a), r3(b), r3(math.log(b / a) / math.log(k.toDouble)))
+    ProbeQueries.flatMap { name =>
+      (t1.get(name), tK.get(name)) match {
+        case (Some(a0), Some(b0)) =>
+          val a = math.max(1e-3, a0)
+          val b = math.max(1e-3, b0)
+          Some(Point(name, r3(a), r3(b), r3(math.log(b / a) / math.log(k.toDouble))))
+        case _ => None
+      }
     }
   }
 

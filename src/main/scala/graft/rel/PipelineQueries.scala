@@ -2886,7 +2886,10 @@ object PipelineQueries {
               k => pmod(col("doc_id") * 7 + k * 17, lit(256)).cast("int")).as("fr_g"),
             transform(sequence(lit(0), nf - 1),
               k => pmod(col("doc_id") * 13 + k * 29, lit(256)).cast("int")).as("fr_b"))
-        val gif = MultimodalOps.encodeAnimatedGif(spec)
+        // cached: RDD-backed frames get no subtree reuse, so without this
+        // the per-asset ImageIO encode would run once for the frame decode
+        // branch and again for the byte-length join
+        val gif = graft.CacheScope.track(MultimodalOps.encodeAnimatedGif(spec).cache())
         val frames = MultimodalOps.decodeGifFrames(gif, "asset_id", "content")
         val perAsset = frames
           .filter(col("decoded"))
@@ -5228,17 +5231,20 @@ object PipelineQueries {
         val sigs = Dedup.minhashSignatures(audited, shingleN = 3, numHashes = 128)
         // exact Jaccard WITHOUT materialized shingle arrays (the round-11
         // record's variance came from corpus-wide collect_set memory
-        // pressure): one shingle-row table, per-doc distinct counts, and
-        // a keyed (source doc, shingle) equi-join for the intersections —
-        // the mutated id encodes its source, so the join never widens
-        // past the planted pairs
-        val sh = graft.CacheScope.track(
-          TextOps.shingleRows(audited, 3, distinctSet = true).cache())
-        val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-        val shA = sh.filter(col("doc_id") < 100000L)
-          .select(col("doc_id").as("doc_a"), col("s"))
-        val shB = sh.filter(col("doc_id") >= 100000L)
-          .select(col("doc_id").as("doc_b"), (col("doc_id") - 100000L).as("doc_a"), col("s"))
+        // pressure): shingle each SIDE separately (no id-magnitude test —
+        // must hold for arbitrary doc_ids, e.g. the scale probe's
+        // replica-shifted corpora), per-doc distinct counts, and a keyed
+        // (source doc, shingle) equi-join for the intersections — the
+        // join never widens past the planted pairs
+        val shA = graft.CacheScope.track(
+          TextOps.shingleRows(originals, 3, distinctSet = true)
+            .select(col("doc_id").as("doc_a"), col("s")).cache())
+        val shB = graft.CacheScope.track(
+          TextOps.shingleRows(mutated, 3, distinctSet = true)
+            .select(col("doc_id").as("doc_b"), (col("doc_id") - 100000L).as("doc_a"), col("s"))
+            .cache())
+        val cntA = shA.groupBy("doc_a").agg(count(lit(1)).as("na"))
+        val cntB = shB.groupBy("doc_b").agg(count(lit(1)).as("nb"))
         val inter = shB.join(shA, Seq("doc_a", "s"))
           .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
         val pairs = originals
@@ -5246,8 +5252,8 @@ object PipelineQueries {
         pairs
           .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
           .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
-          .join(cnt.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
-          .join(cnt.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
+          .join(cntA, "doc_a")
+          .join(cntB, "doc_b")
           .join(inter, Seq("doc_a", "doc_b"), "left")
           .na.fill(0L, Seq("n_inter"))
           .select(

@@ -299,7 +299,9 @@ object Sampling {
     require(splits.nonEmpty && splits.forall(_._2 > 0) && splits.map(_._2).sum == 100,
       s"split percents must be positive and sum to 100, got $splits")
     require(splits.map(_._1).distinct.length == splits.length, "split names must be unique")
-    require(!df.columns.contains("split"), "input must not already carry a split column")
+    val reserved = Seq("split", "_rk", "_stratum", "lo", "hi")
+    reserved.foreach(c =>
+      require(!df.columns.contains(c), s"input must not already carry a '$c' column"))
     val spark = df.sparkSession
     import spark.implicits._
     val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n_g"))
@@ -328,7 +330,11 @@ object Sampling {
     ranked
       .join(
         broadcast(alloc),
-        ranked(stratumCol) === alloc("_stratum") &&
+        // null-SAFE stratum equality: a NULL stratum is a stratum like any
+        // other (groupBy/window both treat it as one group) — a plain ===
+        // would silently drop every null-stratum row, breaking the
+        // every-row-assigned-exactly-once contract
+        ranked(stratumCol) <=> alloc("_stratum") &&
           col("_rk") > col("lo") && col("_rk") <= col("hi"))
       .drop("_stratum", "_rk", "lo", "hi")
   }

@@ -217,4 +217,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("WindowExec"),
       s"JL candidate selection regressed to a window — every pair row would shuffle:\n$plan")
   }
+
+  test("exactStratifiedSplit: quota intervals broadcast — the data pays only the ranking shuffle") {
+    import spark.implicits._
+    val df = (1L to 200L).map(i => (i, s"s${i % 5}")).toDF("id", "src")
+    val out = graft.rel.Sampling
+      .exactStratifiedSplit(df, "src", "id", Seq("train" -> 80, "val" -> 10, "test" -> 10))
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"quota-interval join is not broadcast — the data side would shuffle against metadata:\n$plan")
+  }
 }

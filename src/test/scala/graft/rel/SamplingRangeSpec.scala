@@ -184,4 +184,17 @@ class SamplingRangeSpec extends SparkSpec {
       .as[(Long, String, String)].collect()
     assert(out.toSet == out2.toSet, "assignment must not depend on partitioning")
   }
+
+  test("exactStratifiedSplit: a NULL stratum is a stratum — its rows are assigned, not dropped") {
+    val df = ((1L to 20L).map(i => (i, Option("a"))) ++ (21L to 30L).map(i => (i, Option.empty[String])))
+      .toDF("id", "src")
+    val out = Sampling
+      .exactStratifiedSplit(df, "src", "id", Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      .select("id", "split").as[(Long, String)].collect()
+    assert(out.length == 30, s"null-stratum rows must be assigned, got ${out.length} of 30")
+    // n=10 under 80/10/10: floors 8/1/1, extras 0
+    val nullIds = (21L to 30L).toSet
+    val nullSplits = out.filter(r => nullIds(r._1)).groupBy(_._2).view.mapValues(_.length).toMap
+    assert(nullSplits == Map("train" -> 8, "val" -> 1, "test" -> 1), s"got $nullSplits")
+  }
 }
