@@ -5201,6 +5201,49 @@ object PipelineQueries {
           "FROM r JOIN bd ON r.source = bd.source AND r.rk > bd.lo AND r.rk <= bd.hi " +
           "GROUP BY 1, 2 ORDER BY 1, 2")),
 
+    // Proportional stride interleave — the epoch DATA-ORDER primitive a
+    // mixture-trained run needs beyond p02/p13's "how many per source"
+    // and p08's "uniform shuffle": source g's i-th document (in
+    // deterministic hash order) sits at stride position (2i+1)/(2·n_g),
+    // so every prefix of the global order carries every source in
+    // proportion — no source ever front-loads or starves. The key is
+    // EXACT integer arithmetic ((2i+1)·2⁴⁰ div 2n_g — no float ladder),
+    // and the published bounded prefix plans as TakeOrderedAndProject
+    // (distributed partial top-k; the full-permutation variant is p12's
+    // two-level-rank machinery). Oracle replays key, order, and every
+    // position bit-for-bit.
+    NamedQuery(
+      "p15_stride_interleave",
+      (s, dir) => {
+        val d = t(s, dir, "documents").select("doc_id", "source")
+        val wSrc = org.apache.spark.sql.expressions.Window
+          .partitionBy("source")
+          .orderBy(pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)), col("doc_id"))
+        val cnt = d.groupBy("source").agg(count(lit(1)).as("n_g"))
+        val keyed = d
+          .withColumn("i", row_number().over(wSrc).cast("long") - 1L)
+          .join(broadcast(cnt), "source")
+          .withColumn("k", expr("((2 * i + 1) * 1099511627776) div (2 * n_g)"))
+        val top = keyed.orderBy(col("k"), col("source"), col("doc_id")).limit(200)
+        top
+          .withColumn(
+            "position",
+            row_number().over(org.apache.spark.sql.expressions.Window
+              .orderBy(col("k"), col("source"), col("doc_id"))).cast("long"))
+          .select("position", "source", "doc_id", "k")
+          .orderBy("position")
+      },
+      Some(
+        "WITH c AS (SELECT source, count(*) AS n_g FROM documents GROUP BY source), " +
+          "r AS (SELECT d.doc_id, d.source, " +
+          "row_number() OVER (PARTITION BY d.source " +
+          "ORDER BY (d.doc_id * 2654435761) % 4294967296, d.doc_id) - 1 AS i, c.n_g " +
+          "FROM documents d JOIN c USING (source)), " +
+          "k AS (SELECT doc_id, source, ((2 * i + 1) * 1099511627776) // (2 * n_g) AS k FROM r), " +
+          "t AS (SELECT * FROM k ORDER BY k, source, doc_id LIMIT 200) " +
+          "SELECT CAST(row_number() OVER (ORDER BY k, source, doc_id) AS BIGINT) AS position, " +
+          "source, doc_id, CAST(k AS BIGINT) AS k FROM t ORDER BY position")),
+
     // MinHash estimator-accuracy audit — the STATISTICAL contract behind
     // d02/d08/s10, certified directly: for every planted near-dup pair
     // the signature-agreement estimate must sit within 0.15 of the TRUE
