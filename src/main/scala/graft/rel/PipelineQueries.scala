@@ -5534,6 +5534,43 @@ object PipelineQueries {
           "greatest(sum(CASE WHEN c_us IS NOT NULL THEN 1 ELSE 0 END), 1) AS REAL) AS DOUBLE), 6) + 0.0 AS click_to_purchase " +
           "FROM g3 GROUP BY day ORDER BY day")),
 
+    // NULL anti-join semantics, certified: `NOT IN (subquery)` is
+    // three-valued — ONE null in the list makes every row's predicate
+    // UNKNOWN and the result EMPTY, while `NOT EXISTS` (and the clean
+    // list) return the real complement. The classic silent-data-loss trap
+    // in curation SQL ("exclude ids on the denylist" drops the whole
+    // corpus when the denylist has a null), pinned here as engine
+    // behavior: Spark plans the NOT IN as a null-aware anti join, and
+    // the oracle runs the IDENTICAL SQL so hash-green proves both
+    // engines agree on all three counts and the trap flag.
+    NamedQuery(
+      "q45_null_anti_join",
+      (s, dir) => {
+        val ov = s"q45_orders_${streamSinkCounter.incrementAndGet()}"
+        val cv = s"q45_customer_${streamSinkCounter.incrementAndGet()}"
+        t(s, dir, "orders").createOrReplaceTempView(ov)
+        t(s, dir, "customer").createOrReplaceTempView(cv)
+        try s.sql(
+          s"""WITH keys AS (SELECT CASE WHEN c_custkey % 500 = 0 THEN NULL ELSE c_custkey END AS k
+             |              FROM $cv WHERE c_custkey < 1000),
+             |     clean AS (SELECT k FROM keys WHERE k IS NOT NULL)
+             |SELECT
+             |  (SELECT count(*) FROM $ov WHERE o_custkey NOT IN (SELECT k FROM keys)) AS n_not_in_with_null,
+             |  (SELECT count(*) FROM $ov WHERE o_custkey NOT IN (SELECT k FROM clean)) AS n_not_in_clean,
+             |  (SELECT count(*) FROM $ov o WHERE NOT EXISTS (SELECT 1 FROM keys c WHERE c.k = o.o_custkey)) AS n_not_exists,
+             |  CAST((SELECT count(*) FROM $ov WHERE o_custkey NOT IN (SELECT k FROM keys)) = 0 AS BIGINT) AS trap_confirmed""".stripMargin)
+        finally { s.catalog.dropTempView(ov); s.catalog.dropTempView(cv) }
+      },
+      Some(
+        "WITH keys AS (SELECT CASE WHEN c_custkey % 500 = 0 THEN NULL ELSE c_custkey END AS k " +
+          "FROM customer WHERE c_custkey < 1000), " +
+          "clean AS (SELECT k FROM keys WHERE k IS NOT NULL) " +
+          "SELECT " +
+          "(SELECT count(*) FROM orders WHERE o_custkey NOT IN (SELECT k FROM keys)) AS n_not_in_with_null, " +
+          "(SELECT count(*) FROM orders WHERE o_custkey NOT IN (SELECT k FROM clean)) AS n_not_in_clean, " +
+          "(SELECT count(*) FROM orders o WHERE NOT EXISTS (SELECT 1 FROM keys c WHERE c.k = o.o_custkey)) AS n_not_exists, " +
+          "CAST((SELECT count(*) FROM orders WHERE o_custkey NOT IN (SELECT k FROM keys)) = 0 AS BIGINT) AS trap_confirmed")),
+
     // Edit-distance fuzzy join (entity resolution): planted one-char
     // typos of document "names" (their first-two-token string) must find
     // their sources within Levenshtein ≤ 2, candidates generated by
