@@ -3517,6 +3517,68 @@ object PipelineQueries {
       },
       Some(cmsOracleSql)),
 
+    // Sketch MERGEABILITY law, certified by real computation — the
+    // property that makes sketches scale-out primitives at all: a CMS
+    // built per shard and sum-merged must equal the CMS of the whole
+    // corpus CELL FOR CELL (counts are linear), and every estimate read
+    // from the merged sketch must equal the whole-corpus estimate and
+    // upper-bound the exact count. The engine builds the two half-corpus
+    // sketches (doc_id parity split), merges them with the documented
+    // merge rule (sum cnt on (row_j, cell)), and full-outer-joins against
+    // the whole-corpus sketch — n_mismatch is COUNTED, not assumed.
+    // Portable hashes make n_cells/total_cnt oracle-replayable exactly;
+    // the law flags are invariants (merge is associative integer
+    // addition), stated as 1 by the oracle and verified by the join.
+    NamedQuery(
+      "t19_cms_mergeability",
+      (s, dir) => {
+        val toks = graft.CacheScope.track(
+          t(s, dir, "documents")
+            .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+            .cache())
+        val d = 4
+        val w = 512
+        val whole = graft.CacheScope.track(Cms.sketch(toks, "tok", d, w).cache())
+        val skL = Cms.sketch(toks.filter(col("doc_id") % 2 === 0), "tok", d, w)
+        val skR = Cms.sketch(toks.filter(col("doc_id") % 2 === 1), "tok", d, w)
+        val merged = graft.CacheScope.track(
+          skL.unionByName(skR).groupBy("row_j", "cell").agg(sum("cnt").as("cnt")).cache())
+        val mismatch = merged
+          .withColumnRenamed("cnt", "cnt_m")
+          .join(whole.withColumnRenamed("cnt", "cnt_w"), Seq("row_j", "cell"), "full_outer")
+          .filter(not(col("cnt_m") <=> col("cnt_w")))
+          .count()
+        val top = toks.groupBy("tok").agg(count(lit(1)).as("exact_n"))
+          .orderBy(col("exact_n").desc, col("tok")).limit(5)
+        val estPairs = Cms.estimate(top, "tok", merged, d, w)
+          .withColumnRenamed("est_n", "est_merged")
+          .join(
+            Cms.estimate(top, "tok", whole, d, w).select(col("tok"), col("est_n").as("est_whole")),
+            "tok")
+          .collect()
+        val stats = whole.agg(count(lit(1)).as("n_cells"), sum("cnt").as("total_cnt")).head()
+        import s.implicits._
+        Seq((
+          stats.getLong(0), stats.getLong(1),
+          if (mismatch == 0L) 1L else 0L,
+          if (estPairs.forall(r => r.getAs[Long]("est_merged") == r.getAs[Long]("est_whole"))) 1L else 0L,
+          if (estPairs.forall(r => r.getAs[Long]("est_merged") >= r.getAs[Long]("exact_n"))) 1L else 0L))
+          .toDF("n_cells", "total_cnt", "merge_exact", "est_eq_whole", "est_ge_exact")
+      },
+      Some {
+        def kr(e: String, init: Int, base: Int, mod: Long): String =
+          s"list_reduce(list_prepend(CAST($init AS BIGINT), list_transform(generate_series(1, len($e)), " +
+            s"i -> CAST(ord(substring($e, i, 1)) AS BIGINT))), (a, c) -> (a * $base + c) % $mod)"
+        s"WITH tok AS (SELECT unnest($duckToks) AS tok FROM documents), " +
+          s"h AS (SELECT tok, (${kr("tok", 7, 131, 1000000007L)} * 2654435761) % 1000000007 AS m1, " +
+          s"(${kr("tok", 11, 137, 998244353L)} * 2246822519) % 998244353 AS m2 FROM tok), " +
+          "cell AS (SELECT r.j AS j, (m1 + r.j * m2) % 512 AS cell FROM h, range(4) r(j)), " +
+          "sk AS (SELECT j, cell, CAST(count(*) AS BIGINT) AS cnt FROM cell GROUP BY j, cell) " +
+          "SELECT CAST(count(*) AS BIGINT) AS n_cells, CAST(sum(cnt) AS BIGINT) AS total_cnt, " +
+          "CAST(1 AS BIGINT) AS merge_exact, CAST(1 AS BIGINT) AS est_eq_whole, " +
+          "CAST(1 AS BIGINT) AS est_ge_exact FROM sk"
+      }),
+
     // Per-document tf·idf keyword extraction (TfIdf.topTerms): exact
     // integer tf/df/N, add-one-smoothed idf, ranks taken on the
     // float32-squeezed score (the t08 trick — the one libm `ln` step can
