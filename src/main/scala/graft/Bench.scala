@@ -345,7 +345,11 @@ object Bench {
           val ev = sys.env.getOrElse("SPARK_GRAFT_ROW_LEVEL_EVENTS", "50").toInt
           bench.Replay.rowLevelProbe(spark, events = ev).toJson
         } catch { case e: Throwable => System.err.println(s"[bench] row-level probe failed: ${e.getMessage}"); "null" }
-    val scaleK = sys.env.getOrElse("SPARK_GRAFT_SCALE_PROBE_K", "10").toInt
+    // env parse INSIDE the try: a malformed K after the whole suite ran
+    // must not skip the record writes (the row-level events gate above
+    // has the same discipline)
+    val scaleK = try sys.env.getOrElse("SPARK_GRAFT_SCALE_PROBE_K", "10").toInt
+    catch { case _: NumberFormatException => 10 }
     val scalePoints: Seq[bench.ScaleProbe.Point] =
       if (sys.env.getOrElse("SPARK_GRAFT_SCALE_PROBE", "1") == "0") Nil
       else

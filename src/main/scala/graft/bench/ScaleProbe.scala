@@ -48,7 +48,10 @@ object ScaleProbe {
         text.as("text"),
         col("lang"),
         concat(col("source"), lit(s"_$tag")).as("source"),
-        length(text).as("n_chars"))
+        // cast: length() is INT, the fixture schema declares n_chars
+        // BIGINT — the probe dirs must match the documented schema so
+        // probe queries exercise the same plans/casts as every fixture
+        length(text).cast("long").as("n_chars"))
     }.reduce(_.unionByName(_))
     scaledDocs.write.mode("overwrite").parquet(s"$out/documents.parquet")
 
@@ -102,19 +105,25 @@ object ScaleProbe {
         if (ok) Some(name -> (System.nanoTime() - t0) / 1e9) else None
       }.toMap
     }
-    val d1 = buildDir(spark, sfDir, 1, base)
-    val dK = buildDir(spark, sfDir, k, base)
-    val t1 = timeAt(d1)
-    val tK = timeAt(dK)
-    ProbeQueries.flatMap { name =>
-      (t1.get(name), tK.get(name)) match {
-        case (Some(a0), Some(b0)) =>
-          val a = math.max(1e-3, a0)
-          val b = math.max(1e-3, b0)
-          Some(Point(name, r3(a), r3(b), r3(math.log(b / a) / math.log(k.toDouble))))
-        case _ => None
+    try {
+      val d1 = buildDir(spark, sfDir, 1, base)
+      val dK = buildDir(spark, sfDir, k, base)
+      val t1 = timeAt(d1)
+      val tK = timeAt(dK)
+      ProbeQueries.flatMap { name =>
+        (t1.get(name), tK.get(name)) match {
+          case (Some(a0), Some(b0)) =>
+            val a = math.max(1e-3, a0)
+            val b = math.max(1e-3, b0)
+            Some(Point(name, r3(a), r3(b), r3(math.log(b / a) / math.log(k.toDouble))))
+          case _ => None
+        }
       }
-    }
+    } finally
+      // the scaled corpora are ~(k+1)× the fixture on disk — free them as
+      // soon as the points are collected (the shutdown hook stays as the
+      // crash-only fallback; deleting a gone dir there is a no-op)
+      graft.rel.PipelineQueries.deleteRecursively(java.nio.file.Paths.get(base))
   }
 
   def toJson(k: Int, points: Seq[Point]): String =

@@ -40,23 +40,8 @@ object BloomJoin {
       dims: DataFrame,
       dimKey: String,
       expectedItems: Long,
-      fpp: Double = 0.01): DataFrame = {
-    val kt = dims.schema(dimKey).dataType
-    require(
-      kt == org.apache.spark.sql.types.LongType || kt == org.apache.spark.sql.types.IntegerType,
-      s"bloomSemiFilter needs an integral key, got $kt for $dimKey")
-    val bf = dims.stat.bloomFilter(dimKey, math.max(expectedItems, 1L), fpp)
-    val bc = facts.sparkSession.sparkContext.broadcast(bf)
-    // A udf, deliberately: Spark's native BloomFilterMightContain
-    // expression exists but is not in the public function registry (it is
-    // planner-injected only), and a custom Expression here would buy one
-    // virtual call per row on a path whose cost is the scan, not the
-    // probe. The udf is the one non-codegen hop in this operator; the
-    // filter's job is shrinking the downstream SHUFFLE, which it does
-    // identically either way.
-    val might = udf((k: Long) => bc.value.mightContain(k))
-    facts.filter(might(col(factKey)))
-  }
+      fpp: Double = 0.01): DataFrame =
+    filteredWithBroadcast(facts, factKey, dims, dimKey, expectedItems, fpp)._1
 
   /** [[bloomSemiFilter]] plus ownership of the broadcast: `body` receives
     * the filtered frame, and the broadcast Bloom bits are destroyed when
@@ -73,15 +58,35 @@ object BloomJoin {
       dimKey: String,
       expectedItems: Long,
       fpp: Double = 0.01)(body: DataFrame => T): T = {
+    val (filtered, bc) = filteredWithBroadcast(facts, factKey, dims, dimKey, expectedItems, fpp)
+    try body(filtered)
+    finally bc.destroy()
+  }
+
+  /** One shared core so the scoped and open-ended entry points cannot
+    * drift: builds the Bloom bits, broadcasts them, and returns the
+    * filtered frame plus the broadcast handle the caller owns. */
+  private def filteredWithBroadcast(
+      facts: DataFrame,
+      factKey: String,
+      dims: DataFrame,
+      dimKey: String,
+      expectedItems: Long,
+      fpp: Double): (DataFrame, org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]) = {
     val kt = dims.schema(dimKey).dataType
     require(
       kt == org.apache.spark.sql.types.LongType || kt == org.apache.spark.sql.types.IntegerType,
       s"bloomSemiFilter needs an integral key, got $kt for $dimKey")
     val bf = dims.stat.bloomFilter(dimKey, math.max(expectedItems, 1L), fpp)
     val bc = facts.sparkSession.sparkContext.broadcast(bf)
-    try {
-      val might = udf((k: Long) => bc.value.mightContain(k))
-      body(facts.filter(might(col(factKey))))
-    } finally bc.destroy()
+    // A udf, deliberately: Spark's native BloomFilterMightContain
+    // expression exists but is not in the public function registry (it is
+    // planner-injected only), and a custom Expression here would buy one
+    // virtual call per row on a path whose cost is the scan, not the
+    // probe. The udf is the one non-codegen hop in this operator; the
+    // filter's job is shrinking the downstream SHUFFLE, which it does
+    // identically either way.
+    val might = udf((k: Long) => bc.value.mightContain(k))
+    (facts.filter(might(col(factKey))), bc)
   }
 }

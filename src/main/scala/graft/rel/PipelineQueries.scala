@@ -245,20 +245,31 @@ object PipelineQueries {
   // Shared by t09 (batch CMS) and s09 (streaming CMS) — the two MUST
   // agree: sketch-counter addition is commutative, so micro-batch
   // slicing cannot change the grid, and one oracle certifies both.
-  private lazy val cmsOracleSql = {
-    def kr(e: String, init: Int, base: Int, mod: Long): String =
-      s"list_reduce(list_prepend(CAST($init AS BIGINT), list_transform(generate_series(1, len($e)), " +
-        s"i -> CAST(ord(substring($e, i, 1)) AS BIGINT))), (a, c) -> (a * $base + c) % $mod)"
-    def mixes(e: String): String =
-      s"(${kr(e, 7, 131, 1000000007L)} * 2654435761) % 1000000007 AS m1, " +
-        s"(${kr(e, 11, 137, 998244353L)} * 2246822519) % 998244353 AS m2"
+  /** Karp–Rabin character fold in DuckDB — the SQL twin of
+    * `TextOps.tokenHashPortable*`; shared by every CMS oracle so the hash
+    * family lives in exactly one place per engine. */
+  private def krSql(e: String, init: Int, base: Int, mod: Long): String =
+    s"list_reduce(list_prepend(CAST($init AS BIGINT), list_transform(generate_series(1, len($e)), " +
+      s"i -> CAST(ord(substring($e, i, 1)) AS BIGINT))), (a, c) -> (a * $base + c) % $mod)"
+
+  private def cmsMixesSql(e: String): String =
+    s"(${krSql(e, 7, 131, 1000000007L)} * 2654435761) % 1000000007 AS m1, " +
+      s"(${krSql(e, 11, 137, 998244353L)} * 2246822519) % 998244353 AS m2"
+
+  /** Shared CTE prefix building the whole-corpus 4×512 sketch (`sk`) from
+    * `documents` — the one SQL statement of the CMS construction, used by
+    * both t09's estimate oracle and t19's mergeability oracle. */
+  private lazy val cmsSketchCtesSql: String =
     s"WITH tok AS (SELECT unnest($duckToks) AS tok FROM documents), " +
-      s"h AS (SELECT tok, ${mixes("tok")} FROM tok), " +
+      s"h AS (SELECT tok, ${cmsMixesSql("tok")} FROM tok), " +
       "cell AS (SELECT r.j AS j, (m1 + r.j * m2) % 512 AS cell FROM h, range(4) r(j)), " +
-      "sk AS (SELECT j, cell, CAST(count(*) AS BIGINT) AS cnt FROM cell GROUP BY j, cell), " +
+      "sk AS (SELECT j, cell, CAST(count(*) AS BIGINT) AS cnt FROM cell GROUP BY j, cell)"
+
+  private lazy val cmsOracleSql = {
+    s"$cmsSketchCtesSql, " +
       "exact AS (SELECT tok, CAST(count(*) AS BIGINT) AS exact_n FROM tok GROUP BY tok), " +
       "top AS (SELECT tok, exact_n FROM exact ORDER BY exact_n DESC, tok LIMIT 20), " +
-      s"th AS (SELECT tok, exact_n, ${mixes("tok")} FROM top), " +
+      s"th AS (SELECT tok, exact_n, ${cmsMixesSql("tok")} FROM top), " +
       "probe AS (SELECT tok, exact_n, r.j AS j, (m1 + r.j * m2) % 512 AS cell FROM th, range(4) r(j)), " +
       "est AS (SELECT p.tok, p.exact_n, min(s.cnt) AS est_n FROM probe p " +
       "JOIN sk s ON s.j = p.j AND s.cell = p.cell GROUP BY p.tok, p.exact_n) " +
@@ -1367,12 +1378,8 @@ object PipelineQueries {
         Dedup.simhashPairsOn(sim, maxHamming = 6).orderBy("doc_a", "doc_b")
       },
       Some {
-        val kr1 =
-          "list_reduce(list_prepend(CAST(7 AS BIGINT), list_transform(generate_series(1, len(t)), " +
-            "i -> CAST(ord(substring(t, i, 1)) AS BIGINT))), (a, c) -> (a * 131 + c) % 1000000007)"
-        val kr2 =
-          "list_reduce(list_prepend(CAST(11 AS BIGINT), list_transform(generate_series(1, len(t)), " +
-            "i -> CAST(ord(substring(t, i, 1)) AS BIGINT))), (a, c) -> (a * 137 + c) % 998244353)"
+        val kr1 = krSql("t", 7, 131, 1000000007L)
+        val kr2 = krSql("t", 11, 137, 998244353L)
         s"WITH tok0 AS (SELECT doc_id, $duckToks AS w FROM documents), " +
           "tokall AS (SELECT doc_id, w FROM tok0 UNION ALL " +
           "SELECT doc_id + 100000, w[1:greatest(len(w) - 3, 1)] FROM tok0), " +
@@ -3565,19 +3572,11 @@ object PipelineQueries {
           if (estPairs.forall(r => r.getAs[Long]("est_merged") >= r.getAs[Long]("exact_n"))) 1L else 0L))
           .toDF("n_cells", "total_cnt", "merge_exact", "est_eq_whole", "est_ge_exact")
       },
-      Some {
-        def kr(e: String, init: Int, base: Int, mod: Long): String =
-          s"list_reduce(list_prepend(CAST($init AS BIGINT), list_transform(generate_series(1, len($e)), " +
-            s"i -> CAST(ord(substring($e, i, 1)) AS BIGINT))), (a, c) -> (a * $base + c) % $mod)"
-        s"WITH tok AS (SELECT unnest($duckToks) AS tok FROM documents), " +
-          s"h AS (SELECT tok, (${kr("tok", 7, 131, 1000000007L)} * 2654435761) % 1000000007 AS m1, " +
-          s"(${kr("tok", 11, 137, 998244353L)} * 2246822519) % 998244353 AS m2 FROM tok), " +
-          "cell AS (SELECT r.j AS j, (m1 + r.j * m2) % 512 AS cell FROM h, range(4) r(j)), " +
-          "sk AS (SELECT j, cell, CAST(count(*) AS BIGINT) AS cnt FROM cell GROUP BY j, cell) " +
+      Some(
+        s"$cmsSketchCtesSql " +
           "SELECT CAST(count(*) AS BIGINT) AS n_cells, CAST(sum(cnt) AS BIGINT) AS total_cnt, " +
           "CAST(1 AS BIGINT) AS merge_exact, CAST(1 AS BIGINT) AS est_eq_whole, " +
-          "CAST(1 AS BIGINT) AS est_ge_exact FROM sk"
-      }),
+          "CAST(1 AS BIGINT) AS est_ge_exact FROM sk")),
 
     // Per-document tf·idf keyword extraction (TfIdf.topTerms): exact
     // integer tf/df/N, add-one-smoothed idf, ranks taken on the
@@ -5282,6 +5281,14 @@ object PipelineQueries {
           .partitionBy("source")
           .orderBy(pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)), col("doc_id"))
         val cnt = d.groupBy("source").agg(count(lit(1)).as("n_g"))
+        // exact-arithmetic bound, guarded loudly (the RandomProjection
+        // discipline): (2i+1)·2⁴⁰ must stay inside Long — beyond ~4.19M
+        // rows per stratum Spark would wrap negative while DuckDB's //
+        // errors, so a bigger corpus swaps in a smaller multiplier and
+        // re-pins its oracle rather than inheriting silent divergence
+        val maxN = cnt.agg(max("n_g")).head().getLong(0)
+        require(maxN <= (Long.MaxValue / (1L << 40) - 1) / 2,
+          s"stratum size $maxN exceeds the exact-Long bound for the 2^40 stride key")
         val keyed = d
           .withColumn("i", row_number().over(wSrc).cast("long") - 1L)
           .join(broadcast(cnt), "source")

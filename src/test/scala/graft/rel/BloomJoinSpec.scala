@@ -35,4 +35,20 @@ class BloomJoinSpec extends SparkSpec {
       .agg(count(lit(1)), sum("v")).as[(Long, Long)].head()
     assert(agg(0.3) == agg(0.001))
   }
+
+  test("withBloomSemiFilter: same filtering inside the scope; broadcast destroyed after") {
+    val facts = (0L until 2000L).map(i => (i % 97, i)).toDF("k", "v")
+    val dims  = (0L until 97L by 3).toDF("dk")
+    val open = BloomJoin
+      .bloomSemiFilter(facts, "k", dims, "dk", expectedItems = 64, fpp = 0.01)
+      .join(dims, col("k") === col("dk"))
+      .agg(count(lit(1)), sum("v")).as[(Long, Long)].head()
+    val scoped = BloomJoin.withBloomSemiFilter(facts, "k", dims, "dk", expectedItems = 64, fpp = 0.01) {
+      filtered =>
+        // body must materialize — the broadcast dies when it returns
+        filtered.join(dims, col("k") === col("dk"))
+          .agg(count(lit(1)), sum("v")).as[(Long, Long)].head()
+    }
+    assert(scoped == open)
+  }
 }
