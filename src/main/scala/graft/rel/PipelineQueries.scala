@@ -3578,6 +3578,53 @@ object PipelineQueries {
           "CAST(1 AS BIGINT) AS merge_exact, CAST(1 AS BIGINT) AS est_eq_whole, " +
           "CAST(1 AS BIGINT) AS est_ge_exact FROM sk")),
 
+    // Cross-source contamination MATRIX — d06's benchmark rule turned
+    // into the pairwise diagnostic a curation run reads to find which
+    // sources copy from which: for every source pair, the number of
+    // distinct 5-grams they share and the containment ratio relative to
+    // the smaller side. One shingle pass reduced to DISTINCT
+    // (source, gram) rows — the corpus text never joins, only the
+    // deduplicated gram-key table does, and a gram shared by k sources
+    // fans out to at most k(k−1)/2 pair rows (k = #sources, a constant).
+    // All-integer counts + one f32 ratio; the oracle replays the entire
+    // matrix exactly.
+    NamedQuery(
+      "t20_contamination_matrix",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val sh = graft.CacheScope.track(
+          TextOps.shingleRows(docs.select("doc_id", "text"), 5, distinctSet = true)
+            .join(docs.select("doc_id", "source"), "doc_id")
+            .select("source", "s").distinct().cache())
+        val cnt = sh.groupBy("source").agg(count(lit(1)).as("n_grams"))
+        val a = sh.select(col("source").as("src_a"), col("s"))
+        val b = sh.select(col("source").as("src_b"), col("s"))
+        a.join(b, "s")
+          .filter(col("src_a") < col("src_b"))
+          .groupBy("src_a", "src_b")
+          .agg(count(lit(1)).as("n_shared"))
+          .join(broadcast(cnt.select(col("source").as("src_a"), col("n_grams").as("na"))), "src_a")
+          .join(broadcast(cnt.select(col("source").as("src_b"), col("n_grams").as("nb"))), "src_b")
+          .select(
+            col("src_a"), col("src_b"), col("n_shared"), col("na"), col("nb"),
+            f32round(col("n_shared").cast("double") / least(col("na"), col("nb")).cast("double"), 6)
+              .as("containment"))
+          .orderBy("src_a", "src_b")
+      },
+      Some(
+        s"WITH sh AS (SELECT DISTINCT source, gram FROM (SELECT source, unnest(list_distinct(" +
+          "list_transform(generate_series(1, greatest(len(w) - 4, 0)), " +
+          "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]))) AS gram " +
+          s"FROM (SELECT source, $duckToks AS w FROM documents))), " +
+          "c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_grams FROM sh GROUP BY source) " +
+          "SELECT a.source AS src_a, b.source AS src_b, CAST(count(*) AS BIGINT) AS n_shared, " +
+          "any_value(ca.n_grams) AS na, any_value(cb.n_grams) AS nb, " +
+          "round(CAST(CAST(CAST(count(*) AS DOUBLE) / least(any_value(ca.n_grams), any_value(cb.n_grams)) " +
+          "AS REAL) AS DOUBLE), 6) + 0.0 AS containment " +
+          "FROM sh a JOIN sh b ON a.gram = b.gram AND a.source < b.source " +
+          "JOIN c ca ON ca.source = a.source JOIN c cb ON cb.source = b.source " +
+          "GROUP BY 1, 2 ORDER BY 1, 2")),
+
     // Per-document tf·idf keyword extraction (TfIdf.topTerms): exact
     // integer tf/df/N, add-one-smoothed idf, ranks taken on the
     // float32-squeezed score (the t08 trick — the one libm `ln` step can
@@ -4773,6 +4820,38 @@ object PipelineQueries {
           "CAST(sum(v * v) AS BIGINT) AS sum_sq, " +
           "CAST(sum(CASE WHEN j % 32 > 0 AND (v < 0) <> (pv < 0) THEN 1 ELSE 0 END) AS INTEGER) " +
           "AS zero_cross FROM lx GROUP BY asset_id, j // 32 ORDER BY asset_id, frame_idx")),
+
+    // Perceptual-hash CODEC INVARIANCE, certified: the same pattern image
+    // encoded through two different real codecs (PNG and BMP — both
+    // lossless) must decode to identical pixels and therefore identical
+    // 64-bit dHashes — the property that makes perceptual dedup work
+    // across a corpus whose assets arrive in mixed formats (the m05
+    // pipeline assumes it; this query PROVES it per asset, through two
+    // genuine encode→decode paths). hash_nonzero pins that the hashes
+    // are non-degenerate (the pattern generator is designed to produce
+    // informative gradients), so the invariance isn't trivially zero.
+    NamedQuery(
+      "m10_cross_codec_dhash",
+      (s, dir) => {
+        val spec = t(s, dir, "documents")
+          .filter(col("doc_id") < 60)
+          .select(col("doc_id").as("asset_id"), col("doc_id").as("seed"), lit(0).as("jitter"))
+        val png = MultimodalOps.encodePatternImages(spec, format = "png")
+        val bmp = MultimodalOps.encodePatternImages(spec, format = "bmp")
+        val hPng = MultimodalOps.dHash64(png, "asset_id", "content")
+          .select(col("asset_id"), col("dhash").as("h_png"))
+        val hBmp = MultimodalOps.dHash64(bmp, "asset_id", "content")
+          .select(col("asset_id"), col("dhash").as("h_bmp"))
+        hPng.join(hBmp, "asset_id")
+          .select(
+            col("asset_id"),
+            TextOps.hamming64(col("h_png"), col("h_bmp")).cast("long").as("cross_codec_hamming"),
+            when(col("h_png") =!= 0L, 1L).otherwise(0L).as("hash_nonzero"))
+          .orderBy("asset_id")
+      },
+      Some(
+        "SELECT doc_id AS asset_id, CAST(0 AS BIGINT) AS cross_codec_hamming, " +
+          "CAST(1 AS BIGINT) AS hash_nonzero FROM documents WHERE doc_id < 60 ORDER BY asset_id")),
 
     // REAL lossy compressed-audio codec: G.711 µ-law through the JDK's
     // javax.sound converter (MultimodalOps.ulawRoundtrip) — PCM16 →
