@@ -5719,6 +5719,66 @@ object PipelineQueries {
           "(SELECT count(*) FROM orders o WHERE NOT EXISTS (SELECT 1 FROM keys c WHERE c.k = o.o_custkey)) AS n_not_exists, " +
           "CAST((SELECT count(*) FROM orders WHERE o_custkey NOT IN (SELECT k FROM keys)) = 0 AS BIGINT) AS trap_confirmed")),
 
+    // Checkpoint RECOVERY, certified — the fault-tolerance contract every
+    // production stream depends on and s01-s18 exercised only implicitly:
+    // one watermarked daily aggregation runs as TWO SEPARATE query
+    // incarnations sharing a checkpoint, with the input split so the
+    // Jan-15 window STRADDLES the restart (its first half arrives before
+    // the stop, its second half after) and a pre-restart sentinel parks
+    // the watermark at Jan-15 22:00 so that window is open STATE at the
+    // moment of recovery. The sink is the exactly-once file sink (the
+    // memory sink refuses checkpoint recovery — by design), so the final
+    // read sees each finalized window exactly once across both
+    // incarnations. Hash-green against the batch oracle proves offsets,
+    // watermark, AND aggregation state all survived the restart: a lost
+    // straddler would emit a partial Jan-15 count, a replayed batch would
+    // emit doubled early windows — either breaks the hash.
+    NamedQuery(
+      "s19_checkpoint_recovery",
+      (s, dir) => {
+        val ev = t(s, dir, "events").select(col("ts"), col("event_type"))
+        val cut = java.sql.Timestamp.valueOf("2024-01-15 12:00:00")
+        val sent1 = java.sql.Timestamp.valueOf("2024-01-15 23:00:00")
+        val sent2 = java.sql.Timestamp.valueOf("2024-02-03 00:00:00")
+        val tmp = java.nio.file.Files.createTempDirectory("s19_events_")
+        val (rows, schema) = withShufflePartitions(s, 8) { try {
+          import s.implicits._
+          val inDir = s"$tmp/in"
+          val outDir = s"$tmp/out"
+          val ckpt = s"$tmp/ckpt"
+          def sentinel(ts: java.sql.Timestamp, tag: String) =
+            Seq((ts, tag)).toDF("ts", "event_type")
+          def runIncarnation(): Unit = {
+            val stream = s.readStream.schema(ev.schema).parquet(inDir)
+              .withWatermark("ts", "1 hour")
+            val out = stream
+              .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+              .agg(count(lit(1)).as("n"))
+              .select(unix_micros(col("w.start")).as("window_start_us"), col("event_type"), col("n"))
+            val q = out.writeStream.format("parquet")
+              .option("path", outDir).option("checkpointLocation", ckpt)
+              .outputMode("append").start()
+            try q.processAllAvailable()
+            finally q.stop()
+          }
+          ev.filter(col("ts") < cut).write.mode("append").parquet(inDir)
+          sentinel(sent1, "__s1").write.mode("append").parquet(inDir)
+          runIncarnation() // emits days <= Jan 14; Jan 15 half-counted in STATE
+          ev.filter(col("ts") >= cut).write.mode("append").parquet(inDir)
+          sentinel(sent2, "__s2").write.mode("append").parquet(inDir)
+          runIncarnation() // recovers state, finishes Jan 15, emits the rest
+          val shaped = s.read.parquet(outDir)
+            .filter(not(col("event_type").startsWith("__s")))
+            .orderBy("window_start_us", "event_type")
+          (shaped.collect().toSeq, shaped.schema)
+        } finally deleteRecursively(tmp) }
+        s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
+      },
+      Some(
+        "SELECT epoch_us(CAST(CAST(ts AS DATE) AS TIMESTAMP)) AS window_start_us, " +
+          "event_type, CAST(count(*) AS BIGINT) AS n " +
+          "FROM events GROUP BY 1, 2 ORDER BY 1, 2")),
+
     // Edit-distance fuzzy join (entity resolution): planted one-char
     // typos of document "names" (their first-two-token string) must find
     // their sources within Levenshtein ≤ 2, candidates generated by
