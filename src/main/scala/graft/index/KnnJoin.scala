@@ -295,6 +295,32 @@ object KnnJoin {
       .select("query_id", "vec_id", "dist2")
   }
 
+  /** Offline k-NN GRAPH build — a node set joined against itself with
+    * self-edges removed: the precursor artifact of graph-ANN index builds
+    * (NN-descent / HNSW seed graphs), semantic-dedup neighborhoods, and
+    * label propagation. Exact path = one [[exact]] self-join at `k + 1`
+    * (the self hit sits inside the heap at distance 0, so k real
+    * neighbors always survive) followed by a re-rank after dropping it —
+    * every node emits exactly k out-edges ranked by `(dist2, dst)`. At
+    * corpus scale callers pass the prebuilt IVF `model` and each node
+    * scans only its APS-probed cells exactly as in [[ivf]] (approximate;
+    * recall pinned against the exact graph in KnnJoinSpec). Output
+    * `(src, dst, rnk, dist2)`. */
+  def knnGraph(nodes: DataFrame, k: Int, model: Option[IvfModel] = None): DataFrame = {
+    val topk = model match {
+      case None    => exact(nodes, nodes, k + 1)
+      case Some(m) => ivf(m, nodes, k + 1)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("dist2").asc, col("vec_id").asc)
+    topk
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id").as("src"), col("vec_id").as("dst"), col("rnk"), col("dist2"))
+  }
+
   private def normalizeQueries(queries: DataFrame): DataFrame =
     if (queries.columns.contains("query_id")) queries.select("query_id", "qvec")
     else queries.select(col("vec_id").as("query_id"), col("embedding").as("qvec"))

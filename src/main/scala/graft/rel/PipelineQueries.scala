@@ -5953,5 +5953,216 @@ object PipelineQueries {
           "CAST(sum(len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) AS BIGINT) AS sum_union, " +
           "CAST(1 AS BIGINT) AS scurve_ok " +
           "FROM st GROUP BY stratum ORDER BY stratum"
-      }))
+      }),
+
+    // Offline k-NN GRAPH build (KnnJoin.knnGraph) — the precursor
+    // artifact of graph-ANN index construction (NN-descent / HNSW seed
+    // graphs), semantic-dedup neighborhoods, and label propagation: every
+    // node's 5 nearest neighbors by exact squared L2, self-edges removed,
+    // plus the graph-level per-node facts an index builder consumes —
+    // rank-1 neighbor and MUTUAL-edge count (edges present in both
+    // directions; high reciprocity is what makes the NN-descent refine
+    // loop converge). Node set = even vec_ids: the ORACLE's replay is
+    // quadratic by nature, so the audited node set keeps the DuckDB cross
+    // join bounded while the Spark plan is the real blocked self-join
+    // (broadcast nodes × one corpus scan + bounded heaps); at corpus
+    // scale the same operator takes the IVF model and each node scans
+    // only its APS-probed cells (recall pinned in KnnJoinSpec). Distances
+    // use the shared ascending-dim double fold, ties broken by (dist2,
+    // dst) — every edge is deterministic, so the whole adjacency crosses
+    // the oracle exactly; only integer ids/counts are emitted.
+    NamedQuery(
+      "v31_knn_graph",
+      (s, dir) => {
+        val nodes = t(s, dir, "embeddings")
+          .filter(pmod(col("vec_id"), lit(2)) === 0)
+          .select("vec_id", "embedding")
+        // cached: the edge list feeds three consumers (nn1 + both sides
+        // of the reciprocity self-join)
+        val edges = graft.CacheScope.track(
+          graft.index.KnnJoin.knnGraph(nodes, k = 5).cache())
+        val nn1 = edges.filter(col("rnk") === 1)
+          .select(col("src").as("vec_id"), col("dst").as("nn1"))
+        val mutual = edges.as("a")
+          .join(
+            edges.as("b"),
+            col("a.src") === col("b.dst") && col("a.dst") === col("b.src"),
+            "left_semi")
+          .groupBy(col("src"))
+          .agg(count(lit(1)).as("n_mutual"))
+          .withColumnRenamed("src", "vec_id")
+        nn1.join(mutual, Seq("vec_id"), "left")
+          .na.fill(0L, Seq("n_mutual"))
+          .orderBy("vec_id")
+      },
+      Some(
+        "WITH n AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0), " +
+          s"d AS (SELECT a.vec_id AS src, b.vec_id AS dst, ${duckL2("a.embedding", "b.embedding")} AS dist2 " +
+          "FROM n a JOIN n b ON a.vec_id <> b.vec_id), " +
+          "e AS (SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dist2 ASC, dst ASC) AS rnk FROM d), " +
+          "ek AS (SELECT src, dst, rnk FROM e WHERE rnk <= 5), " +
+          "m AS (SELECT a.src AS src, count(*) AS n_mutual FROM ek a JOIN ek b ON a.src = b.dst AND a.dst = b.src GROUP BY a.src), " +
+          "g AS (SELECT src, max(CASE WHEN rnk = 1 THEN dst END) AS nn1 FROM ek GROUP BY src) " +
+          "SELECT g.src AS vec_id, g.nn1 AS nn1, CAST(COALESCE(m.n_mutual, 0) AS BIGINT) AS n_mutual " +
+          "FROM g LEFT JOIN m USING (src) ORDER BY vec_id")),
+
+    // Compressed-video SCENE-CHANGE detection — the frame-sampling policy
+    // real multimodal pipelines run before feature extraction (sample one
+    // frame per SCENE, not per fixed stride): each asset deterministically
+    // defines a multi-scene animation (scene length 3-5 frames, scene
+    // fill levels alternating between a low and a high band ≥ 89 levels
+    // apart, ≤ 2 levels of intra-scene jitter), executors ENCODE it
+    // through the real multi-frame GIF89a codec (m01's path), decode
+    // every frame back, and detect boundaries where the exact decoded
+    // frame mean jumps by > 50 — then gaps-and-islands (cumulative
+    // boundary count) turns boundaries into segment rows. The 2-entry
+    // indexed palette keeps decoded means integer-exact, so DuckDB
+    // replays the construction arithmetic and the segmentation windows
+    // without touching a codec: hash-green certifies the codec round-trip
+    // AND the detector end-to-end. Per-frame work is row-local
+    // mapPartitions (the libavcodec slot); the windows partition by
+    // asset — nothing global, scales by asset count.
+    NamedQuery(
+      "m11_scene_segments",
+      (s, dir) => {
+        val pC = (lit(3) + pmod(col("doc_id"), lit(3))).cast("int")
+        val nsC = (lit(3) + pmod(col("doc_id"), lit(2))).cast("int")
+        val nfC = (pC * nsC).cast("int")
+        def fillOf(f: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+          val scene = ((f - pmod(f, pC)) / pC).cast("long")
+          (lit(40) + lit(120) * pmod(scene, lit(2)) +
+            pmod(col("doc_id") * 13 + scene * 7, lit(30)) + pmod(f, lit(3))).cast("int")
+        }
+        val fills = transform(sequence(lit(0), nfC - 1), fillOf _)
+        val spec = t(s, dir, "documents")
+          .filter(col("doc_id") < 40)
+          .select(
+            col("doc_id").as("asset_id"),
+            lit(16).as("width"), lit(12).as("height"),
+            fills.as("fr_r"), fills.as("fr_g"), fills.as("fr_b"))
+        val gif = MultimodalOps.encodeAnimatedGif(spec)
+        val frames = MultimodalOps.decodeGifFrames(gif, "asset_id", "content")
+        val wOrd = org.apache.spark.sql.expressions.Window
+          .partitionBy("asset_id").orderBy("frame")
+        val wCum = wOrd.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+        frames
+          .filter(col("decoded"))
+          // uniform fill ⇒ sum_r / n_px IS the exact fill level
+          .withColumn("fill", (col("sum_r") / col("n_px")).cast("long"))
+          .withColumn("pf", lag("fill", 1).over(wOrd))
+          .withColumn("b",
+            when(col("pf").isNull || abs(col("fill") - col("pf")) > 50, 1L).otherwise(0L))
+          .withColumn("seg", sum("b").over(wCum) - 1)
+          .groupBy("asset_id", "seg")
+          .agg(
+            min("frame").cast("int").as("start_frame"),
+            count(lit(1)).as("n_frames"),
+            sum("fill").as("sum_fill"))
+          .select(
+            col("asset_id"), col("seg").cast("long").as("seg"),
+            col("start_frame"), col("n_frames"), col("sum_fill"))
+          .orderBy("asset_id", "seg")
+      },
+      Some(
+        "WITH spec AS (SELECT doc_id AS asset_id, 3 + doc_id % 3 AS p, 3 + doc_id % 2 AS ns " +
+          "FROM documents WHERE doc_id < 40), " +
+          "fr AS (SELECT asset_id, CAST(r.range AS INTEGER) AS frame, " +
+          "40 + 120 * ((r.range // p) % 2) + (asset_id * 13 + (r.range // p) * 7) % 30 + r.range % 3 AS fill " +
+          "FROM spec, range(0, 20) r WHERE r.range < p * ns), " +
+          "fl AS (SELECT asset_id, frame, fill, " +
+          "CASE WHEN lag(fill) OVER (PARTITION BY asset_id ORDER BY frame) IS NULL " +
+          "OR abs(fill - lag(fill) OVER (PARTITION BY asset_id ORDER BY frame)) > 50 THEN 1 ELSE 0 END AS b " +
+          "FROM fr), " +
+          "sg AS (SELECT asset_id, frame, fill, " +
+          "sum(b) OVER (PARTITION BY asset_id ORDER BY frame ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS seg " +
+          "FROM fl) " +
+          "SELECT asset_id, CAST(seg AS BIGINT) AS seg, CAST(min(frame) AS INTEGER) AS start_frame, " +
+          "CAST(count(*) AS BIGINT) AS n_frames, CAST(sum(fill) AS BIGINT) AS sum_fill " +
+          "FROM sg GROUP BY asset_id, seg ORDER BY asset_id, seg")),
+
+    // Recursive CTE, certified — the one classic relational category the
+    // inventory had not yet pinned: a fixed-point hierarchy walk
+    // (`WITH RECURSIVE`), which Spark 4 executes natively as an iterated
+    // UnionLoop (each step one distributed join against the previous
+    // frontier — exactly the bounded-iteration shape of p06's star
+    // contraction, but declared in SQL). The hierarchy is derived
+    // deterministically from the supplier fixture (parent = suppkey div
+    // 10, roots = keys < 10 ⇒ a 10-tree forest, depth ≤ 3 at every sf,
+    // ~10× fan-out per level — the org-chart/BOM shape). Both engines run
+    // the IDENTICAL recursive SQL — integer division spelled per dialect
+    // (`div` / `//`) — and aggregate per root: node count, max depth, and
+    // balance total in EXACT integer cents (round(bal*100) kills the
+    // float representation wobble before the re-associated sum).
+    NamedQuery(
+      "q46_recursive_hierarchy",
+      (s, dir) => {
+        val sv = s"q46_supplier_${streamSinkCounter.incrementAndGet()}"
+        t(s, dir, "supplier").createOrReplaceTempView(sv)
+        try s.sql(
+          s"""WITH RECURSIVE walk AS (
+             |  SELECT s_suppkey AS node, s_suppkey AS root, 0 AS depth, s_acctbal
+             |  FROM $sv WHERE s_suppkey < 10
+             |  UNION ALL
+             |  SELECT s.s_suppkey, w.root, w.depth + 1, s.s_acctbal
+             |  FROM $sv s JOIN walk w ON s.s_suppkey >= 10 AND s.s_suppkey div 10 = w.node
+             |)
+             |SELECT root, CAST(count(*) AS BIGINT) AS n_nodes,
+             |       CAST(max(depth) AS BIGINT) AS max_depth,
+             |       CAST(sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_bal_cents
+             |FROM walk GROUP BY root ORDER BY root""".stripMargin)
+        finally s.catalog.dropTempView(sv)
+      },
+      Some(
+        "WITH RECURSIVE walk AS (" +
+          "SELECT s_suppkey AS node, s_suppkey AS root, 0 AS depth, s_acctbal " +
+          "FROM supplier WHERE s_suppkey < 10 " +
+          "UNION ALL SELECT s.s_suppkey, w.root, w.depth + 1, s.s_acctbal " +
+          "FROM supplier s JOIN walk w ON s.s_suppkey >= 10 AND s.s_suppkey // 10 = w.node) " +
+          "SELECT root, CAST(count(*) AS BIGINT) AS n_nodes, " +
+          "CAST(max(depth) AS BIGINT) AS max_depth, " +
+          "CAST(sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_bal_cents " +
+          "FROM walk GROUP BY root ORDER BY root")),
+
+    // Union-of-intervals coverage (Intervals.coverage) — merge
+    // overlapping/touching per-user activity intervals and account the
+    // covered time: the primitive behind viewability/uptime/SLA
+    // accounting and span-consolidation. Each event opens a
+    // deterministic-length interval ([ts, ts + 60..299 s), length keyed
+    // by event_id), islands form where a start lies strictly after the
+    // running max end (gaps-and-islands with a PRECEDING-frame running
+    // max — the general variable-length-interval rule, not the
+    // equal-length lag shortcut), and within an island coverage is
+    // contiguous so length = max(end) − min(start). All arithmetic in
+    // integer epoch-microseconds — both engines replay it exactly. One
+    // shuffle on user_id + sorted window scans; no self-join, no
+    // per-minute explode.
+    NamedQuery(
+      "q47_interval_union",
+      (s, dir) => {
+        val iv = t(s, dir, "events").select(
+          col("user_id"),
+          col("event_id"),
+          unix_micros(col("ts")).as("s_us"),
+          (unix_micros(col("ts")) +
+            (lit(60) + pmod(col("event_id"), lit(240))) * lit(1000000L)).as("e_us"))
+        Intervals.coverage(iv, "user_id", "s_us", "e_us", "event_id")
+          .select(
+            col("user_id"), col("n_islands"),
+            col("covered").as("covered_us"), col("longest").as("longest_us"))
+          .orderBy("user_id")
+      },
+      Some(
+        "WITH iv AS (SELECT user_id, event_id, epoch_us(ts) AS s_us, " +
+          "epoch_us(ts) + (60 + event_id % 240) * 1000000 AS e_us FROM events), " +
+          "mk AS (SELECT user_id, event_id, s_us, e_us, max(e_us) OVER " +
+          "(PARTITION BY user_id ORDER BY s_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme FROM iv), " +
+          "fl AS (SELECT user_id, event_id, s_us, e_us, CASE WHEN pme IS NULL OR s_us > pme THEN 1 ELSE 0 END AS b FROM mk), " +
+          "il AS (SELECT user_id, s_us, e_us, sum(b) OVER " +
+          "(PARTITION BY user_id ORDER BY s_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl FROM fl), " +
+          "seg AS (SELECT user_id, isl, min(s_us) AS cs, max(e_us) AS ce FROM il GROUP BY user_id, isl) " +
+          "SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands, " +
+          "CAST(sum(ce - cs) AS BIGINT) AS covered_us, CAST(max(ce - cs) AS BIGINT) AS longest_us " +
+          "FROM seg GROUP BY user_id ORDER BY user_id")))
 }

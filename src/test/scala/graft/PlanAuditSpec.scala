@@ -218,6 +218,34 @@ class PlanAuditSpec extends SparkSpec {
       s"JL candidate selection regressed to a window — every pair row would shuffle:\n$plan")
   }
 
+  test("interval union coverage: ONE key shuffle serves both window passes and both aggregations") {
+    import spark.implicits._
+    val df = (1L to 200L).map(i => (s"u${i % 7}", i, i * 10, i * 10 + 25)).toDF("k", "id", "s", "e")
+    val out = graft.rel.Intervals.coverage(df, "k", "s", "e", "id")
+    out.collect()
+    // windows partition by k; groupBy(k, island) and groupBy(k) are both
+    // satisfied by hashpartitioning(k) — anything > 1 means a window or
+    // agg re-shuffled data that is already clustered by key
+    assert(countShuffles(out) <= 1,
+      s"interval union re-shuffles key-clustered data:\n${out.queryExecution.executedPlan}")
+    assert(!out.queryExecution.executedPlan.toString.contains("CartesianProduct"),
+      "interval union must never fall back to a self-join")
+  }
+
+  test("knn graph exact path broadcasts the node set — the corpus never shuffles for distances") {
+    import spark.implicits._
+    val emb = (0L until 80L).map(i =>
+      (i, (0 until 8).map(d => ((i * 8 + d) % 11).toFloat / 11f))).toDF("vec_id", "embedding")
+    val out = graft.index.KnnJoin.knnGraph(emb, k = 3)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastNestedLoopJoin"),
+      s"node set is not broadcast — the corpus would shuffle per node batch:\n$plan")
+    // the heap agg pays one query_id shuffle; the re-rank window rides it
+    assert(countShuffles(out) <= 2,
+      s"knn graph shuffles beyond the top-k aggregation:\n$plan")
+  }
+
   test("exactStratifiedSplit: quota intervals broadcast — the data pays only the ranking shuffle") {
     import spark.implicits._
     val df = (1L to 200L).map(i => (i, s"s${i % 5}")).toDF("id", "src")

@@ -157,4 +157,28 @@ class KnnJoinSpec extends SparkSpec {
       .agg(avg("recall")).head.getDouble(0)
     assert(recall >= 0.9, s"ivfFiltered recall@10 = $recall below bar")
   }
+
+  test("knn graph: exactly k out-edges per node, no self-edges, ranks follow distance; ivf graph clears the recall bar") {
+    val k = 4
+    val g = KnnJoin.knnGraph(emb, k).cache()
+    val deg = g.groupBy("src").agg(
+      count(lit(1)).as("d"),
+      sum(when(col("src") === col("dst"), 1L).otherwise(0L)).as("selfs"))
+    assert(deg.filter(col("d") =!= k || col("selfs") =!= 0L).isEmpty, "outdegree/self-edge violation")
+    assert(deg.count() == emb.count(), "every node must emit edges")
+    // rank order must be non-decreasing in distance within each node
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("src").orderBy("rnk")
+    val disordered = g
+      .withColumn("pd", lag("dist2", 1).over(w))
+      .filter(col("pd").isNotNull && col("pd") > col("dist2"))
+    assert(disordered.isEmpty, "rank order disagrees with distance order")
+
+    val model = IvfBuild.build(emb, 64)
+    val approx = KnnJoin.knnGraph(emb, k, Some(model))
+    val exactE = g.select("src", "dst").as[(Long, Long)].collect().toSet
+    val gotE = approx.select("src", "dst").as[(Long, Long)].collect().toSet
+    val recallG = (exactE & gotE).size.toDouble / exactE.size
+    assert(recallG >= 0.9, s"ivf knn-graph edge recall $recallG below bar")
+    g.unpersist()
+  }
 }
