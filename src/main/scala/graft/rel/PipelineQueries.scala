@@ -6164,5 +6164,115 @@ object PipelineQueries {
           "seg AS (SELECT user_id, isl, min(s_us) AS cs, max(e_us) AS ce FROM il GROUP BY user_id, isl) " +
           "SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands, " +
           "CAST(sum(ce - cs) AS BIGINT) AS covered_us, CAST(max(ce - cs) AS BIGINT) AS longest_us " +
-          "FROM seg GROUP BY user_id ORDER BY user_id")))
+          "FROM seg GROUP BY user_id ORDER BY user_id")),
+
+    // Typed per-group streaming fold (`Dataset[T].groupByKey.mapGroups`)
+    // — the Encoder-backed imperative surface the engine had not yet
+    // exposed (Aggregator and flatMapGroupsWithState are covered; this is
+    // the plain per-group iterator fold): an ordinary-least-squares fit
+    // of chars-per-doc on tokens-per-doc, per source. The fold keeps five
+    // Long moments (n, Σx, Σy, Σxy, Σx²) in O(1) state over the group
+    // ITERATOR — group size never materializes, so a billion-row source
+    // streams through one task — and every product goes through
+    // Math.multiplyExact/addExact so a corpus big enough to overflow the
+    // closed-form numerators fails LOUDLY (ANSI discipline, the p15
+    // bound-guard pattern) instead of shipping a wrong slope. Slope
+    // crosses the oracle as the EXACT integer fraction (n·Σxy − Σx·Σy) /
+    // (n·Σx² − (Σx)²) plus its one-division f32-squeezed value — no
+    // re-associated float sums anywhere.
+    NamedQuery(
+      "q48_per_source_fit",
+      (s, dir) => {
+        import s.implicits._
+        val rows = t(s, dir, "documents")
+          .select(
+            col("source"),
+            size(TextOps.tokens(col("text"))).cast("long").as("x"),
+            col("n_chars").as("y"))
+          .as[(String, Long, Long)]
+        val fits = rows
+          .groupByKey(_._1)
+          .mapGroups { (src, it) =>
+            var n = 0L; var sx = 0L; var sy = 0L; var sxy = 0L; var sxx = 0L
+            it.foreach { case (_, x, y) =>
+              n = Math.addExact(n, 1L)
+              sx = Math.addExact(sx, x)
+              sy = Math.addExact(sy, y)
+              sxy = Math.addExact(sxy, Math.multiplyExact(x, y))
+              sxx = Math.addExact(sxx, Math.multiplyExact(x, x))
+            }
+            val num = Math.subtractExact(Math.multiplyExact(n, sxy), Math.multiplyExact(sx, sy))
+            val den = Math.subtractExact(Math.multiplyExact(n, sxx), Math.multiplyExact(sx, sx))
+            (src, n, num, den)
+          }
+          .toDF("source", "n_docs", "num", "den")
+        fits
+          .select(
+            col("source"), col("n_docs"), col("num"), col("den"),
+            when(col("den") =!= 0L,
+              f32round(col("num").cast("double") / col("den").cast("double"), 6)).as("slope"))
+          .orderBy("source")
+      },
+      Some(
+        s"WITH d AS (SELECT source, CAST(len($duckToks) AS BIGINT) AS x, n_chars AS y FROM documents), " +
+          "s AS (SELECT source, count(*) AS n, sum(x) AS sx, sum(y) AS sy, " +
+          "sum(x * y) AS sxy, sum(x * x) AS sxx FROM d GROUP BY source) " +
+          "SELECT source, CAST(n AS BIGINT) AS n_docs, " +
+          "CAST(n * sxy - sx * sy AS BIGINT) AS num, " +
+          "CAST(n * sxx - sx * sx AS BIGINT) AS den, " +
+          "CASE WHEN n * sxx - sx * sx = 0 THEN NULL ELSE " +
+          "round(CAST(CAST(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) AS REAL) AS DOUBLE), 6) + 0.0 END AS slope " +
+          "FROM s ORDER BY source")),
+
+    // Embedding-distribution DRIFT audit — the train/serve skew monitor
+    // for the vector side (q43 is its scalar twin): per-DIMENSION mean
+    // shift between two corpus slices (even vs odd vec_ids), computed in
+    // EXACT integer shadow arithmetic so the verdict is portable:
+    // f32 → f64 is exact, ×2²⁰ is an exponent shift (exact), round gives
+    // an integer every engine agrees on bit-for-bit — so the
+    // re-associated SUMS are exact Long arithmetic, never a float fold
+    // (the trick that makes a cross-row mean oracle-safe at all; unit
+    // vectors × 2²⁰ × corpus rows sit far inside Long). Output: each
+    // dimension's |Δmean| in quantized units scaled by both slice
+    // counts (|na·sum_b − nb·sum_a| — the cross-multiplied form, no
+    // division), plus a drift flag at the 0.02-of-unit bar. One
+    // posexplode + one (dim) aggregation: a single shuffle of 64 groups.
+    NamedQuery(
+      "v32_embedding_drift",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+          .withColumn("q", round(col("x").cast("double") * lit(1048576.0)).cast("long"))
+          .withColumn("side", pmod(col("vec_id"), lit(2)))
+        val agg = emb
+          .groupBy("dim")
+          .agg(
+            sum(when(col("side") === 0, col("q"))).as("sum_a"),
+            count(when(col("side") === 0, lit(1))).as("na"),
+            sum(when(col("side") === 1, col("q"))).as("sum_b"),
+            count(when(col("side") === 1, lit(1))).as("nb"))
+        // |Δmean| ≤ bar  ⇔  |na·sum_b − nb·sum_a| ≤ bar·2²⁰·na·nb — all Long
+        agg
+          .select(
+            col("dim"),
+            col("na"), col("nb"),
+            abs(col("na") * col("sum_b") - col("nb") * col("sum_a")).as("cross_diff"),
+            when(
+              abs(col("na") * col("sum_b") - col("nb") * col("sum_a")) * lit(50L) <=
+                col("na") * col("nb") * lit(1048576L),
+              1L).otherwise(0L).as("within_bar"))
+          .orderBy("dim")
+      },
+      Some(
+        "WITH e AS (SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim, " +
+          "CAST(round(CAST(embedding[i] AS DOUBLE) * 1048576) AS BIGINT) AS q, vec_id % 2 AS side " +
+          "FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)), " +
+          "a AS (SELECT dim, sum(CASE WHEN side = 0 THEN q END) AS sum_a, " +
+          "count(CASE WHEN side = 0 THEN 1 END) AS na, " +
+          "sum(CASE WHEN side = 1 THEN q END) AS sum_b, " +
+          "count(CASE WHEN side = 1 THEN 1 END) AS nb FROM e GROUP BY dim) " +
+          "SELECT dim, CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb, " +
+          "CAST(abs(na * sum_b - nb * sum_a) AS BIGINT) AS cross_diff, " +
+          "CAST(CASE WHEN abs(na * sum_b - nb * sum_a) * 50 <= na * nb * 1048576 THEN 1 ELSE 0 END AS BIGINT) AS within_bar " +
+          "FROM a ORDER BY dim")))
 }
