@@ -1,0 +1,54 @@
+package graft.rel
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Power-iteration centrality (PageRank) in EXACT integer arithmetic —
+  * the canonical iterative-join workload of large-scale dataflow (domain
+  * authority for crawl curation, influence weighting for sampling), made
+  * oracle-portable: ranks are Longs quantized to a caller-chosen `unit`,
+  * each step is `r' = (15·unit) div 100 + (85 · Σ_in (r_u div deg_u)) div
+  * 100` — floor division and integer sums only, so ANY engine that
+  * replays the same schedule produces bit-identical ranks (no float
+  * association anywhere; quantization loss is deterministic and bounded
+  * by one unit per edge per step).
+  *
+  * Plan shape per iteration: ranks ⨝ out-degree (broadcast — degree
+  * table is |V|-sized metadata), fan-out across `edges` (one shuffle on
+  * src), aggregate incoming shares (one shuffle on dst), left-join back
+  * to the node set. At 100 TB scale the edge table is the only big
+  * operand and it is shuffled ON ITS JOIN KEY once per side per step —
+  * the same cost shape as every BSP graph engine's superstep; a
+  * production run would also `localCheckpoint` every few iterations to
+  * cut lineage, which changes nothing semantically.
+  */
+object PageRank {
+
+  /** `nodes(node)`, `edges(src, dst)` (parallel edges allowed — each
+    * carries its own share). Returns `(node, r)` after `iters` steps from
+    * a uniform start of `unit` per node. Dangling nodes (no out-edges)
+    * simply retain no outgoing mass — the damping base keeps their rank
+    * positive; nodes with no in-edges converge to the base. */
+  def run(nodes: DataFrame, edges: DataFrame, iters: Int, unit: Long): DataFrame = {
+    require(iters >= 0 && unit > 0 && unit % 20 == 0,
+      s"unit must be positive and divisible by 20 for an exact damping base (got $unit)")
+    val base = 3L * (unit / 20L) // = 0.15·unit, exact since 20 | unit
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    var ranks = nodes.select(col("node"), lit(unit).as("r"))
+    var i = 0
+    while (i < iters) {
+      val incoming = ranks
+        .join(broadcast(deg), ranks("node") === deg("src"))
+        .select(col("src"), expr("r div deg").as("share"))
+        .join(edges, "src")
+        .groupBy("dst")
+        .agg(sum("share").as("incoming"))
+      ranks = nodes
+        .join(incoming.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .na.fill(0L, Seq("incoming"))
+        .select(col("node"), (lit(base) + expr("(85 * incoming) div 100")).as("r"))
+      i += 1
+    }
+    ranks
+  }
+}

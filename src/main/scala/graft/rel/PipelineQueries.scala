@@ -6274,5 +6274,87 @@ object PipelineQueries {
           "SELECT dim, CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb, " +
           "CAST(abs(na * sum_b - nb * sum_a) AS BIGINT) AS cross_diff, " +
           "CAST(CASE WHEN abs(na * sum_b - nb * sum_a) * 50 <= na * nb * 1048576 THEN 1 ELSE 0 END AS BIGINT) AS within_bar " +
-          "FROM a ORDER BY dim")))
+          "FROM a ORDER BY dim")),
+
+    // Power-iteration centrality (rel/PageRank.run) — the canonical
+    // iterative-join workload (domain authority for crawl curation,
+    // influence weights for sampling), certified EXACTLY: ranks are
+    // integer-quantized (unit 10¹²) and every step is floor-division +
+    // integer-sum arithmetic, so the oracle replays all 10 supersteps
+    // bit-for-bit as 10 unrolled CTEs — no float association, no
+    // tolerance. Graph = a deterministic functional expander over 100
+    // customer keys (each node → (7·node + 13i) mod 100, i ∈ {1,2,3};
+    // out-degree exactly 3, in-degree varies — real skew). Spark runs
+    // the BSP loop as 10 chained join+aggregate rounds (degree table
+    // broadcast; the edge table shuffles only on its join keys — the
+    // superstep cost shape that holds at any graph size).
+    NamedQuery(
+      "p16_pagerank",
+      (s, dir) => {
+        val unit = 1000000000000L
+        val nodes = t(s, dir, "customer")
+          .filter(col("c_custkey") < 100)
+          .select(col("c_custkey").as("node"))
+        val edges = nodes
+          .select(col("node").as("src"), explode(array(lit(1), lit(2), lit(3))).as("i"))
+          .select(col("src"), pmod(col("src") * 7 + col("i") * 13, lit(100)).as("dst"))
+        PageRank.run(nodes, edges, iters = 10, unit = unit)
+          .select(col("node"), col("r").as("rank_q"))
+          .orderBy(col("rank_q").desc, col("node"))
+          .limit(20)
+      },
+      Some {
+        val steps = (1 to 10).map { k =>
+          s"r$k AS (SELECT n.node, 150000000000 + (85 * COALESCE(s.incoming, 0)) // 100 AS r " +
+            s"FROM nodes n LEFT JOIN (SELECT e.dst, sum(r.r // d.deg) AS incoming " +
+            s"FROM r${k - 1} r JOIN deg d ON r.node = d.src JOIN edges e ON e.src = r.node " +
+            "GROUP BY e.dst) s ON n.node = s.dst)"
+        }.mkString(", ")
+        "WITH nodes AS (SELECT c_custkey AS node FROM customer WHERE c_custkey < 100), " +
+          "edges AS (SELECT node AS src, (node * 7 + i * 13) % 100 AS dst " +
+          "FROM nodes, unnest([1, 2, 3]) AS t(i)), " +
+          "deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src), " +
+          "r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS r FROM nodes), " +
+          steps + " " +
+          "SELECT node, CAST(r AS BIGINT) AS rank_q FROM r10 " +
+          "ORDER BY rank_q DESC, node LIMIT 20"
+      }),
+
+    // Schema-on-read CORRUPT-RECORD accounting — the ingest-side contract
+    // a 100 TB semi-structured feed lives by: `from_json` in PERMISSIVE
+    // mode must turn malformed payloads into null fields (never a task
+    // failure, never a dropped row) while valid rows parse typed. A
+    // deterministic seventh of the rows is corrupted AT THE FIRST BYTE
+    // (leading '@') so the parser fails before reading any field —
+    // Spark's PERMISSIVE parser keeps PARTIAL results for records that
+    // fail mid-parse, so a truncated-tail corruption would diverge from
+    // any engine that validates whole documents; first-byte corruption
+    // pins both engines to the same verdict. The oracle replays the
+    // mangling and the accounting via json_valid + json_extract.
+    NamedQuery(
+      "q49_corrupt_records",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val mangled = ev.withColumn(
+          "pm",
+          when(pmod(col("event_id"), lit(13)) === 0, concat(lit("@"), col("props")))
+            .otherwise(col("props")))
+        mangled
+          .withColumn("k", expr("from_json(pm, 'k BIGINT').k"))
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n_rows"),
+            sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_corrupt"),
+            sum("k").as("sum_k"))
+          .orderBy("event_type")
+      },
+      Some(
+        "WITH m AS (SELECT event_type, event_id, CASE WHEN event_id % 13 = 0 " +
+          "THEN '@' || props ELSE props END AS pm FROM events), " +
+          "p AS (SELECT event_type, CASE WHEN json_valid(pm) " +
+          "THEN TRY_CAST(json_extract_string(pm, '$.k') AS BIGINT) END AS k FROM m) " +
+          "SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows, " +
+          "CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt, " +
+          "CAST(sum(k) AS BIGINT) AS sum_k " +
+          "FROM p GROUP BY event_type ORDER BY event_type")))
 }

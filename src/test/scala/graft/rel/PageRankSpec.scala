@@ -1,0 +1,39 @@
+package graft.rel
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PageRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val unit = 1000000000000L
+  private val base = 3L * (unit / 20L)
+
+  test("two-node cycle: symmetry is preserved exactly and ranks follow the damping recurrence") {
+    val nodes = Seq(1L, 2L).toDF("node")
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val got = PageRank.run(nodes, edges, iters = 5, unit = unit)
+      .as[(Long, Long)].collect().toMap
+    assert(got(1L) == got(2L), "cycle symmetry broken")
+    // closed form of the integer recurrence: r' = base + (85 * r) div 100
+    var r = unit
+    (1 to 5).foreach(_ => r = base + (85L * r) / 100L)
+    assert(got(1L) == r, s"rank ${got(1L)} disagrees with the exact recurrence $r")
+  }
+
+  test("isolated node holds exactly the damping base; total mass never exceeds the start mass") {
+    val nodes = Seq(1L, 2L, 3L).toDF("node")
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst") // 3 is isolated
+    val ranks = PageRank.run(nodes, edges, iters = 4, unit = unit)
+    val m = ranks.as[(Long, Long)].collect().toMap
+    assert(m(3L) == base, s"isolated node rank ${m(3L)} != base $base")
+    assert(m.values.sum <= 3L * unit, "integer floors must only ever lose mass")
+  }
+
+  test("in-degree skew concentrates rank: a sink every node feeds outranks its feeders") {
+    val nodes = (1L to 6L).toDF("node")
+    val edges = (1L to 5L).map(i => (i, 6L)).toDF("src", "dst")
+    val m = PageRank.run(nodes, edges, iters = 3, unit = unit).as[(Long, Long)].collect().toMap
+    assert((1L to 5L).forall(i => m(6L) > m(i)), s"sink did not accumulate rank: $m")
+  }
+}
