@@ -380,6 +380,48 @@ object MultimodalOps {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** [[encodePcmWav]]'s caller-supplied-waveform twin: writes the GIVEN
+    * int16 samples (input `(asset_id long, sample_rate int,
+    * samples array<int>)`, values must fit a short — out-of-range values
+    * fail loudly rather than wrap) as a genuine RIFF/PCM16 mono WAV.
+    * Lets a query plant structured waveforms (silence runs, energy
+    * bursts) that the seeded-noise encoder cannot express, while the
+    * decode side stays byte-identical PCM16. Same mapPartitions batch
+    * shape as [[encodePcmWav]]. */
+  def encodePcmWavSamples(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = false)))
+    val src = df.select(
+      col("asset_id").cast("long"), col("sample_rate").cast("int"), col("samples").cast("array<int>"))
+    val rdd = src.rdd.mapPartitions { rows =>
+      rows.map { row =>
+        val sr = row.getInt(1)
+        val samples = row.getSeq[Int](2)
+        val n = samples.length
+        val data = 2 * n
+        val buf = java.nio.ByteBuffer.allocate(44 + data).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + data).put("WAVE".getBytes("US-ASCII"))
+        buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+          .putShort(1) // PCM
+          .putShort(1) // mono
+          .putInt(sr)
+          .putInt(sr * 2) // byte rate
+          .putShort(2)    // block align
+          .putShort(16)   // bits per sample
+        buf.put("data".getBytes("US-ASCII")).putInt(data)
+        samples.foreach { s =>
+          require(s >= Short.MinValue && s <= Short.MaxValue,
+            s"sample $s out of int16 range (asset ${row.getLong(0)})")
+          buf.putShort(s.toShort)
+        }
+        Row(row.getLong(0), buf.array())
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** REAL audio downsampling — the m07 resize story for sound: decode
     * PCM16 mono WAV through `javax.sound.sampled`, decimate by integer
     * block mean (`floorDiv` of each `factor`-sample block — exact integer

@@ -29,9 +29,15 @@ object PageRank {
     * a uniform start of `unit` per node. Dangling nodes (no out-edges)
     * simply retain no outgoing mass — the damping base keeps their rank
     * positive; nodes with no in-edges converge to the base. */
-  def run(nodes: DataFrame, edges: DataFrame, iters: Int, unit: Long): DataFrame = {
+  def run(
+      nodes: DataFrame,
+      edges: DataFrame,
+      iters: Int,
+      unit: Long,
+      checkpointEvery: Int = 4): DataFrame = {
     require(iters >= 0 && unit > 0 && unit % 20 == 0,
       s"unit must be positive and divisible by 20 for an exact damping base (got $unit)")
+    require(checkpointEvery > 0, s"checkpointEvery must be positive, got $checkpointEvery")
     val base = 3L * (unit / 20L) // = 0.15·unit, exact since 20 | unit
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     var ranks = nodes.select(col("node"), lit(unit).as("r"))
@@ -48,6 +54,11 @@ object PageRank {
         .na.fill(0L, Seq("incoming"))
         .select(col("node"), (lit(base) + expr("(85 * incoming) div 100")).as("r"))
       i += 1
+      // truncate lineage every few supersteps — values are unchanged, but
+      // without this the k-th iteration re-plans a k-deep join tree
+      // (quadratic planning cost; at real graph sizes, also re-execution
+      // risk on failure)
+      if (i % checkpointEvery == 0 && i < iters) ranks = ranks.localCheckpoint()
     }
     ranks
   }

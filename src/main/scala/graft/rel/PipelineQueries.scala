@@ -6356,5 +6356,70 @@ object PipelineQueries {
           "SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows, " +
           "CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt, " +
           "CAST(sum(k) AS BIGINT) AS sum_k " +
-          "FROM p GROUP BY event_type ORDER BY event_type")))
+          "FROM p GROUP BY event_type ORDER BY event_type")),
+
+    // Audio VOICE-ACTIVITY segmentation — m11's story for sound and the
+    // other half of the multimodal frame-sampling policy (trim silence,
+    // keep speech segments): each asset plants a structured waveform
+    // (200-sample frames alternating 2-on/2-off between high-energy
+    // pseudo-noise and near-silence; min active frame energy 5.4e9 vs
+    // max silent 8.4e3 — a six-decade guard band around the 1e6 gate),
+    // encodes it as a REAL RIFF/PCM16 WAV, decodes through
+    // javax.sound.sampled, gates per-frame Σs² energy, and merges active
+    // frames into segments by REUSING Intervals.unionPerKey on
+    // [frame, frame+1) — touching frames merge, gaps split. Energy is
+    // exact integer arithmetic end-to-end, so the oracle replays sample
+    // generation, framing, gate, and segmentation from the formula
+    // alone; hash-green certifies the codec round-trip AND the VAD.
+    NamedQuery(
+      "m12_vad_segments",
+      (s, dir) => {
+        val aC = col("doc_id")
+        val nF = (lit(12) + pmod(aC, lit(5))).cast("int")
+        val sampleOf = (i: org.apache.spark.sql.Column) => {
+          val f = ((i.cast("long") - pmod(i, lit(200)).cast("long")) / 200).cast("long")
+          when(
+            pmod(f + aC, lit(4)) < 2,
+            pmod(i.cast("long") * lit(2654435761L) + aC * 97, lit(18001)) - 9000)
+            .otherwise(pmod(i.cast("long") * 7 + aC, lit(21)) - 10)
+            .cast("int")
+        }
+        val spec = t(s, dir, "documents")
+          .filter(col("doc_id") < 30)
+          .select(
+            col("doc_id").as("asset_id"),
+            lit(8000).as("sample_rate"),
+            transform(sequence(lit(0), nF * 200 - 1), sampleOf).as("samples"))
+        val wav = MultimodalOps.encodePcmWavSamples(spec)
+        val frames = MultimodalOps.audioFrameFeatures(wav, "asset_id", "content", frameLen = 200)
+        val active = frames
+          .filter(col("sum_sq") > 1000000L)
+          .select(
+            col("asset_id"),
+            col("frame_idx").cast("long").as("fs"),
+            (col("frame_idx") + 1).cast("long").as("fe"),
+            col("frame_idx").as("fid"))
+        Intervals.coverage(active, "asset_id", "fs", "fe", "fid")
+          .select(
+            col("asset_id"), col("n_islands").as("n_segments"),
+            col("covered").as("speech_frames"), col("longest").as("longest_frames"))
+          .orderBy("asset_id")
+      },
+      Some(
+        "WITH spec AS (SELECT doc_id AS a, 12 + doc_id % 5 AS nf FROM documents WHERE doc_id < 30), " +
+          "smp AS (SELECT a, r.range AS i, r.range // 200 AS f, " +
+          "CASE WHEN ((r.range // 200) + a) % 4 < 2 " +
+          "THEN (r.range * 2654435761 + a * 97) % 18001 - 9000 " +
+          "ELSE (r.range * 7 + a) % 21 - 10 END AS s " +
+          "FROM spec, range(0, 3200) r WHERE r.range < nf * 200), " +
+          "fr AS (SELECT a, f, sum(s * s) AS sum_sq FROM smp GROUP BY a, f), " +
+          "act AS (SELECT a, f FROM fr WHERE sum_sq > 1000000), " +
+          "fl AS (SELECT a, f, CASE WHEN lag(f) OVER (PARTITION BY a ORDER BY f) IS NULL " +
+          "OR f - lag(f) OVER (PARTITION BY a ORDER BY f) > 1 THEN 1 ELSE 0 END AS b FROM act), " +
+          "il AS (SELECT a, f, sum(b) OVER (PARTITION BY a ORDER BY f " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg FROM fl), " +
+          "sg AS (SELECT a, seg, count(*) AS len FROM il GROUP BY a, seg) " +
+          "SELECT a AS asset_id, CAST(count(*) AS BIGINT) AS n_segments, " +
+          "CAST(sum(len) AS BIGINT) AS speech_frames, CAST(max(len) AS BIGINT) AS longest_frames " +
+          "FROM sg GROUP BY a ORDER BY asset_id")))
 }
