@@ -303,13 +303,22 @@ object KnnJoin {
     * neighbors always survive) followed by a re-rank after dropping it —
     * every node emits exactly k out-edges ranked by `(dist2, dst)`. At
     * corpus scale callers pass the prebuilt IVF `model` and each node
-    * scans only its APS-probed cells exactly as in [[ivf]] (approximate;
-    * recall pinned against the exact graph in KnnJoinSpec). Output
+    * scans only its APS-probed cells exactly as in [[ivf]] (approximate —
+    * recall pinned against the exact graph in KnnJoinSpec; candidates are
+    * closed over `nodes` even when the model indexes a superset, so
+    * out-degree may fall below k on that path). Output
     * `(src, dst, rnk, dist2)`. */
   def knnGraph(nodes: DataFrame, k: Int, model: Option[IvfModel] = None): DataFrame = {
     val topk = model match {
-      case None    => exact(nodes, nodes, k + 1)
-      case Some(m) => ivf(m, nodes, k + 1)
+      case None => exact(nodes, nodes, k + 1)
+      case Some(m) =>
+        // the model may index a SUPERSET of `nodes` (the usual deployment:
+        // one corpus index, many node subsets) — keep the graph closed
+        // over `nodes` by semi-joining the scanned candidates back to the
+        // node set; out-degree can then fall below k (approximate path —
+        // the recall pin in KnnJoinSpec covers the drop)
+        ivf(m, nodes, k + 1)
+          .join(nodes.select(col("vec_id")), Seq("vec_id"), "left_semi")
     }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id")

@@ -335,6 +335,25 @@ object MultimodalOps {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** One 44-byte RIFF/PCM16-mono header + room for `n` samples — the
+    * single header writer both WAV encoders share (a header fix must not
+    * be able to drift between them). Caller appends the little-endian
+    * samples. */
+  private def wavPcm16Buffer(sr: Int, n: Int): java.nio.ByteBuffer = {
+    val data = 2 * n
+    val buf = java.nio.ByteBuffer.allocate(44 + data).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + data).put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(sr)
+      .putInt(sr * 2) // byte rate
+      .putShort(2)    // block align
+      .putShort(16)   // bits per sample
+    buf.put("data".getBytes("US-ASCII")).putInt(data)
+    buf
+  }
+
   /** RIFF/WAVE PCM16 mono encoder over a spec frame
     * `(asset_id long, n_samples int, sample_rate int, seed long)`:
     * sample `i` is the deterministic full-range int16
@@ -355,17 +374,7 @@ object MultimodalOps {
         val n = row.getInt(1)
         val sr = row.getInt(2)
         val seed = row.getLong(3)
-        val data = 2 * n
-        val buf = java.nio.ByteBuffer.allocate(44 + data).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-        buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + data).put("WAVE".getBytes("US-ASCII"))
-        buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
-          .putShort(1) // PCM
-          .putShort(1) // mono
-          .putInt(sr)
-          .putInt(sr * 2) // byte rate
-          .putShort(2)    // block align
-          .putShort(16)   // bits per sample
-        buf.put("data".getBytes("US-ASCII")).putInt(data)
+        val buf = wavPcm16Buffer(sr, n)
         var i = 0
         while (i < n) {
           // floorMod, not %: JVM % preserves the dividend's sign, so a
@@ -399,18 +408,7 @@ object MultimodalOps {
       rows.map { row =>
         val sr = row.getInt(1)
         val samples = row.getSeq[Int](2)
-        val n = samples.length
-        val data = 2 * n
-        val buf = java.nio.ByteBuffer.allocate(44 + data).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-        buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + data).put("WAVE".getBytes("US-ASCII"))
-        buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
-          .putShort(1) // PCM
-          .putShort(1) // mono
-          .putInt(sr)
-          .putInt(sr * 2) // byte rate
-          .putShort(2)    // block align
-          .putShort(16)   // bits per sample
-        buf.put("data".getBytes("US-ASCII")).putInt(data)
+        val buf = wavPcm16Buffer(sr, samples.length)
         samples.foreach { s =>
           require(s >= Short.MinValue && s <= Short.MaxValue,
             s"sample $s out of int16 range (asset ${row.getLong(0)})")
@@ -457,12 +455,7 @@ object MultimodalOps {
           val n = pcm.length / 2
           val outN = n / factor
           val outRate = math.max(1, fmt.getSampleRate.toInt / factor)
-          val data = 2 * outN
-          val buf = java.nio.ByteBuffer.allocate(44 + data).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-          buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + data).put("WAVE".getBytes("US-ASCII"))
-          buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
-            .putShort(1).putShort(1).putInt(outRate).putInt(outRate * 2).putShort(2).putShort(16)
-          buf.put("data".getBytes("US-ASCII")).putInt(data)
+          val buf = wavPcm16Buffer(outRate, outN)
           var j = 0
           while (j < outN) {
             var sum = 0L

@@ -6324,7 +6324,7 @@ object PipelineQueries {
     // a 100 TB semi-structured feed lives by: `from_json` in PERMISSIVE
     // mode must turn malformed payloads into null fields (never a task
     // failure, never a dropped row) while valid rows parse typed. A
-    // deterministic seventh of the rows is corrupted AT THE FIRST BYTE
+    // deterministic thirteenth of the rows is corrupted AT THE FIRST BYTE
     // (leading '@') so the parser fails before reading any field —
     // Spark's PERMISSIVE parser keeps PARTIAL results for records that
     // fail mid-parse, so a truncated-tail corruption would diverge from
