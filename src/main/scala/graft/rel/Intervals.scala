@@ -24,6 +24,12 @@ import org.apache.spark.sql.functions._
   */
 object Intervals {
 
+  /** Working + output column names [[unionPerKey]] claims: an input that
+    * already carries one would be silently shadowed (temps) or collide in
+    * the output schema — rejected at entry, like Sampling's `_rn` guard. */
+  private val Reserved =
+    Seq("__pme", "__b", "__island", "island", "cov_start", "cov_end", "n_merged")
+
   /** Merge overlapping/touching `[startCol, endCol)` intervals per
     * `keyCol`. `idCol` breaks start-ties deterministically. Output: one
     * row per merged island `(key, island, cov_start, cov_end, n_merged)`
@@ -34,6 +40,9 @@ object Intervals {
       startCol: String,
       endCol: String,
       idCol: String): DataFrame = {
+    val clashes = df.columns.toSeq.intersect(Reserved)
+    require(clashes.isEmpty,
+      s"input must not carry reserved interval columns: ${clashes.mkString(", ")}")
     val ord = Window.partitionBy(keyCol).orderBy(col(startCol), col(idCol))
     val prevEdge = ord.rowsBetween(Window.unboundedPreceding, -1)
     val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)

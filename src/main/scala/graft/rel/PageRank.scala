@@ -13,14 +13,20 @@ import org.apache.spark.sql.functions._
   * association anywhere; quantization loss is deterministic and bounded
   * by one unit per edge per step).
   *
-  * Plan shape per iteration: ranks ⨝ out-degree (broadcast — degree
-  * table is |V|-sized metadata), fan-out across `edges` (one shuffle on
-  * src), aggregate incoming shares (one shuffle on dst), left-join back
-  * to the node set. At 100 TB scale the edge table is the only big
-  * operand and it is shuffled ON ITS JOIN KEY once per side per step —
-  * the same cost shape as every BSP graph engine's superstep; a
-  * production run would also `localCheckpoint` every few iterations to
-  * cut lineage, which changes nothing semantically.
+  * Plan shape per iteration: ranks ⨝ out-degree (NO broadcast hint —
+  * the degree table has one row per node with out-edges, i.e. it is
+  * |V|-sized DATA, and forcing it through driver broadcast every
+  * superstep is an OOM at billion-node scale; the hint-free join
+  * shuffles both sides on the node key, that exchange is reused by the
+  * very next `join(edges, "src")`, and when the graph really is small
+  * AQE still converts the shuffle join to a broadcast at runtime from
+  * MEASURED sizes), fan-out across `edges` (one shuffle on src),
+  * aggregate incoming shares (one shuffle on dst), left-join back to
+  * the node set. At 100 TB scale the edge table is the only big operand
+  * and it is shuffled ON ITS JOIN KEY once per side per step — the same
+  * cost shape as every BSP graph engine's superstep; `localCheckpoint`
+  * every few iterations cuts lineage, which changes nothing
+  * semantically (pinned in PageRankSpec).
   */
 object PageRank {
 
@@ -38,13 +44,25 @@ object PageRank {
     require(iters >= 0 && unit > 0 && unit % 20 == 0,
       s"unit must be positive and divisible by 20 for an exact damping base (got $unit)")
     require(checkpointEvery > 0, s"checkpointEvery must be positive, got $checkpointEvery")
+    // Entry-time overflow bound for the `85 * incoming` step: integer
+    // floors only ever LOSE mass, so at every superstep
+    // incoming ≤ Σ ranks ≤ |V|·unit — one BigInt check here proves all
+    // `iters` supersteps stay inside Long. Costs one count of the node
+    // table (O(|V|) once, vs `iters` full superstep shuffles).
+    val nV = nodes.count()
+    require(
+      BigInt(85) * nV * unit <= BigInt(Long.MaxValue),
+      s"85 * |V| * unit overflows Long ($nV nodes at unit $unit) — choose a smaller unit")
     val base = 3L * (unit / 20L) // = 0.15·unit, exact since 20 | unit
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     var ranks = nodes.select(col("node"), lit(unit).as("r"))
     var i = 0
     while (i < iters) {
       val incoming = ranks
-        .join(broadcast(deg), ranks("node") === deg("src"))
+        // hint-free on purpose: deg is |V|-sized data, not metadata — see
+        // the plan-shape note above; PlanAuditSpec pins the absence of a
+        // broadcast hint in the superstep loop
+        .join(deg, ranks("node") === deg("src"))
         .select(col("src"), expr("r div deg").as("share"))
         .join(edges, "src")
         .groupBy("dst")

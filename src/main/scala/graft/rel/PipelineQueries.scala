@@ -6285,8 +6285,9 @@ object PipelineQueries {
     // tolerance. Graph = a deterministic functional expander over 100
     // customer keys (each node → (7·node + 13i) mod 100, i ∈ {1,2,3};
     // out-degree exactly 3, in-degree varies — real skew). Spark runs
-    // the BSP loop as 10 chained join+aggregate rounds (degree table
-    // broadcast; the edge table shuffles only on its join keys — the
+    // the BSP loop as 10 chained join+aggregate rounds (no broadcast
+    // hint anywhere — the |V|-sized degree table shuffles on its join
+    // key and the exchange is reused by the adjacent edge join; the
     // superstep cost shape that holds at any graph size).
     NamedQuery(
       "p16_pagerank",

@@ -246,6 +246,23 @@ class PlanAuditSpec extends SparkSpec {
       s"knn graph shuffles beyond the top-k aggregation:\n$plan")
   }
 
+  test("pagerank superstep loop carries no broadcast hint — the degree table is data-sized") {
+    import spark.implicits._
+    val nodes = (0L to 19L).toDF("node")
+    val edges = (0L to 19L)
+      .flatMap(n => Seq(1L, 2L, 3L).map(i => (n, (n * 7 + i * 13) % 20)))
+      .toDF("src", "dst")
+    val out = graft.rel.PageRank.run(nodes, edges, iters = 2, unit = 1000000000000L)
+    // the pin is on the LOGICAL hint, not the physical operator: at
+    // fixture scale Catalyst/AQE may still broadcast from MEASURED sizes
+    // (correct — stats-driven), but an unconditional hint would force the
+    // |V|-sized degree table through the driver at any scale (round-12
+    // weak flag: an OOM at billion-node graphs, not a slowdown)
+    val opt = out.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("strategy=broadcast"),
+      s"a superstep join forces broadcast of a data-sized relation:\n$opt")
+  }
+
   test("exactStratifiedSplit: quota intervals broadcast — the data pays only the ranking shuffle") {
     import spark.implicits._
     val df = (1L to 200L).map(i => (i, s"s${i % 5}")).toDF("id", "src")

@@ -48,6 +48,19 @@ class IntervalsSpec extends SparkSpec {
     assert(got == (("a", 2L, 42L, 30L))) // 12 + 30 covered, longest 30
   }
 
+  test("reserved working/output columns on the input are rejected at entry, not silently shadowed") {
+    // a pre-existing __pme would be overwritten by the running-max temp
+    // (silent corruption risk); a pre-existing island would collide with
+    // the output schema — both must throw before any computation
+    Seq("__pme", "island").foreach { bad =>
+      val df = iv(("a", 1L, 0L, 10L)).withColumn(bad, lit(99L))
+      val e = intercept[IllegalArgumentException] {
+        Intervals.unionPerKey(df, "k", "s", "e", "id")
+      }
+      assert(e.getMessage.contains(bad), e.getMessage)
+    }
+  }
+
   test("start ties break deterministically by id and still merge into one island when overlapping") {
     val df = iv(("a", 2L, 0L, 5L), ("a", 1L, 0L, 8L), ("a", 3L, 7L, 9L))
     val got = Intervals

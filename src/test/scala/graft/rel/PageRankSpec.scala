@@ -36,4 +36,34 @@ class PageRankSpec extends SparkSpec {
     val m = PageRank.run(nodes, edges, iters = 3, unit = unit).as[(Long, Long)].collect().toMap
     assert((1L to 5L).forall(i => m(6L) > m(i)), s"sink did not accumulate rank: $m")
   }
+
+  test("lineage-truncation cadence is semantics-free: checkpointEvery 1, 4, iters+1 agree bit-for-bit") {
+    // the one iterative-join operator: localCheckpoint placement must
+    // never change a rank (it only truncates the plan), so every cadence
+    // — per-step, the default, and never — replays identical Longs
+    val nodes = (0L to 9L).toDF("node")
+    val edges = (0L to 9L)
+      .flatMap(n => Seq(1L, 2L, 3L).map(i => (n, (n * 7 + i * 13) % 10)))
+      .toDF("src", "dst")
+    val iters = 5
+    val runs = Seq(1, 4, iters + 1).map { ce =>
+      ce -> PageRank.run(nodes, edges, iters, unit, checkpointEvery = ce)
+        .as[(Long, Long)].collect().toMap
+    }
+    val (_, ref) = runs.head
+    runs.tail.foreach { case (ce, m) =>
+      assert(m == ref, s"checkpointEvery=$ce diverged from checkpointEvery=1: $m vs $ref")
+    }
+  }
+
+  test("entry-time overflow guard rejects |V|*unit combinations that could overflow 85*incoming") {
+    val nodes = (1L to 200L).toDF("node")
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    // 85 * 200 * 10^15 > Long.MaxValue (~9.22e18) — must throw at entry,
+    // not corrupt ranks mid-superstep
+    val e = intercept[IllegalArgumentException] {
+      PageRank.run(nodes, edges, iters = 1, unit = 1000000000000000L)
+    }
+    assert(e.getMessage.contains("overflows"), e.getMessage)
+  }
 }
