@@ -263,6 +263,24 @@ class PlanAuditSpec extends SparkSpec {
       s"a superstep join forces broadcast of a data-sized relation:\n$opt")
   }
 
+  test("knn graph ivf path: no nodes×nodes crossJoin — candidates come only from probed cells") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet").select("vec_id", "embedding")
+    val model = IvfBuild.build(emb, 64)
+    val out = graft.index.KnnJoin.knnGraph(emb, k = 3, Some(model))
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    // the round-12 weak flag: the registered graph build must gather
+    // candidates through the probed partition_id EQUALITY join, never a
+    // quadratic self-join (v31's exact twin keeps that shape
+    // deliberately, on a FIXED node sample). The only nested-loop join
+    // allowed in this plan is query×CENTROID scoring — metadata-sized by
+    // construction (√n centroids), already pinned by the APS audit above.
+    assert(!plan.contains("CartesianProduct"),
+      s"ivf knn graph fell back to a cartesian self-join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin [partition_id"),
+      s"ivf knn graph lost the probed partition_id gather join:\n$plan")
+  }
+
   test("exactStratifiedSplit: quota intervals broadcast — the data pays only the ranking shuffle") {
     import spark.implicits._
     val df = (1L to 200L).map(i => (i, s"s${i % 5}")).toDF("id", "src")
