@@ -18,22 +18,46 @@ import org.apache.spark.sql.functions._
   * rather than plan growth), suffixes block keys (`source`) the same way,
   * and rotates embeddings by `j` positions (norm-preserving, so the
   * vector distribution is unchanged while replicas stay distinct).
-  * Scale 1 runs through the SAME transform (replica 0 alone) so both
-  * measurements see identically-shaped data. */
+  * Relational side tables (`customer`, `supplier`, `events`) replicate
+  * with the same id shift, so fixed-frontier operators (p16's 100-node
+  * graph, q46's 10-root forest, v31's capped exact sample) keep their
+  * frontier CONSTANT while the scan under them grows — exactly the
+  * bounded-work-at-scale claim their exponents certify. Scale 1 runs
+  * through the SAME transform (replica 0 alone) so both measurements see
+  * identically-shaped data.
+  *
+  * Measurement discipline (round-13 finding: single-pass exponents were
+  * not reproducible — d16/v14 swapped 0.14↔1.1 between identical-binary
+  * runs): each scale now takes TWO timed passes, query order ALTERNATES
+  * between them (so order-dependent shared state — page cache, JIT,
+  * executor pools — cannot systematically tax the same query), the
+  * published time is the per-query MIN (the main suite's own rule), a
+  * query that throws in any pass is excluded (elapsed-to-failure is not
+  * a time), and warm-pass failures are RECORDED in the JSON instead of
+  * vanishing into stderr (a failed warm pass silently lands one-time
+  * training cost inside a timed query — the reader must see that). */
 object ScaleProbe {
 
-  /** The suite's heaviest batch queries (round-11 plan audit), i.e. the
-    * ones whose growth actually decides cluster feasibility. */
+  /** The suite's heaviest batch queries (round-11 plan audit) plus the
+    * round-12/13 additions whose growth the verdicts asked to measure:
+    * the BSP loop (p16), both k-NN-graph paths (v31 exact-capped, v33
+    * probed), the sketch-law pass (t19), recursion (q46), and the
+    * streaming sketch (s14). */
   val ProbeQueries: Seq[String] = Seq(
     "d03_ngram_jaccard",
     "d07_ppjoin_jaccard",
     "d14_line_dedup",
     "d16_minhash_estimator_audit",
-    "v14_knn_backends")
+    "v14_knn_backends",
+    "v31_knn_graph",
+    "v33_knn_graph_ivf",
+    "p16_pagerank",
+    "t19_cms_mergeability",
+    "q46_recursive_hierarchy",
+    "s14_stream_approx_distinct")
 
-  /** Write the K×-scaled `documents` + `embeddings` tables under
-    * `outBase/x<k>` (the only fixtures the probe queries read); returns
-    * the dir usable as a `(spark, dir)` query argument. */
+  /** Write the K×-scaled probe tables under `outBase/x<k>`; returns the
+    * dir usable as a `(spark, dir)` query argument. */
   def buildDir(spark: SparkSession, sfDir: String, k: Int, outBase: String): String = {
     val out = s"$outBase/x$k"
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -70,47 +94,80 @@ object ScaleProbe {
         col("label"))
     }.reduce(_.unionByName(_))
     scaledEmb.write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    // relational side tables: replicate with the same id shift on every
+    // key column; non-key attributes ride along unchanged, so replicas
+    // are new entities (new customers/suppliers/users), not duplicates
+    def shifted(table: String, keyCols: Seq[String]): DataFrame =
+      (0 until k).map { j =>
+        keyCols.foldLeft(graft.Tables.t(spark, sfDir, table)) { (df, c) =>
+          df.withColumn(c, col(c) + j * 10000000L)
+        }
+      }.reduce(_.unionByName(_))
+    shifted("customer", Seq("c_custkey"))
+      .write.mode("overwrite").parquet(s"$out/customer.parquet")
+    shifted("supplier", Seq("s_suppkey"))
+      .write.mode("overwrite").parquet(s"$out/supplier.parquet")
+    shifted("events", Seq("event_id", "user_id"))
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
     out
   }
 
   final case class Point(name: String, t1: Double, tK: Double, exponent: Double)
 
-  /** Run every probe query at scale 1 and scale `k`; one timed pass per
-    * scale after one untimed v14 warm pass (v14 trains its per-dir
-    * index/PQ/SQ artifacts on first touch — steady-state growth, not
-    * one-time training, is what the exponent certifies). */
-  def run(spark: SparkSession, sfDir: String, k: Int = 10): Seq[Point] = {
+  final case class Result(points: Seq[Point], warmFailures: Seq[String])
+
+  /** Run every probe query at scale 1 and scale `k`: per scale, one
+    * untimed v14 warm pass (v14 trains the per-dir index/PQ/SQ artifacts
+    * on first touch — steady-state growth, not one-time training, is
+    * what the exponent certifies), then two timed passes in alternating
+    * order, min per query. */
+  def run(spark: SparkSession, sfDir: String, k: Int = 10): Result = {
     val base = java.nio.file.Files.createTempDirectory("graft_scaleprobe_").toString
-    sys.addShutdownHook(graft.rel.PipelineQueries.deleteRecursively(java.nio.file.Paths.get(base)))
     val queries = graft.SparkEntry.queries
+    val warmFailures = scala.collection.mutable.ArrayBuffer.empty[String]
     // elapsed-to-failure is not a time: a query that throws at either
-    // scale is EXCLUDED from the published points (the same invariant the
-    // main suite enforces — a fast-throwing query must not read as a fast
-    // query, and here it would become a bogus scaling exponent)
-    def timeAt(dir: String): Map[String, Double] = {
-      // artifact warm pass (untimed): index + codebooks for this dir
+    // scale (in any pass) is EXCLUDED from the published points (the same
+    // invariant the main suite enforces — a fast-throwing query must not
+    // read as a fast query, and here it would become a bogus exponent)
+    def timeAt(dir: String, scaleTag: String): Map[String, Double] = {
+      // artifact warm pass (untimed): index + codebooks for this dir. A
+      // warm failure means a timed query may absorb training cost — it is
+      // recorded in the published JSON, not just stderr.
       try queries("v14_knn_backends")(spark, dir).write.mode("overwrite").format("noop").save()
-      catch { case e: Throwable => System.err.println(s"[scale-probe] warm failed: ${e.getMessage}") }
+      catch {
+        case e: Throwable =>
+          warmFailures += s"$scaleTag:v14_knn_backends"
+          System.err.println(s"[scale-probe] warm failed at $dir: ${e.getMessage}")
+      }
       graft.CacheScope.clear()
+      def onePass(order: Seq[String]): Map[String, Double] =
+        order.flatMap { name =>
+          val t0 = System.nanoTime()
+          val ok =
+            try { queries(name)(spark, dir).write.mode("overwrite").format("noop").save(); true }
+            catch {
+              case e: Throwable =>
+                System.err.println(s"[scale-probe] $name FAILED at $dir — excluded: ${e.getMessage}")
+                false
+            }
+          graft.CacheScope.clear()
+          if (ok) Some(name -> (System.nanoTime() - t0) / 1e9) else None
+        }.toMap
+      val p1 = onePass(ProbeQueries)
+      val p2 = onePass(ProbeQueries.reverse)
+      // min over passes; a query missing from either pass threw there —
+      // drop it (both passes proved nothing reproducible about it)
       ProbeQueries.flatMap { name =>
-        val t0 = System.nanoTime()
-        val ok =
-          try { queries(name)(spark, dir).write.mode("overwrite").format("noop").save(); true }
-          catch {
-            case e: Throwable =>
-              System.err.println(s"[scale-probe] $name FAILED at $dir — excluded: ${e.getMessage}")
-              false
-          }
-        graft.CacheScope.clear()
-        if (ok) Some(name -> (System.nanoTime() - t0) / 1e9) else None
+        for (a <- p1.get(name); b <- p2.get(name)) yield name -> math.min(a, b)
       }.toMap
     }
     try {
       val d1 = buildDir(spark, sfDir, 1, base)
       val dK = buildDir(spark, sfDir, k, base)
-      val t1 = timeAt(d1)
-      val tK = timeAt(dK)
-      ProbeQueries.flatMap { name =>
+      val t1 = timeAt(d1, "x1")
+      val tK = timeAt(dK, s"x$k")
+      val points = ProbeQueries.flatMap { name =>
         (t1.get(name), tK.get(name)) match {
           case (Some(a0), Some(b0)) =>
             val a = math.max(1e-3, a0)
@@ -119,15 +176,25 @@ object ScaleProbe {
           case _ => None
         }
       }
+      Result(points, warmFailures.toSeq)
     } finally
       // the scaled corpora are ~(k+1)× the fixture on disk — free them as
-      // soon as the points are collected (the shutdown hook stays as the
-      // crash-only fallback; deleting a gone dir there is a no-op)
+      // soon as the points are collected. No shutdown-hook fallback: a
+      // per-invocation hook leaks a registration each run, and its
+      // "[cleanup] …" line printed AFTER Bench's final digest line is what
+      // null'ed the round-13 BENCH record's parse (a crash simply leaves
+      // one temp dir behind in a throwaway sandbox)
       graft.rel.PipelineQueries.deleteRecursively(java.nio.file.Paths.get(base))
   }
 
-  def toJson(k: Int, points: Seq[Point]): String =
-    s"""{"k":$k,${points.map(p => s""""${p.name}":{"t1":${p.t1},"tk":${p.tK},"exp":${p.exponent}}""").mkString(",")}}"""
+  def toJson(k: Int, r: Result): String = {
+    val pts = r.points
+      .map(p => s""""${p.name}":{"t1":${p.t1},"tk":${p.tK},"exp":${p.exponent}}""")
+      .mkString(",")
+    val warm = r.warmFailures.map(w => s""""$w"""").mkString("[", ",", "]")
+    val sep = if (r.points.isEmpty) "" else ","
+    s"""{"k":$k,"passes":2,"warm_failures":$warm$sep$pts}"""
+  }
 
   private def r3(d: Double): Double = math.rint(d * 1000) / 1000
 }

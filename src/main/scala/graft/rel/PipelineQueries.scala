@@ -39,15 +39,23 @@ object PipelineQueries {
     * verify/bench runs must not accumulate copies under java.io.tmpdir.
     * Swallows its own failures (stale walk snapshot, straggler-task write
     * racing the delete): callers invoke it from `finally` blocks, where a
-    * cleanup throw would MASK the query's real exception. */
-  private[graft] def deleteRecursively(root: java.nio.file.Path): Unit =
+    * cleanup throw would MASK the query's real exception. An already-gone
+    * root is a silent no-op (a crash-only fallback hook racing the
+    * normal-path delete must not report anything). Shutdown hooks pass
+    * `verbose = false`: hooks run AFTER main's final stdout line, and any
+    * hook output lands after Bench's compact digest in the driver's
+    * captured tail — round 13's BENCH record shipped `parsed: null` for
+    * exactly that reason. */
+  private[graft] def deleteRecursively(root: java.nio.file.Path, verbose: Boolean = true): Unit =
     try {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      if (java.nio.file.Files.exists(root)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
     } catch {
       case e: Exception =>
-        System.err.println(s"[cleanup] leaving $root behind: ${e.getMessage}")
+        if (verbose) System.err.println(s"[cleanup] leaving $root behind: ${e.getMessage}")
     }
   def indexFor(s: SparkSession, dir: String): IvfModel =
     indexCache.getOrElseUpdate(dir, {
@@ -94,7 +102,7 @@ object PipelineQueries {
       val model = indexFor(s, dir)
       val cents = model.partitions.map(p => p.pid -> p.centroid).toMap
       val tmp = java.nio.file.Files.createTempDirectory("graft_pq_codes_")
-      sys.addShutdownHook(deleteRecursively(tmp))
+      sys.addShutdownHook(deleteRecursively(tmp, verbose = false))
       Pq.saveCodes(Pq.encodeResiduals(model.vectors, pqResidualFor(s, dir), cents), tmp.toString)
       tmp.toString
     })
@@ -118,7 +126,7 @@ object PipelineQueries {
       val model = indexFor(s, dir)
       val sqm = sqFor(s, dir) // same rows as model.vectors -> same grid
       val tmp = java.nio.file.Files.createTempDirectory("graft_sq_")
-      sys.addShutdownHook(deleteRecursively(tmp))
+      sys.addShutdownHook(deleteRecursively(tmp, verbose = false))
       Sq.save(sqm, tmp.toString, s)
       Sq.saveCodes(Sq.encodeWithPartition(model.vectors, sqm), tmp.toString)
       tmp.toString
@@ -135,7 +143,7 @@ object PipelineQueries {
       val model = indexFor(s, dir)
       val dim = model.dim
       val tmp = java.nio.file.Files.createTempDirectory("graft_bq_")
-      sys.addShutdownHook(deleteRecursively(tmp))
+      sys.addShutdownHook(deleteRecursively(tmp, verbose = false))
       graft.vector.BinaryQuant.saveCodes(
         graft.vector.BinaryQuant.encodeWithPartition(model.vectors, dim), tmp.toString)
       tmp.toString
