@@ -98,20 +98,30 @@ object ScaleProbe {
     // relational side tables: replicate with the same id shift on every
     // key column; non-key attributes ride along unchanged, so replicas
     // are new entities (new customers/suppliers/users), not duplicates
-    def shifted(table: String, keyCols: Seq[String]): DataFrame =
-      (0 until k).map { j =>
-        keyCols.foldLeft(graft.Tables.t(spark, sfDir, table)) { (df, c) =>
-          df.withColumn(c, col(c) + j * 10000000L)
-        }
-      }.reduce(_.unionByName(_))
-    shifted("customer", Seq("c_custkey"))
+    shiftedTable(spark, sfDir, "customer", Seq("c_custkey"), k)
       .write.mode("overwrite").parquet(s"$out/customer.parquet")
-    shifted("supplier", Seq("s_suppkey"))
+    shiftedTable(spark, sfDir, "supplier", Seq("s_suppkey"), k)
       .write.mode("overwrite").parquet(s"$out/supplier.parquet")
-    shifted("events", Seq("event_id", "user_id"))
+    shiftedTable(spark, sfDir, "events", Seq("event_id", "user_id"), k)
       .write.mode("overwrite").parquet(s"$out/events.parquet")
     out
   }
+
+  /** K replicas of a fixture table with every id in `keyCols` shifted by
+    * `j·10⁷` — referential integrity holds across tables as long as both
+    * sides of an FK shift by the same rule (ScaleUp shifts
+    * orders.o_custkey and customer.c_custkey identically, etc.). */
+  private[bench] def shiftedTable(
+      spark: SparkSession,
+      sfDir: String,
+      table: String,
+      keyCols: Seq[String],
+      k: Int): DataFrame =
+    (0 until k).map { j =>
+      keyCols.foldLeft(graft.Tables.t(spark, sfDir, table)) { (df, c) =>
+        df.withColumn(c, col(c) + j * 10000000L)
+      }
+    }.reduce(_.unionByName(_))
 
   final case class Point(name: String, t1: Double, tK: Double, exponent: Double)
 

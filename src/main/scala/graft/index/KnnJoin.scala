@@ -330,6 +330,41 @@ object KnnJoin {
       .select(col("query_id").as("src"), col("vec_id").as("dst"), col("rnk"), col("dist2"))
   }
 
+  /** One NN-DESCENT refinement round (Dong et al., WWW'11) over a k-NN
+    * graph: the local-search step every graph-ANN index build (NN-descent
+    * proper, HNSW link repair) iterates — "my neighbor's neighbors are
+    * probably my neighbors". Candidates for each node are its current
+    * undirected neighborhood's neighborhoods (forward ∪ reverse edges,
+    * joined once on the node key — ≤ (2k)² candidates per node, bounded
+    * fan-out, NEVER an all-pairs product), unioned with the current
+    * edges so the refined top-k re-ranks a SUPERSET of what it had:
+    * per-node recall against the exact graph is monotonically
+    * non-decreasing by construction (pinned in KnnJoinSpec). Distances
+    * are recomputed exactly for the candidate pairs through two equality
+    * joins against the vector table; per-src top-k rides the rank window
+    * (WindowGroupLimit pushes the partial limit map-side). Output matches
+    * [[knnGraph]]: `(src, dst, rnk, dist2)`. */
+  def nnDescentRound(graph: DataFrame, nodes: DataFrame, k: Int): DataFrame = {
+    val e = graph.select("src", "dst")
+    val und = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+    val nn = und.as("a")
+      .join(und.as("b"), col("a.dst") === col("b.src"))
+      .select(col("a.src").as("src"), col("b.dst").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val cands = e.unionByName(nn).distinct()
+    val withDist = cands
+      .join(nodes.select(col("vec_id").as("src"), col("embedding").as("emb_a")), Seq("src"))
+      .join(nodes.select(col("vec_id").as("dst"), col("embedding").as("emb_b")), Seq("dst"))
+      .withColumn("dist2", graft.vector.VectorOps.l2Sq(col("emb_a"), col("emb_b")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("src")
+      .orderBy(col("dist2").asc, col("dst").asc)
+    withDist
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("src", "dst", "rnk", "dist2")
+  }
+
   private def normalizeQueries(queries: DataFrame): DataFrame =
     if (queries.columns.contains("query_id")) queries.select("query_id", "qvec")
     else queries.select(col("vec_id").as("query_id"), col("embedding").as("qvec"))

@@ -181,4 +181,37 @@ class KnnJoinSpec extends SparkSpec {
     assert(recallG >= 0.9, s"ivf knn-graph edge recall $recallG below bar")
     g.unpersist()
   }
+
+  test("nn-descent round: refined graph keeps the contract shape and per-node exact-graph recall never drops") {
+    val k = 4
+    val exact = KnnJoin.knnGraph(emb, k).cache()
+    val model = IvfBuild.build(emb, 64)
+    val seed = KnnJoin.knnGraph(emb, k, Some(model)).cache()
+    val refined = KnnJoin.nnDescentRound(seed, emb, k).cache()
+    // contract shape: <= k rank-bounded out-edges, no self edges, rank
+    // order follows distance
+    val deg = refined.groupBy("src").agg(
+      count(lit(1)).as("d"),
+      max("rnk").as("mr"),
+      sum(when(col("src") === col("dst"), 1L).otherwise(0L)).as("selfs"))
+    assert(deg.filter(col("d") > k || col("mr") > k || col("selfs") =!= 0L).isEmpty,
+      "refined graph violates the out-degree/self-edge contract")
+    // refinement re-ranks a SUPERSET of the seed edges, so per-node
+    // edge recall vs the exact graph is monotonically non-decreasing
+    def edges(g: org.apache.spark.sql.DataFrame) =
+      g.select("src", "dst").as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val exactE = edges(exact)
+    val seedE = edges(seed)
+    val refE = edges(refined)
+    exactE.foreach { case (srcId, want) =>
+      val before = (seedE.getOrElse(srcId, Set.empty) & want).size
+      val after = (refE.getOrElse(srcId, Set.empty) & want).size
+      assert(after >= before, s"node $srcId recall dropped after refinement: $before -> $after")
+    }
+    // and the plan never degenerates to an all-pairs product
+    val plan = refined.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"nn-descent candidate generation fell back to a cartesian product:\n$plan")
+    Seq(exact, seed, refined).foreach(_.unpersist())
+  }
 }

@@ -12,7 +12,7 @@ and compares: schema (column names, sorted), row count, and values (rows
 sorted, floats rounded to 6 digits). Exits non-zero listing every mismatch,
 so a broken oracle is caught before the driver's official run.
 """
-import json, sys, math
+import json, os, sys, math
 import duckdb
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
@@ -21,7 +21,12 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 con = duckdb.connect()
 for t in TABLES:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+    # driver fixtures are single files; ScaleUp/ScaleProbe corpora are
+    # Spark directory-parquets — accept both
+    src = f"{sfdir}/{t}.parquet"
+    if os.path.isdir(src):
+        src = f"{src}/*.parquet"
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 fails = []
