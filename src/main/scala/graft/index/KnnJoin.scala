@@ -166,21 +166,30 @@ object KnnJoin {
     *
     * `codes` is the [[graft.vector.Pq.encodeResiduals]] table for
     * (`model`, `pqModel`) — encoded once, reused across query batches like
-    * the index itself. */
+    * the index itself.
+    *
+    * `rerankN = 0` (the default) means density-aware: the candidate depth
+    * scales with the indexed corpus size via
+    * [[graft.vector.Pq.adaptiveDepth]] (free — partition sizes are index
+    * metadata), because a fixed depth calibrated at one density fails at
+    * 10× (see adaptiveDepth's measurements). */
   def pq(
       model: IvfModel,
       pqModel: graft.vector.PqModel,
       codes: DataFrame,
       queries: DataFrame,
       k: Int,
-      rerankN: Int = 100,
+      rerankN: Int = 0,
       targetRecall: Double = 0.9,
       maxProbe: Int = 64): DataFrame = {
     val q = normalizeQueries(queries)
     val cents = model.partitions.map(p => p.pid -> p.centroid).toMap
+    val depth =
+      if (rerankN > 0) rerankN
+      else graft.vector.Pq.adaptiveDepth(model.partitions.map(_.size).sum, 100)
     val probes = IvfSearch.chooseProbes(model, q, IvfSearch.Params(k, targetRecall, maxProbe))
     val adc = graft.vector.Pq.ivfAdcResidualTopK(
-      codes, pqModel, cents, probes.select("query_id", "partition_id"), q, math.max(k, rerankN))
+      codes, pqModel, cents, probes.select("query_id", "partition_id"), q, math.max(k, depth))
     graft.vector.Pq.rerankExact(adc, model.vectors, q, k)
   }
 
@@ -193,16 +202,23 @@ object KnnJoin {
     * beyond a per-dimension min/max grid — the right first stop when the
     * float corpus outgrows memory but byte codes fit, before paying PQ's
     * recall loss. `codes` is the [[graft.vector.Sq.encode]] table for
-    * `model` — encoded once, reused across query batches. */
+    * `model` — encoded once, reused across query batches.
+    *
+    * `rerankN = 0` (the default) means density-aware depth via
+    * [[graft.vector.Pq.adaptiveDepth]] — one `count()` of the code table
+    * (metadata-cheap next to the ADC scan itself). */
   def sq(
       model: graft.vector.Sq.SqModel,
       codes: DataFrame,
       queries: DataFrame,
       corpus: DataFrame,
       k: Int,
-      rerankN: Int = 30): DataFrame = {
+      rerankN: Int = 0): DataFrame = {
     val q = normalizeQueries(queries)
-    val adc = graft.vector.Sq.adcTopK(codes, model, q, math.max(k, rerankN))
+    val depth =
+      if (rerankN > 0) rerankN
+      else graft.vector.Pq.adaptiveDepth(codes.count(), 30)
+    val adc = graft.vector.Sq.adcTopK(codes, model, q, math.max(k, depth))
     graft.vector.Pq.rerankExact(adc, corpus.select("vec_id", "embedding"), q, k)
   }
 

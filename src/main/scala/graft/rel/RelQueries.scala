@@ -27,6 +27,26 @@ import org.apache.spark.sql.functions._
 object RelQueries {
   import Tables.t
 
+  /** Exact money arithmetic for COARSE-group revenue aggregates (whole-
+    * table / per-nation group sizes): the fixture's price columns are
+    * 2-decimal values stored as DOUBLE, so a double sum's error grows
+    * with group magnitude and, under a different summation order than
+    * the oracle's, can flip a round(…, 2) boundary — it DID at the 10×
+    * measured point's ~1e10 revenues (q05: …500.76 vs …500.77), and a
+    * 100 TB sum is 6 orders further out. Re-anchoring each operand to
+    * DECIMAL (exact: the doubles are within 1e-9 of their true cent
+    * value, so both engines round to the same cent) keeps every product
+    * and the whole sum exact — order-independent by construction.
+    * Fine-group sums (per-order, per-customer: ≤ a few hundred rows)
+    * stay double: their absolute error is ~1e-11, never near a
+    * boundary. `money` for 2-decimal amounts, `frac` for the (1 ± rate)
+    * factors — (18,2)·(3,2)·(3,2) → DECIMAL(26,6), whose 38-capped sum
+    * never truncates. */
+  private def money(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    c.cast("decimal(18,2)")
+  private def frac(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    c.cast("decimal(3,2)")
+
   val defs: Seq[NamedQuery] = Seq(
     // --- scan + filter + aggregate (TPC-H Q1 shape) ------------------
     NamedQuery(
@@ -36,21 +56,23 @@ object RelQueries {
           .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
           .groupBy("l_returnflag", "l_linestatus")
           .agg(
-            round(sum("l_quantity"), 2).as("sum_qty"),
-            round(sum("l_extendedprice"), 2).as("sum_base_price"),
-            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2)
-              .as("sum_charge"),
+            round(sum(money(col("l_quantity"))), 2).cast("double").as("sum_qty"),
+            round(sum(money(col("l_extendedprice"))), 2).cast("double").as("sum_base_price"),
+            round(sum(money(col("l_extendedprice")) * frac(lit(1) - col("l_discount"))), 2)
+              .cast("double").as("sum_disc_price"),
+            round(sum(money(col("l_extendedprice")) * frac(lit(1) - col("l_discount")) *
+              frac(lit(1) + col("l_tax"))), 2).cast("double").as("sum_charge"),
             round(avg("l_quantity"), 4).as("avg_qty"),
             round(avg("l_extendedprice"), 4).as("avg_price"),
             round(avg("l_discount"), 4).as("avg_disc"),
             count(lit(1)).as("count_order"))
           .orderBy("l_returnflag", "l_linestatus"),
       Some(
-        "SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty, " +
-          "round(sum(l_extendedprice),2) AS sum_base_price, " +
-          "round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price, " +
-          "round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge, " +
+        "SELECT l_returnflag, l_linestatus, " +
+          "CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))),2) AS DOUBLE) AS sum_qty, " +
+          "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))),2) AS DOUBLE) AS sum_base_price, " +
+          "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))*CAST(1-l_discount AS DECIMAL(3,2))),2) AS DOUBLE) AS sum_disc_price, " +
+          "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))*CAST(1-l_discount AS DECIMAL(3,2))*CAST(1+l_tax AS DECIMAL(3,2))),2) AS DOUBLE) AS sum_charge, " +
           "round(avg(l_quantity),4) AS avg_qty, round(avg(l_extendedprice),4) AS avg_price, " +
           "round(avg(l_discount),4) AS avg_disc, count(*) AS count_order " +
           "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' " +
@@ -67,10 +89,11 @@ object RelQueries {
               col("l_discount") >= 0.03 && col("l_discount") <= 0.07 &&
               col("l_quantity") < 24)
           .agg(
-            round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+            round(sum(money(col("l_extendedprice")) * frac(col("l_discount"))), 2)
+              .cast("double").as("revenue"),
             count(lit(1)).as("n_rows")),
       Some(
-        "SELECT round(sum(l_extendedprice*l_discount),2) AS revenue, count(*) AS n_rows " +
+        "SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))*CAST(l_discount AS DECIMAL(3,2))),2) AS DOUBLE) AS revenue, count(*) AS n_rows " +
           "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01' " +
           "AND l_discount >= 0.03 AND l_discount <= 0.07 AND l_quantity < 24")),
 
@@ -128,12 +151,13 @@ object RelQueries {
           .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
           .groupBy("r_name", "n_name")
           .agg(
-            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+            round(sum(money(col("l_extendedprice")) * frac(lit(1) - col("l_discount"))), 2)
+              .cast("double").as("revenue"),
             count(lit(1)).as("n_items"))
           .orderBy("r_name", "n_name")
       },
       Some(
-        "SELECT r_name, n_name, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue, count(*) AS n_items " +
+        "SELECT r_name, n_name, CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))*CAST(1-l_discount AS DECIMAL(3,2))),2) AS DOUBLE) AS revenue, count(*) AS n_items " +
           "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +
           "JOIN nation ON s_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey " +
           "GROUP BY r_name, n_name ORDER BY r_name, n_name")),
@@ -273,12 +297,12 @@ object RelQueries {
           .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("order_month"))
           .agg(
             count(lit(1)).as("n_orders"),
-            round(sum("o_totalprice"), 2).as("total"),
+            round(sum(money(col("o_totalprice"))), 2).cast("double").as("total"),
             round(avg("o_totalprice"), 4).as("avg_price"))
           .orderBy("order_month"),
       Some(
         "SELECT strftime(o_orderdate, '%Y-%m') AS order_month, count(*) AS n_orders, " +
-          "round(sum(o_totalprice),2) AS total, round(avg(o_totalprice),4) AS avg_price " +
+          "CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))),2) AS DOUBLE) AS total, round(avg(o_totalprice),4) AS avg_price " +
           "FROM orders GROUP BY 1 ORDER BY order_month")),
 
     // --- JSON extraction ---------------------------------------------
@@ -324,10 +348,12 @@ object RelQueries {
         val a = o.agg(avg("o_totalprice").as("ap"))
         o.crossJoin(a)
           .filter(col("o_totalprice") > col("ap"))
-          .agg(count(lit(1)).as("n_above"), round(sum("o_totalprice"), 2).as("sum_above"))
+          .agg(
+            count(lit(1)).as("n_above"),
+            round(sum(money(col("o_totalprice"))), 2).cast("double").as("sum_above"))
       },
       Some(
-        "SELECT count(*) AS n_above, round(sum(o_totalprice),2) AS sum_above FROM orders " +
+        "SELECT count(*) AS n_above, CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))),2) AS DOUBLE) AS sum_above FROM orders " +
           "WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)")),
 
     // --- global top-k (TakeOrderedAndProject) ------------------------
@@ -348,7 +374,10 @@ object RelQueries {
       (s, dir) =>
         t(s, dir, "lineitem")
           .cube("l_returnflag", "l_linestatus")
-          .agg(grouping_id().as("gid"), count(lit(1)).as("n_rows"), round(sum("l_extendedprice"), 2).as("sum_price"))
+          .agg(
+            grouping_id().as("gid"),
+            count(lit(1)).as("n_rows"),
+            round(sum(money(col("l_extendedprice"))), 2).cast("double").as("sum_price"))
           .select(
             coalesce(col("l_returnflag"), lit("(all)")).as("rf"),
             coalesce(col("l_linestatus"), lit("(all)")).as("ls"),
@@ -359,7 +388,7 @@ object RelQueries {
       Some(
         "SELECT coalesce(l_returnflag,'(all)') AS rf, coalesce(l_linestatus,'(all)') AS ls, " +
           "GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid, " +
-          "count(*) AS n_rows, round(sum(l_extendedprice),2) AS sum_price " +
+          "count(*) AS n_rows, CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))),2) AS DOUBLE) AS sum_price " +
           "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) ORDER BY gid, rf, ls")),
 
     // --- exact interpolated percentiles ------------------------------

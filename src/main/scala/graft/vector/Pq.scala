@@ -36,6 +36,30 @@ final case class PqModel(dim: Int, m: Int, k: Int, codebooks: Array[Array[Array[
   */
 object Pq {
 
+  /** Density-aware candidate depth for quantized-ordering rerank stages
+    * (PQ/ADC, SQ, binary Hamming): a FIXED depth calibrated at one corpus
+    * size fails as the corpus densifies, because the exact-distance gap
+    * between the k-th and D-th neighbor shrinks with n while quantization
+    * error stays constant — measured on the 10× scale-up corpus
+    * (n 2,000 → 20,000 random unit vectors, the hardest regime): ADC
+    * top-100 rerank recall@10 fell 0.87-0.96 → below 0.8, binary
+    * k·64 fell below its 0.9 bar, and restoring the bars needed depth
+    * ≈ 10× ([[graft.bench.DepthProbe]] curves: ADC 1000 → 0.955, binary
+    * 6400 → 0.980). So the depth scales LINEARLY with corpus size,
+    * anchored at the operating point the bars were calibrated at
+    * (`base` candidates at `anchor` rows — candidates stay a constant
+    * FRACTION of the corpus), floored at `base`, capped at `n`. At
+    * 100 TB this composes with IVF probe pruning (the probed subset is
+    * the effective corpus) and the rerank cost stays the bounded
+    * per-query gather join. Clustered real-world embeddings need far
+    * less than the random-vector calibration — the knob stays exposed
+    * on every call path. */
+  def adaptiveDepth(n: Long, base: Int, anchor: Long = 2000L): Int = {
+    require(base > 0 && anchor > 0, s"bad base=$base anchor=$anchor")
+    math.min(math.max(n, 1L),
+      math.max(base.toLong, math.ceil(base.toDouble * n / anchor).toLong)).toInt
+  }
+
   /** Nearest codeword of `v[off, off+subLen)` — first-minimum rule,
     * primitive loop, no slice allocation. */
   private def nearestSlice(cb: Array[Array[Float]], v: Array[Float], off: Int): Int = {

@@ -325,4 +325,18 @@ class PqSpec extends SparkSpec {
       .select("query_id", "rank", "vec_id", "dist2").as[(Long, Int, Long, Double)].collect().toSet
     assert(rr == want)
   }
+
+  test("adaptiveDepth: floored at base up to the anchor, linear past it, capped at n") {
+    // at or below the calibration anchor the depth IS the calibrated
+    // base — the 1× operating point is byte-identical
+    assert(Pq.adaptiveDepth(500, 100) == 100)
+    assert(Pq.adaptiveDepth(2000, 100) == 100)
+    // linear in n past the anchor: candidates stay a constant fraction
+    assert(Pq.adaptiveDepth(20000, 100) == 1000)
+    assert(Pq.adaptiveDepth(20000, 64) == 640)
+    assert(Pq.adaptiveDepth(3000, 100) == 150)
+    // never deeper than the corpus itself
+    assert(Pq.adaptiveDepth(50, 100) == 50)
+    assert(Pq.adaptiveDepth(1, 100) == 1)
+  }
 }
