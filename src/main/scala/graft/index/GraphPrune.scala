@@ -1,0 +1,109 @@
+package graft.index
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** [engine-added] α-RNG edge pruning for graph-ANN adjacency lists —
+  * DiskANN's RobustPrune (Subramanya et al., NeurIPS 2019; the same
+  * relative-neighborhood rule HNSW's `select_neighbors_heuristic` uses):
+  * scanning a node's candidates nearest-first, a candidate `c` is kept
+  * only if NO already-kept neighbor `b` satisfies `α·d(b,c) ≤ d(p,c)` —
+  * i.e. an edge is dropped when a kept neighbor already covers its
+  * direction, so the budgeted out-degree spends on DIVERSE directions
+  * instead of one dense cluster. This is what makes a fixed degree
+  * navigable: a plain top-R cut burns all R edges on the nearest
+  * cluster; the pruned list keeps one edge into that cluster and R−1
+  * long/lateral edges the beam walk actually needs ([[GraphSearch]]).
+  * `α > 1` relaxes the rule (keeps more near-duplicates, higher recall
+  * ceiling, DiskANN's default regime α ∈ [1.2, 2]).
+  *
+  * Spark shape: candidate edges get exact distances through two
+  * equality joins against the vector table (codegen L2), are cut to the
+  * top-`candCap` per node by the bounded-heap [[graft.vector.TopK]]
+  * aggregator (map-side combine, no global window), and the greedy scan
+  * itself — sequential per node, pairwise distances WITHIN one bounded
+  * candidate list — runs as `mapGroups` over ≤ `candCap` rows per node
+  * (candCap·dim floats ≈ KBs per group; per-partition work, nothing
+  * driver-side, nothing data-sized broadcast). Determinism: candidates
+  * sort by `(dist2, dst)`; float distances come from the same codegen
+  * kernel every path uses.
+  */
+object GraphPrune {
+
+  /** Prune `cands(src, dst)` (any extra columns ignored; self-loops
+    * dropped) to an out-degree ≤ `r` adjacency over `nodes(vec_id,
+    * embedding)` by the α-RNG rule. Candidates beyond the `candCap`
+    * nearest per node (default `4·r`) are not considered — the standard
+    * bounded-window form. Returns `(src, dst, rnk, dist2)` with `rnk`
+    * the kept-order (1 = nearest, always kept). */
+  def alphaPrune(
+      cands: DataFrame,
+      nodes: DataFrame,
+      r: Int,
+      alpha: Double,
+      candCap: Int = 0): DataFrame = {
+    require(r >= 1, s"r must be >= 1, got $r")
+    require(alpha >= 1.0, s"alpha must be >= 1, got $alpha")
+    val cap = if (candCap > 0) candCap else 4 * r
+    require(cap >= r, s"candCap $cap below degree budget $r")
+    val spark = cands.sparkSession
+    import spark.implicits._
+
+    val emb = nodes.select(col("vec_id"), col("embedding"))
+    val scored = cands
+      .select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .join(emb.select(col("vec_id").as("src"), col("embedding").as("emb_s")), Seq("src"))
+      .join(emb.select(col("vec_id").as("dst"), col("embedding").as("emb_d")), Seq("dst"))
+      .select(
+        col("src").as("query_id"),
+        graft.vector.VectorOps.l2Sq(col("emb_s"), col("emb_d")).as("dist2"),
+        col("dst").as("vec_id"))
+    // bounded-heap cut to the candCap nearest per node, then ONE bounded
+    // gather join restores the candidate vectors the pairwise rule needs
+    val top = graft.vector.TopK.perQuery(scored, cap)
+      .join(emb.select(col("vec_id"), col("embedding").as("emb_d")), Seq("vec_id"))
+      .select(
+        col("query_id").as("src"),
+        col("vec_id").as("dst"),
+        col("dist2"),
+        col("emb_d"))
+
+    val alpha2 = alpha * alpha // the rule compares SQUARED L2 distances
+    top
+      .as[(Long, Long, Double, Array[Float])]
+      .groupByKey(_._1)
+      .mapGroups { (src, it) =>
+        val cs = it.toArray.sortBy(c => (c._3, c._2)) // (dist2, dst)
+        val kept = new scala.collection.mutable.ArrayBuffer[(Long, Double)](r)
+        val keptEmb = new scala.collection.mutable.ArrayBuffer[Array[Float]](r)
+        var i = 0
+        while (i < cs.length && kept.length < r) {
+          val (_, dst, d2pc, embC) = cs(i)
+          var covered = false
+          var j = 0
+          while (j < keptEmb.length && !covered) {
+            // b covers c when α·d(b,c) ≤ d(p,c)  ⇔  α²·d²(b,c) ≤ d²(p,c)
+            val b = keptEmb(j)
+            var d2bc = 0.0
+            var t = 0
+            while (t < b.length) {
+              val diff = (b(t) - embC(t)).toDouble
+              d2bc += diff * diff
+              t += 1
+            }
+            if (alpha2 * d2bc <= d2pc) covered = true
+            j += 1
+          }
+          if (!covered) { kept += ((dst, d2pc)); keptEmb += embC }
+          i += 1
+        }
+        (src, kept.toArray)
+      }
+      .flatMap { case (src, kept) =>
+        kept.iterator.zipWithIndex.map { case ((dst, d2), i) => (src, dst, i + 1, d2) }
+      }
+      .toDF("src", "dst", "rnk", "dist2")
+  }
+}

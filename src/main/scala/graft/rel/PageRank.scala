@@ -80,4 +80,65 @@ object PageRank {
     }
     ranks
   }
+
+  /** PERSONALIZED PageRank (random walk with restart): the teleport mass
+    * returns to the `seeds(node)` set instead of everywhere — the
+    * standard seed-expansion primitive (find pages/documents "like
+    * these": local community scoring around a trusted set, Haveliwala
+    * WWW 2002). Same exact-integer discipline as [[run]], so the oracle
+    * replays it bit-identically: start `unit` on each seed and 0
+    * elsewhere; each step is `r'(v) = [v ∈ S]·(15·unit div 100) +
+    * (85 · Σ_in (r_u div deg_u)) div 100`. Per-seed teleport
+    * `(15·U) div (100·|S|)` with `U = |S|·unit` reduces exactly to
+    * `3·(unit/20)` — no |S| division anywhere, so exactness needs only
+    * `20 | unit`. Mass only leaks (floors + dangling nodes), so the
+    * [[run]] overflow bound `85·|V|·unit ≤ Long.Max` covers every
+    * superstep here too (total circulating mass ≤ |S|·unit ≤ |V|·unit).
+    * Non-seed nodes unreachable from any seed converge to exactly 0 —
+    * the "not in this community" certificate. Plan shape per superstep
+    * is [[run]]'s verbatim (hint-free degree join, exchange-reused; the
+    * loop body is kept textually separate because p16's full-hash oracle
+    * pins run()'s output and this variant must not perturb it). */
+  def personalized(
+      nodes: DataFrame,
+      edges: DataFrame,
+      seeds: DataFrame,
+      iters: Int,
+      unit: Long,
+      checkpointEvery: Int = 4): DataFrame = {
+    require(iters >= 0 && unit > 0 && unit % 20 == 0,
+      s"unit must be positive and divisible by 20 for an exact teleport base (got $unit)")
+    require(checkpointEvery > 0, s"checkpointEvery must be positive, got $checkpointEvery")
+    val nV = nodes.count()
+    require(
+      BigInt(85) * nV * unit <= BigInt(Long.MaxValue),
+      s"85 * |V| * unit overflows Long ($nV nodes at unit $unit) — choose a smaller unit")
+    val base = 3L * (unit / 20L)
+    val seedSet = seeds.select(col("node")).distinct()
+    // per-node teleport: base on seeds, 0 elsewhere — |V|-sized, joined
+    // hint-free exactly like the degree table (same scale rationale)
+    val baseDf = nodes
+      .join(seedSet.withColumn("is_seed", lit(1L)), Seq("node"), "left")
+      .select(col("node"), (coalesce(col("is_seed"), lit(0L)) * base).as("base"))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    var ranks = nodes
+      .join(seedSet.withColumn("is_seed", lit(1L)), Seq("node"), "left")
+      .select(col("node"), (coalesce(col("is_seed"), lit(0L)) * unit).as("r"))
+    var i = 0
+    while (i < iters) {
+      val incoming = ranks
+        .join(deg, ranks("node") === deg("src"))
+        .select(col("src"), expr("r div deg").as("share"))
+        .join(edges, "src")
+        .groupBy("dst")
+        .agg(sum("share").as("incoming"))
+      ranks = baseDf
+        .join(incoming.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .na.fill(0L, Seq("incoming"))
+        .select(col("node"), (col("base") + expr("(85 * incoming) div 100")).as("r"))
+      i += 1
+      if (i % checkpointEvery == 0 && i < iters) ranks = ranks.localCheckpoint()
+    }
+    ranks
+  }
 }

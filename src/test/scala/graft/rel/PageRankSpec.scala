@@ -66,4 +66,45 @@ class PageRankSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("overflows"), e.getMessage)
   }
+
+  test("personalized: teleport lands only on seeds; unreachable nodes are exactly 0") {
+    // seed 1 → 2 → 3 (chain), node 4 isolated: mass can only flow
+    // downhill from the seed, so 4 must be EXACTLY 0 (the "not in this
+    // community" certificate) while the whole chain is positive
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("node")
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val m = PageRank.personalized(nodes, edges, seeds, iters = 6, unit = unit)
+      .as[(Long, Long)].collect().toMap
+    assert(m(4L) == 0L, s"unreachable node got mass: ${m(4L)}")
+    assert(m(1L) > 0 && m(2L) > 0 && m(3L) > 0, s"chain not reached: $m")
+    // proximity ordering: the seed outranks its 1-hop, which outranks 2-hop
+    assert(m(1L) > m(2L) && m(2L) > m(3L), s"proximity ordering broken: $m")
+    // floors + dangling leak only — never exceed the seeded start mass
+    assert(m.values.sum <= unit, "mass exceeded |S|*unit")
+  }
+
+  test("personalized: seed recurrence is exact, and cadence is semantics-free") {
+    // a seed with a self-loop keeps all its mass: r' = base + (85·r) div 100
+    val nodes = Seq(1L, 2L).toDF("node")
+    val edges = Seq((1L, 1L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val m = PageRank.personalized(nodes, edges, seeds, iters = 5, unit = unit)
+      .as[(Long, Long)].collect().toMap
+    var r = unit
+    (1 to 5).foreach(_ => r = base + (85L * r) / 100L)
+    assert(m(1L) == r, s"seed rank ${m(1L)} disagrees with the exact recurrence $r")
+    assert(m(2L) == 0L)
+    // checkpoint cadence parity on a real-ish graph
+    val ns = (0L to 9L).toDF("node")
+    val es = (0L to 9L)
+      .flatMap(n => Seq(1L, 2L, 3L).map(i => (n, (n * 7 + i * 13) % 10)))
+      .toDF("src", "dst")
+    val sd = Seq(0L, 5L).toDF("node")
+    val runs = Seq(1, 4, 7).map { ce =>
+      PageRank.personalized(ns, es, sd, iters = 6, unit = unit, checkpointEvery = ce)
+        .as[(Long, Long)].collect().toMap
+    }
+    assert(runs.tail.forall(_ == runs.head), "cadence changed a personalized rank")
+  }
 }
