@@ -6316,6 +6316,63 @@ object PipelineQueries {
           "CAST(1 AS BIGINT) AS alpha_inf_ok, CAST(1 AS BIGINT) AS recall_ok " +
           "FROM embeddings")),
 
+    // HIERARCHICAL navigable-graph ANN (index/Hnsw — Malkov & Yashunin
+    // TPAMI 2018, deterministic levels): the graph family standing ALONE
+    // end-to-end — nested layers by hash level (xxhash64(id) mod 16^i ==
+    // 0, the geometric HNSW level law made reproducible), a k-NN graph
+    // per layer, search brute-scoring the ≤256-node top layer and
+    // DESCENDING (each layer's beam result seeds the next layer's walk —
+    // the routing v35 borrows from IVF, done graph-natively). Search
+    // touches O(layers·rounds·beam·deg) vectors per query — logarithmic
+    // in n through the layer count. Flags: hierarchy actually engaged
+    // (≥2 layers), recall@10 vs the in-query exact oracle ≥ the 0.85
+    // bar (observed ~0.99 at 1×, ~0.95 at the 10× point where the stack
+    // is 3 layers deep), k contiguous distinct ranks, membership.
+    NamedQuery(
+      "v37_hnsw_search",
+      (s, dir) => {
+        val nodes = t(s, dir, "embeddings").select("vec_id", "embedding")
+        val layers = graft.index.Hnsw
+          .build(nodes, k = 8, Some(indexFor(s, dir)))
+          .map(l => graft.index.Hnsw.Layer(
+            l.nodes, graft.CacheScope.track(l.graph.cache())))
+        val q = nodes
+          .filter(col("vec_id") < 100)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+        val got = graft.CacheScope.track(
+          graft.index.Hnsw.search(q, layers, k = 10, beam = 64, rounds = 8).cache())
+        val exactG = graft.index.KnnJoin.exact(q, nodes, 10)
+        val rec = IvfSearch
+          .recallAtK(got.select("query_id", "vec_id"), exactG, 10, q)
+          .agg(avg("recall").as("m"))
+        val shape = got
+          .groupBy("query_id")
+          .agg(
+            count(lit(1)).as("n"),
+            countDistinct("vec_id").as("nd"),
+            max("rnk").as("mr"))
+          .agg(
+            count(lit(1)).as("n_q"),
+            min(when(col("n") === 10 && col("nd") === 10 && col("mr") === 10, 1L)
+              .otherwise(0L)).as("k_ok"))
+        val member = got
+          .select(col("vec_id"))
+          .join(nodes.select("vec_id"), Seq("vec_id"), "left_anti")
+          .agg(count(lit(1)).as("bad"))
+          .select(when(col("bad") === 0, 1L).otherwise(0L).as("member_ok"))
+        rec.crossJoin(shape).crossJoin(member)
+          .select(
+            col("n_q").cast("long").as("n_queries"),
+            lit(if (layers.length >= 2) 1L else 0L).as("layers_ok"),
+            when(col("m") >= 0.85, 1L).otherwise(0L).as("recall_ok"),
+            col("k_ok").as("shape_ok"),
+            col("member_ok"))
+      },
+      Some(
+        "SELECT CAST(100 AS BIGINT) AS n_queries, CAST(1 AS BIGINT) AS layers_ok, " +
+          "CAST(1 AS BIGINT) AS recall_ok, CAST(1 AS BIGINT) AS shape_ok, " +
+          "CAST(1 AS BIGINT) AS member_ok")),
+
     // Compressed-video SCENE-CHANGE detection — the frame-sampling policy
     // real multimodal pipelines run before feature extraction (sample one
     // frame per SCENE, not per fixed stride): each asset deterministically

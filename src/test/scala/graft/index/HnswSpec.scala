@@ -1,0 +1,67 @@
+package graft.index
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class HnswSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding").cache()
+
+  test("layers are nested, geometric, deterministic, and the top is brute-forceable") {
+    val layers = Hnsw.build(emb, k = 6, shrink = 16, topCap = 256L)
+    assert(layers.length >= 2, s"500 nodes at shrink 16 must stack ≥ 2 layers")
+    val sizes = layers.map(_.nodes.count())
+    // top-first: sizes strictly increase downward; bottom is the corpus
+    assert(sizes == sizes.sorted, s"layer sizes not increasing: $sizes")
+    assert(sizes.last == 500L, s"layer 0 must be the whole corpus, got ${sizes.last}")
+    assert(sizes.head <= 256L, s"top layer ${sizes.head} not brute-forceable")
+    // nesting: every upper-layer member appears in the layer below
+    layers.sliding(2).foreach { case Seq(upper, lower) =>
+      assert(
+        upper.nodes.select("vec_id")
+          .exceptAll(lower.nodes.select("vec_id")).isEmpty,
+        "upper layer is not a subset of the lower layer")
+    }
+    // determinism: a rebuild yields identical member sets
+    val again = Hnsw.build(emb, k = 6, shrink = 16, topCap = 256L)
+    layers.zip(again).foreach { case (a, b) =>
+      assert(a.nodes.select("vec_id").exceptAll(b.nodes.select("vec_id")).isEmpty)
+    }
+  }
+
+  test("hierarchical search clears the recall bar with no external router") {
+    val layers = Hnsw.build(emb, k = 6, shrink = 16, topCap = 256L)
+      .map(l => Hnsw.Layer(l.nodes, l.graph.cache()))
+    val q = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val got = Hnsw.search(q, layers, k = 5, beam = 16, rounds = 6)
+    val exact = KnnJoin.exact(q, emb, k = 5)
+      .select(col("query_id"), col("vec_id")).as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val mine = got.select("query_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val mean = exact.map { case (qid, want) =>
+      (mine.getOrElse(qid, Set.empty) & want).size.toDouble / want.size
+    }.sum / exact.size
+    layers.foreach(_.graph.unpersist())
+    assert(mean >= 0.9, s"hierarchical recall@5 $mean below bar")
+    // contract shape: exactly k distinct ranked rows per query
+    val per = got.groupBy("query_id").agg(
+      count(lit(1)).as("n"), countDistinct("vec_id").as("nd"), max("rnk").as("mr"))
+    assert(per.filter(col("n") =!= 5 || col("nd") =!= 5 || col("mr") =!= 5).isEmpty)
+  }
+
+  test("a corpus small enough for one layer degenerates to a plain seeded walk") {
+    val tiny = emb.filter(col("vec_id") < 60)
+    val layers = Hnsw.build(tiny, k = 4, shrink = 16, topCap = 256L)
+    assert(layers.length == 1, s"60 nodes must be a single (top) layer, got ${layers.length}")
+    val q = tiny.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val got = Hnsw.search(q, layers, k = 3, beam = 8, rounds = 4)
+    val per = got.groupBy("query_id").agg(count(lit(1)).as("n"))
+    assert(per.filter(col("n") =!= 3).isEmpty)
+  }
+}
