@@ -36,13 +36,18 @@ object Hnsw {
     * ≤ `topCap` members (that layer becomes the brute-forceable top).
     * `model` (optional) routes each layer's graph build through the
     * probed IVF scan instead of the exact O(n²) path — the scale form.
-    * Returned top-first. */
+    * `layer0Graph` (optional) supplies an already-built degree-`k` graph
+    * for the full corpus — the deploy-once contract: layer 0 dominates
+    * build cost (upper layers are geometrically smaller), so a cached or
+    * saved artifact should be reused rather than rebuilt. Returned
+    * top-first. */
   def build(
       nodes: DataFrame,
       k: Int,
       model: Option[IvfModel] = None,
       shrink: Int = 16,
-      topCap: Long = 256L): Seq[Layer] = {
+      topCap: Long = 256L,
+      layer0Graph: Option[DataFrame] = None): Seq[Layer] = {
     require(k >= 1 && shrink >= 2 && topCap >= 1,
       s"bad k=$k shrink=$shrink topCap=$topCap")
     val layers = Seq.newBuilder[Layer]
@@ -51,7 +56,10 @@ object Hnsw {
     var n = cur.count()
     var done = false
     while (!done) {
-      layers += Layer(cur, KnnJoin.knnGraph(cur, k, model))
+      val g =
+        if (mod == 1L) layer0Graph.getOrElse(KnnJoin.knnGraph(cur, k, model))
+        else KnnJoin.knnGraph(cur, k, model)
+      layers += Layer(cur, g)
       val nextMod = mod * shrink
       val next = nodes
         .filter(pmod(xxhash64(col("vec_id")), lit(nextMod)) === 0)

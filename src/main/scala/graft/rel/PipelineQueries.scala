@@ -149,6 +149,32 @@ object PipelineQueries {
       tmp.toString
     })
 
+  /** Session-scoped k-NN-graph artifacts per (fixture dir, degree) — the
+    * [[indexFor]] deploy-once contract for the graph family: v35/v36/v37
+    * CONSUME a built graph the way production queries consume a deployed
+    * index (v33/v34 remain the registered build/refine operators and
+    * keep building in-query). Cached + persisted, deliberately NOT
+    * CacheScope-tracked (survives across queries in one Verify/Bench
+    * session, like the index cache). */
+  private val knnGraphCache = scala.collection.concurrent.TrieMap.empty[(String, Int), DataFrame]
+  def knnGraphFor(s: SparkSession, dir: String, k: Int): DataFrame =
+    knnGraphCache.getOrElseUpdate((dir, k), {
+      val nodes = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val g = graft.index.KnnJoin.knnGraph(nodes, k, Some(indexFor(s, dir))).cache()
+      g.count() // materialize once, here, not inside whichever query loses the race
+      g
+    })
+
+  /** One-NN-descent-round refinement of [[knnGraphFor]], same contract. */
+  private val refinedGraphCache = scala.collection.concurrent.TrieMap.empty[(String, Int), DataFrame]
+  def refinedGraphFor(s: SparkSession, dir: String, k: Int): DataFrame =
+    refinedGraphCache.getOrElseUpdate((dir, k), {
+      val nodes = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val g = graft.index.KnnJoin.nnDescentRound(knnGraphFor(s, dir, k), nodes, k).cache()
+      g.count()
+      g
+    })
+
   private def embQueries(s: SparkSession, dir: String, n: Int): DataFrame =
     t(s, dir, "embeddings")
       .filter(col("vec_id") < n)
@@ -6193,10 +6219,9 @@ object PipelineQueries {
       "v35_graph_beam_search",
       (s, dir) => {
         val nodes = t(s, dir, "embeddings").select("vec_id", "embedding")
-        val seed = graft.CacheScope.track(
-          graft.index.KnnJoin.knnGraph(nodes, 8, Some(indexFor(s, dir))).cache())
-        val refined = graft.CacheScope.track(
-          graft.index.KnnJoin.nnDescentRound(seed, nodes, 8).cache())
+        // served from the session graph cache (deploy-once): the build
+        // itself is v33's registered operator, the refinement v34's
+        val refined = refinedGraphFor(s, dir, 8)
         val q = nodes
           .filter(col("vec_id") < 100)
           .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
@@ -6269,8 +6294,8 @@ object PipelineQueries {
       "v36_graph_alpha_prune",
       (s, dir) => {
         val nodes = t(s, dir, "embeddings").select("vec_id", "embedding")
-        val cands = graft.CacheScope.track(
-          graft.index.KnnJoin.knnGraph(nodes, 16, Some(indexFor(s, dir))).cache())
+        // candidate pool from the session graph cache (deploy-once)
+        val cands = knnGraphFor(s, dir, 16)
         val pruned = graft.CacheScope.track(
           graft.index.GraphPrune.alphaPrune(cands, nodes, r = 8, alpha = 1.2).cache())
         val deg = pruned.groupBy("src")
@@ -6332,10 +6357,16 @@ object PipelineQueries {
       "v37_hnsw_search",
       (s, dir) => {
         val nodes = t(s, dir, "embeddings").select("vec_id", "embedding")
-        val layers = graft.index.Hnsw
-          .build(nodes, k = 8, Some(indexFor(s, dir)))
-          .map(l => graft.index.Hnsw.Layer(
-            l.nodes, graft.CacheScope.track(l.graph.cache())))
+        // layer 0 (the dominant build cost) comes from the session graph
+        // cache and must NOT be query-scoped; the geometrically smaller
+        // upper layers are built in-query and tracked as usual
+        val built = graft.index.Hnsw
+          .build(nodes, k = 8, Some(indexFor(s, dir)),
+            layer0Graph = Some(knnGraphFor(s, dir, 8)))
+        val layers = built.zipWithIndex.map { case (l, i) =>
+          if (i == built.length - 1) l // bottom = the session-cached layer 0
+          else graft.index.Hnsw.Layer(l.nodes, graft.CacheScope.track(l.graph.cache()))
+        }
         val q = nodes
           .filter(col("vec_id") < 100)
           .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
@@ -6729,6 +6760,45 @@ object PipelineQueries {
           "r0 AS (SELECT node, CAST(CASE WHEN node % 17 = 3 THEN 1000000000000 ELSE 0 END AS BIGINT) AS r FROM nodes), " +
           steps + " " +
           "SELECT node, CAST(r AS BIGINT) AS ppr_q FROM r10 ORDER BY node"
+      }),
+
+    // Multi-source BFS HOP DISTANCE (rel/Bfs) — the discrete sibling of
+    // p20: label every node with its exact hop distance from the nearest
+    // trusted seed (crawl depth, staleness tiers), −1 beyond the horizon.
+    // Pure BSP set algebra (no weights, no floats, no ties), so the
+    // oracle replays all 6 rounds as unrolled MATERIALIZED CTEs and the
+    // ENTIRE 99-node assignment crosses the hash. Per round: one edge
+    // join against the shrinking frontier + one anti-join against the
+    // labels — node-key shuffles only (the PageRank plan rule).
+    NamedQuery(
+      "p21_bfs_depth",
+      (s, dir) => {
+        val nodes = t(s, dir, "customer")
+          .filter(col("c_custkey") < 100)
+          .select(col("c_custkey").as("node"))
+        val edges = nodes
+          .select(col("node").as("src"), explode(array(lit(1), lit(2), lit(3))).as("i"))
+          .select(col("src"), pmod(col("src") * 7 + col("i") * 13, lit(100)).as("dst"))
+        val seeds = nodes.filter(pmod(col("node"), lit(17)) === 3)
+        Bfs.run(nodes, edges, seeds, maxHops = 6).orderBy("node")
+      },
+      Some {
+        val rounds = (1 to 6).map { i =>
+          s"f$i AS MATERIALIZED (SELECT DISTINCT e.dst AS node FROM edges e " +
+            s"JOIN f${i - 1} f ON e.src = f.node " +
+            s"WHERE e.dst IN (SELECT node FROM nodes) " +
+            s"AND e.dst NOT IN (SELECT node FROM l${i - 1})), " +
+            s"l$i AS MATERIALIZED (SELECT node, dist FROM l${i - 1} " +
+            s"UNION ALL SELECT node, $i AS dist FROM f$i)"
+        }.mkString(", ")
+        "WITH nodes AS MATERIALIZED (SELECT c_custkey AS node FROM customer WHERE c_custkey < 100), " +
+          "edges AS MATERIALIZED (SELECT node AS src, (node * 7 + i * 13) % 100 AS dst " +
+          "FROM nodes, unnest([1, 2, 3]) AS t(i)), " +
+          "l0 AS MATERIALIZED (SELECT node, 0 AS dist FROM nodes WHERE node % 17 = 3), " +
+          "f0 AS MATERIALIZED (SELECT node FROM l0), " +
+          rounds + " " +
+          "SELECT n.node, CAST(coalesce(l.dist, -1) AS INTEGER) AS dist " +
+          "FROM nodes n LEFT JOIN l6 l ON n.node = l.node ORDER BY n.node"
       }),
 
     // Semi-supervised LABEL PROPAGATION (rel/LabelProp.run) — the second
