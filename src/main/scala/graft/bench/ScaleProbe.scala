@@ -56,11 +56,29 @@ object ScaleProbe {
     "q46_recursive_hierarchy",
     "s14_stream_approx_distinct")
 
+  /** The replica id shift. Every shifted key column is ASSERTED below it
+    * at build time ([[assertShiftable]]): a base fixture whose keys reach
+    * the shift (sf1 orderkeys would at k ≥ 2) would silently collide
+    * replica key ranges and break the referential-integrity and
+    * replicas-are-new-entities invariants every exponent relies on. */
+  private[bench] val Shift = 10000000L
+
+  /** One cheap max() per shifted key column — fail LOUDLY at build time
+    * instead of publishing exponents over a self-colliding corpus. */
+  private def assertShiftable(df: DataFrame, table: String, keyCols: Seq[String]): Unit = {
+    val row = df.agg(greatest(keyCols.map(c => max(col(c).cast("long"))): _*)).head()
+    val mx = if (row.isNullAt(0)) Long.MinValue else row.getLong(0)
+    require(mx < Shift,
+      s"$table key(s) ${keyCols.mkString(",")} reach $mx >= replica shift $Shift — " +
+        "replica key ranges would collide; raise the shift or shrink the base fixture")
+  }
+
   /** Write the K×-scaled probe tables under `outBase/x<k>`; returns the
     * dir usable as a `(spark, dir)` query argument. */
   def buildDir(spark: SparkSession, sfDir: String, k: Int, outBase: String): String = {
     val out = s"$outBase/x$k"
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    assertShiftable(docs, "documents", Seq("doc_id"))
     val scaledDocs = (0 until k).map { j =>
       val tag = s"z${j}x"
       val text = concat_ws(" ",
@@ -68,7 +86,7 @@ object ScaleProbe {
           filter(split(lower(col("text")), "\\s+"), t => length(t) > 0),
           t => concat(lit(tag), t)))
       docs.select(
-        (col("doc_id") + j * 10000000L).as("doc_id"),
+        (col("doc_id") + j * Shift).as("doc_id"),
         text.as("text"),
         col("lang"),
         concat(col("source"), lit(s"_$tag")).as("source"),
@@ -80,6 +98,7 @@ object ScaleProbe {
     scaledDocs.write.mode("overwrite").parquet(s"$out/documents.parquet")
 
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    assertShiftable(emb, "embeddings", Seq("vec_id"))
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
     val scaledEmb = (0 until k).map { j =>
       val rot = j % dim
@@ -89,7 +108,7 @@ object ScaleProbe {
           slice(col("embedding"), rot + 1, dim - rot),
           slice(col("embedding"), 1, rot))
       emb.select(
-        (col("vec_id") + j * 10000000L).as("vec_id"),
+        (col("vec_id") + j * Shift).as("vec_id"),
         rotated.as("embedding"),
         col("label"))
     }.reduce(_.unionByName(_))
@@ -116,12 +135,14 @@ object ScaleProbe {
       sfDir: String,
       table: String,
       keyCols: Seq[String],
-      k: Int): DataFrame =
+      k: Int): DataFrame = {
+    assertShiftable(graft.Tables.t(spark, sfDir, table), table, keyCols)
     (0 until k).map { j =>
       keyCols.foldLeft(graft.Tables.t(spark, sfDir, table)) { (df, c) =>
-        df.withColumn(c, col(c) + j * 10000000L)
+        df.withColumn(c, col(c) + j * Shift)
       }
     }.reduce(_.unionByName(_))
+  }
 
   final case class Point(name: String, t1: Double, tK: Double, exponent: Double)
 

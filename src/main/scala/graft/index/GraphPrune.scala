@@ -84,7 +84,13 @@ object GraphPrune {
           var covered = false
           var j = 0
           while (j < keptEmb.length && !covered) {
-            // b covers c when α·d(b,c) ≤ d(p,c)  ⇔  α²·d²(b,c) ≤ d²(p,c)
+            // b covers c when α·d(b,c) ≤ d(p,c)  ⇔  α²·d²(b,c) ≤ d²(p,c).
+            // d²(b,c) = 0 (c duplicates a kept neighbor) is excluded: a
+            // zero left side would cover EVERY candidate at ANY α, which
+            // silently breaks the documented α→∞ degeneration to the
+            // plain top-R cut (v36's alpha_inf_ok edge-set equality) on a
+            // corpus containing duplicate embeddings — duplicates fall
+            // back to the top-R behavior instead.
             val b = keptEmb(j)
             var d2bc = 0.0
             var t = 0
@@ -93,7 +99,7 @@ object GraphPrune {
               d2bc += diff * diff
               t += 1
             }
-            if (alpha2 * d2bc <= d2pc) covered = true
+            if (d2bc > 0.0 && alpha2 * d2bc <= d2pc) covered = true
             j += 1
           }
           if (!covered) { kept += ((dst, d2pc)); keptEmb += embC }

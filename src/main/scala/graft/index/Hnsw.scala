@@ -65,10 +65,16 @@ object Hnsw {
         .filter(pmod(xxhash64(col("vec_id")), lit(nextMod)) === 0)
         .select(col("vec_id"), col("embedding"))
       val nextN = next.count()
-      // stop when the CURRENT layer is already brute-forceable as the
-      // top, or the next layer would be degenerate (too small to carry
-      // a k-NN graph worth walking)
-      if (n <= topCap || nextN <= math.max(k + 1, 2L)) done = true
+      // stop ONLY when the CURRENT layer is brute-forceable as the top:
+      // search crossJoins a broadcast of the whole top layer, so the
+      // `≤ topCap` contract must hold unconditionally — a degenerate
+      // (tiny) upper layer is harmless (its graph may be empty; the
+      // descent just carries the seeds through), an OVERSIZED top is
+      // not. The one exception is nextN == 0 (the hash rule left nothing
+      // to shrink to — astronomically unlikely at n > topCap under a
+      // uniform 64-bit hash): then the current layer stays the top and
+      // the broadcast bound degrades to n, documented here.
+      if (n <= topCap || nextN == 0L) done = true
       else { cur = next; mod = nextMod; n = nextN }
     }
     layers.result().reverse

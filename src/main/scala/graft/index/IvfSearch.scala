@@ -66,10 +66,22 @@ object IvfSearch {
 
   /** Full APS search over a query batch.
     *
+    * `broadcastProbes` follows [[searchProbed]]'s contract: `true` (the
+    * default) for interactive query batches, `false` for CORPUS-SIZED
+    * batches (an offline k-NN-graph build feeding every indexed row back
+    * as a query) where |queries|·maxProbe·d floats would be rebuilt as a
+    * broadcast on every executor — those shuffle both sides on
+    * `partition_id` instead (AQE still converts back to a runtime
+    * broadcast when the measured probe side is actually small).
+    *
     * @return `(query_id, rank, vec_id, dist2)` — rank 1..k ascending dist2
     */
-  def search(model: IvfModel, queries: DataFrame, params: Params): DataFrame =
-    searchProbed(model, chooseProbes(model, queries, params), params)
+  def search(
+      model: IvfModel,
+      queries: DataFrame,
+      params: Params,
+      broadcastProbes: Boolean = true): DataFrame =
+    searchProbed(model, chooseProbes(model, queries, params), params, broadcastProbes)
 
   /** Driver-side APS probe choice for an in-memory query batch — the exact
     * same math as [[chooseProbes]] (unit-tested for parity), computed

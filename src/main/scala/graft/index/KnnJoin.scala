@@ -28,9 +28,19 @@ object KnnJoin {
       normalizeQueries(queries),
       k)
 
-  /** IVF-accelerated approximate k-NN join over a prebuilt index. */
-  def ivf(model: IvfModel, queries: DataFrame, k: Int, targetRecall: Double = 0.9, maxProbe: Int = 64): DataFrame =
-    IvfSearch.search(model, normalizeQueries(queries), IvfSearch.Params(k, targetRecall, maxProbe))
+  /** IVF-accelerated approximate k-NN join over a prebuilt index.
+    * `broadcastProbes = false` is the corpus-sized-batch form — see
+    * [[IvfSearch.search]]; [[knnGraph]] passes it because its query batch
+    * IS the node set. */
+  def ivf(
+      model: IvfModel,
+      queries: DataFrame,
+      k: Int,
+      targetRecall: Double = 0.9,
+      maxProbe: Int = 64,
+      broadcastProbes: Boolean = true): DataFrame =
+    IvfSearch.search(
+      model, normalizeQueries(queries), IvfSearch.Params(k, targetRecall, maxProbe), broadcastProbes)
 
   /** LSH-bucketed approximate COSINE k-NN join — the index-free scale path
     * for similarity search: both sides take the same random-hyperplane
@@ -169,10 +179,12 @@ object KnnJoin {
     * the index itself.
     *
     * `rerankN = 0` (the default) means density-aware: the candidate depth
-    * scales with the indexed corpus size via
-    * [[graft.vector.Pq.adaptiveDepth]] (free — partition sizes are index
-    * metadata), because a fixed depth calibrated at one density fails at
-    * 10× (see adaptiveDepth's measurements). */
+    * scales with the mean PROBED candidate count via
+    * [[graft.vector.Pq.adaptiveDepthProbed]] (one metadata-sized
+    * aggregate over the probe set), because a fixed depth calibrated at
+    * one density fails at 10× (see adaptiveDepth's measurements) — and a
+    * total-corpus-derived depth would make per-query rerank work O(n)
+    * even when the probes scan a sliver. */
   def pq(
       model: IvfModel,
       pqModel: graft.vector.PqModel,
@@ -184,10 +196,13 @@ object KnnJoin {
       maxProbe: Int = 64): DataFrame = {
     val q = normalizeQueries(queries)
     val cents = model.partitions.map(p => p.pid -> p.centroid).toMap
+    val probes = IvfSearch.chooseProbes(model, q, IvfSearch.Params(k, targetRecall, maxProbe))
+    // density-aware depth from the PROBED count, not the total indexed
+    // size: the ADC ordering only ranks the probed subset, so per-query
+    // rerank work stays proportional to what the probes actually scan
     val depth =
       if (rerankN > 0) rerankN
-      else graft.vector.Pq.adaptiveDepth(model.partitions.map(_.size).sum, 100)
-    val probes = IvfSearch.chooseProbes(model, q, IvfSearch.Params(k, targetRecall, maxProbe))
+      else graft.vector.Pq.adaptiveDepthProbed(probes, 100)
     val adc = graft.vector.Pq.ivfAdcResidualTopK(
       codes, pqModel, cents, probes.select("query_id", "partition_id"), q, math.max(k, depth))
     graft.vector.Pq.rerankExact(adc, model.vectors, q, k)
@@ -206,7 +221,10 @@ object KnnJoin {
     *
     * `rerankN = 0` (the default) means density-aware depth via
     * [[graft.vector.Pq.adaptiveDepth]] — one `count()` of the code table
-    * (metadata-cheap next to the ADC scan itself). */
+    * (metadata-cheap next to the ADC scan itself). Here the count IS the
+    * scanned-subset size: SQ is the index-free full-scan tier, every code
+    * row enters the ADC ordering, so depth ∝ n is the honest bound (the
+    * probed tiers derive theirs from the probe set instead). */
   def sq(
       model: graft.vector.Sq.SqModel,
       codes: DataFrame,
@@ -332,8 +350,16 @@ object KnnJoin {
         // one corpus index, many node subsets) — keep the graph closed
         // over `nodes` by semi-joining the scanned candidates back to the
         // node set; out-degree can then fall below k (approximate path —
-        // the recall pin in KnnJoinSpec covers the drop)
-        ivf(m, nodes, k + 1)
+        // the recall pin in KnnJoinSpec covers the drop).
+        // broadcastProbes = false: the query batch here is the ENTIRE node
+        // set, so the probe side is |nodes|·nprobe rows each carrying a
+        // d-float qvec — data-sized, and a forced broadcast of it is
+        // rebuilt per executor (multi-GB at 100× corpus). Both sides
+        // shuffle on partition_id instead; at fixture scale AQE measures
+        // the materialized probe side and converts back to a runtime
+        // broadcast when it is genuinely small (pinned in PlanAuditSpec:
+        // no broadcast HINT of a nodes-derived relation).
+        ivf(m, nodes, k + 1, broadcastProbes = false)
           .join(nodes.select(col("vec_id")), Seq("vec_id"), "left_semi")
     }
     val w = org.apache.spark.sql.expressions.Window

@@ -736,11 +736,14 @@ object PipelineQueries {
         val qs = embQueries(s, dir, 20)
         val probes = IvfSearch.chooseProbes(model, qs, IvfSearch.Params(k = 10))
         // density-aware rerank multiplier (candidate cut = k·rerank): 64
-        // at the calibrated 2,000-row point, scaling with the indexed
-        // corpus (free metadata) — sign-bit orderings are the coarsest
-        // tier, and the fixed k·64 cut fell below the 0.9 bar at 10×
-        // density (DepthProbe: 6400-deep restores 0.980 there)
-        val rerank = Pq.adaptiveDepth(model.partitions.map(_.size).sum, 64)
+        // at the calibrated 2,000-row point, scaling with the mean PROBED
+        // count (one metadata-sized aggregate over the probe set — the
+        // Hamming ordering only ranks the probed cells, so depth derived
+        // from TOTAL corpus size would make per-query rerank work O(n))
+        // — sign-bit orderings are the coarsest tier, and the fixed k·64
+        // cut fell below the 0.9 bar at 10× density (DepthProbe:
+        // 6400-deep restores 0.980 there)
+        val rerank = Pq.adaptiveDepthProbed(probes, 64)
         val cands = graft.vector.BinaryQuant
           .ivfTopK(codes, probes.select("query_id", "partition_id"), qs, model.dim, k = 10, rerank = rerank)
         val approx = Pq.rerankExact(cands, emb, qs, k = 10)
@@ -2043,9 +2046,11 @@ object PipelineQueries {
         val codes = residualCodesFor(s, dir)
         val qs = embQueries(s, dir, 20)
         val probes = IvfSearch.chooseProbes(model, qs, IvfSearch.Params(k = 10))
-        // density-aware depth from index metadata (free — partition sizes
-        // ride the model); the fixed top-100 failed the bar at 10× density
-        val depth = Pq.adaptiveDepth(model.partitions.map(_.size).sum, 100)
+        // density-aware depth from the mean PROBED count (the residual-ADC
+        // ordering only ranks the probed cells — total-corpus depth would
+        // be O(n) per-query rerank work); the fixed top-100 failed the
+        // bar at 10× density
+        val depth = Pq.adaptiveDepthProbed(probes, 100)
         val adc = Pq.ivfAdcResidualTopK(codes, pq, cents, probes.select("query_id", "partition_id"), qs, k = depth)
         val approx = Pq.rerankExact(adc, emb, qs, k = 10)
         // recallAtK reads the exact side twice — cache it (CacheScope

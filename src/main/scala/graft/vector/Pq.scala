@@ -54,10 +54,38 @@ object Pq {
     * per-query gather join. Clustered real-world embeddings need far
     * less than the random-vector calibration — the knob stays exposed
     * on every call path. */
-  def adaptiveDepth(n: Long, base: Int, anchor: Long = 2000L): Int = {
+  def adaptiveDepth(n: Long, base: Int, anchor: Long = 2000L, maxDepth: Int = 1 << 20): Int = {
     require(base > 0 && anchor > 0, s"bad base=$base anchor=$anchor")
-    math.min(math.max(n, 1L),
-      math.max(base.toLong, math.ceil(base.toDouble * n / anchor).toLong)).toInt
+    require(maxDepth >= base, s"maxDepth $maxDepth below base $base")
+    // Long arithmetic throughout, capped BEFORE the Int conversion: at
+    // n ≈ 4e10 the uncapped scaled depth exceeds Int.MaxValue and a bare
+    // .toInt would wrap negative — handed to a top-k operator as k. The
+    // cap is also the honest operating bound: a rerank gather deeper than
+    // maxDepth per query stops being "bounded per-query work" no matter
+    // what the density argument says; callers size it like any budget.
+    val scaled = math.max(base.toLong, math.ceil(base.toDouble * n / anchor).toLong)
+    math.min(math.min(math.max(n, 1L), scaled), maxDepth.toLong).toInt
+  }
+
+  /** [[adaptiveDepth]] with `n` = the MEAN per-query probed-candidate
+    * count read off an APS probe set (`(query_id, …, psize)` rows —
+    * metadata-sized, one tiny aggregate): on a probed scan the candidate
+    * ordering only ever ranks the probed subset, so the probed count IS
+    * the effective corpus the depth must cover — deriving it from the
+    * TOTAL indexed size (as the call sites did before round 15) made
+    * per-query rerank work O(total n) even when the probes scanned 1 percent,
+    * contradicting the sublinear per-query cost the probe path buys. */
+  def adaptiveDepthProbed(
+      probes: org.apache.spark.sql.DataFrame,
+      base: Int,
+      anchor: Long = 2000L,
+      maxDepth: Int = 1 << 20): Int = {
+    import org.apache.spark.sql.functions._
+    val row = probes
+      .agg((sum(col("psize")) / countDistinct(col("query_id"))).as("mean_scanned"))
+      .head()
+    val mean = if (row.isNullAt(0)) 1L else math.ceil(row.getDouble(0)).toLong
+    adaptiveDepth(math.max(mean, 1L), base, anchor, maxDepth)
   }
 
   /** Nearest codeword of `v[off, off+subLen)` — first-minimum rule,
