@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver json-parses the LAST stdout line of `sbt "runMain
+// graft.Bench"` — sbt's default forked-run logging breaks that twice:
+// the digest line gets an `[info] ` prefix, and a `[success] Total
+// time: …` banner prints after it (BENCH_r11–r14 all shipped
+// `parsed: null` from exactly this). Pass forked output through
+// verbatim and drop the success banner so the app's own final println
+// is the final stdout line.
+run / connectInput := false
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

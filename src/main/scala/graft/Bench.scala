@@ -123,28 +123,61 @@ object Bench {
     // a quiet window instead of spending the suite on a contended hour.
     // Bounded tries — if the box never quiets down, the run proceeds and
     // the existing degraded/contended stamps still tell the reader.
-    if (kind == "official" && histSent.nonEmpty) {
-      val tries = sys.env.getOrElse("SPARK_GRAFT_SENTINEL_GATE_TRIES", "10").toInt
-      var i = 0
-      var s = sentinel()
-      while (i < tries && s > 1.2 * median(histSent)) {
-        System.err.println(
-          f"[bench] PRE-GATE: sentinel $s%.3f s > 1.2x history median " +
-            f"${median(histSent)}%.3f s — waiting 60 s for a quiet window (${i + 1}/$tries)")
-        Thread.sleep(60000L)
-        s = sentinel()
-        i += 1
+    def preGate(): Unit =
+      if (kind == "official" && histSent.nonEmpty) {
+        val tries = sys.env.getOrElse("SPARK_GRAFT_SENTINEL_GATE_TRIES", "10").toInt
+        var i = 0
+        var s = sentinel()
+        while (i < tries && s > 1.2 * median(histSent)) {
+          System.err.println(
+            f"[bench] PRE-GATE: sentinel $s%.3f s > 1.2x history median " +
+              f"${median(histSent)}%.3f s — waiting 60 s for a quiet window (${i + 1}/$tries)")
+          Thread.sleep(60000L)
+          s = sentinel()
+          i += 1
+        }
       }
-    }
+    preGate()
     // Two full passes, min per query: a co-tenant CPU spike during one pass
     // cannot fabricate a per-query regression in the official record.
     val nPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
-    val sentinels = scala.collection.mutable.ArrayBuffer(sentinel())
-    val passes = scala.collection.mutable.ArrayBuffer.empty[Seq[(String, Double)]]
-    (1 to math.max(1, nPasses)).foreach { _ =>
-      passes += timeSuite()
-      sentinels += sentinel()
+    def runAttempt(): (Seq[Seq[(String, Double)]], Seq[Double]) = {
+      val sents = scala.collection.mutable.ArrayBuffer(sentinel())
+      val ps = scala.collection.mutable.ArrayBuffer.empty[Seq[(String, Double)]]
+      (1 to math.max(1, nPasses)).foreach { _ =>
+        ps += timeSuite()
+        sents += sentinel()
+      }
+      (ps.toSeq, sents.toSeq)
     }
+    // RETRY-UNTIL-QUIET (rounds 9–14: 5 of 6 official records shipped
+    // `degraded: true` even after the pre-emptive gate, because contention
+    // arriving MID-suite is invisible to a gate that only measures before
+    // it): when an official attempt's own sentinel median lands above the
+    // 1.2× degraded threshold, wait for a quiet window and re-run the
+    // whole suite — bounded attempts, so a permanently-busy box still
+    // produces a (stamped) record. Per-query times take the min across
+    // EVERY pass of every attempt (a contended pass can only over-state,
+    // so extra attempts only improve the floor); the recorded
+    // sentinel/degraded stamps describe the QUIETEST attempt — the one
+    // whose machine state the per-query mins actually reflect.
+    def attemptDegraded(a: (Seq[Seq[(String, Double)]], Seq[Double])): Boolean =
+      histSent.nonEmpty && median(a._2) > 1.2 * median(histSent)
+    val maxRetries =
+      try sys.env.getOrElse("SPARK_GRAFT_SUITE_RETRIES", "2").toInt
+      catch { case _: NumberFormatException => 2 }
+    val attempts = scala.collection.mutable.ArrayBuffer(runAttempt())
+    while (kind == "official" && attemptDegraded(attempts.last) && attempts.size <= maxRetries) {
+      System.err.println(
+        f"[bench] attempt ${attempts.size} degraded (sentinel ${median(attempts.last._2)}%.3f s " +
+          f"vs history median ${median(histSent)}%.3f s) — waiting for quiet and retrying " +
+          f"(${attempts.size}/${maxRetries + 1} attempts)")
+      preGate()
+      attempts += runAttempt()
+    }
+    val bestAttempt = attempts.minBy(a => median(a._2))
+    val passes = scala.collection.mutable.ArrayBuffer(attempts.flatMap(_._1).toSeq: _*)
+    val sentinels = scala.collection.mutable.ArrayBuffer(bestAttempt._2: _*)
     val contended =
       histSent.nonEmpty && median(sentinels.toSeq) > 2.0 * median(histSent)
     if (contended) {
@@ -246,9 +279,13 @@ object Bench {
         s""""degraded":$degraded,"sentinel_sec":$sentinelSec,"rerun":$rerunJson,""" +
         s""""queries_min":${qjson(okResults)},"passes":$passJson"""
     }
+    // Durable-record filename override: the 10×-corpus roster run writes
+    // its own sibling artifact instead of clobbering the official sf0.1
+    // record (VERDICT r14 task 5).
+    val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_queries.json")
     def writeBenchQueries(extra: String): Unit =
       try java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("bench_queries.json"), benchQueriesHead + extra + "}")
+        java.nio.file.Paths.get(benchOut), benchQueriesHead + extra + "}")
       catch { case e: Throwable => System.err.println(s"[bench] queries file write failed: ${e.getMessage}") }
     writeBenchQueries("")
     // Cross-round trend line: append this run's per-query mins to
@@ -424,7 +461,7 @@ object Bench {
           s""""b1_recall":${pull(b1, "mean_recall")},"build_sec":${pull(b1, "build_sec")},""" +
           s""""row_insert_ms":${pull(rowLevelJson, "insert_mean_ms")},"row_search_ms":${pull(rowLevelJson, "search_mean_ms")},""" +
           s""""scale_probe_k":${if (scalePoints.isEmpty) "null" else scaleK},"scale_exp":$scaleExp,""" +
-          s""""full_record":"bench_queries.json"}"""
+          s""""full_record":"$benchOut"}"""
       println(compact)
     }
     spark.stop()

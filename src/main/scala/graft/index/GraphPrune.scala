@@ -43,12 +43,19 @@ object GraphPrune {
       alpha: Double,
       candCap: Int = 0): DataFrame = {
     require(r >= 1, s"r must be >= 1, got $r")
-    require(alpha >= 1.0, s"alpha must be >= 1, got $alpha")
     val cap = if (candCap > 0) candCap else 4 * r
     require(cap >= r, s"candCap $cap below degree budget $r")
-    val spark = cands.sparkSession
-    import spark.implicits._
+    pruneFrom(topCandidates(cands, nodes, cap), r, alpha)
+  }
 
+  /** The exact-scored, per-node-bounded candidate table the greedy rule
+    * consumes: `(src, dst, dist2, emb_d)`, ≤ `cap` rows per src by
+    * ascending `(dist2, dst)`. Exposed so callers sweeping several α
+    * values over the SAME candidate pool (v36 audits α = 1.2 against the
+    * α→∞ top-R limit) pay the scoring joins and heap cut once — the
+    * per-α work is only [[pruneFrom]]'s bounded mapGroups. */
+  def topCandidates(cands: DataFrame, nodes: DataFrame, cap: Int): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
     val emb = nodes.select(col("vec_id"), col("embedding"))
     val scored = cands
       .select(col("src"), col("dst"))
@@ -60,16 +67,23 @@ object GraphPrune {
         col("src").as("query_id"),
         graft.vector.VectorOps.l2Sq(col("emb_s"), col("emb_d")).as("dist2"),
         col("dst").as("vec_id"))
-    // bounded-heap cut to the candCap nearest per node, then ONE bounded
+    // bounded-heap cut to the cap nearest per node, then ONE bounded
     // gather join restores the candidate vectors the pairwise rule needs
-    val top = graft.vector.TopK.perQuery(scored, cap)
+    graft.vector.TopK.perQuery(scored, cap)
       .join(emb.select(col("vec_id"), col("embedding").as("emb_d")), Seq("vec_id"))
       .select(
         col("query_id").as("src"),
         col("vec_id").as("dst"),
         col("dist2"),
         col("emb_d"))
+  }
 
+  /** The greedy α-RNG scan over a prebuilt [[topCandidates]] table. */
+  def pruneFrom(top: DataFrame, r: Int, alpha: Double): DataFrame = {
+    require(r >= 1, s"r must be >= 1, got $r")
+    require(alpha >= 1.0, s"alpha must be >= 1, got $alpha")
+    val spark = top.sparkSession
+    import spark.implicits._
     val alpha2 = alpha * alpha // the rule compares SQUARED L2 distances
     top
       .as[(Long, Long, Double, Array[Float])]

@@ -1,7 +1,6 @@
 package graft.index
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** [engine-added] BEAM search over a k-NN graph — the query-time half of
@@ -83,9 +82,14 @@ object GraphSearch {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val q = queries.select(col("query_id"), col("qvec"))
     val e = graph.select("src", "dst")
-    val und = e
-      .unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
+    // no distinct: a (a,b)+(b,a) reciprocal pair yields a duplicate edge
+    // here, but the per-hop beam cut dedupes candidate ids anyway — the
+    // distinct was a whole extra shuffle per walk for nothing. Cached
+    // (CacheScope-scoped): every hop's expansion joins the SAME edge
+    // list, and each localCheckpoint job would otherwise re-scan and
+    // re-union it from source.
+    val und = graft.CacheScope.track(
+      e.unionByName(e.select(col("dst").as("src"), col("src").as("dst"))).cache())
     val emb = nodes.select(col("vec_id"), col("embedding"))
     def scored(cands: DataFrame): DataFrame =
       cands
@@ -95,7 +99,6 @@ object GraphSearch {
           col("query_id"),
           col("vec_id"),
           graft.vector.VectorOps.l2Sq(col("embedding"), col("qvec")).as("dist2"))
-    val w = Window.partitionBy("query_id").orderBy(col("dist2").asc, col("vec_id").asc)
     var frontier = scored(seeds.select("query_id", "vec_id").distinct())
     var i = 0
     while (i < rounds) {
@@ -103,21 +106,22 @@ object GraphSearch {
         .select(col("query_id"), col("vec_id").as("src"))
         .join(und, "src")
         .select(col("query_id"), col("dst").as("vec_id"))
-        .distinct()
-        // candidates already in the beam keep their computed distance —
-        // only genuinely new nodes get scored
-        .join(frontier.select("query_id", "vec_id"), Seq("query_id", "vec_id"), "left_anti")
-      frontier = frontier
-        .unionByName(scored(expanded))
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= beam)
-        .drop("rnk")
+      // Per-hop shape (round 15 — the walk is the graph family's suite
+      // constant): expansion duplicates are RE-SCORED rather than
+      // anti-joined away (the distance kernel is deterministic, so every
+      // copy carries the same dist2), and the beam cut is the id-deduping
+      // bounded-heap aggregator — ONE map-side-combining aggregation per
+      // hop in place of three all-row wide ops (distinct + left_anti +
+      // window), the same O(queries·beam) shuffle bound with two fewer
+      // exchanges. Re-scored arithmetic is O(dup·beam·deg) rows per
+      // query — bounded, and cheaper than the joins it replaces.
+      frontier = graft.vector.TopK
+        .perQueryDistinct(frontier.unionByName(scored(expanded)), beam)
+        .select("query_id", "vec_id", "dist2")
       i += 1
       if (i % 2 == 0 && i < rounds) frontier = frontier.localCheckpoint()
     }
-    frontier
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select("query_id", "vec_id", "rnk", "dist2")
+    graft.vector.TopK.perQueryDistinct(frontier, k)
+      .select(col("query_id"), col("vec_id"), col("rank").as("rnk"), col("dist2"))
   }
 }

@@ -157,13 +157,26 @@ object PipelineQueries {
     * CacheScope-tracked (survives across queries in one Verify/Bench
     * session, like the index cache). */
   private val knnGraphCache = scala.collection.concurrent.TrieMap.empty[(String, Int), DataFrame]
+
+  /** The one degree every fixture graph is BUILT at; smaller requested
+    * degrees are `rnk <= k` views of it. Valid because the prefix of a
+    * probed top-K list IS the top-k list when the node set equals the
+    * indexed corpus (this helper always passes the full embeddings
+    * table, so knnGraph's closure semi-join is a no-op and ranks are
+    * identical by construction — pinned in KnnJoinSpec); v35's degree-8
+    * walk graph and v36's degree-16 candidate pool then share ONE probed
+    * self-search instead of paying two full builds (VERDICT r14 task 6). */
+  private val CanonicalGraphDegree = 16
   def knnGraphFor(s: SparkSession, dir: String, k: Int): DataFrame =
-    knnGraphCache.getOrElseUpdate((dir, k), {
-      val nodes = t(s, dir, "embeddings").select("vec_id", "embedding")
-      val g = graft.index.KnnJoin.knnGraph(nodes, k, Some(indexFor(s, dir))).cache()
-      g.count() // materialize once, here, not inside whichever query loses the race
-      g
-    })
+    if (k < CanonicalGraphDegree)
+      knnGraphFor(s, dir, CanonicalGraphDegree).filter(col("rnk") <= k)
+    else
+      knnGraphCache.getOrElseUpdate((dir, k), {
+        val nodes = t(s, dir, "embeddings").select("vec_id", "embedding")
+        val g = graft.index.KnnJoin.knnGraph(nodes, k, Some(indexFor(s, dir))).cache()
+        g.count() // materialize once, here, not inside whichever query loses the race
+        g
+      })
 
   /** One-NN-descent-round refinement of [[knnGraphFor]], same contract. */
   private val refinedGraphCache = scala.collection.concurrent.TrieMap.empty[(String, Int), DataFrame]
@@ -6299,10 +6312,15 @@ object PipelineQueries {
       "v36_graph_alpha_prune",
       (s, dir) => {
         val nodes = t(s, dir, "embeddings").select("vec_id", "embedding")
-        // candidate pool from the session graph cache (deploy-once)
+        // candidate pool from the session graph cache (deploy-once); the
+        // exact-scored bounded candidate table is computed ONCE and both
+        // α passes (1.2 and the →∞ audit below) prune from it — the
+        // per-α cost is only the bounded mapGroups scan
         val cands = knnGraphFor(s, dir, 16)
+        val top = graft.CacheScope.track(
+          graft.index.GraphPrune.topCandidates(cands, nodes, cap = 32).cache())
         val pruned = graft.CacheScope.track(
-          graft.index.GraphPrune.alphaPrune(cands, nodes, r = 8, alpha = 1.2).cache())
+          graft.index.GraphPrune.pruneFrom(top, r = 8, alpha = 1.2).cache())
         val deg = pruned.groupBy("src")
           .agg(count(lit(1)).as("n"), countDistinct("dst").as("nd"))
           .agg(
@@ -6314,7 +6332,7 @@ object PipelineQueries {
         val nearestOk = nearest.exceptAll(kept1).unionAll(kept1.exceptAll(nearest))
           .agg(count(lit(1)).as("bad"))
           .select(when(col("bad") === 0, 1L).otherwise(0L).as("nearest_ok"))
-        val inf = graft.index.GraphPrune.alphaPrune(cands, nodes, r = 8, alpha = 1e9)
+        val inf = graft.index.GraphPrune.pruneFrom(top, r = 8, alpha = 1e9)
           .select("src", "dst", "rnk")
         val plain = cands.filter(col("rnk") <= 8).select("src", "dst", "rnk")
         val infOk = inf.exceptAll(plain).unionAll(plain.exceptAll(inf))

@@ -71,11 +71,44 @@ class TopKAgg(k: Int) extends Aggregator[(Long, Double, Long), TopKBuf, Seq[(Dou
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
 }
 
+/** [[TopKAgg]] that additionally DEDUPES by id: an id already in the
+  * buffer is skipped on insert (and on merge). Correct ONLY when every
+  * copy of an id carries the same value — the deterministic-kernel case
+  * (a beam walk re-scoring the same node reached through several edges);
+  * there it fuses the would-be `groupBy(query, id)` dedupe shuffle into
+  * the top-k aggregation itself. Membership test is a linear scan of the
+  * ≤ k-slot buffer — k is a beam width (tens), not a corpus. */
+class TopKDistinctAgg(k: Int) extends TopKAgg(k) {
+  private def contains(b: TopKBuf, id: Long): Boolean = {
+    var i = 0
+    while (i < b.n) { if (b.ids(i) == id) return true; i += 1 }
+    false
+  }
+  override def reduce(b: TopKBuf, a: (Long, Double, Long)): TopKBuf =
+    if (contains(b, a._3)) b else super.reduce(b, a)
+  override def merge(x: TopKBuf, y: TopKBuf): TopKBuf = {
+    var i = 0
+    while (i < y.n) {
+      if (!contains(x, y.ids(i))) super.reduce(x, (0L, y.ds(i), y.ids(i)))
+      i += 1
+    }
+    x
+  }
+}
+
 object TopK {
   /** Per-query top-k over candidate rows `(query_id, dist2, vec_id, ...)`
     * via [[TopKAgg]]. Output matches the window form bit-for-bit:
     * `(query_id, rank, vec_id, dist2)`. */
-  def perQuery(cands: DataFrame, k: Int): DataFrame = {
+  def perQuery(cands: DataFrame, k: Int): DataFrame =
+    perQueryWith(cands, new TopKAgg(k))
+
+  /** [[perQuery]] with id-dedupe fused into the heap ([[TopKDistinctAgg]]
+    * — duplicate ids must carry identical values). */
+  def perQueryDistinct(cands: DataFrame, k: Int): DataFrame =
+    perQueryWith(cands, new TopKDistinctAgg(k))
+
+  private def perQueryWith(cands: DataFrame, agg: TopKAgg): DataFrame = {
     val spark = cands.sparkSession
     import spark.implicits._
     cands
@@ -85,7 +118,7 @@ object TopK {
       .filter(col("dist2").isNotNull)
       .as[(Long, Double, Long)]
       .groupByKey(_._1)
-      .agg(new TopKAgg(k).toColumn.name("topk"))
+      .agg(agg.toColumn.name("topk"))
       .flatMap { case (qid, top) =>
         top.iterator.zipWithIndex.map { case ((d, id), i) => (qid, i + 1, id, d) }
       }

@@ -214,4 +214,18 @@ class KnnJoinSpec extends SparkSpec {
       s"nn-descent candidate generation fell back to a cartesian product:\n$plan")
     Seq(exact, seed, refined).foreach(_.unpersist())
   }
+
+  test("degree prefix: rnk<=k view of a higher-degree probed build equals the direct k build") {
+    // the canonical-degree sharing contract (PipelineQueries.knnGraphFor
+    // builds once at degree 16 and serves smaller degrees as rnk views):
+    // valid because probe choice ignores k, the top-K heap's prefix is
+    // the top-k heap, and the closure semi-join is a no-op when the node
+    // set IS the indexed corpus — the precondition this pin certifies.
+    val model = IvfBuild.build(emb, 64)
+    val deg16 = KnnJoin.knnGraph(emb, k = 16, Some(model))
+    val derived = deg16.filter(col("rnk") <= 5).select("src", "dst", "rnk", "dist2")
+    val direct = KnnJoin.knnGraph(emb, k = 5, Some(model)).select("src", "dst", "rnk", "dist2")
+    assert(derived.exceptAll(direct).isEmpty && direct.exceptAll(derived).isEmpty,
+      "rnk<=5 view of the degree-16 probed graph differs from the direct degree-5 build")
+  }
 }
