@@ -66,7 +66,9 @@ object ScaleProbe {
   /** One cheap max() per shifted key column — fail LOUDLY at build time
     * instead of publishing exponents over a self-colliding corpus. */
   private def assertShiftable(df: DataFrame, table: String, keyCols: Seq[String]): Unit = {
-    val row = df.agg(greatest(keyCols.map(c => max(col(c).cast("long"))): _*)).head()
+    // Spark's greatest() requires >1 args — single-key tables take max alone
+    val maxes = keyCols.map(c => max(col(c).cast("long")))
+    val row = df.agg(if (maxes.size == 1) maxes.head else greatest(maxes: _*)).head()
     val mx = if (row.isNullAt(0)) Long.MinValue else row.getLong(0)
     require(mx < Shift,
       s"$table key(s) ${keyCols.mkString(",")} reach $mx >= replica shift $Shift — " +

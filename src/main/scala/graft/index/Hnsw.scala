@@ -80,6 +80,102 @@ object Hnsw {
     layers.result().reverse
   }
 
+  /** Batch INSERT into a built layer stack — the reference's online
+    * insert semantics (quake_min.py:92-109 routes new rows into the
+    * structure and repairs the touched neighborhoods) at micro-batch
+    * granularity, graph-natively:
+    *
+    *  1. LEVEL ROUTE: a new id joins layer `i` by the SAME deterministic
+    *     rule the build used (`xxhash64(vec_id) mod shrink^i == 0`), so
+    *     nesting invariance holds by construction and a rebuilt-from-
+    *     scratch stack would place it identically. The stack DEPTH stays
+    *     fixed: an id hashing above the current top's level joins every
+    *     existing layer (the top grows by the hash-expected trickle —
+    *     n/shrink^(L-1) — and stays broadcast-bounded).
+    *  2. DESCEND: every batch row walks the stack exactly like a query
+    *     ([[search]]'s shape — brute-scored top seeds, then per-layer
+    *     [[GraphSearch.searchFrom]]), the walk result at each layer
+    *     doubling as (a) the seeds for the next layer down and (b) the
+    *     attach CANDIDATES at layers the row joins.
+    *  3. ATTACH + REPAIR: new out-edges are the α-RNG prune
+    *     ([[GraphPrune]] — HNSW's select_neighbors_heuristic) of the
+    *     walk candidates; old nodes that gained a reverse edge re-prune
+    *     their adjacency over (old edges ∪ new reverse edges) — only
+    *     TOUCHED neighborhoods pay, everything else keeps its rows.
+    *
+    * Scale shape: per batch row the walk work is the search cost
+    * (O(layers·rounds·beam·deg)); the repair is bounded by
+    * |batch|·k touched nodes × ≤(4k+k) candidate edges each — nothing
+    * data-sized moves, so micro-batch maintenance stays micro-batch
+    * priced at any corpus size. Intra-batch edges are not created on
+    * insert (candidates come from the existing members); a subsequent
+    * [[KnnJoin.nnDescentRound]] — the maintenance operator — recovers
+    * them, mirroring how the reference's per-row inserts only see rows
+    * already present. Returns the new stack, top-first like [[build]].
+    */
+  def insert(
+      layers: Seq[Layer],
+      batch: DataFrame,
+      k: Int,
+      beam: Int,
+      rounds: Int,
+      shrink: Int = 16,
+      alpha: Double = 1.2,
+      perLayerK: Int = 8): Seq[Layer] = {
+    require(layers.nonEmpty, "empty layer stack")
+    require(k >= 1 && beam >= k && shrink >= 2, s"bad k=$k beam=$beam shrink=$shrink")
+    val L = layers.length
+    val newRows = batch.select(col("vec_id"), col("embedding"))
+    val q = graft.CacheScope.track(
+      newRows.select(col("vec_id").as("query_id"), col("embedding").as("qvec")).cache())
+    val candK = math.min(4 * k, beam)
+    // brute-scored top seeds, exactly like search (the top is
+    // topCap-bounded by the build contract)
+    var seeds = graft.vector.TopK.perQuery(
+      q.crossJoin(broadcast(layers.head.nodes.select(col("vec_id"), col("embedding"))))
+        .select(
+          col("query_id"),
+          graft.vector.VectorOps.l2Sq(col("embedding"), col("qvec")).as("dist2"),
+          col("vec_id")),
+      perLayerK)
+      .select("query_id", "vec_id")
+    layers.zipWithIndex.map { case (layer, p) =>
+      var mod = 1L
+      (0 until (L - 1 - p)).foreach(_ => mod *= shrink)
+      // all batch rows walk every layer (they need the descent seeds);
+      // rows whose hash clears this layer's modulus also attach here
+      val walked = graft.CacheScope.track(
+        GraphSearch
+          .searchFrom(q, layer.graph, layer.nodes, seeds, k = candK, beam = beam, rounds = rounds)
+          .cache())
+      seeds = walked.filter(col("rnk") <= perLayerK).select("query_id", "vec_id")
+      val joiners = newRows.filter(pmod(xxhash64(col("vec_id")), lit(mod)) === 0)
+      val allNodes = layer.nodes.select("vec_id", "embedding")
+        .unionByName(joiners.select("vec_id", "embedding"))
+      val attachCands = walked
+        .join(joiners.select(col("vec_id").as("query_id")), Seq("query_id"), "left_semi")
+        .select(col("query_id").as("src"), col("vec_id").as("dst"))
+      val newOut = graft.CacheScope.track(
+        GraphPrune.alphaPrune(attachCands, allNodes, r = k, alpha = alpha, candCap = candK).cache())
+      // repair: an old node that gained a reverse edge re-selects its
+      // ≤ k out-edges over (its old edges ∪ the new arrivals) — the
+      // candidate list stays ≤ k + |reverse arrivals| rows, per-node
+      // bounded work on only the touched neighborhoods
+      val rev = newOut.select(col("dst").as("src"), col("src").as("dst"))
+      val touched = rev.select("src").distinct()
+      val touchedCands = layer.graph
+        .join(touched, Seq("src"), "left_semi")
+        .select("src", "dst")
+        .unionByName(rev)
+      val touchedPruned =
+        GraphPrune.alphaPrune(touchedCands, allNodes, r = k, alpha = alpha, candCap = candK)
+      val untouched = layer.graph
+        .select("src", "dst", "rnk", "dist2")
+        .join(touched, Seq("src"), "left_anti")
+      Layer(allNodes, untouched.unionByName(touchedPruned).unionByName(newOut))
+    }
+  }
+
   /** Descend-and-refine search: brute-score the top layer's members as
     * seeds (bounded: the build capped it near `topCap`), then walk each
     * layer with [[GraphSearch.searchFrom]], the result seeding the next

@@ -6427,6 +6427,83 @@ object PipelineQueries {
           "CAST(1 AS BIGINT) AS recall_ok, CAST(1 AS BIGINT) AS shape_ok, " +
           "CAST(1 AS BIGINT) AS member_ok")),
 
+    // HNSW batch INSERT (index/Hnsw.insert — the reference's online
+    // insert, quake_min.py:92-109, at micro-batch granularity): new rows
+    // route by the SAME deterministic level rule the build used, descend
+    // the stack like queries, attach via the α-RNG prune of their walk
+    // candidates, and only the TOUCHED old neighborhoods re-select their
+    // edges — closing the mutation asymmetry between the graph family
+    // and the IVF family (O8/O9/s02 have had insert/delete since round
+    // 7). Certified facts, v02-style flags over a batch of 20 planted
+    // near-duplicates at ids far outside the corpus range: membership of
+    // EVERY grown layer equals the hash level rule over (corpus ∪ batch)
+    // — the stack an offline rebuild would route, so level nesting is
+    // insert-invariant (nesting_ok); every layer's out-degree budget
+    // survives the repair (degree_ok); and a probe AT each planted
+    // vector recovers the planted id at rank 1 through the full
+    // hierarchical search (planted_ok) — the s02-equivalent
+    // rank-1-found contract. Per batch row the work is one stack search
+    // + bounded prune; repairs touch ≤ |batch|·k old nodes.
+    NamedQuery(
+      "v38_hnsw_insert",
+      (s, dir) => {
+        val nodes = t(s, dir, "embeddings").select("vec_id", "embedding")
+        val shrink = 16
+        val built = graft.index.Hnsw
+          .build(nodes, k = 8, Some(indexFor(s, dir)), shrink = shrink,
+            layer0Graph = Some(knnGraphFor(s, dir, 8)))
+        val layers = built.zipWithIndex.map { case (l, i) =>
+          if (i == built.length - 1) l
+          else graft.index.Hnsw.Layer(l.nodes, graft.CacheScope.track(l.graph.cache()))
+        }
+        // planted batch: nearest-possible neighbors of 20 existing rows
+        // (first component nudged 1e-3) at ids 1e9+i — disjoint from any
+        // fixture/scale-up id range
+        val batch = graft.CacheScope.track(
+          nodes.filter(col("vec_id") < 20)
+            .select(
+              (col("vec_id") + 1000000000L).as("vec_id"),
+              concat(
+                array((element_at(col("embedding"), 1) + lit(0.001f)).cast("float")),
+                slice(col("embedding"), 2, 1000000)).as("embedding"))
+            .cache())
+        val grown = graft.index.Hnsw
+          .insert(layers, batch, k = 8, beam = 32, rounds = 6, shrink = shrink)
+          .map(l => graft.index.Hnsw.Layer(
+            graft.CacheScope.track(l.nodes.cache()),
+            graft.CacheScope.track(l.graph.cache())))
+        val allIds = nodes.select("vec_id").unionByName(batch.select("vec_id"))
+        val L = grown.length
+        val nesting = grown.zipWithIndex.map { case (l, p) =>
+          var mod = 1L
+          (0 until (L - 1 - p)).foreach(_ => mod *= shrink)
+          val want = allIds.filter(pmod(xxhash64(col("vec_id")), lit(mod)) === 0)
+          val have = l.nodes.select("vec_id")
+          have.exceptAll(want).unionAll(want.exceptAll(have))
+        }.reduce(_.unionAll(_))
+          .agg(count(lit(1)).as("bad"))
+          .select(when(col("bad") === 0, 1L).otherwise(0L).as("nesting_ok"))
+        val degree = grown.map(
+          _.graph.groupBy("src").agg(count(lit(1)).as("n")).agg(max("n").as("mx")))
+          .reduce(_.unionAll(_))
+          .agg(max("mx").as("m"))
+          .select(when(col("m") <= 8, 1L).otherwise(0L).as("degree_ok"))
+        val probes = batch.select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+        val planted = graft.index.Hnsw.search(probes, grown, k = 3, beam = 32, rounds = 6)
+          .filter(col("rnk") === 1)
+          .agg(
+            count(lit(1)).as("n1"),
+            sum(when(col("query_id") === col("vec_id"), 1L).otherwise(0L)).as("hits"))
+          .select(when(col("n1") === 20 && col("hits") === 20, 1L).otherwise(0L).as("planted_ok"))
+        batch.agg(count(lit(1)).as("n_new"))
+          .crossJoin(nesting)
+          .crossJoin(degree)
+          .crossJoin(planted)
+      },
+      Some(
+        "SELECT CAST(20 AS BIGINT) AS n_new, CAST(1 AS BIGINT) AS nesting_ok, " +
+          "CAST(1 AS BIGINT) AS degree_ok, CAST(1 AS BIGINT) AS planted_ok")),
+
     // Compressed-video SCENE-CHANGE detection — the frame-sampling policy
     // real multimodal pipelines run before feature extraction (sample one
     // frame per SCENE, not per fixed stride): each asset deterministically

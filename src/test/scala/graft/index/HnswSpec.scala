@@ -64,4 +64,53 @@ class HnswSpec extends SparkSpec {
     val per = got.groupBy("query_id").agg(count(lit(1)).as("n"))
     assert(per.filter(col("n") =!= 3).isEmpty)
   }
+
+  test("insert: level nesting invariant under insert, degrees bounded, planted rank-1 recovery") {
+    val layers = Hnsw.build(emb, k = 6, shrink = 16, topCap = 256L)
+      .map(l => Hnsw.Layer(l.nodes, l.graph.cache()))
+    // batch = near-duplicates of 10 existing rows, ids far outside the
+    // corpus range (first element nudged, rest intact — closest possible
+    // neighbor of its source without the exact-duplicate degeneracy)
+    val batch = emb.filter(col("vec_id") < 10)
+      .select(
+        (col("vec_id") + 1000000000L).as("vec_id"),
+        concat(
+          array((element_at(col("embedding"), 1) + lit(0.001f)).cast("float")),
+          slice(col("embedding"), 2, 10000)).as("embedding"))
+      .cache()
+    val grown = Hnsw.insert(layers, batch, k = 6, beam = 16, rounds = 6, shrink = 16)
+      .map(l => Hnsw.Layer(l.nodes.cache(), l.graph.cache()))
+
+    // membership: each layer's member set is EXACTLY the hash rule over
+    // (old corpus ∪ batch) at that layer's modulus — i.e. the stack an
+    // offline rebuild would route, so nesting is invariant by level rule
+    val allIds = emb.select("vec_id").unionByName(batch.select("vec_id"))
+    val L = grown.length
+    grown.zipWithIndex.foreach { case (l, p) =>
+      val mod = math.pow(16, (L - 1 - p).toDouble).toLong
+      val want = allIds.filter(pmod(xxhash64(col("vec_id")), lit(mod)) === 0)
+      assert(
+        l.nodes.select("vec_id").exceptAll(want).isEmpty &&
+          want.exceptAll(l.nodes.select("vec_id")).isEmpty,
+        s"layer $p membership differs from the level rule at mod $mod")
+    }
+    // degree budget holds everywhere after the repair
+    grown.foreach { l =>
+      assert(l.graph.groupBy("src").agg(count(lit(1)).as("n")).filter(col("n") > 6).isEmpty,
+        "repair exceeded the out-degree budget")
+    }
+    // planted rank-1 recovery: querying AT each planted vector finds the
+    // planted id first (it is nearer to the probe than its source row)
+    val probes = batch.select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val got = Hnsw.search(probes, grown, k = 3, beam = 16, rounds = 6)
+    val top1 = got.filter(col("rnk") === 1)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toMap
+    (0L until 10L).foreach { i =>
+      assert(top1.get(1000000000L + i).contains(1000000000L + i),
+        s"planted ${1000000000L + i} not recovered at rank 1: got ${top1.get(1000000000L + i)}")
+    }
+    grown.foreach { l => l.nodes.unpersist(); l.graph.unpersist() }
+    layers.foreach(_.graph.unpersist())
+    batch.unpersist()
+  }
 }
