@@ -149,9 +149,22 @@ object IvfSearch {
       params: Params,
       broadcastProbes: Boolean = true): DataFrame = {
     val probeSide = probes.select("query_id", "partition_id", "qvec")
+    // The non-broadcast (corpus-sized-batch) path hints SHUFFLE_HASH, not
+    // sort-merge: the probe side is the provably smaller side (≤ maxProbe
+    // rows per query vs the scanned corpus), and partition_id has only
+    // #partitions distinct values, so an SMJ must sort BOTH sides and
+    // hold those sorts open in the same stage as the top-k aggregation's
+    // own sort-based fallback (ObjectHashAggregate falls back past 128
+    // keys) — at the 10× measured point the three co-resident sorts
+    // exhausted execution memory. A shuffled hash join builds only the
+    // per-task probe map (|queries|·nprobe/numPartitions rows — sized by
+    // the shuffle-partition knob like any build side) and streams the
+    // corpus through it, sort-free.
     topkOverCandidates(
       model.vectors
-        .join(if (broadcastProbes) broadcast(probeSide) else probeSide, Seq("partition_id")),
+        .join(
+          if (broadcastProbes) broadcast(probeSide) else probeSide.hint("shuffle_hash"),
+          Seq("partition_id")),
       params.k)
   }
 

@@ -6467,8 +6467,11 @@ object PipelineQueries {
                 array((element_at(col("embedding"), 1) + lit(0.001f)).cast("float")),
                 slice(col("embedding"), 2, 1000000)).as("embedding"))
             .cache())
+        // v37's calibrated walk budget (beam 64, rounds 8): the attach
+        // walk and the post-insert probe both need it — beam 32/rounds 6
+        // held at 1× but dropped planted recoveries at the 10× density
         val grown = graft.index.Hnsw
-          .insert(layers, batch, k = 8, beam = 32, rounds = 6, shrink = shrink)
+          .insert(layers, batch, k = 8, beam = 64, rounds = 8, shrink = shrink)
           .map(l => graft.index.Hnsw.Layer(
             graft.CacheScope.track(l.nodes.cache()),
             graft.CacheScope.track(l.graph.cache())))
@@ -6489,7 +6492,7 @@ object PipelineQueries {
           .agg(max("mx").as("m"))
           .select(when(col("m") <= 8, 1L).otherwise(0L).as("degree_ok"))
         val probes = batch.select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
-        val planted = graft.index.Hnsw.search(probes, grown, k = 3, beam = 32, rounds = 6)
+        val planted = graft.index.Hnsw.search(probes, grown, k = 3, beam = 64, rounds = 8)
           .filter(col("rnk") === 1)
           .agg(
             count(lit(1)).as("n1"),
