@@ -87,9 +87,15 @@ object GraphSearch {
     // distinct was a whole extra shuffle per walk for nothing. Cached
     // (CacheScope-scoped): every hop's expansion joins the SAME edge
     // list, and each localCheckpoint job would otherwise re-scan and
-    // re-union it from source.
+    // re-union it from source. Repartitioned on the hop-join key BEFORE
+    // caching: a union of union-built graphs can carry hundreds of tiny
+    // partitions (an inserted-into layer measured 192 → ~4 s of pure
+    // task-launch floor PER HOP at 10×), and hash-on-src is the
+    // partitioning every hop's equality join wants anyway.
     val und = graft.CacheScope.track(
-      e.unionByName(e.select(col("dst").as("src"), col("src").as("dst"))).cache())
+      e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+        .repartition(col("src"))
+        .cache())
     val emb = nodes.select(col("vec_id"), col("embedding"))
     def scored(cands: DataFrame): DataFrame =
       cands

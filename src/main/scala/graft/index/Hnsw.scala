@@ -58,7 +58,19 @@ object Hnsw {
     while (!done) {
       val g =
         if (mod == 1L) layer0Graph.getOrElse(KnnJoin.knnGraph(cur, k, model))
-        else KnnJoin.knnGraph(cur, k, model)
+        else {
+          // Upper layers need an index over their OWN members, not the
+          // shared corpus model: knnGraph's closure semi-join keeps only
+          // candidates inside `cur`, and a full-corpus top-(k+1) lands in
+          // an n/shrink^i member subset with expectation ≈ (k+1)/shrink^i
+          // — measured at the 10× point the upper graphs came back near
+          // EDGELESS (layer-1 mean degree ~0.5, top 0), i.e. the
+          // hierarchy did no routing at all. A layer-local IVF build
+          // restores real degree-k upper graphs; geometric layer sizes
+          // make its cost a vanishing fraction of layer-0's.
+          val local = model.map(m => IvfBuild.build(cur, m.dim, nRowsHint = Some(n)))
+          KnnJoin.knnGraph(cur, k, local)
+        }
       layers += Layer(cur, g)
       val nextMod = mod * shrink
       val next = nodes
@@ -172,7 +184,20 @@ object Hnsw {
       val untouched = layer.graph
         .select("src", "dst", "rnk", "dist2")
         .join(touched, Seq("src"), "left_anti")
-      Layer(allNodes, untouched.unionByName(touchedPruned).unionByName(newOut))
+      // The returned layers are LINEAGE-TRUNCATED (eager localCheckpoint),
+      // not merely cached: a grown layer's logical plan otherwise embeds
+      // the whole insert (three 8-hop walks, prunes, anti-joins), and
+      // Catalyst + AQE re-analyze that tree on EVERY downstream action —
+      // measured ~7 s of pure driver-side planning per walk hop at 10×
+      // (no slow stages; the executors were idle). Truncation makes each
+      // consumer see a plain scan. The repartition on src bounds the
+      // three-way union's partition count (measured 192 tiny partitions)
+      // and is the partitioning every walk hop's equality join wants.
+      Layer(
+        allNodes.localCheckpoint(),
+        untouched.unionByName(touchedPruned).unionByName(newOut)
+          .repartition(col("src"))
+          .localCheckpoint())
     }
   }
 

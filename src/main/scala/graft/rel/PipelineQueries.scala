@@ -6469,12 +6469,11 @@ object PipelineQueries {
             .cache())
         // v37's calibrated walk budget (beam 64, rounds 8): the attach
         // walk and the post-insert probe both need it — beam 32/rounds 6
-        // held at 1× but dropped planted recoveries at the 10× density
+        // held at 1× but dropped planted recoveries at the 10× density.
+        // No caching here: insert returns lineage-truncated
+        // (localCheckpoint'd) layers already materialized.
         val grown = graft.index.Hnsw
           .insert(layers, batch, k = 8, beam = 64, rounds = 8, shrink = shrink)
-          .map(l => graft.index.Hnsw.Layer(
-            graft.CacheScope.track(l.nodes.cache()),
-            graft.CacheScope.track(l.graph.cache())))
         val allIds = nodes.select("vec_id").unionByName(batch.select("vec_id"))
         val L = grown.length
         val nesting = grown.zipWithIndex.map { case (l, p) =>

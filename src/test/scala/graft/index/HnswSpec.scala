@@ -65,6 +65,24 @@ class HnswSpec extends SparkSpec {
     assert(per.filter(col("n") =!= 3).isEmpty)
   }
 
+  test("upper layers carry real graphs: every layer's mean out-degree is near k") {
+    // regression pin for the round-15 finding: routing upper-layer builds
+    // through the FULL-corpus model starves them through knnGraph's
+    // closure semi-join (expected hits of a corpus top-(k+1) inside an
+    // n/shrink^i member set ≈ (k+1)/shrink^i → near-edgeless graphs, so
+    // the hierarchy did no routing). With layer-local indexes the upper
+    // graphs must look like k-NN graphs, not husks.
+    val model = IvfBuild.build(emb, 64)
+    val layers = Hnsw.build(emb, k = 4, Some(model), shrink = 4, topCap = 64L)
+    assert(layers.length >= 2, s"need a real stack, got ${layers.length}")
+    layers.foreach { l =>
+      val n = l.nodes.count().toDouble
+      val edges = l.graph.count().toDouble
+      assert(edges / n >= 2.0,
+        s"layer with $n nodes has mean out-degree ${edges / n} — an edgeless husk (k=4)")
+    }
+  }
+
   test("insert: level nesting invariant under insert, degrees bounded, planted rank-1 recovery") {
     val layers = Hnsw.build(emb, k = 6, shrink = 16, topCap = 256L)
       .map(l => Hnsw.Layer(l.nodes, l.graph.cache()))
@@ -78,8 +96,8 @@ class HnswSpec extends SparkSpec {
           array((element_at(col("embedding"), 1) + lit(0.001f)).cast("float")),
           slice(col("embedding"), 2, 10000)).as("embedding"))
       .cache()
+    // insert returns lineage-truncated, already-materialized layers
     val grown = Hnsw.insert(layers, batch, k = 6, beam = 16, rounds = 6, shrink = 16)
-      .map(l => Hnsw.Layer(l.nodes.cache(), l.graph.cache()))
 
     // membership: each layer's member set is EXACTLY the hash rule over
     // (old corpus ∪ batch) at that layer's modulus — i.e. the stack an
@@ -109,7 +127,6 @@ class HnswSpec extends SparkSpec {
       assert(top1.get(1000000000L + i).contains(1000000000L + i),
         s"planted ${1000000000L + i} not recovered at rank 1: got ${top1.get(1000000000L + i)}")
     }
-    grown.foreach { l => l.nodes.unpersist(); l.graph.unpersist() }
     layers.foreach(_.graph.unpersist())
     batch.unpersist()
   }
