@@ -222,13 +222,19 @@ object Bench {
     // third measurement either confirms the fast time or documents that
     // the spread is the query's real variance. Both get exactly one
     // re-run; the better time wins; the record stamps who re-ran.
+    // spread is judged WITHIN the quietest attempt's passes only: after a
+    // retry, cross-attempt spread is just "the contended attempt was
+    // slower" — true for nearly every query, and flattening attempts into
+    // one spread check would mass-rerun the suite exactly in the runs
+    // that already paid for a retry (review finding, round 15)
+    val spreadPasses = bestAttempt._1
     val rerunNames: Seq[String] = results.collect {
       case (name, sec)
           if !failed.contains(name) && {
-            val passTimes = passes.map(_.toMap.apply(name))
+            val passTimes = spreadPasses.map(_.toMap.apply(name))
             // sub-200ms floors are scheduler noise; 2.5× of noise is noise
             histQueryMin.get(name).exists(h => h >= 0.2 && sec > 2.5 * h) ||
-            (sec >= 0.2 && passTimes.max > 3.0 * passTimes.min)
+            (sec >= 0.2 && passTimes.nonEmpty && passTimes.max > 3.0 * passTimes.min)
           } =>
         name
     }
@@ -236,7 +242,7 @@ object Bench {
       val reason = histQueryMin.get(name) match {
         case Some(h) if h >= 0.2 && results.toMap.apply(name) > 2.5 * h => f"> 2.5x history min $h%.2f s"
         case _ =>
-          val ts = passes.map(_.toMap.apply(name))
+          val ts = spreadPasses.map(_.toMap.apply(name))
           f"pass spread ${ts.max}%.2f / ${ts.min}%.2f s > 3x"
       }
       System.err.println(

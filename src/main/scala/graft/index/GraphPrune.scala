@@ -99,12 +99,16 @@ object GraphPrune {
           var j = 0
           while (j < keptEmb.length && !covered) {
             // b covers c when α·d(b,c) ≤ d(p,c)  ⇔  α²·d²(b,c) ≤ d²(p,c).
-            // d²(b,c) = 0 (c duplicates a kept neighbor) is excluded: a
-            // zero left side would cover EVERY candidate at ANY α, which
-            // silently breaks the documented α→∞ degeneration to the
-            // plain top-R cut (v36's alpha_inf_ok edge-set equality) on a
-            // corpus containing duplicate embeddings — duplicates fall
-            // back to the top-R behavior instead.
+            // The d²(b,c) = 0 case (c duplicates a kept neighbor) is
+            // deliberately COVERED at any α — DiskANN's rule: a duplicate
+            // of a kept edge carries zero direction diversity, and keeping
+            // it would let a duplicate-heavy corpus burn the whole degree
+            // budget on one direction (round-15 review; an earlier d2bc>0
+            // guard had that exact pathology). Consequence, documented:
+            // the α→∞ ≡ plain-top-R degeneration (v36's alpha_inf_ok
+            // audit) holds under a NO-DUPLICATE-EMBEDDINGS precondition —
+            // true of every fixture and scale-up corpus here (rotated
+            // replicas never coincide; max inter-pair cosine ≈ 0.51).
             val b = keptEmb(j)
             var d2bc = 0.0
             var t = 0
@@ -113,7 +117,7 @@ object GraphPrune {
               d2bc += diff * diff
               t += 1
             }
-            if (d2bc > 0.0 && alpha2 * d2bc <= d2pc) covered = true
+            if (alpha2 * d2bc <= d2pc) covered = true
             j += 1
           }
           if (!covered) { kept += ((dst, d2pc)); keptEmb += embC }

@@ -30,6 +30,20 @@ object Hnsw {
   /** One layer: its member vectors and its k-NN graph (src, dst, …). */
   final case class Layer(nodes: DataFrame, graph: DataFrame)
 
+  /** Brute-scored top-layer seeds `(query_id, vec_id)` — the shared
+    * entry step of [[search]] and [[insert]]'s descend: every top-layer
+    * member is a candidate (the layer is topCap-bounded by the build
+    * contract, so the broadcast is metadata-sized). */
+  private def topSeeds(q: DataFrame, top: Layer, perLayerK: Int): DataFrame =
+    graft.vector.TopK.perQuery(
+      q.crossJoin(broadcast(top.nodes.select(col("vec_id"), col("embedding"))))
+        .select(
+          col("query_id"),
+          graft.vector.VectorOps.l2Sq(col("embedding"), col("qvec")).as("dist2"),
+          col("vec_id")),
+      perLayerK)
+      .select("query_id", "vec_id")
+
   /** Build nested layers bottom-up over `nodes(vec_id, embedding)`:
     * layer 0 is all of `nodes`; layer i keeps members with
     * `xxhash64(vec_id) mod shrink^i == 0`, until a layer would have
@@ -138,19 +152,22 @@ object Hnsw {
     require(k >= 1 && beam >= k && shrink >= 2, s"bad k=$k beam=$beam shrink=$shrink")
     val L = layers.length
     val newRows = batch.select(col("vec_id"), col("embedding"))
+    // loud micro-batch-sized guards instead of silent corruption: a
+    // re-inserted (or batch-duplicated) id would union duplicate rows
+    // into every layer it hashes to, and later walks/prunes would score
+    // conflicting adjacencies for one id with no error anywhere
+    require(
+      newRows.groupBy("vec_id").count().filter(col("count") > 1).isEmpty,
+      "insert batch contains duplicate vec_ids")
+    require(
+      newRows.join(layers.last.nodes.select("vec_id"), Seq("vec_id"), "left_semi").isEmpty,
+      "insert batch contains vec_ids already present in the stack")
     val q = graft.CacheScope.track(
       newRows.select(col("vec_id").as("query_id"), col("embedding").as("qvec")).cache())
     val candK = math.min(4 * k, beam)
     // brute-scored top seeds, exactly like search (the top is
     // topCap-bounded by the build contract)
-    var seeds = graft.vector.TopK.perQuery(
-      q.crossJoin(broadcast(layers.head.nodes.select(col("vec_id"), col("embedding"))))
-        .select(
-          col("query_id"),
-          graft.vector.VectorOps.l2Sq(col("embedding"), col("qvec")).as("dist2"),
-          col("vec_id")),
-      perLayerK)
-      .select("query_id", "vec_id")
+    var seeds = topSeeds(q, layers.head, perLayerK)
     layers.zipWithIndex.map { case (layer, p) =>
       var mod = 1L
       (0 until (L - 1 - p)).foreach(_ => mod *= shrink)
@@ -219,14 +236,7 @@ object Hnsw {
     val q = queries.select(col("query_id"), col("qvec"))
     // top layer: every member is a seed candidate (the layer is
     // topCap-bounded by the build — this is a broadcast-sized relation)
-    var seeds = graft.vector.TopK.perQuery(
-      q.crossJoin(broadcast(layers.head.nodes.select(col("vec_id"), col("embedding"))))
-        .select(
-          col("query_id"),
-          graft.vector.VectorOps.l2Sq(col("embedding"), col("qvec")).as("dist2"),
-          col("vec_id")),
-      perLayerK)
-      .select("query_id", "vec_id")
+    var seeds = topSeeds(q, layers.head, perLayerK)
     // intermediate layers carry perLayerK seeds down; the final layer's
     // walk (layer 0 — or the top itself in a single-layer stack) returns
     // the full top-k

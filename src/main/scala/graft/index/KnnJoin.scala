@@ -196,7 +196,11 @@ object KnnJoin {
       maxProbe: Int = 64): DataFrame = {
     val q = normalizeQueries(queries)
     val cents = model.partitions.map(p => p.pid -> p.centroid).toMap
-    val probes = IvfSearch.chooseProbes(model, q, IvfSearch.Params(k, targetRecall, maxProbe))
+    // cached (CacheScope-scoped): the depth aggregate below is an action,
+    // and the ADC pipeline consumes the same probe set — uncached, the
+    // crossJoin+window probe-choice subtree would execute twice per call
+    val probes = graft.CacheScope.track(
+      IvfSearch.chooseProbes(model, q, IvfSearch.Params(k, targetRecall, maxProbe)).cache())
     // density-aware depth from the PROBED count, not the total indexed
     // size: the ADC ordering only ranks the probed subset, so per-query
     // rerank work stays proportional to what the probes actually scan

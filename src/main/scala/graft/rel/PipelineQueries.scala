@@ -747,9 +747,12 @@ object PipelineQueries {
         val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
         val codes = graft.vector.BinaryQuant.loadCodes(s, bqArtifactsFor(s, dir))
         val qs = embQueries(s, dir, 20)
-        val probes = IvfSearch.chooseProbes(model, qs, IvfSearch.Params(k = 10))
+        // cached: the depth aggregate is an action and the probed scan
+        // re-reads the same probe set (CacheScope drops it after)
+        val probes = graft.CacheScope.track(
+          IvfSearch.chooseProbes(model, qs, IvfSearch.Params(k = 10)).cache())
         // density-aware rerank multiplier (candidate cut = k·rerank): 64
-        // at the calibrated 2,000-row point, scaling with the mean PROBED
+        // at the calibrated 2,000-row point, scaling with the MAX PROBED
         // count (one metadata-sized aggregate over the probe set — the
         // Hamming ordering only ranks the probed cells, so depth derived
         // from TOTAL corpus size would make per-query rerank work O(n))
@@ -2058,8 +2061,11 @@ object PipelineQueries {
         // saved-artifact read, not an in-query corpus re-encode
         val codes = residualCodesFor(s, dir)
         val qs = embQueries(s, dir, 20)
-        val probes = IvfSearch.chooseProbes(model, qs, IvfSearch.Params(k = 10))
-        // density-aware depth from the mean PROBED count (the residual-ADC
+        // cached: the depth aggregate is an action and the probed scan
+        // re-reads the same probe set (CacheScope drops it after)
+        val probes = graft.CacheScope.track(
+          IvfSearch.chooseProbes(model, qs, IvfSearch.Params(k = 10)).cache())
+        // density-aware depth from the MAX probed count (the residual-ADC
         // ordering only ranks the probed cells — total-corpus depth would
         // be O(n) per-query rerank work); the fixed top-100 failed the
         // bar at 10× density

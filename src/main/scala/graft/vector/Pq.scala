@@ -67,14 +67,18 @@ object Pq {
     math.min(math.min(math.max(n, 1L), scaled), maxDepth.toLong).toInt
   }
 
-  /** [[adaptiveDepth]] with `n` = the MEAN per-query probed-candidate
+  /** [[adaptiveDepth]] with `n` = the MAX per-query probed-candidate
     * count read off an APS probe set (`(query_id, …, psize)` rows —
     * metadata-sized, one tiny aggregate): on a probed scan the candidate
     * ordering only ever ranks the probed subset, so the probed count IS
     * the effective corpus the depth must cover — deriving it from the
     * TOTAL indexed size (as the call sites did before round 15) made
-    * per-query rerank work O(total n) even when the probes scanned 1 percent,
-    * contradicting the sublinear per-query cost the probe path buys. */
+    * per-query rerank work O(total n) even when the probes scanned a
+    * sliver, contradicting the sublinear per-query cost the probe path
+    * buys. MAX rather than mean because the depth is one global cut: on
+    * skewed partitions the hot-cell query's ordering is much deeper than
+    * the fleet mean, and a mean-sized cut under-covers exactly that
+    * query (round-15 review finding). */
   def adaptiveDepthProbed(
       probes: org.apache.spark.sql.DataFrame,
       base: Int,
@@ -82,10 +86,12 @@ object Pq {
       maxDepth: Int = 1 << 20): Int = {
     import org.apache.spark.sql.functions._
     val row = probes
-      .agg((sum(col("psize")) / countDistinct(col("query_id"))).as("mean_scanned"))
+      .groupBy("query_id")
+      .agg(sum(col("psize")).as("scanned"))
+      .agg(max(col("scanned")).as("mx"))
       .head()
-    val mean = if (row.isNullAt(0)) 1L else math.ceil(row.getDouble(0)).toLong
-    adaptiveDepth(math.max(mean, 1L), base, anchor, maxDepth)
+    val mx = if (row.isNullAt(0)) 1L else row.getLong(0)
+    adaptiveDepth(math.max(mx, 1L), base, anchor, maxDepth)
   }
 
   /** Nearest codeword of `v[off, off+subLen)` — first-minimum rule,
