@@ -6512,6 +6512,81 @@ object PipelineQueries {
         "SELECT CAST(20 AS BIGINT) AS n_new, CAST(1 AS BIGINT) AS nesting_ok, " +
           "CAST(1 AS BIGINT) AS degree_ok, CAST(1 AS BIGINT) AS planted_ok")),
 
+    // HNSW batch DELETE (index/Hnsw.delete — O9's anti-join semantics
+    // done graph-natively with FreshDiskANN's consolidation, Singh et
+    // al. arXiv:2105.09613): deleted members leave every layer, their
+    // out-edges drop, and each surviving node that pointed INTO a
+    // deleted id re-selects its ≤ k out-edges by the α-RNG rule over
+    // (its remaining edges ∪ the two-hop bridges through the deleted
+    // neighbor) — the repair that preserves navigability where a hole
+    // opened, bounded by the touched set. Completes the graph family's
+    // mutation story (v38 insert / v39 delete ↔ the IVF family's
+    // O8/O9). Flags: every layer's membership equals nodes-minus-
+    // deleted (the hash level rule over survivors — delete cannot move
+    // anyone between layers), degree budget survives the repair, no
+    // edge endpoint references a deleted id (dangling_ok), and probing
+    // AT each of 10 deleted vectors returns only survivors (gone_ok)
+    // with recall@10 ≥ 0.85 vs the exact answer over the survivor set
+    // (recall_ok) — the search quality a hole would have destroyed
+    // without the bridge repair.
+    NamedQuery(
+      "v39_hnsw_delete",
+      (s, dir) => {
+        val nodes = t(s, dir, "embeddings").select("vec_id", "embedding")
+        val shrink = 16
+        val built = graft.index.Hnsw
+          .build(nodes, k = 8, Some(indexFor(s, dir)), shrink = shrink,
+            layer0Graph = Some(knnGraphFor(s, dir, 8)))
+        val layers = built.zipWithIndex.map { case (l, i) =>
+          if (i == built.length - 1) l
+          else graft.index.Hnsw.Layer(l.nodes, graft.CacheScope.track(l.graph.cache()))
+        }
+        val ids = nodes.filter(col("vec_id") >= 100 && col("vec_id") < 110).select("vec_id")
+        val shrunk = graft.index.Hnsw.delete(layers, ids, k = 8)
+        val membership = shrunk.zip(layers).map { case (s2, old) =>
+          val want = old.nodes.select("vec_id").join(ids, Seq("vec_id"), "left_anti")
+          val have = s2.nodes.select("vec_id")
+          have.exceptAll(want).unionAll(want.exceptAll(have))
+        }.reduce(_.unionAll(_))
+          .agg(count(lit(1)).as("bad"))
+          .select(when(col("bad") === 0, 1L).otherwise(0L).as("membership_ok"))
+        val degree = shrunk.map(
+          _.graph.groupBy("src").agg(count(lit(1)).as("n")).agg(max("n").as("mx")))
+          .reduce(_.unionAll(_))
+          .agg(max("mx").as("m"))
+          .select(when(col("m") <= 8, 1L).otherwise(0L).as("degree_ok"))
+        val dangling = shrunk.map { s2 =>
+          s2.graph.select(col("src").as("vec_id"))
+            .unionAll(s2.graph.select(col("dst").as("vec_id")))
+            .join(ids, Seq("vec_id"), "left_semi")
+        }.reduce(_.unionAll(_))
+          .agg(count(lit(1)).as("bad"))
+          .select(when(col("bad") === 0, 1L).otherwise(0L).as("dangling_ok"))
+        val probes = nodes.filter(col("vec_id") >= 100 && col("vec_id") < 110)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+        val got = graft.CacheScope.track(
+          graft.index.Hnsw.search(probes, shrunk, k = 10, beam = 64, rounds = 8).cache())
+        val gone = got.join(ids, Seq("vec_id"), "left_semi")
+          .agg(count(lit(1)).as("bad"))
+          .select(when(col("bad") === 0, 1L).otherwise(0L).as("gone_ok"))
+        val survivors = nodes.join(ids, Seq("vec_id"), "left_anti")
+        val exactG = graft.index.KnnJoin.exact(probes, survivors, 10)
+        val rec = IvfSearch
+          .recallAtK(got.select("query_id", "vec_id"), exactG, 10, probes)
+          .agg(avg("recall").as("m"))
+          .select(when(col("m") >= 0.85, 1L).otherwise(0L).as("recall_ok"))
+        ids.agg(count(lit(1)).as("n_deleted"))
+          .crossJoin(membership)
+          .crossJoin(degree)
+          .crossJoin(dangling)
+          .crossJoin(gone)
+          .crossJoin(rec)
+      },
+      Some(
+        "SELECT CAST(10 AS BIGINT) AS n_deleted, CAST(1 AS BIGINT) AS membership_ok, " +
+          "CAST(1 AS BIGINT) AS degree_ok, CAST(1 AS BIGINT) AS dangling_ok, " +
+          "CAST(1 AS BIGINT) AS gone_ok, CAST(1 AS BIGINT) AS recall_ok")),
+
     // Compressed-video SCENE-CHANGE detection — the frame-sampling policy
     // real multimodal pipelines run before feature extraction (sample one
     // frame per SCENE, not per fixed stride): each asset deterministically

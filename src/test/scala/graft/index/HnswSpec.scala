@@ -83,6 +83,40 @@ class HnswSpec extends SparkSpec {
     }
   }
 
+  test("delete: membership = survivors by level rule, no dangling edges, deleted unreachable, survivors searchable") {
+    val layers = Hnsw.build(emb, k = 6, shrink = 16, topCap = 256L)
+      .map(l => Hnsw.Layer(l.nodes, l.graph.cache()))
+    val ids = emb.filter(col("vec_id") >= 100 && col("vec_id") < 110).select("vec_id")
+    val shrunk = Hnsw.delete(layers, ids, k = 6)
+    shrunk.zip(layers).foreach { case (s2, old) =>
+      val want = old.nodes.select("vec_id").join(ids, Seq("vec_id"), "left_anti")
+      val have = s2.nodes.select("vec_id")
+      assert(have.exceptAll(want).isEmpty && want.exceptAll(have).isEmpty,
+        "survivor membership differs from nodes-minus-deleted")
+      assert(s2.graph.groupBy("src").agg(count(lit(1)).as("n")).filter(col("n") > 6).isEmpty,
+        "degree budget exceeded after delete repair")
+      assert(
+        s2.graph.join(ids.withColumnRenamed("vec_id", "src"), Seq("src"), "left_semi").isEmpty &&
+          s2.graph.join(ids.withColumnRenamed("vec_id", "dst"), Seq("dst"), "left_semi").isEmpty,
+        "dangling edge references a deleted id")
+    }
+    // probing AT each deleted vector finds only survivors, led by the
+    // true nearest survivor (the exact oracle over nodes-minus-deleted)
+    val probes = emb.filter(col("vec_id") >= 100 && col("vec_id") < 110)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val got = Hnsw.search(probes, shrunk, k = 3, beam = 16, rounds = 6)
+    assert(got.join(ids, Seq("vec_id"), "left_semi").isEmpty,
+      "a deleted id surfaced in post-delete search results")
+    val survivors = emb.join(ids, Seq("vec_id"), "left_anti")
+    val exact = KnnJoin.exact(probes, survivors, k = 1)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toMap
+    val top1 = got.filter(col("rnk") === 1)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toMap
+    val hits = exact.count { case (q, v) => top1.get(q).contains(v) }
+    assert(hits >= 8, s"only $hits/10 deleted-probe walks found the exact nearest survivor")
+    layers.foreach(_.graph.unpersist())
+  }
+
   test("insert: level nesting invariant under insert, degrees bounded, planted rank-1 recovery") {
     val layers = Hnsw.build(emb, k = 6, shrink = 16, topCap = 256L)
       .map(l => Hnsw.Layer(l.nodes, l.graph.cache()))
