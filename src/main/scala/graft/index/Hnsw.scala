@@ -99,17 +99,44 @@ object Hnsw {
       // not. The one exception is nextN == 0 (the hash rule left nothing
       // to shrink to — astronomically unlikely at n > topCap under a
       // uniform 64-bit hash): then the current layer stays the top and
-      // the broadcast bound degrades to n, documented here.
+      // the broadcast bound degrades to n — warned loudly below, not
+      // just here, so the degraded bound is visible at runtime.
       if (n <= topCap || nextN == 0L) done = true
       else { cur = next; mod = nextMod; n = nextN }
     }
-    layers.result().reverse
+    val built = layers.result().reverse
+    warnIfTopOversized(built, topCap, "build")
+    built
+  }
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** The top layer is crossJoin-BROADCAST by [[search]]/[[topSeeds]], so
+    * its size is the stack's memory contract. [[build]] can escape with an
+    * oversized top only via the nextN == 0 hash fluke; [[insert]] grows
+    * the top by the hash-expected trickle but NEVER re-checks — across
+    * many batches the bound erodes silently. One cheap count (the top is
+    * tiny in every non-degenerate stack) turns both into a loud signal:
+    * past `topCap` the caller should rebuild (one level deeper re-bounds
+    * it) rather than keep broadcasting an n-sized relation. */
+  private def warnIfTopOversized(layers: Seq[Layer], topCap: Long, op: String): Unit = {
+    val topN = layers.head.nodes.count()
+    if (topN > topCap)
+      log.warn(
+        s"Hnsw.$op left a top layer of $topN nodes > topCap=$topCap — search " +
+          "broadcasts the whole top layer, so this stack has outgrown its " +
+          "broadcast bound; rebuild (the level rule will add a layer) to restore it")
   }
 
   /** Batch INSERT into a built layer stack — the reference's online
-    * insert semantics (quake_min.py:92-109 routes new rows into the
-    * structure and repairs the touched neighborhoods) at micro-batch
-    * granularity, graph-natively:
+    * insert semantics at micro-batch granularity, graph-natively. The
+    * reference mapping is SEMANTIC, not structural: its insert
+    * (notebook-embedded quake_min.py:92-109, same logic in
+    * adaptive_ivf.mjs:194-218) routes one row into the nearest IVF
+    * partition and updates that partition's centroid — the membership
+    * contract "new rows become first-class searchable members and only
+    * the touched structure pays" — while the graph-native equivalent of
+    * that contract is attach + bounded neighborhood repair:
     *
     *  1. LEVEL ROUTE: a new id joins layer `i` by the SAME deterministic
     *     rule the build used (`xxhash64(vec_id) mod shrink^i == 0`), so
@@ -117,27 +144,38 @@ object Hnsw {
     *     scratch stack would place it identically. The stack DEPTH stays
     *     fixed: an id hashing above the current top's level joins every
     *     existing layer (the top grows by the hash-expected trickle —
-    *     n/shrink^(L-1) — and stays broadcast-bounded).
+    *     n/shrink^(L-1) — and the post-grow size is re-checked against
+    *     `topCap`, warning loudly once the broadcast bound erodes).
     *  2. DESCEND: every batch row walks the stack exactly like a query
     *     ([[search]]'s shape — brute-scored top seeds, then per-layer
     *     [[GraphSearch.searchFrom]]), the walk result at each layer
     *     doubling as (a) the seeds for the next layer down and (b) the
     *     attach CANDIDATES at layers the row joins.
-    *  3. ATTACH + REPAIR: new out-edges are the α-RNG prune
-    *     ([[GraphPrune]] — HNSW's select_neighbors_heuristic) of the
-    *     walk candidates; old nodes that gained a reverse edge re-prune
-    *     their adjacency over (old edges ∪ new reverse edges) — only
-    *     TOUCHED neighborhoods pay, everything else keeps its rows.
+    *  3. ATTACH + REPAIR, by the rule the graphs were BUILT with: these
+    *     are plain top-k graphs ([[KnnJoin.knnGraph]]), so a new node's
+    *     out-edges are the nearest k of its walk candidates (the walk's
+    *     own rnk ≤ k prefix — already exactly scored), and old nodes
+    *     that gained a reverse edge re-select their nearest k over (old
+    *     edges ∪ new reverse arrivals) — only TOUCHED neighborhoods pay,
+    *     everything else keeps its rows. [[delete]] measured WHY the
+    *     repair rule must match the construction rule: an α-RNG repair
+    *     on top-k graphs keeps fewer, sparser edges than the build did
+    *     and thins density exactly around the repaired spots (0.69-0.76
+    *     recall@10 vs 0.94 at 10× in delete's calibration); a stack
+    *     built from α-pruned graphs would repair with
+    *     [[GraphPrune.alphaPrune]] instead.
     *
     * Scale shape: per batch row the walk work is the search cost
     * (O(layers·rounds·beam·deg)); the repair is bounded by
-    * |batch|·k touched nodes × ≤(4k+k) candidate edges each — nothing
-    * data-sized moves, so micro-batch maintenance stays micro-batch
-    * priced at any corpus size. Intra-batch edges are not created on
-    * insert (candidates come from the existing members); a subsequent
-    * [[KnnJoin.nnDescentRound]] — the maintenance operator — recovers
-    * them, mirroring how the reference's per-row inserts only see rows
-    * already present. Returns the new stack, top-first like [[build]].
+    * |batch|·k touched nodes × ≤(k + |arrivals|) candidate edges each,
+    * all distances reused from the walk/graph (no re-scoring joins) —
+    * nothing data-sized moves, so micro-batch maintenance stays
+    * micro-batch priced at any corpus size. Intra-batch edges are not
+    * created on insert (candidates come from the existing members); a
+    * subsequent [[KnnJoin.nnDescentRound]] — the maintenance operator —
+    * recovers them, mirroring how the reference's per-row inserts only
+    * see rows already present. Returns the new stack, top-first like
+    * [[build]].
     */
   def insert(
       layers: Seq[Layer],
@@ -146,7 +184,7 @@ object Hnsw {
       beam: Int,
       rounds: Int,
       shrink: Int = 16,
-      alpha: Double = 1.2,
+      topCap: Long = 256L,
       perLayerK: Int = 8): Seq[Layer] = {
     require(layers.nonEmpty, "empty layer stack")
     require(k >= 1 && beam >= k && shrink >= 2, s"bad k=$k beam=$beam shrink=$shrink")
@@ -168,7 +206,7 @@ object Hnsw {
     // brute-scored top seeds, exactly like search (the top is
     // topCap-bounded by the build contract)
     var seeds = topSeeds(q, layers.head, perLayerK)
-    layers.zipWithIndex.map { case (layer, p) =>
+    val grown = layers.zipWithIndex.map { case (layer, p) =>
       var mod = 1L
       (0 until (L - 1 - p)).foreach(_ => mod *= shrink)
       // all batch rows walk every layer (they need the descent seeds);
@@ -181,23 +219,36 @@ object Hnsw {
       val joiners = newRows.filter(pmod(xxhash64(col("vec_id")), lit(mod)) === 0)
       val allNodes = layer.nodes.select("vec_id", "embedding")
         .unionByName(joiners.select("vec_id", "embedding"))
-      val attachCands = walked
-        .join(joiners.select(col("vec_id").as("query_id")), Seq("query_id"), "left_semi")
-        .select(col("query_id").as("src"), col("vec_id").as("dst"))
+      // attach: nearest k of the walk candidates — the walk already
+      // scored every candidate exactly against the new row's vector, so
+      // the rnk ≤ k prefix of the rnk ≤ candK result IS the top-k (the
+      // same prefix property knnGraphFor's degree views rely on)
       val newOut = graft.CacheScope.track(
-        GraphPrune.alphaPrune(attachCands, allNodes, r = k, alpha = alpha, candCap = candK).cache())
+        walked
+          .join(joiners.select(col("vec_id").as("query_id")), Seq("query_id"), "left_semi")
+          .filter(col("rnk") <= k)
+          .select(col("query_id").as("src"), col("vec_id").as("dst"), col("rnk"), col("dist2"))
+          .cache())
       // repair: an old node that gained a reverse edge re-selects its
-      // ≤ k out-edges over (its old edges ∪ the new arrivals) — the
+      // nearest ≤ k over (its old edges ∪ the new arrivals) — the
       // candidate list stays ≤ k + |reverse arrivals| rows, per-node
-      // bounded work on only the touched neighborhoods
-      val rev = newOut.select(col("dst").as("src"), col("src").as("dst"))
+      // bounded work on only the touched neighborhoods, and every
+      // candidate already carries its exact dist2 (graph edges from the
+      // build, arrivals from the walk; L2 is symmetric) — no re-scoring
+      val rev = newOut.select(col("dst").as("src"), col("src").as("dst"), col("dist2"))
       val touched = rev.select("src").distinct()
       val touchedCands = layer.graph
         .join(touched, Seq("src"), "left_semi")
-        .select("src", "dst")
+        .select("src", "dst", "dist2")
         .unionByName(rev)
-      val touchedPruned =
-        GraphPrune.alphaPrune(touchedCands, allNodes, r = k, alpha = alpha, candCap = candK)
+      val touchedPruned = graft.vector.TopK
+        .perQuery(
+          touchedCands.select(
+            col("src").as("query_id"), col("dist2"), col("dst").as("vec_id")),
+          k)
+        .select(
+          col("query_id").as("src"), col("vec_id").as("dst"),
+          col("rank").as("rnk"), col("dist2"))
       val untouched = layer.graph
         .select("src", "dst", "rnk", "dist2")
         .join(touched, Seq("src"), "left_anti")
@@ -216,10 +267,16 @@ object Hnsw {
           .repartition(col("src"))
           .localCheckpoint())
     }
+    warnIfTopOversized(grown, topCap, "insert")
+    grown
   }
 
   /** Batch DELETE from a built layer stack — the reference's delete
-    * (quake_min.py's remove path / O9's anti-join semantics) done
+    * semantics (notebook-embedded quake_min.py:111-123, same swap-remove
+    * logic in adaptive_ivf.mjs:221-237; the mapping is SEMANTIC — the
+    * reference drops a row from its IVF partition and the membership
+    * contract "deleted ids stop being searchable, unknown ids are a
+    * no-op" is what carries over, O9's anti-join form) done
     * graph-natively with FreshDiskANN's consolidation rule (Singh et
     * al., arXiv:2105.09613): per layer,
     *

@@ -6434,11 +6434,14 @@ object PipelineQueries {
           "CAST(1 AS BIGINT) AS member_ok")),
 
     // HNSW batch INSERT (index/Hnsw.insert — the reference's online
-    // insert, quake_min.py:92-109, at micro-batch granularity): new rows
-    // route by the SAME deterministic level rule the build used, descend
-    // the stack like queries, attach via the α-RNG prune of their walk
-    // candidates, and only the TOUCHED old neighborhoods re-select their
-    // edges — closing the mutation asymmetry between the graph family
+    // insert, quake_min.py:92-109 / adaptive_ivf.mjs:194-218, mapped
+    // semantically at micro-batch granularity): new rows route by the
+    // SAME deterministic level rule the build used, descend the stack
+    // like queries, attach their nearest-k walk candidates (the rule
+    // these top-k graphs were built with — matching delete's measured
+    // repair-rule discipline), and only the TOUCHED old neighborhoods
+    // re-select their edges — closing the mutation asymmetry between
+    // the graph family
     // and the IVF family (O8/O9/s02 have had insert/delete since round
     // 7). Certified facts, v02-style flags over a batch of 20 planted
     // near-duplicates at ids far outside the corpus range: membership of
@@ -6503,23 +6506,45 @@ object PipelineQueries {
             count(lit(1)).as("n1"),
             sum(when(col("query_id") === col("vec_id"), 1L).otherwise(0L)).as("hits"))
           .select(when(col("n1") === 20 && col("hits") === 20, 1L).otherwise(0L).as("planted_ok"))
+        // the repaired-neighborhood counterpart of planted_ok: the 20
+        // SOURCE rows are exactly the members whose adjacency the insert
+        // repaired (their planted near-dup arrived beside them), so
+        // probing AT them measures whether the matched-top-k repair kept
+        // the old neighborhoods navigable — the member-recall fact the
+        // repair-rule discipline (insert doc step 3) claims
+        val allRows = nodes.unionByName(batch)
+        val memberProbes = nodes.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+        val memberGot = graft.index.Hnsw.search(memberProbes, grown, k = 10, beam = 64, rounds = 8)
+        val memberRec = IvfSearch
+          .recallAtK(
+            memberGot.select("query_id", "vec_id"),
+            graft.index.KnnJoin.exact(memberProbes, allRows, 10),
+            10, memberProbes)
+          .agg(avg("recall").as("m"))
+          .select(when(col("m") >= 0.85, 1L).otherwise(0L).as("member_recall_ok"))
         batch.agg(count(lit(1)).as("n_new"))
           .crossJoin(nesting)
           .crossJoin(degree)
           .crossJoin(planted)
+          .crossJoin(memberRec)
       },
       Some(
         "SELECT CAST(20 AS BIGINT) AS n_new, CAST(1 AS BIGINT) AS nesting_ok, " +
-          "CAST(1 AS BIGINT) AS degree_ok, CAST(1 AS BIGINT) AS planted_ok")),
+          "CAST(1 AS BIGINT) AS degree_ok, CAST(1 AS BIGINT) AS planted_ok, " +
+          "CAST(1 AS BIGINT) AS member_recall_ok")),
 
     // HNSW batch DELETE (index/Hnsw.delete — O9's anti-join semantics
     // done graph-natively with FreshDiskANN's consolidation, Singh et
     // al. arXiv:2105.09613): deleted members leave every layer, their
-    // out-edges drop, and each surviving node that pointed INTO a
-    // deleted id re-selects its ≤ k out-edges by the α-RNG rule over
-    // (its remaining edges ∪ the two-hop bridges through the deleted
-    // neighbor) — the repair that preserves navigability where a hole
-    // opened, bounded by the touched set. Completes the graph family's
+    // out-edges drop, and each surviving node adjacent to a deleted id
+    // re-selects its ≤ k out-edges by PLAIN NEAREST-k — the rule these
+    // top-k graphs were BUILT with, deliberately NOT the α-RNG heuristic
+    // (α-repair measured 0.69-0.76 recall@10 at deleted spots vs 0.94,
+    // Hnsw.scala's delete doc) — over (its remaining edges ∪ the local
+    // clique of each hole's surviving neighborhood) — the repair that
+    // preserves navigability where a hole opened, bounded by the
+    // touched set. Completes the graph family's
     // mutation story (v38 insert / v39 delete ↔ the IVF family's
     // O8/O9). Flags: every layer's membership equals nodes-minus-
     // deleted (the hash level rule over survivors — delete cannot move
