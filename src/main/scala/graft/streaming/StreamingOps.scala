@@ -60,6 +60,50 @@ object StreamingOps {
       .start()
   }
 
+  /** Continuous HNSW ingestion — [[ingest]]'s exact shape for the graph
+    * family: each micro-batch of `(vec_id, embedding)` rows lands in the
+    * layer stack via `foreachBatch` reusing the batch mutation path
+    * ([[graft.index.Hnsw.insert]] — level route, descend-as-query,
+    * matched-top-k attach + touched-neighborhood repair), so streaming
+    * and batch inserts share one code path and one semantics. The
+    * evolving stack is handed to `onUpdate` after every batch.
+    *
+    * State shape: `insert` returns lineage-truncated (localCheckpoint'd)
+    * layers, so the kept state per epoch is a handful of materialized
+    * block-backed DataFrames, not a growing plan — and superseded
+    * epochs' blocks are unreferenced after the swap, so the
+    * ContextCleaner reclaims them as the old RDDs are collected (the
+    * graph analog of [[ingest]]'s explicit unpersist; the initial stack
+    * is typically a shared session artifact and is never unpersisted
+    * here). Per-batch work is |batch| stack walks + bounded repairs —
+    * micro-batch priced at any corpus size. */
+  def hnswIngest(
+      stream: DataFrame,
+      initial: Seq[graft.index.Hnsw.Layer],
+      checkpointDir: String,
+      k: Int,
+      beam: Int,
+      rounds: Int,
+      onUpdate: Seq[graft.index.Hnsw.Layer] => Unit): StreamingQuery = {
+    val state =
+      new java.util.concurrent.atomic.AtomicReference[Seq[graft.index.Hnsw.Layer]](initial)
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        // an empty micro-batch (trigger with no new data) must be a
+        // no-op — Hnsw.insert would still pay the full stack walk plumbing
+        if (!batch.isEmpty) {
+          val next = graft.index.Hnsw.insert(
+            state.get(),
+            batch.select(col("vec_id").cast("long").as("vec_id"), col("embedding")),
+            k = k, beam = beam, rounds = rounds)
+          state.set(next)
+          onUpdate(next)
+        }
+      }
+      .start()
+  }
+
   /** Streaming CDC apply: fold a stream of changelog micro-batches into a
     * maintained current-state snapshot with [[graft.rel.Merge]] — MERGE
     * INTO as a continuously-updated table, sharing one code path (and one

@@ -117,6 +117,37 @@ class HnswSpec extends SparkSpec {
     layers.foreach(_.graph.unpersist())
   }
 
+  test("save/load round-trips the stack: layer count, member sets, edge sets, search results") {
+    val layers = Hnsw.build(emb, k = 6, shrink = 16, topCap = 256L)
+      .map(l => Hnsw.Layer(l.nodes, l.graph.cache()))
+    val tmp = java.nio.file.Files.createTempDirectory("hnsw_spec_").toString
+    try {
+      Hnsw.save(layers, 6, tmp)
+      val loaded = Hnsw.load(spark, tmp)
+      assert(loaded.length == layers.length, "layer count changed through save/load")
+      loaded.zip(layers).foreach { case (l, o) =>
+        assert(
+          l.nodes.select("vec_id").exceptAll(o.nodes.select("vec_id")).isEmpty &&
+            o.nodes.select("vec_id").exceptAll(l.nodes.select("vec_id")).isEmpty,
+          "member set changed through save/load")
+        val le = l.graph.select("src", "dst", "rnk")
+        val oe = o.graph.select("src", "dst", "rnk")
+        assert(le.exceptAll(oe).isEmpty && oe.exceptAll(le).isEmpty,
+          "edge set changed through save/load")
+      }
+      // the user-visible contract: identical search results
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val a = Hnsw.search(q, layers, k = 5, beam = 16, rounds = 6)
+      val b = Hnsw.search(q, loaded, k = 5, beam = 16, rounds = 6)
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        "search through the loaded stack differs from the live stack")
+    } finally {
+      layers.foreach(_.graph.unpersist())
+      graft.rel.PipelineQueries.deleteRecursively(java.nio.file.Paths.get(tmp))
+    }
+  }
+
   test("insert: level nesting invariant under insert, degrees bounded, planted rank-1 recovery") {
     val layers = Hnsw.build(emb, k = 6, shrink = 16, topCap = 256L)
       .map(l => Hnsw.Layer(l.nodes, l.graph.cache()))
