@@ -386,6 +386,46 @@ object Hnsw {
     }
   }
 
+  /** Re-bound an oversized top — the cheap maintenance move the
+    * [[warnIfTopOversized]] warning points at: build ONE new layer above
+    * the current top by the SAME level rule (current-top members whose
+    * hash clears the next modulus `shrink^L`), with its own k-NN graph.
+    * Because membership is the pure hash rule, the new top's MEMBER SET
+    * is exactly what a from-scratch [[build]] one level deeper would
+    * route — nesting and determinism hold by construction — and the only
+    * new work is a graph over the (geometrically smaller) new top:
+    * metadata-sized, so the exact O(n²) build path suffices (build's own
+    * upper-layer graphs are layer-local-IVF approximations of exactly
+    * this exact graph) and no IVF model is needed. After many
+    * [[insert]] batches have grown the top past `topCap`, one `deepen`
+    * restores the broadcast bound without touching any lower layer.
+    *
+    * `layerIndexOfTop` is the top's level exponent — `layers.length - 1`
+    * for a stack whose bottom is the full corpus (the default). If the
+    * hash rule leaves the new top EMPTY (possible only for a tiny
+    * current top, where the broadcast bound is not in danger anyway),
+    * the stack is returned unchanged with a warning. */
+  def deepen(
+      layers: Seq[Layer],
+      k: Int,
+      shrink: Int = 16): Seq[Layer] = {
+    require(layers.nonEmpty, "empty layer stack")
+    require(k >= 1 && shrink >= 2, s"bad k=$k shrink=$shrink")
+    var mod = 1L
+    (0 until layers.length).foreach(_ => mod *= shrink)
+    val top = layers.head
+    val next = top.nodes
+      .filter(pmod(xxhash64(col("vec_id")), lit(mod)) === 0)
+      .select(col("vec_id"), col("embedding"))
+    if (next.isEmpty) {
+      log.warn(
+        s"Hnsw.deepen: the level rule at mod $mod leaves no new top above the " +
+          s"current ${layers.length}-layer stack — returning it unchanged " +
+          "(a top this sparse is already broadcast-bounded)")
+      layers
+    } else Layer(next, KnnJoin.knnGraph(next, k, None)) +: layers
+  }
+
   /** Persist a layer stack — the deploy-once artifact the build doc
     * promises, [[IvfModel.save]] parity for the graph family: layer `i`
     * (top-first, [[build]]'s return order) lands under

@@ -6838,6 +6838,75 @@ object PipelineQueries {
         "SELECT CAST(10 AS BIGINT) AS n_streamed, CAST(1 AS BIGINT) AS found_self_ok, " +
           "CAST(1 AS BIGINT) AS stream_batch_equiv_ok")),
 
+    // HNSW DEEPEN (index/Hnsw.deepen — the maintenance move the new
+    // topCap warnings point at: when insert batches have grown the top
+    // layer past its broadcast bound, ONE new layer above the current
+    // top — members by the same hash level rule at the next modulus,
+    // exact k-NN graph over that metadata-sized set — restores the
+    // bound without touching any lower layer; a from-scratch rebuild
+    // one level deeper would route the same member sets, so nesting
+    // and determinism are preserved by construction). Runs over a
+    // FIXED-frontier corpus (vec_id < 1600 — bounded at every sf, the
+    // p16 pattern) with shrink 2 so the stack is deep and the new
+    // top's expected occupancy (~n_top/2) is never hash-empty at any
+    // fixture size. Flags: depth grew by exactly one; the new top's
+    // member set EQUALS the level rule over the corpus at the next
+    // modulus (rule_ok — rebuild-equivalent placement); the new top is
+    // non-empty and strictly smaller than the old one (shrunk_ok); its
+    // graph holds the degree budget; and 10 member probes through the
+    // DEEPENED stack clear the recall bar (search_ok — the extra
+    // routing hop loses nothing).
+    NamedQuery(
+      "v42_hnsw_deepen",
+      (s, dir) => {
+        val nodes = graft.CacheScope.track(
+          t(s, dir, "embeddings")
+            .select("vec_id", "embedding")
+            .filter(col("vec_id") < 1600)
+            .cache())
+        val shrink = 2
+        val built = graft.index.Hnsw
+          .build(nodes, k = HnswDegree, shrink = shrink, topCap = 30L)
+          .map(l => graft.index.Hnsw.Layer(
+            l.nodes, graft.CacheScope.track(l.graph.cache())))
+        val deepened = graft.index.Hnsw.deepen(built, k = HnswDegree, shrink = shrink)
+        var mod = 1L
+        (0 until deepened.length - 1).foreach(_ => mod *= shrink)
+        val want = nodes.select("vec_id")
+          .filter(pmod(xxhash64(col("vec_id")), lit(mod)) === 0)
+        val have = deepened.head.nodes.select("vec_id")
+        val rule = have.exceptAll(want).unionAll(want.exceptAll(have))
+          .agg(count(lit(1)).as("bad"))
+          .select(when(col("bad") === 0, 1L).otherwise(0L).as("rule_ok"))
+        val oldN = built.head.nodes.count()
+        val newN = deepened.head.nodes.count()
+        val degree = deepened.head.graph
+          .groupBy("src").agg(count(lit(1)).as("n"))
+          .agg(coalesce(max("n"), lit(0L)).as("mx"))
+          .select(when(col("mx") <= HnswDegree, 1L).otherwise(0L).as("degree_ok"))
+        val probes = nodes.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+        val got = graft.index.Hnsw.search(probes, deepened, k = 10, beam = 64, rounds = 8)
+        val rec = IvfSearch
+          .recallAtK(
+            got.select("query_id", "vec_id"),
+            graft.index.KnnJoin.exact(probes, nodes, 10),
+            10, probes)
+          .agg(avg("recall").as("m"))
+          .select(when(col("m") >= 0.85, 1L).otherwise(0L).as("search_ok"))
+        nodes.agg(count(lit(1)).as("n_nodes"))
+          .select(
+            lit(if (deepened.length == built.length + 1) 1L else 0L).as("depth_ok"),
+            lit(if (newN > 0L && newN < oldN) 1L else 0L).as("shrunk_ok"))
+          .crossJoin(rule)
+          .crossJoin(degree)
+          .crossJoin(rec)
+      },
+      Some(
+        "SELECT CAST(1 AS BIGINT) AS depth_ok, CAST(1 AS BIGINT) AS shrunk_ok, " +
+          "CAST(1 AS BIGINT) AS rule_ok, CAST(1 AS BIGINT) AS degree_ok, " +
+          "CAST(1 AS BIGINT) AS search_ok")),
+
     // Compressed-video SCENE-CHANGE detection — the frame-sampling policy
     // real multimodal pipelines run before feature extraction (sample one
     // frame per SCENE, not per fixed stride): each asset deterministically

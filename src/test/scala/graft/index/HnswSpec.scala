@@ -117,6 +117,30 @@ class HnswSpec extends SparkSpec {
     layers.foreach(_.graph.unpersist())
   }
 
+  test("deepen adds exactly one rebuild-equivalent level and keeps search green") {
+    val layers = Hnsw.build(emb, k = 6, shrink = 2, topCap = 30L)
+      .map(l => Hnsw.Layer(l.nodes, l.graph.cache()))
+    val deeper = Hnsw.deepen(layers, k = 6, shrink = 2)
+    assert(deeper.length == layers.length + 1, "deepen must add exactly one layer")
+    // the new top is the level rule at the next modulus — i.e. what a
+    // from-scratch build one level deeper would route
+    val mod = math.pow(2, (deeper.length - 1).toDouble).toLong
+    val want = emb.select("vec_id").filter(pmod(xxhash64(col("vec_id")), lit(mod)) === 0)
+    val have = deeper.head.nodes.select("vec_id")
+    assert(have.exceptAll(want).isEmpty && want.exceptAll(have).isEmpty,
+      "new top differs from the level rule at the next modulus")
+    assert(have.count() < layers.head.nodes.count(), "new top did not shrink")
+    // degree budget + search through the deepened stack still lands
+    assert(deeper.head.graph.groupBy("src").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 6).isEmpty, "new top graph exceeds the degree budget")
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val got = Hnsw.search(q, deeper, k = 3, beam = 16, rounds = 6)
+    val per = got.groupBy("query_id").agg(count(lit(1)).as("n"))
+    assert(per.filter(col("n") =!= 3).isEmpty)
+    layers.foreach(_.graph.unpersist())
+  }
+
   test("save/load round-trips the stack: layer count, member sets, edge sets, search results") {
     val layers = Hnsw.build(emb, k = 6, shrink = 16, topCap = 256L)
       .map(l => Hnsw.Layer(l.nodes, l.graph.cache()))
