@@ -467,7 +467,10 @@ object Bench {
           s""""b1_recall":${pull(b1, "mean_recall")},"build_sec":${pull(b1, "build_sec")},""" +
           s""""row_insert_ms":${pull(rowLevelJson, "insert_mean_ms")},"row_search_ms":${pull(rowLevelJson, "search_mean_ms")},""" +
           s""""scale_probe_k":${if (scalePoints.isEmpty) "null" else scaleK},"scale_exp":$scaleExp,""" +
-          s""""scale_exp_caveat":"v31,v33 build in-query (cold) at the probe dirs; cross-check ProbeMain",""" +
+          s""""scale_exp_caveat":${
+            if (scalePoints.isEmpty) "null"
+            else "\"v31,v33 build in-query (cold) at the probe dirs; cross-check ProbeMain\""
+          },""" +
           s""""full_record":"$benchOut"}"""
       println(compact)
     }

@@ -105,7 +105,8 @@ object Hnsw {
       else { cur = next; mod = nextMod; n = nextN }
     }
     val built = layers.result().reverse
-    warnIfTopOversized(built, topCap, "build")
+    // the loop exits holding the top layer's count in `n` — no re-count
+    warnIfTopOversized(n, topCap, "build")
     built
   }
 
@@ -115,18 +116,17 @@ object Hnsw {
     * its size is the stack's memory contract. [[build]] can escape with an
     * oversized top only via the nextN == 0 hash fluke; [[insert]] grows
     * the top by the hash-expected trickle but NEVER re-checks — across
-    * many batches the bound erodes silently. One cheap count (the top is
-    * tiny in every non-degenerate stack) turns both into a loud signal:
-    * past `topCap` the caller should rebuild (one level deeper re-bounds
-    * it) rather than keep broadcasting an n-sized relation. */
-  private def warnIfTopOversized(layers: Seq[Layer], topCap: Long, op: String): Unit = {
-    val topN = layers.head.nodes.count()
+    * many batches the bound erodes silently. One cheap check (build
+    * passes the count its loop already holds; insert counts a tiny
+    * localCheckpoint'd top) turns both into a loud signal: past `topCap`
+    * the caller should [[deepen]] (one new level re-bounds it) rather
+    * than keep broadcasting an n-sized relation. */
+  private def warnIfTopOversized(topN: Long, topCap: Long, op: String): Unit =
     if (topN > topCap)
       log.warn(
         s"Hnsw.$op left a top layer of $topN nodes > topCap=$topCap — search " +
           "broadcasts the whole top layer, so this stack has outgrown its " +
-          "broadcast bound; rebuild (the level rule will add a layer) to restore it")
-  }
+          "broadcast bound; deepen (one new level) or rebuild to restore it")
 
   /** Batch INSERT into a built layer stack — the reference's online
     * insert semantics at micro-batch granularity, graph-natively. The
@@ -267,7 +267,7 @@ object Hnsw {
           .repartition(col("src"))
           .localCheckpoint())
     }
-    warnIfTopOversized(grown, topCap, "insert")
+    warnIfTopOversized(grown.head.nodes.count(), topCap, "insert")
     grown
   }
 
@@ -400,11 +400,15 @@ object Hnsw {
     * [[insert]] batches have grown the top past `topCap`, one `deepen`
     * restores the broadcast bound without touching any lower layer.
     *
-    * `layerIndexOfTop` is the top's level exponent — `layers.length - 1`
-    * for a stack whose bottom is the full corpus (the default). If the
+    * The new top's level exponent is derived as `layers.length`, which is
+    * correct for any stack whose bottom layer is the full corpus (level
+    * 0) — every stack [[build]]/[[insert]]/[[delete]] produce. If the
     * hash rule leaves the new top EMPTY (possible only for a tiny
     * current top, where the broadcast bound is not in danger anyway),
-    * the stack is returned unchanged with a warning. */
+    * the stack is returned unchanged with a warning. The returned top is
+    * lineage-truncated and materialized (localCheckpoint, [[insert]]'s
+    * contract) — consumers see plain scans, not a re-running O(n_top²)
+    * scoring join. */
   def deepen(
       layers: Seq[Layer],
       k: Int,
@@ -423,7 +427,10 @@ object Hnsw {
           s"current ${layers.length}-layer stack — returning it unchanged " +
           "(a top this sparse is already broadcast-bounded)")
       layers
-    } else Layer(next, KnnJoin.knnGraph(next, k, None)) +: layers
+    } else
+      Layer(
+        next.localCheckpoint(),
+        KnnJoin.knnGraph(next, k, None).localCheckpoint()) +: layers
   }
 
   /** Persist a layer stack — the deploy-once artifact the build doc

@@ -6865,8 +6865,12 @@ object PipelineQueries {
             .filter(col("vec_id") < 1600)
             .cache())
         val shrink = 2
+        // topCap 100 bounds the stack to ≤5 layers at the 1600-node cap
+        // (the descent's job count, not data, is this query's cost — the
+        // first cut at topCap 30 walked 7 layers for 36 s of pure
+        // job-launch floor; same flags, half the layers)
         val built = graft.index.Hnsw
-          .build(nodes, k = HnswDegree, shrink = shrink, topCap = 30L)
+          .build(nodes, k = HnswDegree, shrink = shrink, topCap = 100L)
           .map(l => graft.index.Hnsw.Layer(
             l.nodes, graft.CacheScope.track(l.graph.cache())))
         val deepened = graft.index.Hnsw.deepen(built, k = HnswDegree, shrink = shrink)
@@ -6886,7 +6890,7 @@ object PipelineQueries {
           .select(when(col("mx") <= HnswDegree, 1L).otherwise(0L).as("degree_ok"))
         val probes = nodes.filter(col("vec_id") < 10)
           .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
-        val got = graft.index.Hnsw.search(probes, deepened, k = 10, beam = 64, rounds = 8)
+        val got = graft.index.Hnsw.search(probes, deepened, k = 10, beam = 64, rounds = 6)
         val rec = IvfSearch
           .recallAtK(
             got.select("query_id", "vec_id"),

@@ -75,8 +75,19 @@ object StreamingOps {
     * ContextCleaner reclaims them as the old RDDs are collected (the
     * graph analog of [[ingest]]'s explicit unpersist; the initial stack
     * is typically a shared session artifact and is never unpersisted
-    * here). Per-batch work is |batch| stack walks + bounded repairs —
-    * micro-batch priced at any corpus size. */
+    * here). Each trigger runs inside [[graft.CacheScope.scoped]] — the
+    * per-trigger caches insert tracks (the batch's query table, per-layer
+    * walk results) drop at trigger end, not at JVM end, so unbounded
+    * streams really do stay micro-batch priced. Ids already present in
+    * the stack are filtered out per batch (one anti-join against
+    * layer 0): a foreachBatch EPOCH RETRY re-delivers the same rows, and
+    * without the filter insert's duplicate-id guard would turn the
+    * replay into a permanent query failure — with it, replays are
+    * idempotent. RESTART durability is the caller's via `onUpdate`
+    * (persist with [[graft.index.Hnsw.save]]): like [[ingest]], a new
+    * incarnation resumes source offsets from the checkpoint but must be
+    * handed the last persisted stack as `initial`, or the batches before
+    * the restart are absent from the rebuilt state. */
   def hnswIngest(
       stream: DataFrame,
       initial: Seq[graft.index.Hnsw.Layer],
@@ -93,12 +104,20 @@ object StreamingOps {
         // an empty micro-batch (trigger with no new data) must be a
         // no-op — Hnsw.insert would still pay the full stack walk plumbing
         if (!batch.isEmpty) {
-          val next = graft.index.Hnsw.insert(
-            state.get(),
-            batch.select(col("vec_id").cast("long").as("vec_id"), col("embedding")),
-            k = k, beam = beam, rounds = rounds)
-          state.set(next)
-          onUpdate(next)
+          val cur = state.get()
+          val fresh = batch
+            .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+            .join(cur.last.nodes.select("vec_id"), Seq("vec_id"), "left_anti")
+          if (!fresh.isEmpty) {
+            // scoped: insert's returned layers are eagerly
+            // localCheckpoint'd, so dropping its tracked per-trigger
+            // caches on exit is safe — and mandatory for a long stream
+            val next = graft.CacheScope.scoped {
+              graft.index.Hnsw.insert(cur, fresh, k = k, beam = beam, rounds = rounds)
+            }
+            state.set(next)
+            onUpdate(next)
+          }
         }
       }
       .start()
