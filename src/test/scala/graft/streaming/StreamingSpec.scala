@@ -33,6 +33,46 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("hnswIngest grows the stack per micro-batch and re-delivered ids are an idempotent no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    val initial = graft.index.Hnsw.build(emb, k = 6, shrink = 16, topCap = 256L)
+      .map(l => graft.index.Hnsw.Layer(l.nodes, l.graph.cache()))
+    val n0 = initial.last.nodes.count()
+    def planted(i: Long) = (800000L + i, emb.filter(col("vec_id") === i)
+      .select(transform(col("embedding"), x => x + lit(0.001f)))
+      .as[Seq[Float]].head())
+    val source = MemoryStream[(Long, Seq[Float])]
+    val stream = source.toDF().toDF("vec_id", "embedding")
+    val seen = new java.util.concurrent.atomic
+      .AtomicReference[Seq[graft.index.Hnsw.Layer]](initial)
+    val ckpt = java.nio.file.Files.createTempDirectory("hnsw_ingest").toString
+    val query = StreamingOps.hnswIngest(
+      stream, initial, ckpt, k = 6, beam = 16, rounds = 6, seen.set)
+    try {
+      val b1 = Seq(planted(0L), planted(1L))
+      source.addData(b1: _*)
+      query.processAllAvailable()
+      assert(seen.get().last.nodes.count() == n0 + 2, "first batch did not land")
+      val afterB1 = seen.get()
+      // a foreachBatch epoch RETRY re-delivers the same rows — the ingest
+      // must filter them out (idempotent), not die on insert's
+      // duplicate-id guard or double-insert them
+      source.addData(b1: _*)
+      query.processAllAvailable()
+      assert(query.isActive, "re-delivered batch killed the stream")
+      assert(seen.get() eq afterB1, "a fully-replayed batch must not produce a new epoch")
+      assert(seen.get().last.nodes.count() == n0 + 2, "replay changed the corpus")
+      // and a genuinely new batch after the replay still lands
+      source.addData(planted(2L))
+      query.processAllAvailable()
+      assert(seen.get().last.nodes.count() == n0 + 3, "post-replay batch did not land")
+    } finally {
+      query.stop()
+      graft.rel.PipelineQueries.deleteRecursively(java.nio.file.Paths.get(ckpt))
+      initial.foreach(_.graph.unpersist())
+    }
+  }
+
   test("applyChangelogStream folds key-disjoint micro-batches to the batch MERGE answer") {
     implicit val sqlCtx = spark.sqlContext
     val snapshot = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v")
