@@ -172,6 +172,39 @@ class HnswSpec extends SparkSpec {
     }
   }
 
+  test("a LOADED stack is mutable: save → load → insert → planted rank-1 through the grown artifact") {
+    // the full deploy-once user path: persist the index, load it in a
+    // fresh consumer (plain scans, no session caches), and ingest into
+    // THAT — the loaded layers must be first-class insert inputs, not a
+    // read-only snapshot
+    val layers = Hnsw.build(emb, k = 6, shrink = 16, topCap = 256L)
+      .map(l => Hnsw.Layer(l.nodes, l.graph.cache()))
+    val tmp = java.nio.file.Files.createTempDirectory("hnsw_spec_mut_").toString
+    try {
+      Hnsw.save(layers, 6, tmp)
+      val loaded = Hnsw.load(spark, tmp)
+      val batch = emb.filter(col("vec_id") < 5)
+        .select(
+          (col("vec_id") + 900000000L).as("vec_id"),
+          concat(
+            array((element_at(col("embedding"), 1) + lit(0.001f)).cast("float")),
+            slice(col("embedding"), 2, 10000)).as("embedding"))
+      val grown = Hnsw.insert(loaded, batch, k = 6, beam = 16, rounds = 6, shrink = 16)
+      assert(grown.last.nodes.count() == emb.count() + 5, "batch did not land in the loaded stack")
+      val probes = batch.select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val top1 = Hnsw.search(probes, grown, k = 3, beam = 16, rounds = 6)
+        .filter(col("rnk") === 1)
+        .select("query_id", "vec_id").as[(Long, Long)].collect().toMap
+      (0L until 5L).foreach { i =>
+        assert(top1.get(900000000L + i).contains(900000000L + i),
+          s"planted ${900000000L + i} not recovered through the grown loaded stack")
+      }
+    } finally {
+      layers.foreach(_.graph.unpersist())
+      graft.rel.PipelineQueries.deleteRecursively(java.nio.file.Paths.get(tmp))
+    }
+  }
+
   test("insert: level nesting invariant under insert, degrees bounded, planted rank-1 recovery") {
     val layers = Hnsw.build(emb, k = 6, shrink = 16, topCap = 256L)
       .map(l => Hnsw.Layer(l.nodes, l.graph.cache()))
