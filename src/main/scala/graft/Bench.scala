@@ -468,8 +468,13 @@ object Bench {
           s""""row_insert_ms":${pull(rowLevelJson, "insert_mean_ms")},"row_search_ms":${pull(rowLevelJson, "search_mean_ms")},""" +
           s""""scale_probe_k":${if (scalePoints.isEmpty) "null" else scaleK},"scale_exp":$scaleExp,""" +
           s""""scale_exp_caveat":${
-            if (scalePoints.isEmpty) "null"
-            else "\"v31,v33 build in-query (cold) at the probe dirs; cross-check ProbeMain\""
+            scaleRes.map(_.coldMode) match {
+              case None => "null"
+              case Some("fresh_jvm") =>
+                "\"v31,v33 cold in-query builds timed in a fresh child JVM (ProbeMain regime)\""
+              case Some(_) =>
+                "\"v31,v33 build in-query (cold) IN-BENCH — child JVM unavailable; cross-check ProbeMain\""
+            }
           },""" +
           s""""full_record":"$benchOut"}"""
       println(compact)

@@ -1,0 +1,34 @@
+package graft.bench
+
+import org.apache.spark.sql.SparkSession
+
+/** [engine-added] Child-JVM runner for the scale probe's COLD-BUILD
+  * queries ([[ScaleProbe.ColdBuildQueries]] — v31/v33 build their k-NN
+  * graph in-query, so their probe timing IS a cold Ω(n) build): spawned
+  * by [[ScaleProbe.run]] against the parent's already-built probe dirs,
+  * it reproduces ProbeMain's fresh-JVM measurement regime inside the
+  * official record — end-of-suite JVM state made the same binary read
+  * exp 1.6 on one box and 1.08 on another while fresh-JVM reps held
+  * 1.004–1.080 (VERDICT r16 #1). One JSON line on stdout, prefixed
+  * `COLD_PROBE `, parsed by the parent. Usage (normally only via the
+  * parent): `ColdProbe <d1> <dK> <k>`. */
+object ColdProbe {
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3, "usage: ColdProbe <dir1x> <dirKx> <k>")
+    val d1 = args(0)
+    val dK = args(1)
+    val k = args(2).toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val r = ScaleProbe.coldPoints(spark, d1, dK, k)
+    println(s"COLD_PROBE ${ScaleProbe.toJson(k, r)}")
+    spark.stop()
+  }
+}

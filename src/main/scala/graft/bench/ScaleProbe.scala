@@ -148,68 +148,182 @@ object ScaleProbe {
 
   final case class Point(name: String, t1: Double, tK: Double, exponent: Double)
 
-  final case class Result(points: Seq[Point], warmFailures: Seq[String])
+  final case class Result(
+      points: Seq[Point],
+      warmFailures: Seq[String],
+      coldMode: String = "fresh_jvm")
 
-  /** Run every probe query at scale 1 and scale `k`: per scale, one
+  /** Time `names` at `dir` with the probe's measurement discipline: one
     * untimed v14 warm pass (v14 trains the per-dir index/PQ/SQ artifacts
     * on first touch — steady-state growth, not one-time training, is
     * what the exponent certifies), then two timed passes in alternating
-    * order, min per query. */
+    * order, min per query. A query that throws in any pass is excluded
+    * (elapsed-to-failure is not a time — the same invariant the main
+    * suite enforces; a fast-throwing query must not read as a fast
+    * query, and here it would become a bogus exponent). */
+  private def timeAt(
+      spark: SparkSession,
+      dir: String,
+      scaleTag: String,
+      names: Seq[String],
+      warmFailures: scala.collection.mutable.ArrayBuffer[String]): Map[String, Double] = {
+    val queries = graft.SparkEntry.queries
+    // artifact warm pass (untimed): index + codebooks for this dir. A
+    // warm failure means a timed query may absorb training cost — it is
+    // recorded in the published JSON, not just stderr.
+    try queries("v14_knn_backends")(spark, dir).write.mode("overwrite").format("noop").save()
+    catch {
+      case e: Throwable =>
+        warmFailures += s"$scaleTag:v14_knn_backends"
+        System.err.println(s"[scale-probe] warm failed at $dir: ${e.getMessage}")
+    }
+    graft.CacheScope.clear()
+    def onePass(order: Seq[String]): Map[String, Double] =
+      order.flatMap { name =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { queries(name)(spark, dir).write.mode("overwrite").format("noop").save(); true }
+          catch {
+            case e: Throwable =>
+              System.err.println(s"[scale-probe] $name FAILED at $dir — excluded: ${e.getMessage}")
+              false
+          }
+        graft.CacheScope.clear()
+        if (ok) Some(name -> (System.nanoTime() - t0) / 1e9) else None
+      }.toMap
+    val p1 = onePass(names)
+    val p2 = onePass(names.reverse)
+    // min over passes; a query missing from either pass threw there —
+    // drop it (both passes proved nothing reproducible about it)
+    names.flatMap { name =>
+      for (a <- p1.get(name); b <- p2.get(name)) yield name -> math.min(a, b)
+    }.toMap
+  }
+
+  private def toPoints(
+      names: Seq[String],
+      t1: Map[String, Double],
+      tK: Map[String, Double],
+      k: Int): Seq[Point] =
+    names.flatMap { name =>
+      (t1.get(name), tK.get(name)) match {
+        case (Some(a0), Some(b0)) =>
+          val a = math.max(1e-3, a0)
+          val b = math.max(1e-3, b0)
+          Some(Point(name, r3(a), r3(b), r3(math.log(b / a) / math.log(k.toDouble))))
+        case _ => None
+      }
+    }
+
+  /** [[ColdBuildQueries]] timed against already-built probe dirs — the
+    * body [[ColdProbe]] (a fresh child JVM) runs. Public so the child
+    * main can reach it; same discipline as the in-bench passes. */
+  def coldPoints(spark: SparkSession, d1: String, dK: String, k: Int): Result = {
+    val warm = scala.collection.mutable.ArrayBuffer.empty[String]
+    val t1 = timeAt(spark, d1, "x1", ColdBuildQueries, warm)
+    val tK = timeAt(spark, dK, s"x$k", ColdBuildQueries, warm)
+    Result(toPoints(ColdBuildQueries, t1, tK, k), warm.toSeq)
+  }
+
+  /** Run the cold-build queries in a FRESH child JVM (round-17 fix for
+    * the unstable official exponents): v31/v33 build their graph
+    * in-query, and timing that cold build in the END-OF-SUITE JVM
+    * produced a 3× run-to-run swing (r16: driver-run exp 1.616 vs
+    * same-binary builder-run 1.08 vs fresh-JVM ProbeMain 1.004–1.080) —
+    * accumulated JVM state, not the plan, was being measured. A child
+    * JVM reproduces ProbeMain's regime inside the official record. The
+    * child inherits this JVM's own launch arguments (add-opens, -Xmx,
+    * spark -D flags) and runs while the parent is idle, so nothing
+    * contends with it. Returns None on any failure — the caller falls
+    * back to in-bench timing and stamps the mode in the record. */
+  private def runColdChild(d1: String, dK: String, k: Int): Option[Seq[Point]] =
+    try {
+      import scala.jdk.CollectionConverters._
+      val javaBin = java.nio.file.Paths.get(
+        System.getProperty("java.home"), "bin", "java").toString
+      val inherited = java.lang.management.ManagementFactory
+        .getRuntimeMXBean.getInputArguments.asScala.toSeq
+        // the child builds its own (headless) session; a stale -Dspark.*
+        // port/UI flag is fine to inherit, an agent/debugger flag is not
+        .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent"))
+      val cmd = Seq(javaBin) ++ inherited ++ Seq(
+        "-cp", System.getProperty("java.class.path"),
+        "graft.bench.ColdProbe", d1, dK, k.toString)
+      val pb = new ProcessBuilder(cmd.asJava)
+      pb.redirectErrorStream(false)
+      val proc = pb.start()
+      // drain both pipes on threads so the child can't block on a full
+      // pipe AND the parent's timeout below stays authoritative (a
+      // blocking read here would outlive waitFor if the child hangs)
+      val errDrain = new Thread(() => {
+        val src = scala.io.Source.fromInputStream(proc.getErrorStream)
+        try src.getLines().foreach(l => System.err.println(s"[cold-probe-jvm] $l"))
+        catch { case _: Throwable => () }
+        finally src.close()
+      })
+      errDrain.setDaemon(true)
+      errDrain.start()
+      val outLines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val outDrain = new Thread(() => {
+        val src = scala.io.Source.fromInputStream(proc.getInputStream)
+        try src.getLines().foreach(outLines.add)
+        catch { case _: Throwable => () }
+        finally src.close()
+      })
+      outDrain.setDaemon(true)
+      outDrain.start()
+      val done = proc.waitFor(30, java.util.concurrent.TimeUnit.MINUTES)
+      if (!done) { proc.destroyForcibly(); None }
+      else if (proc.exitValue() != 0) None
+      else {
+        outDrain.join(10000L)
+        val line = outLines.asScala.find(_.startsWith("COLD_PROBE "))
+        line.map { l =>
+          val re = """"([A-Za-z0-9_]+)":\{"t1":([0-9.]+),"tk":([0-9.]+),"exp":(-?[0-9.]+(?:[eE][+-]?[0-9]+)?)\}""".r
+          re.findAllMatchIn(l.stripPrefix("COLD_PROBE "))
+            .map(m => Point(m.group(1), m.group(2).toDouble, m.group(3).toDouble, m.group(4).toDouble))
+            .toSeq
+        }.filter(_.nonEmpty)
+      }
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[scale-probe] cold child JVM failed: ${e.getMessage}")
+        None
+    }
+
+  /** Run every probe query at scale 1 and scale `k` and publish the
+    * scaling exponents. The steady-state queries are timed in THIS JVM
+    * (two alternating passes per scale, min); the cold-build queries
+    * (v31/v33) are timed in a fresh child JVM — see [[runColdChild]] —
+    * unless `SPARK_GRAFT_COLD_PROBE_JVM=0` (builder iteration) or the
+    * child fails, in which case they fall back to in-bench timing and
+    * the record's `cold_build_mode` says so. */
   def run(spark: SparkSession, sfDir: String, k: Int = 10): Result = {
     val base = java.nio.file.Files.createTempDirectory("graft_scaleprobe_").toString
-    val queries = graft.SparkEntry.queries
     val warmFailures = scala.collection.mutable.ArrayBuffer.empty[String]
-    // elapsed-to-failure is not a time: a query that throws at either
-    // scale (in any pass) is EXCLUDED from the published points (the same
-    // invariant the main suite enforces — a fast-throwing query must not
-    // read as a fast query, and here it would become a bogus exponent)
-    def timeAt(dir: String, scaleTag: String): Map[String, Double] = {
-      // artifact warm pass (untimed): index + codebooks for this dir. A
-      // warm failure means a timed query may absorb training cost — it is
-      // recorded in the published JSON, not just stderr.
-      try queries("v14_knn_backends")(spark, dir).write.mode("overwrite").format("noop").save()
-      catch {
-        case e: Throwable =>
-          warmFailures += s"$scaleTag:v14_knn_backends"
-          System.err.println(s"[scale-probe] warm failed at $dir: ${e.getMessage}")
-      }
-      graft.CacheScope.clear()
-      def onePass(order: Seq[String]): Map[String, Double] =
-        order.flatMap { name =>
-          val t0 = System.nanoTime()
-          val ok =
-            try { queries(name)(spark, dir).write.mode("overwrite").format("noop").save(); true }
-            catch {
-              case e: Throwable =>
-                System.err.println(s"[scale-probe] $name FAILED at $dir — excluded: ${e.getMessage}")
-                false
-            }
-          graft.CacheScope.clear()
-          if (ok) Some(name -> (System.nanoTime() - t0) / 1e9) else None
-        }.toMap
-      val p1 = onePass(ProbeQueries)
-      val p2 = onePass(ProbeQueries.reverse)
-      // min over passes; a query missing from either pass threw there —
-      // drop it (both passes proved nothing reproducible about it)
-      ProbeQueries.flatMap { name =>
-        for (a <- p1.get(name); b <- p2.get(name)) yield name -> math.min(a, b)
-      }.toMap
-    }
     try {
       val d1 = buildDir(spark, sfDir, 1, base)
       val dK = buildDir(spark, sfDir, k, base)
-      val t1 = timeAt(d1, "x1")
-      val tK = timeAt(dK, s"x$k")
-      val points = ProbeQueries.flatMap { name =>
-        (t1.get(name), tK.get(name)) match {
-          case (Some(a0), Some(b0)) =>
-            val a = math.max(1e-3, a0)
-            val b = math.max(1e-3, b0)
-            Some(Point(name, r3(a), r3(b), r3(math.log(b / a) / math.log(k.toDouble))))
-          case _ => None
+      val steady = ProbeQueries.filterNot(ColdBuildQueries.contains)
+      val t1 = timeAt(spark, d1, "x1", steady, warmFailures)
+      val tK = timeAt(spark, dK, s"x$k", steady, warmFailures)
+      val steadyPoints = toPoints(steady, t1, tK, k)
+      val wantChild = sys.env.getOrElse("SPARK_GRAFT_COLD_PROBE_JVM", "1") != "0"
+      val (coldPts, coldMode) =
+        (if (wantChild) runColdChild(d1, dK, k) else None) match {
+          case Some(pts) => (pts, "fresh_jvm")
+          case None =>
+            if (wantChild)
+              System.err.println(
+                "[scale-probe] falling back to in-bench cold-build timing " +
+                  "(child JVM unavailable) — cross-check ProbeMain")
+            val c1 = timeAt(spark, d1, "x1", ColdBuildQueries, warmFailures)
+            val cK = timeAt(spark, dK, s"x$k", ColdBuildQueries, warmFailures)
+            (toPoints(ColdBuildQueries, c1, cK, k), "in_bench")
         }
-      }
-      Result(points, warmFailures.toSeq)
+      // publish in the roster's order, whatever the source JVM
+      val byName = (steadyPoints ++ coldPts).map(p => p.name -> p).toMap
+      Result(ProbeQueries.flatMap(byName.get), warmFailures.toSeq, coldMode)
     } finally
       // the scaled corpora are ~(k+1)× the fixture on disk — free them as
       // soon as the points are collected. No shutdown-hook fallback: a
@@ -223,12 +337,12 @@ object ScaleProbe {
   /** Probe queries that BUILD their index/graph structure in-query at the
     * probe dirs (v31/v33 are the registered k-NN-graph build operators —
     * no session artifact exists for a freshly-generated probe corpus, so
-    * their timed passes include a cold Ω(n) build). Their exponents
-    * measure the build under end-of-suite JVM state and can read HIGHER
-    * than a fresh-JVM ProbeMain run or the amortized roster timing — the
-    * round-15 record carried v33 at 1.36 while ProbeMain measured
-    * 1.01-1.02 on the same binary. The caveat ships IN the record so the
-    * reader cross-checks ProbeMain before believing a scary number. */
+    * their timed passes include a cold Ω(n) build). Measured in a FRESH
+    * child JVM by default (see [[runColdChild]]): under end-of-suite JVM
+    * state the same binary read exp 1.6 on one box and 1.08 on another
+    * while fresh-JVM ProbeMain held 1.004–1.080 — the child reproduces
+    * ProbeMain's regime inside the official record, and the JSON's
+    * `cold_build_mode` says which regime produced the numbers. */
   val ColdBuildQueries: Seq[String] = Seq("v31_knn_graph", "v33_knn_graph_ivf")
 
   def toJson(k: Int, r: Result): String = {
@@ -238,7 +352,8 @@ object ScaleProbe {
     val warm = r.warmFailures.map(w => s""""$w"""").mkString("[", ",", "]")
     val cold = ColdBuildQueries.map(q => s""""$q"""").mkString("[", ",", "]")
     val sep = if (r.points.isEmpty) "" else ","
-    s"""{"k":$k,"passes":2,"warm_failures":$warm,"cold_build":$cold$sep$pts}"""
+    s"""{"k":$k,"passes":2,"warm_failures":$warm,"cold_build":$cold,""" +
+      s""""cold_build_mode":"${r.coldMode}"$sep$pts}"""
   }
 
   private def r3(d: Double): Double = math.rint(d * 1000) / 1000

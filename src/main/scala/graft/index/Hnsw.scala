@@ -185,7 +185,8 @@ object Hnsw {
       rounds: Int,
       shrink: Int = 16,
       topCap: Long = 256L,
-      perLayerK: Int = 8): Seq[Layer] = {
+      perLayerK: Int = 8,
+      validate: Boolean = true): Seq[Layer] = {
     require(layers.nonEmpty, "empty layer stack")
     require(k >= 1 && beam >= k && shrink >= 2, s"bad k=$k beam=$beam shrink=$shrink")
     val L = layers.length
@@ -193,13 +194,19 @@ object Hnsw {
     // loud micro-batch-sized guards instead of silent corruption: a
     // re-inserted (or batch-duplicated) id would union duplicate rows
     // into every layer it hashes to, and later walks/prunes would score
-    // conflicting adjacencies for one id with no error anywhere
-    require(
-      newRows.groupBy("vec_id").count().filter(col("count") > 1).isEmpty,
-      "insert batch contains duplicate vec_ids")
-    require(
-      newRows.join(layers.last.nodes.select("vec_id"), Seq("vec_id"), "left_semi").isEmpty,
-      "insert batch contains vec_ids already present in the stack")
+    // conflicting adjacencies for one id with no error anywhere. The
+    // presence check scans layer-0's full id column — corpus-linear — so
+    // callers that ALREADY screen the batch (hnswIngest's per-trigger
+    // dedupe + anti-join) pass validate = false and pay that scan once,
+    // not three times per trigger; direct callers keep the strict default.
+    if (validate) {
+      require(
+        newRows.groupBy("vec_id").count().filter(col("count") > 1).isEmpty,
+        "insert batch contains duplicate vec_ids")
+      require(
+        newRows.join(layers.last.nodes.select("vec_id"), Seq("vec_id"), "left_semi").isEmpty,
+        "insert batch contains vec_ids already present in the stack")
+    }
     val q = graft.CacheScope.track(
       newRows.select(col("vec_id").as("query_id"), col("embedding").as("qvec")).cache())
     val candK = math.min(4 * k, beam)
@@ -433,14 +440,31 @@ object Hnsw {
         KnnJoin.knnGraph(next, k, None).localCheckpoint()) +: layers
   }
 
+  /** A loaded stack WITH the parameters it was built under — a loaded
+    * stack is a first-class mutation input, and [[insert]]/[[deepen]]
+    * with a different `shrink` would silently violate the hash level
+    * rule; `k` is the degree the graphs were built at (the bound a
+    * consumer must not exceed) and `topCap` the top layer's broadcast
+    * contract. [[loadStack]] surfaces them so mutation on a loaded
+    * stack cannot diverge from the build parameters. */
+  final case class Stack(layers: Seq[Layer], k: Int, shrink: Int, topCap: Long)
+
   /** Persist a layer stack — the deploy-once artifact the build doc
     * promises, [[IvfModel.save]] parity for the graph family: layer `i`
     * (top-first, [[build]]'s return order) lands under
     * `path/layer_<i>/{nodes,graph}`, the graph repartitioned on `src` at
     * write time so a loaded stack's walk joins read co-located row
-    * groups, plus a `meta` table carrying the layer count and the degree
-    * the graphs were built at (the k a consumer must not exceed). */
-  def save(layers: Seq[Layer], k: Int, path: String): Unit = {
+    * groups, plus a `meta` table carrying the layer count, the degree
+    * the graphs were built at (the k a consumer must not exceed), and
+    * the `shrink`/`topCap` the stack was built under — a loaded stack
+    * is a first-class mutation input, and insert/deepen must use the
+    * build's own level rule. */
+  def save(
+      layers: Seq[Layer],
+      k: Int,
+      path: String,
+      shrink: Int = 16,
+      topCap: Long = 256L): Unit = {
     require(layers.nonEmpty, "empty layer stack")
     val spark = layers.head.nodes.sparkSession
     import spark.implicits._
@@ -453,24 +477,34 @@ object Hnsw {
         .repartition(col("src"))
         .write.mode("overwrite").parquet(s"$path/layer_$i/graph")
     }
-    Seq((layers.length, k))
-      .toDF("n_layers", "k")
+    Seq((layers.length, k, shrink, topCap))
+      .toDF("n_layers", "k", "shrink", "top_cap")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/meta")
   }
 
-  /** Load a stack persisted by [[save]], top-first. Nothing is collected
-    * or cached here — each layer is a plain partitioned scan, so a
+  /** Load a stack persisted by [[save]] together with its build
+    * parameters, top-first. Nothing is collected or cached here beyond
+    * the one-row meta — each layer is a plain partitioned scan, so a
     * thousand-executor consumer reads only the layers (and, through the
     * walk's equality joins, only the src partitions) it touches. */
-  def load(spark: org.apache.spark.sql.SparkSession, path: String): Seq[Layer] = {
-    val n = spark.read.parquet(s"$path/meta").head().getAs[Int]("n_layers")
-    (0 until n).map { i =>
+  def loadStack(spark: org.apache.spark.sql.SparkSession, path: String): Stack = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val n = meta.getAs[Int]("n_layers")
+    val layers = (0 until n).map { i =>
       Layer(
         spark.read.parquet(s"$path/layer_$i/nodes"),
         spark.read.parquet(s"$path/layer_$i/graph"))
     }
+    Stack(layers, meta.getAs[Int]("k"), meta.getAs[Int]("shrink"), meta.getAs[Long]("top_cap"))
   }
+
+  /** [[loadStack]] when only the layers are needed (read-only search at
+    * the caller's own budget). Mutating consumers should prefer
+    * [[loadStack]] — it carries the shrink/topCap the mutations must
+    * match. */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Seq[Layer] =
+    loadStack(spark, path).layers
 
   /** Descend-and-refine search: brute-score the top layer's members as
     * seeds (bounded: the build capped it near `topCap`), then walk each

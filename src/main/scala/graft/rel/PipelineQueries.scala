@@ -205,8 +205,13 @@ object PipelineQueries {
     * base is read-only. */
   private val hnswStackCache =
     scala.collection.concurrent.TrieMap.empty[String, Seq[graft.index.Hnsw.Layer]]
+  // synchronized: TrieMap.getOrElseUpdate does not guarantee the builder
+  // runs once under concurrent first access, and a double build here leaks
+  // a second set of deliberately-untracked cached upper-layer graphs (the
+  // driver contract is sequential, but tests/notebooks need not be; same
+  // guard on hnswArtifactsFor below)
   def stackFor(s: SparkSession, dir: String): Seq[graft.index.Hnsw.Layer] =
-    hnswStackCache.getOrElseUpdate(dir, {
+    hnswStackCache.synchronized { hnswStackCache.getOrElseUpdate(dir, {
       val nodes = t(s, dir, "embeddings").select("vec_id", "embedding")
       val built = graft.index.Hnsw.build(
         nodes, HnswDegree, Some(indexFor(s, dir)),
@@ -219,19 +224,19 @@ object PipelineQueries {
           graft.index.Hnsw.Layer(l.nodes, g)
         }
       }
-    })
+    }) }
 
   /** [[stackFor]]'s stack persisted ONCE per dir through the real
     * `Hnsw.save` path ([[residualCodesFor]]'s artifact pattern) — v40
     * reads it back with `Hnsw.load` and certifies the round-trip. */
   private val hnswArtifactPath = scala.collection.concurrent.TrieMap.empty[String, String]
   def hnswArtifactsFor(s: SparkSession, dir: String): String =
-    hnswArtifactPath.getOrElseUpdate(dir, {
+    hnswArtifactPath.synchronized { hnswArtifactPath.getOrElseUpdate(dir, {
       val tmp = java.nio.file.Files.createTempDirectory("graft_hnsw_")
       sys.addShutdownHook(deleteRecursively(tmp, verbose = false))
       graft.index.Hnsw.save(stackFor(s, dir), HnswDegree, tmp.toString)
       tmp.toString
-    })
+    }) }
 
   private def embQueries(s: SparkSession, dir: String, n: Int): DataFrame =
     t(s, dir, "embeddings")
@@ -6762,15 +6767,19 @@ object PipelineQueries {
     // last streaming/batch asymmetry: the IVF index has had streamed
     // ingest since round 7, the layer stack now shares the same
     // foreachBatch shape reusing Hnsw.insert verbatim). Ten planted
-    // near-duplicates stream in TWO micro-batches (growth across batch
-    // boundaries, not just one shot); flags certify (a) found_self —
-    // every planted row is its own rank-1 hit through the full
-    // hierarchical search on the streamed-into stack (s02's contract),
-    // and (b) stream ≡ batch — every layer's graph edge-set from the
-    // streamed path EQUALS the stack produced by applying the same two
-    // batches through Hnsw.insert directly (structural equality, which
-    // implies search equality — certifying that the streaming plumbing
-    // adds nothing and drops nothing). Per micro-batch the work is
+    // near-duplicates stream in ONE micro-batch; flags certify (a)
+    // found_self — every planted row is its own rank-1 hit through the
+    // full hierarchical search on the streamed-into stack (s02's
+    // contract), and (b) stream ≡ batch — every layer's graph edge-set
+    // from the streamed path EQUALS the stack produced by applying the
+    // same batch through Hnsw.insert directly (structural equality,
+    // which implies search equality — certifying that the streaming
+    // plumbing adds nothing and drops nothing). One batch per path is
+    // deliberate (VERDICT r16): each insert is a job-count constant at
+    // the local launch floor, and the CROSS-batch-boundary growth fact
+    // is separately pinned in StreamingSpec's two-batch ingest case —
+    // two batches here doubled the suite cost for a fact already held.
+    // Restart recovery is s21's job. Per micro-batch the work is
     // |batch| stack walks + bounded repairs; state per epoch is the
     // lineage-truncated layer set, so unbounded streams stay
     // micro-batch priced.
@@ -6791,7 +6800,6 @@ object PipelineQueries {
               (x, i) => x + when(pmod(i, lit(2)) === 0, lit(0.001f)).otherwise(lit(-0.001f)))
               .as("embedding"))
           .as[(Long, Seq[Float])].collect()
-        val (b1, b2) = planted.splitAt(5)
         val source = MemoryStream[(Long, Seq[Float])]
         val stream = source.toDF().toDF("vec_id", "embedding")
         val finalStack = new java.util.concurrent.atomic
@@ -6801,9 +6809,7 @@ object PipelineQueries {
           stream, layers, ckptDir.toString,
           k = HnswDegree, beam = 64, rounds = 8, finalStack.set)
         try {
-          source.addData(b1.toSeq)
-          query.processAllAvailable()
-          source.addData(b2.toSeq)
+          source.addData(planted.toSeq)
           query.processAllAvailable()
         } finally {
           query.stop()
@@ -6819,10 +6825,9 @@ object PipelineQueries {
             sum(when(col("query_id") === col("vec_id"), 1L).otherwise(0L)).as("hits"))
           .select(
             when(col("n1") === 10 && col("hits") === 10, 1L).otherwise(0L).as("found_self_ok"))
-        def toDf(rows: Array[(Long, Seq[Float])]) = rows.toSeq.toDF("vec_id", "embedding")
         val batchStack = graft.index.Hnsw.insert(
-          graft.index.Hnsw.insert(layers, toDf(b1), k = HnswDegree, beam = 64, rounds = 8),
-          toDf(b2), k = HnswDegree, beam = 64, rounds = 8)
+          layers, planted.toSeq.toDF("vec_id", "embedding"),
+          k = HnswDegree, beam = 64, rounds = 8)
         val equiv = streamed.zip(batchStack).map { case (a, b) =>
           val ga = a.graph.select("src", "dst", "rnk")
           val gb = b.graph.select("src", "dst", "rnk")
@@ -6830,13 +6835,127 @@ object PipelineQueries {
         }.reduce(_.unionAll(_))
           .agg(count(lit(1)).as("bad"))
           .select(when(col("bad") === 0, 1L).otherwise(0L).as("stream_batch_equiv_ok"))
-        toDf(planted).agg(count(lit(1)).as("n_streamed"))
+        planted.toSeq.toDF("vec_id", "embedding").agg(count(lit(1)).as("n_streamed"))
           .crossJoin(foundSelf)
           .crossJoin(equiv)
       },
       Some(
         "SELECT CAST(10 AS BIGINT) AS n_streamed, CAST(1 AS BIGINT) AS found_self_ok, " +
           "CAST(1 AS BIGINT) AS stream_batch_equiv_ok")),
+
+    // Streaming HNSW ingest RESTART RECOVERY (s19's kill-and-resume
+    // certification for the graph family, closing hnswIngest's
+    // documented-but-uncertified RESTART contract): batch A streams
+    // into the session stack through hnswIngest with `onUpdate`
+    // persisting every epoch via Hnsw.save (the durability hook the
+    // doc prescribes); the stream is STOPPED — the process-death
+    // stand-in, s19's technique — and a NEW incarnation starts from
+    // the SAME checkpoint with Hnsw.loadStack's layers as `initial`
+    // and the loaded meta's own shrink/topCap (the save-carries-its-
+    // build-parameters contract, exercised end-to-end); batch B
+    // streams into the resumed incarnation. Flags certify (a) meta_ok
+    // — the persisted parameters round-tripped (k/shrink/topCap);
+    // (b) resumed_equiv_ok — the resumed final stack LAYER-EQUALS the
+    // uninterrupted continuation (Hnsw.insert of batch B onto the
+    // live pre-kill stack): same layer count, every layer's member
+    // set and edge set equal in both exceptAll directions — kill +
+    // reload + resume loses nothing and double-applies nothing (the
+    // checkpoint skips batch A's committed offsets; even a replayed
+    // file is screened idempotent); (c) found_self_ok — all 10
+    // planted rows, BOTH batches, are their own rank-1 hits through
+    // the resumed stack (pre-restart state survived the round-trip,
+    // post-restart ingestion landed).
+    NamedQuery(
+      "s21_hnsw_restart_recovery",
+      (s, dir) => {
+        import s.implicits._
+        val nodes = t(s, dir, "embeddings").select("vec_id", "embedding")
+        val layers = stackFor(s, dir)
+        val planted: Array[(Long, Seq[Float])] = nodes
+          .filter(col("vec_id") < 10)
+          .select(
+            (col("vec_id") + 700000L).as("vec_id"),
+            transform(
+              col("embedding"),
+              (x, i) => x + when(pmod(i, lit(2)) === 0, lit(0.001f)).otherwise(lit(-0.001f)))
+              .as("embedding"))
+          .as[(Long, Seq[Float])].collect()
+        val (a, b) = planted.splitAt(5)
+        def toDf(rows: Array[(Long, Seq[Float])]) = rows.toSeq.toDF("vec_id", "embedding")
+        val tmp = java.nio.file.Files.createTempDirectory("s21_hnsw_restart")
+        val inDir = s"$tmp/in"
+        val ckpt = s"$tmp/ckpt"
+        val saveDir = s"$tmp/stack"
+        val batchSchema = toDf(a).schema
+        def incarnation(
+            initial: Seq[graft.index.Hnsw.Layer],
+            shrink: Int,
+            topCap: Long,
+            onUpdate: Seq[graft.index.Hnsw.Layer] => Unit): Unit = {
+          val q = graft.streaming.StreamingOps.hnswIngest(
+            s.readStream.schema(batchSchema).parquet(inDir),
+            initial, ckpt, k = HnswDegree, beam = 64, rounds = 8, onUpdate,
+            shrink = shrink, topCap = topCap)
+          try q.processAllAvailable()
+          finally q.stop()
+        }
+        val (fin, control, metaOk) =
+          try {
+            // incarnation 1: ingest batch A, persist every epoch
+            val live = new java.util.concurrent.atomic
+              .AtomicReference[Seq[graft.index.Hnsw.Layer]](layers)
+            toDf(a).write.mode("append").parquet(inDir)
+            incarnation(layers, 16, 256L, st => {
+              live.set(st)
+              graft.index.Hnsw.save(st, HnswDegree, saveDir)
+            })
+            val liveAfterA = live.get()
+            // "kill": q1 is stopped. Resume from the checkpoint with the
+            // PERSISTED stack (a fresh consumer would have only this)
+            val loaded = graft.index.Hnsw.loadStack(s, saveDir)
+            val resumed = new java.util.concurrent.atomic
+              .AtomicReference[Seq[graft.index.Hnsw.Layer]](loaded.layers)
+            toDf(b).write.mode("append").parquet(inDir)
+            incarnation(loaded.layers, loaded.shrink, loaded.topCap, resumed.set)
+            // uninterrupted control: batch B applied to the live pre-kill
+            // stack directly — what the stream would hold had it never died
+            val ctl = graft.index.Hnsw.insert(
+              liveAfterA, toDf(b), k = HnswDegree, beam = 64, rounds = 8)
+            (resumed.get(), ctl,
+              loaded.k == HnswDegree && loaded.shrink == 16 && loaded.topCap == 256L)
+          } finally deleteRecursively(tmp)
+        val equiv =
+          if (fin.length != control.length)
+            s.range(1).select(lit(0L).as("resumed_equiv_ok"))
+          else
+            fin.zip(control).map { case (x, y) =>
+              val nx = x.nodes.select("vec_id")
+              val ny = y.nodes.select("vec_id")
+              val gx = x.graph.select("src", "dst", "rnk")
+              val gy = y.graph.select("src", "dst", "rnk")
+              nx.exceptAll(ny).unionAll(ny.exceptAll(nx))
+                .select(col("vec_id").as("src"), col("vec_id").as("dst"), lit(0).as("rnk"))
+                .unionAll(gx.exceptAll(gy)).unionAll(gy.exceptAll(gx))
+            }.reduce(_.unionAll(_))
+              .agg(count(lit(1)).as("bad"))
+              .select(when(col("bad") === 0, 1L).otherwise(0L).as("resumed_equiv_ok"))
+        val probes = planted.toSeq.toDF("query_id", "qvec")
+        val foundSelf = graft.index.Hnsw
+          .search(probes, fin, k = 3, beam = 64, rounds = 8)
+          .filter(col("rnk") === 1)
+          .agg(
+            count(lit(1)).as("n1"),
+            sum(when(col("query_id") === col("vec_id"), 1L).otherwise(0L)).as("hits"))
+          .select(
+            when(col("n1") === 10 && col("hits") === 10, 1L).otherwise(0L).as("found_self_ok"))
+        planted.toSeq.toDF("vec_id", "embedding").agg(count(lit(1)).as("n_streamed"))
+          .select(col("n_streamed"), lit(if (metaOk) 1L else 0L).as("meta_ok"))
+          .crossJoin(equiv)
+          .crossJoin(foundSelf)
+      },
+      Some(
+        "SELECT CAST(10 AS BIGINT) AS n_streamed, CAST(1 AS BIGINT) AS meta_ok, " +
+          "CAST(1 AS BIGINT) AS resumed_equiv_ok, CAST(1 AS BIGINT) AS found_self_ok")),
 
     // HNSW DEEPEN (index/Hnsw.deepen — the maintenance move the new
     // topCap warnings point at: when insert batches have grown the top
@@ -6910,6 +7029,93 @@ object PipelineQueries {
         "SELECT CAST(1 AS BIGINT) AS depth_ok, CAST(1 AS BIGINT) AS shrunk_ok, " +
           "CAST(1 AS BIGINT) AS rule_ok, CAST(1 AS BIGINT) AS degree_ok, " +
           "CAST(1 AS BIGINT) AS search_ok")),
+
+    // HNSW stack HEALTH introspection (v28's index-stats shape for the
+    // graph family — the invariants an ops team alerts on before a
+    // degraded index degrades a product, emitted as bound flags over
+    // the session stack):
+    //  - layers_ok: the hierarchy actually engaged (≥ 2 layers);
+    //  - top_ok: the top layer is inside its topCap broadcast contract
+    //    (Hnsw.scala's warnIfTopOversized bound, here as a hard flag —
+    //    the erosion signal the deepen maintenance move answers);
+    //  - rule_ok: every layer's member set EQUALS the deterministic
+    //    level rule over the corpus at that layer's modulus (both
+    //    exceptAll directions empty) — placement integrity, the
+    //    invariant every descend and every mutation relies on;
+    //  - geom_ok: layer sizes shrink at least shrink/2 per level
+    //    wherever the lower layer is big enough for the hash law to
+    //    concentrate (n ≥ 1024) — the "hierarchy is actually geometric"
+    //    law (expected factor = shrink; half that is a 4σ-plus alarm);
+    //  - degree_max_ok: no node anywhere exceeds the build degree k
+    //    (a repair/refine that overshoots k breaks the walk's
+    //    per-hop cost bound);
+    //  - degree_mean_ok: every layer with enough members (> 2(k+1))
+    //    has mean out-degree ≥ 0.75k — the round-15 edgeless-husk
+    //    regression (full-corpus-model upper builds starved the
+    //    closure semi-join to mean ~0.5 ON k=8) trips this loudly;
+    //  - endpoint_ok: every edge endpoint is a member of its own
+    //    layer (no dangling/foreign ids after any mutation history).
+    // All integer/set facts — deterministic given the fixture, so the
+    // oracle states the expected flag row (v06 technique).
+    NamedQuery(
+      "v43_hnsw_stack_stats",
+      (s, dir) => {
+        val layers = stackFor(s, dir)
+        val k = HnswDegree
+        val shrink = 16
+        val topCap = 256L
+        val corpus = t(s, dir, "embeddings").select("vec_id")
+        val L = layers.length
+        val sizes = layers.map(_.nodes.count())
+        val ruleOk = layers.zipWithIndex.map { case (l, p) =>
+          var mod = 1L
+          (0 until (L - 1 - p)).foreach(_ => mod *= shrink)
+          val want = corpus.filter(pmod(xxhash64(col("vec_id")), lit(mod)) === 0)
+          val have = l.nodes.select("vec_id")
+          have.exceptAll(want).unionAll(want.exceptAll(have))
+        }.reduce(_.unionAll(_))
+          .agg(count(lit(1)).as("bad"))
+          .select(when(col("bad") === 0, 1L).otherwise(0L).as("rule_ok"))
+        val geomOk = sizes.sliding(2).forall {
+          case Seq(upper, lower) => lower < 1024L || upper <= lower / (shrink / 2)
+          case _                 => true
+        }
+        // honest mean degree = |edges| / n_nodes (zero-out-degree nodes
+        // don't appear in a groupBy over src, so avg-over-sources lies
+        // exactly in the husk scenario this flag exists to catch)
+        val meanOk = layers.zip(sizes).map { case (l, n) =>
+          val edges = l.graph.count().toDouble
+          n <= 2L * (k + 1) || edges / n >= 0.75 * k
+        }.forall(identity)
+        val maxOk = layers.map(
+          _.graph.groupBy("src").agg(count(lit(1)).as("n")).agg(coalesce(max("n"), lit(0L)).as("mx")))
+          .reduce(_.unionAll(_))
+          .agg(max("mx").as("m"))
+          .select(when(col("m") <= k, 1L).otherwise(0L).as("degree_max_ok"))
+        val endpointOk = layers.map { l =>
+          l.graph.select(col("src").as("vec_id"))
+            .unionAll(l.graph.select(col("dst").as("vec_id")))
+            .join(l.nodes.select("vec_id"), Seq("vec_id"), "left_anti")
+        }.reduce(_.unionAll(_))
+          .agg(count(lit(1)).as("bad"))
+          .select(when(col("bad") === 0, 1L).otherwise(0L).as("endpoint_ok"))
+        ruleOk
+          .crossJoin(maxOk)
+          .crossJoin(endpointOk)
+          .select(
+            lit(if (L >= 2) 1L else 0L).as("layers_ok"),
+            lit(if (sizes.head <= topCap) 1L else 0L).as("top_ok"),
+            col("rule_ok"),
+            lit(if (geomOk) 1L else 0L).as("geom_ok"),
+            col("degree_max_ok"),
+            lit(if (meanOk) 1L else 0L).as("degree_mean_ok"),
+            col("endpoint_ok"))
+      },
+      Some(
+        "SELECT CAST(1 AS BIGINT) AS layers_ok, CAST(1 AS BIGINT) AS top_ok, " +
+          "CAST(1 AS BIGINT) AS rule_ok, CAST(1 AS BIGINT) AS geom_ok, " +
+          "CAST(1 AS BIGINT) AS degree_max_ok, CAST(1 AS BIGINT) AS degree_mean_ok, " +
+          "CAST(1 AS BIGINT) AS endpoint_ok")),
 
     // Compressed-video SCENE-CHANGE detection — the frame-sampling policy
     // real multimodal pipelines run before feature extraction (sample one

@@ -78,16 +78,28 @@ object StreamingOps {
     * here). Each trigger runs inside [[graft.CacheScope.scoped]] — the
     * per-trigger caches insert tracks (the batch's query table, per-layer
     * walk results) drop at trigger end, not at JVM end, so unbounded
-    * streams really do stay micro-batch priced. Ids already present in
-    * the stack are filtered out per batch (one anti-join against
-    * layer 0): a foreachBatch EPOCH RETRY re-delivers the same rows, and
-    * without the filter insert's duplicate-id guard would turn the
-    * replay into a permanent query failure — with it, replays are
-    * idempotent. RESTART durability is the caller's via `onUpdate`
+    * streams really do stay micro-batch priced. Per trigger the batch is
+    * screened ONCE: intra-batch duplicate ids collapse
+    * (`dropDuplicates` — batch-sized work) and ids already present in
+    * the stack are filtered by one anti-join against layer 0 — the ONLY
+    * corpus-linear action in the path (insert's own strict guards are
+    * skipped via `validate = false`; they would re-scan layer-0's id
+    * column twice more per trigger for facts this screen already
+    * established). A foreachBatch EPOCH RETRY re-delivers the same rows,
+    * and without the present-id filter insert's duplicate-id guard would
+    * turn the replay into a permanent query failure — with it, replays
+    * are idempotent. `shrink`/`topCap`/`perLayerK` MUST match the build
+    * that produced `initial` (defaults = [[graft.index.Hnsw.build]]'s
+    * defaults; a loaded stack carries its own via
+    * [[graft.index.Hnsw.loadStack]]) — streaming into a stack built at a
+    * different shrink would silently mis-route new rows' levels and
+    * break the deterministic nesting invariant insert's contract pins.
+    * RESTART durability is the caller's via `onUpdate`
     * (persist with [[graft.index.Hnsw.save]]): like [[ingest]], a new
     * incarnation resumes source offsets from the checkpoint but must be
     * handed the last persisted stack as `initial`, or the batches before
-    * the restart are absent from the rebuilt state. */
+    * the restart are absent from the rebuilt state (certified end-to-end
+    * by the s21 driver query — kill, reload, resume, layer-equal). */
   def hnswIngest(
       stream: DataFrame,
       initial: Seq[graft.index.Hnsw.Layer],
@@ -95,7 +107,10 @@ object StreamingOps {
       k: Int,
       beam: Int,
       rounds: Int,
-      onUpdate: Seq[graft.index.Hnsw.Layer] => Unit): StreamingQuery = {
+      onUpdate: Seq[graft.index.Hnsw.Layer] => Unit,
+      shrink: Int = 16,
+      topCap: Long = 256L,
+      perLayerK: Int = 8): StreamingQuery = {
     val state =
       new java.util.concurrent.atomic.AtomicReference[Seq[graft.index.Hnsw.Layer]](initial)
     stream.writeStream
@@ -105,15 +120,23 @@ object StreamingOps {
         // no-op — Hnsw.insert would still pay the full stack walk plumbing
         if (!batch.isEmpty) {
           val cur = state.get()
+          // localCheckpoint (eager) materializes the screen's batch-sized
+          // result in ONE job — left lazy, insert's per-layer joiner
+          // filters would re-run the corpus-linear anti-join once per layer
           val fresh = batch
             .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+            .dropDuplicates("vec_id")
             .join(cur.last.nodes.select("vec_id"), Seq("vec_id"), "left_anti")
+            .localCheckpoint()
           if (!fresh.isEmpty) {
             // scoped: insert's returned layers are eagerly
             // localCheckpoint'd, so dropping its tracked per-trigger
             // caches on exit is safe — and mandatory for a long stream
             val next = graft.CacheScope.scoped {
-              graft.index.Hnsw.insert(cur, fresh, k = k, beam = beam, rounds = rounds)
+              graft.index.Hnsw.insert(
+                cur, fresh, k = k, beam = beam, rounds = rounds,
+                shrink = shrink, topCap = topCap, perLayerK = perLayerK,
+                validate = false)
             }
             state.set(next)
             onUpdate(next)

@@ -141,13 +141,92 @@ class HnswSpec extends SparkSpec {
     layers.foreach(_.graph.unpersist())
   }
 
+  test("wear-out loop end-to-end: insert batches erode the topCap bound, one deepen restores it with search parity") {
+    // the composed maintenance trajectory the warnIfTopOversized warning
+    // points at, driven as ONE story (VERDICT r16 #3): build near the
+    // bound → insert batches whose ids hash to the TOP level until the
+    // broadcast bound genuinely erodes (the warn's own size condition) →
+    // deepen → the bound is restored, the new top is rebuild-equivalent,
+    // and search through the deepened stack still lands.
+    val topCap = 30L
+    val layers = Hnsw.build(emb, k = 6, shrink = 2, topCap = topCap)
+      .map(l => Hnsw.Layer(l.nodes, l.graph.cache()))
+    val L = layers.length
+    val topMod = (0 until (L - 1)).foldLeft(1L)((m, _) => m * 2)
+    val n0Top = layers.head.nodes.count()
+    assert(n0Top <= topCap, "build must start inside the bound")
+    // candidate ids chosen BY the level rule to land on the current top
+    // layer (xxhash64 % topMod == 0) — the worst-case trickle, so a small
+    // batch erodes the bound a real workload erodes over many batches
+    val candIds = spark.range(10000L, 40000L)
+      .filter(pmod(xxhash64(col("id")), lit(topMod)) === 0)
+      .limit((topCap + 10L - n0Top).toInt)
+      .as[Long].collect()
+    assert(candIds.length.toLong == topCap + 10L - n0Top, "not enough top-level candidate ids")
+    val embs = emb.orderBy("vec_id").limit(candIds.length)
+      .select("embedding").as[Seq[Float]].collect()
+    def batchDf(pairs: Seq[(Long, Seq[Float])]) =
+      pairs.toDF("vec_id", "embedding")
+        .select(
+          col("vec_id"),
+          concat(
+            array((element_at(col("embedding"), 1) + lit(0.001f)).cast("float")),
+            slice(col("embedding"), 2, 10000)).as("embedding"))
+    val (half1, half2) = candIds.zip(embs).toSeq.splitAt(candIds.length / 2)
+    // two insert batches: the bound erodes ACROSS batches, not in one shot
+    val grownOnce = Hnsw.insert(layers, batchDf(half1), k = 6, beam = 16, rounds = 6, shrink = 2, topCap = topCap)
+    val grown = Hnsw.insert(grownOnce, batchDf(half2), k = 6, beam = 16, rounds = 6, shrink = 2, topCap = topCap)
+    // the warn's own condition now holds: the top outgrew its broadcast
+    // bound (warnIfTopOversized fires on exactly this count — asserted by
+    // state rather than a log captor)
+    val grownTop = grown.head.nodes.count()
+    assert(grownTop == topCap + 10L, s"top should hold ${topCap + 10} nodes, got $grownTop")
+    assert(grownTop > topCap, "the broadcast bound must be genuinely eroded")
+    // ONE deepen restores the bound without touching any lower layer
+    val deepened = Hnsw.deepen(grown, k = 6, shrink = 2)
+    assert(deepened.length == grown.length + 1, "deepen must add exactly one level")
+    val newTop = deepened.head.nodes.count()
+    assert(newTop <= topCap, s"deepen left the top at $newTop > topCap $topCap")
+    // rebuild-equivalence: the new top is the level rule over
+    // (corpus ∪ inserted) at the next modulus
+    val allIds = emb.select("vec_id")
+      .unionByName(candIds.toSeq.toDF("vec_id"))
+    val want = allIds.filter(pmod(xxhash64(col("vec_id")), lit(topMod * 2)) === 0)
+    val have = deepened.head.nodes.select("vec_id")
+    assert(have.exceptAll(want).isEmpty && want.exceptAll(have).isEmpty,
+      "deepened top differs from the level rule over corpus ∪ inserted")
+    // search parity: the inserted rows stay rank-1 findable THROUGH the
+    // deepened stack (the extra routing hop loses nothing), and member
+    // probes still return k ranked rows
+    val probeIds = candIds.take(5).toSet
+    val probes = batchDf(candIds.zip(embs).toSeq.filter(p => probeIds.contains(p._1)))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val top1 = Hnsw.search(probes, deepened, k = 3, beam = 16, rounds = 6)
+      .filter(col("rnk") === 1)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toMap
+    probeIds.foreach { id =>
+      assert(top1.get(id).contains(id), s"inserted $id lost after deepen: got ${top1.get(id)}")
+    }
+    val memberProbes = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val per = Hnsw.search(memberProbes, deepened, k = 3, beam = 16, rounds = 6)
+      .groupBy("query_id").agg(count(lit(1)).as("n"))
+    assert(per.filter(col("n") =!= 3).isEmpty, "member search shape broke after deepen")
+    layers.foreach(_.graph.unpersist())
+  }
+
   test("save/load round-trips the stack: layer count, member sets, edge sets, search results") {
     val layers = Hnsw.build(emb, k = 6, shrink = 16, topCap = 256L)
       .map(l => Hnsw.Layer(l.nodes, l.graph.cache()))
     val tmp = java.nio.file.Files.createTempDirectory("hnsw_spec_").toString
     try {
       Hnsw.save(layers, 6, tmp)
-      val loaded = Hnsw.load(spark, tmp)
+      // the meta carries the BUILD parameters — a loaded stack is a
+      // first-class mutation input, and insert/deepen must use them
+      val stack = Hnsw.loadStack(spark, tmp)
+      assert(stack.k == 6 && stack.shrink == 16 && stack.topCap == 256L,
+        s"persisted build parameters did not round-trip: $stack")
+      val loaded = stack.layers
       assert(loaded.length == layers.length, "layer count changed through save/load")
       loaded.zip(layers).foreach { case (l, o) =>
         assert(
