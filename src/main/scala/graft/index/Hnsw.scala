@@ -30,6 +30,60 @@ object Hnsw {
   /** One layer: its member vectors and its k-NN graph (src, dst, …). */
   final case class Layer(nodes: DataFrame, graph: DataFrame)
 
+  /** The batch-sized CHANGE one mutation made to one layer — what
+    * [[insertWithDelta]]/[[deleteWithDelta]] emit and [[saveDelta]]
+    * persists, so streaming durability writes O(|batch|·k) rows per
+    * epoch instead of re-writing the corpus-sized stack ([[save]]) every
+    * trigger. Replay rule ([[applyDelta]], the one [[loadLog]] folds):
+    *
+    *   nodes' = (nodes ∖ nodesRemoved) ∪ nodesAdded
+    *   graph' = (graph ∖ rows whose src ∈ srcsRemoved ∪ src(graphUpserts))
+    *            ∪ graphUpserts
+    *
+    * `graphUpserts` carries the FULL new adjacency of every src it
+    * mentions (insert's attach + touched-neighborhood repairs, delete's
+    * repaired survivors); `srcsRemoved` lists srcs whose old adjacency
+    * must drop even when no upsert row replaces it (deleted nodes, and
+    * touched survivors whose repair left them edgeless). */
+  final case class LayerDelta(
+      nodesAdded: DataFrame,
+      nodesRemoved: DataFrame,
+      graphUpserts: DataFrame,
+      srcsRemoved: DataFrame)
+
+  /** [[LayerDelta]]'s replay rule over one layer — shared by [[loadLog]]
+    * and any consumer folding a delta onto an in-memory stack. Pure plan
+    * construction: nothing is materialized here. */
+  def applyDelta(layer: Layer, d: LayerDelta): Layer = {
+    val nodes = layer.nodes
+      .select(col("vec_id"), col("embedding"))
+      .join(d.nodesRemoved.select("vec_id"), Seq("vec_id"), "left_anti")
+      .unionByName(d.nodesAdded.select(col("vec_id"), col("embedding")))
+    val gone = d.srcsRemoved.select("src")
+      .unionByName(d.graphUpserts.select("src"))
+      .distinct()
+    val graph = layer.graph
+      .select("src", "dst", "rnk", "dist2")
+      .join(gone, Seq("src"), "left_anti")
+      .unionByName(d.graphUpserts.select("src", "dst", "rnk", "dist2"))
+    Layer(nodes, graph)
+  }
+
+  private def emptyIdsDf(spark: org.apache.spark.sql.SparkSession, name: String): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(name, org.apache.spark.sql.types.LongType))))
+
+  private def emptyNodesDf(spark: org.apache.spark.sql.SparkSession): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField(
+          "embedding",
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)))))
+
   /** Brute-scored top-layer seeds `(query_id, vec_id)` — the shared
     * entry step of [[search]] and [[insert]]'s descend: every top-layer
     * member is a candidate (the layer is topCap-bounded by the build
@@ -186,7 +240,43 @@ object Hnsw {
       shrink: Int = 16,
       topCap: Long = 256L,
       perLayerK: Int = 8,
-      validate: Boolean = true): Seq[Layer] = {
+      validate: Boolean = true): Seq[Layer] =
+    insertImpl(layers, batch, k, beam, rounds, shrink, topCap, perLayerK,
+      validate, wantDelta = false)._1
+
+  /** [[insert]] that ALSO returns the per-layer [[LayerDelta]] — the
+    * batch-sized record of exactly which rows the mutation changed, for
+    * [[saveDelta]]'s durability log. The delta's `graphUpserts` are
+    * eagerly materialized (localCheckpoint) so persisting them later
+    * never re-runs the walks; everything else in the delta is a plain
+    * projection of the caller's batch. Aligned top-first with the
+    * returned stack. */
+  def insertWithDelta(
+      layers: Seq[Layer],
+      batch: DataFrame,
+      k: Int,
+      beam: Int,
+      rounds: Int,
+      shrink: Int = 16,
+      topCap: Long = 256L,
+      perLayerK: Int = 8,
+      validate: Boolean = true): (Seq[Layer], Seq[LayerDelta]) = {
+    val (st, d) = insertImpl(layers, batch, k, beam, rounds, shrink, topCap,
+      perLayerK, validate, wantDelta = true)
+    (st, d.get)
+  }
+
+  private def insertImpl(
+      layers: Seq[Layer],
+      batch: DataFrame,
+      k: Int,
+      beam: Int,
+      rounds: Int,
+      shrink: Int,
+      topCap: Long,
+      perLayerK: Int,
+      validate: Boolean,
+      wantDelta: Boolean): (Seq[Layer], Option[Seq[LayerDelta]]) = {
     require(layers.nonEmpty, "empty layer stack")
     require(k >= 1 && beam >= k && shrink >= 2, s"bad k=$k beam=$beam shrink=$shrink")
     val L = layers.length
@@ -213,7 +303,8 @@ object Hnsw {
     // brute-scored top seeds, exactly like search (the top is
     // topCap-bounded by the build contract)
     var seeds = topSeeds(q, layers.head, perLayerK)
-    val grown = layers.zipWithIndex.map { case (layer, p) =>
+    val spark = batch.sparkSession
+    val grownWithDelta = layers.zipWithIndex.map { case (layer, p) =>
       var mod = 1L
       (0 until (L - 1 - p)).foreach(_ => mod *= shrink)
       // all batch rows walk every layer (they need the descent seeds);
@@ -268,14 +359,33 @@ object Hnsw {
       // consumer see a plain scan. The repartition on src bounds the
       // three-way union's partition count (measured 192 tiny partitions)
       // and is the partitioning every walk hop's equality join wants.
-      Layer(
-        allNodes.localCheckpoint(),
-        untouched.unionByName(touchedPruned).unionByName(newOut)
-          .repartition(col("src"))
-          .localCheckpoint())
+      if (wantDelta) {
+        // the delta's upserts ARE the layer's changed rows — materialize
+        // them once (batch-sized: |batch|·k attach rows + the touched
+        // repairs) so persisting the delta later never re-runs the walk,
+        // and assemble the layer's graph from the same materialized block
+        val ups = touchedPruned
+          .unionByName(newOut.select("src", "dst", "rnk", "dist2"))
+          .localCheckpoint()
+        (Layer(
+          allNodes.localCheckpoint(),
+          untouched.unionByName(ups).repartition(col("src")).localCheckpoint()),
+          Some(LayerDelta(
+            nodesAdded = joiners.select("vec_id", "embedding"),
+            nodesRemoved = emptyIdsDf(spark, "vec_id"),
+            graphUpserts = ups,
+            srcsRemoved = emptyIdsDf(spark, "src"))))
+      } else
+        (Layer(
+          allNodes.localCheckpoint(),
+          untouched.unionByName(touchedPruned).unionByName(newOut)
+            .repartition(col("src"))
+            .localCheckpoint()),
+          None)
     }
+    val grown = grownWithDelta.map(_._1)
     warnIfTopOversized(grown.head.nodes.count(), topCap, "insert")
-    grown
+    (grown, if (wantDelta) Some(grownWithDelta.map(_._2.get)) else None)
   }
 
   /** Batch DELETE from a built layer stack — the reference's delete
@@ -343,11 +453,34 @@ object Hnsw {
   def delete(
       layers: Seq[Layer],
       ids: DataFrame,
-      k: Int): Seq[Layer] = {
+      k: Int): Seq[Layer] =
+    deleteImpl(layers, ids, k, wantDelta = false)._1
+
+  /** [[delete]] that ALSO returns the per-layer [[LayerDelta]] for
+    * [[saveDelta]]'s durability log: `nodesRemoved` is the requested id
+    * list (replay's anti-join keeps unknown ids a no-op, O9's contract),
+    * `graphUpserts` the repaired survivors' new adjacency (eagerly
+    * materialized so persistence never re-runs the repair), and
+    * `srcsRemoved` the deleted srcs plus every touched survivor — a
+    * superset of the upserted srcs, so a survivor whose repair left it
+    * edgeless still drops its stale rows on replay. */
+  def deleteWithDelta(
+      layers: Seq[Layer],
+      ids: DataFrame,
+      k: Int): (Seq[Layer], Seq[LayerDelta]) = {
+    val (st, d) = deleteImpl(layers, ids, k, wantDelta = true)
+    (st, d.get)
+  }
+
+  private def deleteImpl(
+      layers: Seq[Layer],
+      ids: DataFrame,
+      k: Int,
+      wantDelta: Boolean): (Seq[Layer], Option[Seq[LayerDelta]]) = {
     require(layers.nonEmpty, "empty layer stack")
     require(k >= 1, s"k must be >= 1, got $k")
     val del = graft.CacheScope.track(ids.select(col("vec_id")).distinct().cache())
-    layers.map { layer =>
+    val outWithDelta = layers.map { layer =>
       val survivors = layer.nodes.join(del, Seq("vec_id"), "left_anti")
       val g = layer.graph.select("src", "dst")
       val delSrc = del.select(col("vec_id").as("src"))
@@ -387,10 +520,23 @@ object Hnsw {
         .select("src", "dst", "rnk", "dist2")
         .join(delSrc, Seq("src"), "left_anti")
         .join(touched, Seq("src"), "left_anti")
-      Layer(
-        survivors.localCheckpoint(),
-        untouched.unionByName(repaired).repartition(col("src")).localCheckpoint())
+      if (wantDelta) {
+        val ups = repaired.localCheckpoint()
+        (Layer(
+          survivors.localCheckpoint(),
+          untouched.unionByName(ups).repartition(col("src")).localCheckpoint()),
+          Some(LayerDelta(
+            nodesAdded = emptyNodesDf(layer.nodes.sparkSession),
+            nodesRemoved = del.select("vec_id"),
+            graphUpserts = ups,
+            srcsRemoved = delSrc.unionByName(touched))))
+      } else
+        (Layer(
+          survivors.localCheckpoint(),
+          untouched.unionByName(repaired).repartition(col("src")).localCheckpoint()),
+          None)
     }
+    (outWithDelta.map(_._1), if (wantDelta) Some(outWithDelta.map(_._2.get)) else None)
   }
 
   /** Re-bound an oversized top — the cheap maintenance move the
@@ -464,7 +610,16 @@ object Hnsw {
       k: Int,
       path: String,
       shrink: Int = 16,
-      topCap: Long = 256L): Unit = {
+      topCap: Long = 256L): Unit =
+    saveBase(layers, k, path, shrink, topCap, compactedThrough = -1L)
+
+  private def saveBase(
+      layers: Seq[Layer],
+      k: Int,
+      path: String,
+      shrink: Int,
+      topCap: Long,
+      compactedThrough: Long): Unit = {
     require(layers.nonEmpty, "empty layer stack")
     val spark = layers.head.nodes.sparkSession
     import spark.implicits._
@@ -477,10 +632,133 @@ object Hnsw {
         .repartition(col("src"))
         .write.mode("overwrite").parquet(s"$path/layer_$i/graph")
     }
-    Seq((layers.length, k, shrink, topCap))
-      .toDF("n_layers", "k", "shrink", "top_cap")
+    Seq((layers.length, k, shrink, topCap, compactedThrough))
+      .toDF("n_layers", "k", "shrink", "top_cap", "compacted_through")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Append one epoch's [[LayerDelta]]s to the delta LOG under `path` —
+    * batch-sized durability for [[insert]]/[[delete]] (the
+    * [[graft.streaming.StreamingOps.hnswIngest]] restart story at scale):
+    * where [[save]] re-writes the corpus-sized stack, one epoch writes
+    * only O(|batch|·k) changed rows under `path/epoch_<id>/layer_<i>/
+    * {nodes_add,nodes_del,graph_upsert,src_del}`. `path` must hold a
+    * [[save]]d base; [[loadLog]] folds base + epochs in `epochId` order.
+    *
+    * Crash safety: the epoch is written to a `_tmp` dir and RENAMED into
+    * place (one FS metadata op), so a reader never sees a half-written
+    * epoch; re-writing the same `epochId` (a foreachBatch epoch RETRY —
+    * batch ids are stable across restarts) replaces it atomically, so
+    * retries are idempotent. Key the id by the streaming batchId (or any
+    * monotone counter): [[loadLog]] applies epochs in increasing id
+    * order, which must match apply order. After a [[deepen]] the layer
+    * count changes — compact (or re-[[save]]) before logging further
+    * epochs; an epoch written against a different depth fails loudly at
+    * [[loadLog]] via the zip-length check. */
+  def saveDelta(deltas: Seq[LayerDelta], epochId: Long, path: String): Unit = {
+    require(deltas.nonEmpty, "empty delta list")
+    require(epochId >= 0, s"epochId must be >= 0, got $epochId")
+    val spark = deltas.head.graphUpserts.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fin = new org.apache.hadoop.fs.Path(f"$path/epoch_$epochId%012d")
+    val tmp = new org.apache.hadoop.fs.Path(f"$path/_tmp_epoch_$epochId%012d")
+    fs.delete(tmp, true)
+    deltas.zipWithIndex.foreach { case (d, i) =>
+      d.nodesAdded.select("vec_id", "embedding")
+        .write.mode("overwrite").parquet(s"$tmp/layer_$i/nodes_add")
+      d.nodesRemoved.select("vec_id")
+        .write.mode("overwrite").parquet(s"$tmp/layer_$i/nodes_del")
+      d.graphUpserts.select("src", "dst", "rnk", "dist2")
+        .write.mode("overwrite").parquet(s"$tmp/layer_$i/graph_upsert")
+      d.srcsRemoved.select("src")
+        .write.mode("overwrite").parquet(s"$tmp/layer_$i/src_del")
+    }
+    fs.delete(fin, true)
+    require(fs.rename(tmp, fin), s"could not publish epoch dir $fin")
+  }
+
+  /** The log's epoch dirs under `path`, id-ascending. */
+  private def epochDirs(
+      spark: org.apache.spark.sql.SparkSession, path: String): Seq[(Long, String)] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("epoch_"))
+      .map(st => (st.getPath.getName.stripPrefix("epoch_").toLong, st.getPath.toString))
+      .sortBy(_._1)
+  }
+
+  private def readDelta(
+      spark: org.apache.spark.sql.SparkSession, dir: String, i: Int): LayerDelta =
+    LayerDelta(
+      spark.read.parquet(s"$dir/layer_$i/nodes_add"),
+      spark.read.parquet(s"$dir/layer_$i/nodes_del"),
+      spark.read.parquet(s"$dir/layer_$i/graph_upsert"),
+      spark.read.parquet(s"$dir/layer_$i/src_del"))
+
+  /** Load base + delta log: the [[save]]d base stack with every epoch
+    * past the meta's `compacted_through` watermark folded on via
+    * [[applyDelta]], id-ascending. Pure plan construction over parquet
+    * scans — but each folded epoch DEEPENS every consumer's plan by one
+    * anti-join + union per layer, so a long-running log should be
+    * [[compact]]ed periodically (the classic LSM discipline); the
+    * watermark makes compaction crash-safe (a compact that dies between
+    * publishing the new base and deleting applied epoch dirs leaves
+    * stale dirs that the watermark skips — nothing double-applies). */
+  def loadLog(spark: org.apache.spark.sql.SparkSession, path: String): Stack = {
+    val base = loadStack(spark, path)
+    val meta = spark.read.parquet(s"$path/meta")
+    val ct =
+      if (meta.columns.contains("compacted_through"))
+        meta.head().getAs[Long]("compacted_through")
+      else -1L
+    val layers = epochDirs(spark, path).filter(_._1 > ct).foldLeft(base.layers) {
+      case (ls, (_, dir)) =>
+        ls.zipWithIndex.map { case (l, i) => applyDelta(l, readDelta(spark, dir, i)) }
+    }
+    base.copy(layers = layers)
+  }
+
+  /** Fold the log's pending epochs into a fresh base and drop them —
+    * bounds [[loadLog]]'s plan depth after many [[saveDelta]] epochs.
+    * The folded layers are materialized (localCheckpoint) BEFORE the
+    * base files they read from are overwritten — the self-overwrite
+    * trap — then the meta's `compacted_through` watermark advances to
+    * the last folded epoch and the applied epoch dirs are deleted
+    * (best-effort: a dir surviving a crash here is ≤ the watermark and
+    * ignored by every subsequent [[loadLog]]/[[compact]]). Returns the
+    * compacted stack (already materialized). No-op when no epoch is
+    * pending. */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String): Stack = {
+    val meta = spark.read.parquet(s"$path/meta")
+    val ct =
+      if (meta.columns.contains("compacted_through"))
+        meta.head().getAs[Long]("compacted_through")
+      else -1L
+    val (pending, stale) = epochDirs(spark, path).partition(_._1 > ct)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // stale dirs (≤ watermark) are debris from a compact that died
+    // between base publish and cleanup — already folded in, never read
+    // again; clear them whether or not anything is pending
+    stale.foreach { case (_, dir) =>
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    }
+    val st = loadLog(spark, path)
+    if (pending.isEmpty) st
+    else {
+      val mat = st.layers.map(l =>
+        Layer(l.nodes.localCheckpoint(), l.graph.localCheckpoint()))
+      saveBase(mat, st.k, path, st.shrink, st.topCap,
+        compactedThrough = pending.last._1)
+      pending.foreach { case (_, dir) =>
+        fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      }
+      Stack(mat, st.k, st.shrink, st.topCap)
+    }
   }
 
   /** Load a stack persisted by [[save]] together with its build

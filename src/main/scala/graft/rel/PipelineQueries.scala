@@ -7117,6 +7117,111 @@ object PipelineQueries {
           "CAST(1 AS BIGINT) AS degree_max_ok, CAST(1 AS BIGINT) AS degree_mean_ok, " +
           "CAST(1 AS BIGINT) AS endpoint_ok")),
 
+    // HNSW delta-LOG persistence (index/Hnsw.saveDelta/loadLog/compact
+    // — batch-sized durability for streaming ingest: a full Hnsw.save
+    // per epoch re-writes the corpus-sized stack every trigger, while
+    // one log epoch writes only the mutation's own O(|batch|·k) changed
+    // rows — new nodes, attach edges, touched-neighborhood repairs —
+    // keyed by the stable streaming batchId so an epoch RETRY
+    // re-publishes the same dir idempotently via a tmp-dir rename;
+    // compaction folds pending epochs into a fresh base behind a
+    // crash-safe `compacted_through` watermark, the LSM discipline).
+    // Runs over a FIXED-frontier corpus (vec_id < 1600, shrink 2 — the
+    // v42 pattern), so the query's cost is bounded at every sf while
+    // the boundedness flag stays structural. Flags: bounded_ok (the
+    // insert epoch's layer-0 upserts touch ≤ |batch|·(k+1) srcs — the
+    // durability write IS batch-sized, the whole point); log_ok (base +
+    // two epochs — one insert, one delete incl. an unknown-id no-op —
+    // replays layer-equal to the live mutated stack, nodes AND edges,
+    // both exceptAll directions); retry_ok (re-publishing a pending
+    // epoch changes nothing); compact_ok (compaction preserves the
+    // persisted build params, equals the live stack, clears every epoch
+    // dir, and a post-compact loadLog still equals — the watermark
+    // skips nothing and double-applies nothing).
+    NamedQuery(
+      "v44_hnsw_delta_log",
+      (s, dir) => {
+        import s.implicits._
+        val nodes = graft.CacheScope.track(
+          t(s, dir, "embeddings")
+            .select("vec_id", "embedding")
+            .filter(col("vec_id") < 1600)
+            .cache())
+        val shrink = 2
+        val built = graft.index.Hnsw
+          .build(nodes, k = HnswDegree, shrink = shrink, topCap = 100L)
+          .map(l => graft.index.Hnsw.Layer(
+            l.nodes, graft.CacheScope.track(l.graph.cache())))
+        def eqFlag(
+            a: Seq[graft.index.Hnsw.Layer],
+            b: Seq[graft.index.Hnsw.Layer],
+            name: String): org.apache.spark.sql.DataFrame =
+          if (a.length != b.length) s.range(1).select(lit(0L).as(name))
+          else a.zip(b).map { case (x, y) =>
+            val nx = x.nodes.select("vec_id")
+            val ny = y.nodes.select("vec_id")
+            val gx = x.graph.select("src", "dst", "rnk")
+            val gy = y.graph.select("src", "dst", "rnk")
+            nx.exceptAll(ny).unionAll(ny.exceptAll(nx))
+              .select(col("vec_id").as("src"), col("vec_id").as("dst"), lit(0).as("rnk"))
+              .unionAll(gx.exceptAll(gy)).unionAll(gy.exceptAll(gx))
+          }.reduce(_.unionAll(_))
+            .agg(count(lit(1)).as("bad"))
+            .select(when(col("bad") === 0, 1L).otherwise(0L).as(name))
+        val tmp = java.nio.file.Files.createTempDirectory("v44_hnsw_log")
+        try {
+          val logPath = tmp.toString
+          graft.index.Hnsw.save(built, HnswDegree, logPath, shrink = shrink, topCap = 100L)
+          // epoch 0: insert 10 planted near-duplicates
+          val batch = nodes.filter(col("vec_id") < 10)
+            .select(
+              (col("vec_id") + 720000L).as("vec_id"),
+              transform(col("embedding"), x => x + lit(0.001f)).as("embedding"))
+          val (afterIns, dIns) = graft.index.Hnsw.insertWithDelta(
+            built, batch, k = HnswDegree, beam = 64, rounds = 8,
+            shrink = shrink, topCap = 100L)
+          graft.index.Hnsw.saveDelta(dIns, 0L, logPath)
+          val boundedOk =
+            dIns.last.graphUpserts.select("src").distinct().count() <= 10L * (HnswDegree + 1)
+          // epoch 1: delete five members and one unknown id (O9's no-op)
+          val delIds = Seq(20L, 21L, 22L, 23L, 24L, 9999999L).toDF("vec_id")
+          val (afterDel, dDel) =
+            graft.index.Hnsw.deleteWithDelta(afterIns, delIds, HnswDegree)
+          graft.index.Hnsw.saveDelta(dDel, 1L, logPath)
+          // each flag is materialized AT ITS STEP (localCheckpoint): the
+          // next step mutates the very files the lazy plan would read
+          // (the retry overwrites epoch 0; compact deletes epoch dirs)
+          val logOk = eqFlag(graft.index.Hnsw.loadLog(s, logPath).layers, afterDel, "log_ok")
+            .localCheckpoint()
+          graft.index.Hnsw.saveDelta(dIns, 0L, logPath)
+          val retryOk =
+            eqFlag(graft.index.Hnsw.loadLog(s, logPath).layers, afterDel, "retry_ok")
+              .localCheckpoint()
+          val compacted = graft.index.Hnsw.compact(s, logPath)
+          val noEpochs = !new java.io.File(logPath)
+            .listFiles().map(_.getName).exists(_.startsWith("epoch_"))
+          val paramsOk = compacted.k == HnswDegree &&
+            compacted.shrink == shrink && compacted.topCap == 100L
+          val compactOk = eqFlag(compacted.layers, afterDel, "c1")
+            .crossJoin(eqFlag(graft.index.Hnsw.loadLog(s, logPath).layers, afterDel, "c2"))
+            .select(
+              when(col("c1") === 1 && col("c2") === 1 &&
+                lit(noEpochs) && lit(paramsOk), 1L).otherwise(0L).as("compact_ok"))
+          // materialize BEFORE the temp log dir is deleted — the flag
+          // plans read its parquet; the driver acts on the result later
+          batch.agg(count(lit(1)).as("n_inserted"))
+            .select(col("n_inserted"), lit(if (boundedOk) 1L else 0L).as("bounded_ok"))
+            .crossJoin(logOk)
+            .crossJoin(retryOk)
+            .crossJoin(compactOk)
+            .localCheckpoint()
+        } finally deleteRecursively(tmp)
+      },
+      Some(
+        "SELECT CAST(10 AS BIGINT) AS n_inserted, CAST(1 AS BIGINT) AS bounded_ok, " +
+          "CAST(1 AS BIGINT) AS log_ok, CAST(1 AS BIGINT) AS retry_ok, " +
+          "CAST(1 AS BIGINT) AS compact_ok")),
+
     // Compressed-video SCENE-CHANGE detection — the frame-sampling policy
     // real multimodal pipelines run before feature extraction (sample one
     // frame per SCENE, not per fixed stride): each asset deterministically

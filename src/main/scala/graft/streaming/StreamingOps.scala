@@ -99,7 +99,18 @@ object StreamingOps {
     * incarnation resumes source offsets from the checkpoint but must be
     * handed the last persisted stack as `initial`, or the batches before
     * the restart are absent from the rebuilt state (certified end-to-end
-    * by the s21 driver query — kill, reload, resume, layer-equal). */
+    * by the s21 driver query — kill, reload, resume, layer-equal).
+    * A full [[graft.index.Hnsw.save]] per epoch re-writes the
+    * corpus-sized stack every trigger — fine for a demo, corpus-linear
+    * at scale. The scale path is `onDelta`: when set, each trigger runs
+    * [[graft.index.Hnsw.insertWithDelta]] and hands `(batchId, deltas)`
+    * to the callback — persist with [[graft.index.Hnsw.saveDelta]] (an
+    * O(|batch|·k) write) against a once-[[graft.index.Hnsw.save]]d base,
+    * recover with [[graft.index.Hnsw.loadLog]], and bound the log with
+    * [[graft.index.Hnsw.compact]]. batchId is stable across restarts,
+    * so a retried epoch re-publishes the same epoch dir idempotently
+    * (certified by the v44 driver query + StreamingSpec's delta-log
+    * restart case). */
   def hnswIngest(
       stream: DataFrame,
       initial: Seq[graft.index.Hnsw.Layer],
@@ -110,12 +121,13 @@ object StreamingOps {
       onUpdate: Seq[graft.index.Hnsw.Layer] => Unit,
       shrink: Int = 16,
       topCap: Long = 256L,
-      perLayerK: Int = 8): StreamingQuery = {
+      perLayerK: Int = 8,
+      onDelta: Option[(Long, Seq[graft.index.Hnsw.LayerDelta]) => Unit] = None): StreamingQuery = {
     val state =
       new java.util.concurrent.atomic.AtomicReference[Seq[graft.index.Hnsw.Layer]](initial)
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         // an empty micro-batch (trigger with no new data) must be a
         // no-op — Hnsw.insert would still pay the full stack walk plumbing
         if (!batch.isEmpty) {
@@ -132,11 +144,28 @@ object StreamingOps {
             // scoped: insert's returned layers are eagerly
             // localCheckpoint'd, so dropping its tracked per-trigger
             // caches on exit is safe — and mandatory for a long stream
-            val next = graft.CacheScope.scoped {
-              graft.index.Hnsw.insert(
-                cur, fresh, k = k, beam = beam, rounds = rounds,
-                shrink = shrink, topCap = topCap, perLayerK = perLayerK,
-                validate = false)
+            val next = onDelta match {
+              case Some(f) =>
+                // the delta path: batch-sized durability — persist the
+                // epoch's changed rows (Hnsw.saveDelta keyed by batchId,
+                // which is stable across restarts so an epoch RETRY
+                // re-publishes the same dir idempotently) BEFORE the
+                // in-memory swap, mirroring the offsets-commit-last order
+                val (st, deltas) = graft.CacheScope.scoped {
+                  graft.index.Hnsw.insertWithDelta(
+                    cur, fresh, k = k, beam = beam, rounds = rounds,
+                    shrink = shrink, topCap = topCap, perLayerK = perLayerK,
+                    validate = false)
+                }
+                f(batchId, deltas)
+                st
+              case None =>
+                graft.CacheScope.scoped {
+                  graft.index.Hnsw.insert(
+                    cur, fresh, k = k, beam = beam, rounds = rounds,
+                    shrink = shrink, topCap = topCap, perLayerK = perLayerK,
+                    validate = false)
+                }
             }
             state.set(next)
             onUpdate(next)

@@ -331,4 +331,73 @@ class HnswSpec extends SparkSpec {
     layers.foreach(_.graph.unpersist())
     batch.unpersist()
   }
+
+  private def assertStackEq(
+      a: Seq[Hnsw.Layer], b: Seq[Hnsw.Layer], msg: String): Unit = {
+    assert(a.length == b.length, s"$msg: depth ${a.length} vs ${b.length}")
+    a.zip(b).foreach { case (x, y) =>
+      val nx = x.nodes.select("vec_id")
+      val ny = y.nodes.select("vec_id")
+      assert(nx.exceptAll(ny).isEmpty && ny.exceptAll(nx).isEmpty,
+        s"$msg: member sets differ")
+      val gx = x.graph.select("src", "dst", "rnk")
+      val gy = y.graph.select("src", "dst", "rnk")
+      assert(gx.exceptAll(gy).isEmpty && gy.exceptAll(gx).isEmpty,
+        s"$msg: edge sets differ")
+    }
+  }
+
+  test("delta log: insert+delete epochs replay to the live stack, retries and stale dirs are no-ops, compaction bounds the log") {
+    val layers = Hnsw.build(emb, k = 6, shrink = 16, topCap = 256L)
+      .map(l => Hnsw.Layer(l.nodes, l.graph.cache()))
+    val tmp = java.nio.file.Files.createTempDirectory("hnsw_spec_log_").toString
+    try {
+      Hnsw.save(layers, 6, tmp)
+      // epoch 0: insert 5 planted near-duplicates
+      val batch = emb.filter(col("vec_id") < 5)
+        .select(
+          (col("vec_id") + 900000000L).as("vec_id"),
+          concat(
+            array((element_at(col("embedding"), 1) + lit(0.001f)).cast("float")),
+            slice(col("embedding"), 2, 10000)).as("embedding"))
+      val (afterIns, dIns) =
+        Hnsw.insertWithDelta(layers, batch, k = 6, beam = 16, rounds = 6)
+      Hnsw.saveDelta(dIns, 0L, tmp)
+      // the log write is batch-sized: layer 0's upsert srcs are bounded by
+      // |batch| new nodes + the ≤ |batch|·k touched survivors
+      val ups0 = dIns.last.graphUpserts.select("src").distinct().count()
+      assert(ups0 <= 5L * (6 + 1), s"insert delta touched $ups0 srcs — not batch-bounded")
+      // epoch 1: delete three members and one unknown id (O9's no-op)
+      val delIds = Seq(0L, 1L, 2L, 123456789L).toDF("vec_id")
+      val (afterDel, dDel) = Hnsw.deleteWithDelta(afterIns, delIds, k = 6)
+      Hnsw.saveDelta(dDel, 1L, tmp)
+      assertStackEq(Hnsw.loadLog(spark, tmp).layers, afterDel, "base+log vs live")
+      // a foreachBatch epoch RETRY re-publishes the same epoch id — idempotent
+      Hnsw.saveDelta(dDel, 1L, tmp)
+      assertStackEq(Hnsw.loadLog(spark, tmp).layers, afterDel, "after epoch retry")
+      // compaction folds the log into the base, keeps the build params,
+      // and leaves no pending epoch dirs
+      val compacted = Hnsw.compact(spark, tmp)
+      assert(compacted.k == 6 && compacted.shrink == 16 && compacted.topCap == 256L,
+        s"compaction lost the build parameters: $compacted")
+      assertStackEq(compacted.layers, afterDel, "compacted vs live")
+      assertStackEq(Hnsw.loadLog(spark, tmp).layers, afterDel, "reload after compact")
+      val dirNames = new java.io.File(tmp).listFiles().map(_.getName).toSet
+      assert(!dirNames.exists(_.startsWith("epoch_")),
+        s"compaction left epoch dirs behind: $dirNames")
+      // crash-safety of compact: a stale epoch dir AT OR BELOW the
+      // watermark (a compact that died between base publish and dir
+      // cleanup) must be skipped, not double-applied — epoch 0 is the
+      // INSERT delta, whose double-apply would duplicate 5 nodes
+      Hnsw.saveDelta(dIns, 0L, tmp)
+      assertStackEq(Hnsw.loadLog(spark, tmp).layers, afterDel, "stale epoch ignored")
+      // and the next compact clears the stale dir without reapplying it
+      assertStackEq(Hnsw.compact(spark, tmp).layers, afterDel, "compact over stale dir")
+      assert(!new java.io.File(tmp).listFiles().map(_.getName).exists(_.startsWith("epoch_")),
+        "second compact did not clear the stale epoch dir")
+    } finally {
+      layers.foreach(_.graph.unpersist())
+      graft.rel.PipelineQueries.deleteRecursively(java.nio.file.Paths.get(tmp))
+    }
+  }
 }

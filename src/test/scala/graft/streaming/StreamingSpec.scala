@@ -73,6 +73,67 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("hnswIngest delta log: batch-sized epochs recover a killed stream via loadLog, resumed = uninterrupted") {
+    import graft.index.Hnsw
+    val initial = Hnsw.build(emb, k = 6, shrink = 16, topCap = 256L)
+      .map(l => Hnsw.Layer(l.nodes, l.graph.cache()))
+    val tmp = java.nio.file.Files.createTempDirectory("hnsw_ingest_log").toString
+    val logDir = s"$tmp/log"
+    val ckpt = s"$tmp/ckpt"
+    val inDir = s"$tmp/in"
+    def planted(i: Long): (Long, Seq[Float]) = (810000L + i, emb.filter(col("vec_id") === i)
+      .select(transform(col("embedding"), x => x + lit(0.001f)))
+      .as[Seq[Float]].head())
+    val a = Seq(planted(0L), planted(1L)).toDF("vec_id", "embedding")
+    val b = Seq(planted(2L), planted(3L)).toDF("vec_id", "embedding")
+    def stackEq(x: Seq[Hnsw.Layer], y: Seq[Hnsw.Layer], msg: String): Unit = {
+      assert(x.length == y.length, s"$msg: depth differs")
+      x.zip(y).foreach { case (p, q) =>
+        val np = p.nodes.select("vec_id"); val nq = q.nodes.select("vec_id")
+        assert(np.exceptAll(nq).isEmpty && nq.exceptAll(np).isEmpty, s"$msg: members differ")
+        val gp = p.graph.select("src", "dst", "rnk"); val gq = q.graph.select("src", "dst", "rnk")
+        assert(gp.exceptAll(gq).isEmpty && gq.exceptAll(gp).isEmpty, s"$msg: edges differ")
+      }
+    }
+    try {
+      // the log's base is written ONCE; every epoch thereafter is an
+      // O(|batch|·k) delta keyed by the stable streaming batchId
+      Hnsw.save(initial, 6, logDir)
+      def incarnation(
+          init: Seq[Hnsw.Layer],
+          onUpd: Seq[Hnsw.Layer] => Unit): Unit = {
+        val q = StreamingOps.hnswIngest(
+          spark.readStream.schema(a.schema).parquet(inDir),
+          init, ckpt, k = 6, beam = 16, rounds = 6, onUpd,
+          onDelta = Some((id, ds) => Hnsw.saveDelta(ds, id, logDir)))
+        try q.processAllAvailable()
+        finally q.stop()
+      }
+      val live = new java.util.concurrent.atomic
+        .AtomicReference[Seq[Hnsw.Layer]](initial)
+      a.write.mode("append").parquet(inDir)
+      incarnation(initial, live.set)
+      val liveAfterA = live.get()
+      // "kill": incarnation 1 stopped. A fresh consumer holds NOTHING in
+      // memory — base + epoch 0 alone must reconstruct the post-A stack
+      val recovered = Hnsw.loadLog(spark, logDir)
+      stackEq(recovered.layers, liveAfterA, "log recovery after kill")
+      // resume from the checkpoint with the log-recovered stack; stream B
+      val resumed = new java.util.concurrent.atomic
+        .AtomicReference[Seq[Hnsw.Layer]](recovered.layers)
+      b.write.mode("append").parquet(inDir)
+      incarnation(recovered.layers, resumed.set)
+      // control: what an uninterrupted stream would hold
+      val control = Hnsw.insert(liveAfterA, b, k = 6, beam = 16, rounds = 6)
+      stackEq(resumed.get(), control, "resumed vs uninterrupted")
+      // and the LOG alone reconstructs the final state — two epochs deep
+      stackEq(Hnsw.loadLog(spark, logDir).layers, control, "full log replay")
+    } finally {
+      graft.rel.PipelineQueries.deleteRecursively(java.nio.file.Paths.get(tmp))
+      initial.foreach(_.graph.unpersist())
+    }
+  }
+
   test("applyChangelogStream folds key-disjoint micro-batches to the batch MERGE answer") {
     implicit val sqlCtx = spark.sqlContext
     val snapshot = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v")
