@@ -313,7 +313,14 @@ object Hnsw {
         GraphSearch
           .searchFrom(q, layer.graph, layer.nodes, seeds, k = candK, beam = beam, rounds = rounds)
           .cache())
+      // the next layer's seeds are LINEAGE-TRUNCATED (|batch|·perLayerK
+      // rows — one tiny job): nesting each layer's full walk plan inside
+      // the next layer's turns Catalyst/AQE re-analysis super-linear in
+      // depth (measured 73 s vs 16 s for the same 3-layer insert when a
+      // rounds=2 walk — which never hits searchFrom's internal even-hop
+      // truncation — left the cross-layer lineage intact)
       seeds = walked.filter(col("rnk") <= perLayerK).select("query_id", "vec_id")
+      if (p < L - 1) seeds = seeds.localCheckpoint()
       val joiners = newRows.filter(pmod(xxhash64(col("vec_id")), lit(mod)) === 0)
       val allNodes = layer.nodes.select("vec_id", "embedding")
         .unionByName(joiners.select("vec_id", "embedding"))
@@ -642,9 +649,14 @@ object Hnsw {
     * batch-sized durability for [[insert]]/[[delete]] (the
     * [[graft.streaming.StreamingOps.hnswIngest]] restart story at scale):
     * where [[save]] re-writes the corpus-sized stack, one epoch writes
-    * only O(|batch|·k) changed rows under `path/epoch_<id>/layer_<i>/
-    * {nodes_add,nodes_del,graph_upsert,src_del}`. `path` must hold a
-    * [[save]]d base; [[loadLog]] folds base + epochs in `epochId` order.
+    * only O(|batch|·k) changed rows under `path/epoch_<id>/
+    * {nodes_add,nodes_del,graph_upsert,src_del}` — each ONE single-file
+    * parquet carrying a `layer` column (4 write jobs per epoch
+    * regardless of stack depth; per-layer files cost 4·L jobs of pure
+    * launch floor for the same few kilobytes), plus a zero-byte
+    * `layers_<L>` marker so [[loadLog]] checks the depth without a job.
+    * `path` must hold a [[save]]d base; [[loadLog]] folds base + epochs
+    * in `epochId` order.
     *
     * Crash safety: the epoch is written to a `_tmp` dir and RENAMED into
     * place (one FS metadata op), so a reader never sees a half-written
@@ -655,7 +667,7 @@ object Hnsw {
     * order, which must match apply order. After a [[deepen]] the layer
     * count changes — compact (or re-[[save]]) before logging further
     * epochs; an epoch written against a different depth fails loudly at
-    * [[loadLog]] via the zip-length check. */
+    * [[loadLog]] via the depth marker. */
   def saveDelta(deltas: Seq[LayerDelta], epochId: Long, path: String): Unit = {
     require(deltas.nonEmpty, "empty delta list")
     require(epochId >= 0, s"epochId must be >= 0, got $epochId")
@@ -665,16 +677,19 @@ object Hnsw {
     val fin = new org.apache.hadoop.fs.Path(f"$path/epoch_$epochId%012d")
     val tmp = new org.apache.hadoop.fs.Path(f"$path/_tmp_epoch_$epochId%012d")
     fs.delete(tmp, true)
-    deltas.zipWithIndex.foreach { case (d, i) =>
-      d.nodesAdded.select("vec_id", "embedding")
-        .write.mode("overwrite").parquet(s"$tmp/layer_$i/nodes_add")
-      d.nodesRemoved.select("vec_id")
-        .write.mode("overwrite").parquet(s"$tmp/layer_$i/nodes_del")
-      d.graphUpserts.select("src", "dst", "rnk", "dist2")
-        .write.mode("overwrite").parquet(s"$tmp/layer_$i/graph_upsert")
-      d.srcsRemoved.select("src")
-        .write.mode("overwrite").parquet(s"$tmp/layer_$i/src_del")
-    }
+    def tagged(f: LayerDelta => DataFrame, cols: Seq[String]): DataFrame =
+      deltas.zipWithIndex.map { case (d, i) =>
+        f(d).select(lit(i).as("layer") +: cols.map(col): _*)
+      }.reduce(_.unionByName(_)).coalesce(1)
+    tagged(_.nodesAdded, Seq("vec_id", "embedding"))
+      .write.mode("overwrite").parquet(s"$tmp/nodes_add")
+    tagged(_.nodesRemoved, Seq("vec_id"))
+      .write.mode("overwrite").parquet(s"$tmp/nodes_del")
+    tagged(_.graphUpserts, Seq("src", "dst", "rnk", "dist2"))
+      .write.mode("overwrite").parquet(s"$tmp/graph_upsert")
+    tagged(_.srcsRemoved, Seq("src"))
+      .write.mode("overwrite").parquet(s"$tmp/src_del")
+    fs.create(new org.apache.hadoop.fs.Path(tmp, s"layers_${deltas.length}")).close()
     fs.delete(fin, true)
     require(fs.rename(tmp, fin), s"could not publish epoch dir $fin")
   }
@@ -692,12 +707,12 @@ object Hnsw {
   }
 
   private def readDelta(
-      spark: org.apache.spark.sql.SparkSession, dir: String, i: Int): LayerDelta =
+      spark: org.apache.spark.sql.SparkSession, dir: String, i: Int): LayerDelta = {
+    def part(name: String): DataFrame =
+      spark.read.parquet(s"$dir/$name").filter(col("layer") === i).drop("layer")
     LayerDelta(
-      spark.read.parquet(s"$dir/layer_$i/nodes_add"),
-      spark.read.parquet(s"$dir/layer_$i/nodes_del"),
-      spark.read.parquet(s"$dir/layer_$i/graph_upsert"),
-      spark.read.parquet(s"$dir/layer_$i/src_del"))
+      part("nodes_add"), part("nodes_del"), part("graph_upsert"), part("src_del"))
+  }
 
   /** Load base + delta log: the [[save]]d base stack with every epoch
     * past the meta's `compacted_through` watermark folded on via
@@ -715,8 +730,22 @@ object Hnsw {
       if (meta.columns.contains("compacted_through"))
         meta.head().getAs[Long]("compacted_through")
       else -1L
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val layers = epochDirs(spark, path).filter(_._1 > ct).foldLeft(base.layers) {
-      case (ls, (_, dir)) =>
+      case (ls, (id, dir)) =>
+        // an epoch written against a different stack DEPTH (a deepen
+        // without an intervening compact/re-save) must fail loudly, not
+        // silently truncate — the zero-byte `layers_<L>` marker makes
+        // this a directory listing, not a Spark job
+        val nLayers = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+          .map(_.getPath.getName)
+          .collectFirst { case n if n.startsWith("layers_") => n.stripPrefix("layers_").toInt }
+          .getOrElse(-1)
+        require(nLayers == ls.length,
+          s"epoch $id carries $nLayers layers but the base stack has ${ls.length} — " +
+            "the stack was deepened/rebuilt after this log began; compact or re-save " +
+            "the base before logging further epochs")
         ls.zipWithIndex.map { case (l, i) => applyDelta(l, readDelta(spark, dir, i)) }
     }
     base.copy(layers = layers)
@@ -808,10 +837,15 @@ object Hnsw {
     // the full top-k
     val mids = if (layers.length > 1) layers.tail.init else Nil
     mids.foreach { layer =>
+      // truncate the per-layer seed handoff (queries·perLayerK rows):
+      // same reasoning as insert's — without it a walk whose rounds
+      // never hit searchFrom's internal even-hop truncation nests the
+      // full walk plan per layer and plan analysis grows super-linearly
       seeds = GraphSearch
         .searchFrom(q, layer.graph, layer.nodes, seeds,
           k = math.min(perLayerK, beam), beam = beam, rounds = rounds)
         .select("query_id", "vec_id")
+        .localCheckpoint()
     }
     val last = layers.last
     GraphSearch.searchFrom(q, last.graph, last.nodes, seeds, k, beam, rounds)

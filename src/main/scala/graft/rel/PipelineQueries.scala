@@ -7137,7 +7137,18 @@ object PipelineQueries {
     // epoch changes nothing); compact_ok (compaction preserves the
     // persisted build params, equals the live stack, clears every epoch
     // dir, and a post-compact loadLog still equals — the watermark
-    // skips nothing and double-applies nothing).
+    // skips nothing and double-applies nothing). Cost discipline: every
+    // flag here is a SET equality or count bound — none depends on walk
+    // quality — so the stack is kept to 3 layers (frontier 400, topCap
+    // 100) and the insert walk to beam 32 / 2 rounds, and each
+    // certifying equality is evaluated ONCE at the step where it is
+    // strongest: after the epoch RETRY (one check certifies replay AND
+    // idempotence — if either broke, it fails) and on the post-compact
+    // RELOAD (reading the rewritten base files subsumes the in-memory
+    // compact result). The first cut — 5 layers × 8 rounds × 4 separate
+    // equality evaluations — measured 63 s of pure job-launch plumbing
+    // for identical flags; deep-stack mutation semantics stay pinned by
+    // v38/v39/v42 and HnswSpec.
     NamedQuery(
       "v44_hnsw_delta_log",
       (s, dir) => {
@@ -7145,7 +7156,7 @@ object PipelineQueries {
         val nodes = graft.CacheScope.track(
           t(s, dir, "embeddings")
             .select("vec_id", "embedding")
-            .filter(col("vec_id") < 1600)
+            .filter(col("vec_id") < 400)
             .cache())
         val shrink = 2
         val built = graft.index.Hnsw
@@ -7178,7 +7189,7 @@ object PipelineQueries {
               (col("vec_id") + 720000L).as("vec_id"),
               transform(col("embedding"), x => x + lit(0.001f)).as("embedding"))
           val (afterIns, dIns) = graft.index.Hnsw.insertWithDelta(
-            built, batch, k = HnswDegree, beam = 64, rounds = 8,
+            built, batch, k = HnswDegree, beam = 32, rounds = 2,
             shrink = shrink, topCap = 100L)
           graft.index.Hnsw.saveDelta(dIns, 0L, logPath)
           val boundedOk =
@@ -7188,39 +7199,34 @@ object PipelineQueries {
           val (afterDel, dDel) =
             graft.index.Hnsw.deleteWithDelta(afterIns, delIds, HnswDegree)
           graft.index.Hnsw.saveDelta(dDel, 1L, logPath)
-          // each flag is materialized AT ITS STEP (localCheckpoint): the
+          // flags are materialized AT THEIR STEP (localCheckpoint): the
           // next step mutates the very files the lazy plan would read
-          // (the retry overwrites epoch 0; compact deletes epoch dirs)
-          val logOk = eqFlag(graft.index.Hnsw.loadLog(s, logPath).layers, afterDel, "log_ok")
-            .localCheckpoint()
+          // (compact deletes epoch dirs the loadLog plan scans)
           graft.index.Hnsw.saveDelta(dIns, 0L, logPath)
-          val retryOk =
-            eqFlag(graft.index.Hnsw.loadLog(s, logPath).layers, afterDel, "retry_ok")
+          val logRetryOk =
+            eqFlag(graft.index.Hnsw.loadLog(s, logPath).layers, afterDel, "log_retry_ok")
               .localCheckpoint()
           val compacted = graft.index.Hnsw.compact(s, logPath)
           val noEpochs = !new java.io.File(logPath)
             .listFiles().map(_.getName).exists(_.startsWith("epoch_"))
           val paramsOk = compacted.k == HnswDegree &&
             compacted.shrink == shrink && compacted.topCap == 100L
-          val compactOk = eqFlag(compacted.layers, afterDel, "c1")
-            .crossJoin(eqFlag(graft.index.Hnsw.loadLog(s, logPath).layers, afterDel, "c2"))
+          val compactOk = eqFlag(graft.index.Hnsw.loadLog(s, logPath).layers, afterDel, "c2")
             .select(
-              when(col("c1") === 1 && col("c2") === 1 &&
-                lit(noEpochs) && lit(paramsOk), 1L).otherwise(0L).as("compact_ok"))
+              when(col("c2") === 1 && lit(noEpochs) && lit(paramsOk), 1L)
+                .otherwise(0L).as("compact_ok"))
           // materialize BEFORE the temp log dir is deleted — the flag
           // plans read its parquet; the driver acts on the result later
           batch.agg(count(lit(1)).as("n_inserted"))
             .select(col("n_inserted"), lit(if (boundedOk) 1L else 0L).as("bounded_ok"))
-            .crossJoin(logOk)
-            .crossJoin(retryOk)
+            .crossJoin(logRetryOk)
             .crossJoin(compactOk)
             .localCheckpoint()
         } finally deleteRecursively(tmp)
       },
       Some(
         "SELECT CAST(10 AS BIGINT) AS n_inserted, CAST(1 AS BIGINT) AS bounded_ok, " +
-          "CAST(1 AS BIGINT) AS log_ok, CAST(1 AS BIGINT) AS retry_ok, " +
-          "CAST(1 AS BIGINT) AS compact_ok")),
+          "CAST(1 AS BIGINT) AS log_retry_ok, CAST(1 AS BIGINT) AS compact_ok")),
 
     // Compressed-video SCENE-CHANGE detection — the frame-sampling policy
     // real multimodal pipelines run before feature extraction (sample one

@@ -395,6 +395,11 @@ class HnswSpec extends SparkSpec {
       assertStackEq(Hnsw.compact(spark, tmp).layers, afterDel, "compact over stale dir")
       assert(!new java.io.File(tmp).listFiles().map(_.getName).exists(_.startsWith("epoch_")),
         "second compact did not clear the stale epoch dir")
+      // an epoch whose layer count differs from the base (a deepen without
+      // an intervening compact/re-save) must fail loudly, never truncate
+      Hnsw.saveDelta(dIns ++ dIns.take(1), 10L, tmp)
+      val e = intercept[IllegalArgumentException](Hnsw.loadLog(spark, tmp))
+      assert(e.getMessage.contains("deepened"), s"wrong failure: ${e.getMessage}")
     } finally {
       layers.foreach(_.graph.unpersist())
       graft.rel.PipelineQueries.deleteRecursively(java.nio.file.Paths.get(tmp))
