@@ -9,7 +9,15 @@ import org.apache.spark.sql.SparkSession
   * the min-of-2 alternating-order discipline is certified by exactly this
   * tool showing run-to-run agreement). Bench embeds the same probe in the
   * official record; this main exists so stability can be measured without
-  * paying for the full suite. Usage:
+  * paying for the full suite.
+  *
+  * Cold-build rows (v31/v33) spawn a fresh child JVM PER REP by default
+  * — deliberate, not redundant: each rep then measures exactly the
+  * regime the official record publishes (ScaleProbe's `fresh_jvm`
+  * mode), where in-JVM timing would re-introduce the accumulated-state
+  * drift for reps ≥ 2. The price is one JVM+session spin-up per rep;
+  * set `SPARK_GRAFT_COLD_PROBE_JVM=0` to time them in THIS JVM instead
+  * (cheaper, and the record stamps `cold_build_mode: in_bench`). Usage:
   * `runMain graft.bench.ProbeMain <sfDir> [k=10] [reps=2]`. */
 object ProbeMain {
 

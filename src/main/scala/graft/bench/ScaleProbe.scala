@@ -236,7 +236,8 @@ object ScaleProbe {
     * spark -D flags) and runs while the parent is idle, so nothing
     * contends with it. Returns None on any failure — the caller falls
     * back to in-bench timing and stamps the mode in the record. */
-  private def runColdChild(d1: String, dK: String, k: Int): Option[Seq[Point]] =
+  private def runColdChild(
+      d1: String, dK: String, k: Int): Option[(Seq[Point], Seq[String])] =
     try {
       import scala.jdk.CollectionConverters._
       val javaBin = java.nio.file.Paths.get(
@@ -278,12 +279,23 @@ object ScaleProbe {
       else {
         outDrain.join(10000L)
         val line = outLines.asScala.find(_.startsWith("COLD_PROBE "))
-        line.map { l =>
+        line.map { l0 =>
+          val l = l0.stripPrefix("COLD_PROBE ")
           val re = """"([A-Za-z0-9_]+)":\{"t1":([0-9.]+),"tk":([0-9.]+),"exp":(-?[0-9.]+(?:[eE][+-]?[0-9]+)?)\}""".r
-          re.findAllMatchIn(l.stripPrefix("COLD_PROBE "))
+          val pts = re.findAllMatchIn(l)
             .map(m => Point(m.group(1), m.group(2).toDouble, m.group(3).toDouble, m.group(4).toDouble))
             .toSeq
-        }.filter(_.nonEmpty)
+          // the child records its own warm-pass failures; dropping them
+          // here would violate the module invariant that a failed warm
+          // pass is IN the JSON (it silently lands one-time training
+          // cost inside a timed cold query) — merge them into ours
+          val wf = """"warm_failures":\[([^\]]*)\]""".r
+            .findFirstMatchIn(l)
+            .map(_.group(1).split(',').toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
+              .filter(_.nonEmpty))
+            .getOrElse(Nil)
+          (pts, wf)
+        }.filter(_._1.nonEmpty)
       }
     } catch {
       case e: Throwable =>
@@ -311,7 +323,9 @@ object ScaleProbe {
       val wantChild = sys.env.getOrElse("SPARK_GRAFT_COLD_PROBE_JVM", "1") != "0"
       val (coldPts, coldMode) =
         (if (wantChild) runColdChild(d1, dK, k) else None) match {
-          case Some(pts) => (pts, "fresh_jvm")
+          case Some((pts, childWarmFailures)) =>
+            warmFailures ++= childWarmFailures
+            (pts, "fresh_jvm")
           case None =>
             if (wantChild)
               System.err.println(

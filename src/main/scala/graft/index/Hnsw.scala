@@ -599,19 +599,27 @@ object Hnsw {
     * rule; `k` is the degree the graphs were built at (the bound a
     * consumer must not exceed) and `topCap` the top layer's broadcast
     * contract. [[loadStack]] surfaces them so mutation on a loaded
-    * stack cannot diverge from the build parameters. */
-  final case class Stack(layers: Seq[Layer], k: Int, shrink: Int, topCap: Long)
+    * stack cannot diverge from the build parameters. `compactedThrough`
+    * is the delta log's watermark (-1 when nothing was ever compacted):
+    * [[loadLog]] applies only epochs past it. */
+  final case class Stack(
+      layers: Seq[Layer],
+      k: Int,
+      shrink: Int,
+      topCap: Long,
+      compactedThrough: Long = -1L)
 
   /** Persist a layer stack — the deploy-once artifact the build doc
     * promises, [[IvfModel.save]] parity for the graph family: layer `i`
-    * (top-first, [[build]]'s return order) lands under
-    * `path/layer_<i>/{nodes,graph}`, the graph repartitioned on `src` at
-    * write time so a loaded stack's walk joins read co-located row
-    * groups, plus a `meta` table carrying the layer count, the degree
-    * the graphs were built at (the k a consumer must not exceed), and
-    * the `shrink`/`topCap` the stack was built under — a loaded stack
-    * is a first-class mutation input, and insert/deepen must use the
-    * build's own level rule. */
+    * (top-first, [[build]]'s return order) lands under a versioned
+    * `path/v0/layer_<i>/{nodes,graph}` (see [[saveBase]] for why the
+    * version dir + atomic meta-file commit exist), the graph
+    * repartitioned on `src` at write time so a loaded stack's walk
+    * joins read co-located row groups, plus the `meta` file carrying
+    * the layer count, the degree the graphs were built at (the k a
+    * consumer must not exceed), and the `shrink`/`topCap` the stack was
+    * built under — a loaded stack is a first-class mutation input, and
+    * insert/deepen must use the build's own level rule. */
   def save(
       layers: Seq[Layer],
       k: Int,
@@ -620,6 +628,17 @@ object Hnsw {
       topCap: Long = 256L): Unit =
     saveBase(layers, k, path, shrink, topCap, compactedThrough = -1L)
 
+  /** Base layout: layer data lands under a VERSIONED dir
+    * `path/v<ct+1>/layer_<i>/{nodes,graph}` and the `path/meta` FILE —
+    * the single atomic commit point, published by [[writeMetaAtomic]]'s
+    * file rename — names the version via its `compacted_through` field.
+    * A crash anywhere before the meta rename leaves the previous base +
+    * epochs fully intact (the half-written new version dir is
+    * unreferenced debris, cleared by the next [[compact]]); a crash
+    * after it leaves only stale-but-skipped epoch dirs. This is what
+    * makes [[compact]]'s multi-file publish crash-safe: there is no
+    * window where folded layer data is visible under an old watermark
+    * (the double-apply corruption a layer-dir-overwrite design has). */
   private def saveBase(
       layers: Seq[Layer],
       k: Int,
@@ -629,20 +648,60 @@ object Hnsw {
       compactedThrough: Long): Unit = {
     require(layers.nonEmpty, "empty layer stack")
     val spark = layers.head.nodes.sparkSession
-    import spark.implicits._
+    val ver = compactedThrough + 1
     layers.zipWithIndex.foreach { case (l, i) =>
       l.nodes
         .select(col("vec_id"), col("embedding"))
-        .write.mode("overwrite").parquet(s"$path/layer_$i/nodes")
+        .write.mode("overwrite").parquet(s"$path/v$ver/layer_$i/nodes")
       l.graph
         .select(col("src"), col("dst"), col("rnk"), col("dist2"))
         .repartition(col("src"))
-        .write.mode("overwrite").parquet(s"$path/layer_$i/graph")
+        .write.mode("overwrite").parquet(s"$path/v$ver/layer_$i/graph")
     }
-    Seq((layers.length, k, shrink, topCap, compactedThrough))
-      .toDF("n_layers", "k", "shrink", "top_cap", "compacted_through")
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/meta")
+    writeMetaAtomic(spark, path, Seq(
+      "n_layers" -> layers.length.toString,
+      "k" -> k.toString,
+      "shrink" -> shrink.toString,
+      "top_cap" -> topCap.toString,
+      "compacted_through" -> compactedThrough.toString))
+  }
+
+  /** Publish `path/meta` (a small key=value text FILE, not a parquet
+    * dir) by writing `path/_meta_tmp` and renaming OVER the target in
+    * one `FileContext.rename(OVERWRITE)` — the atomic primitive both
+    * the local filesystem and HDFS provide for FILES (dir renames can't
+    * replace a non-empty target, which is why the meta must be a file
+    * to serve as a commit point). */
+  private def writeMetaAtomic(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      kv: Seq[(String, String)]): Unit = {
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      new org.apache.hadoop.fs.Path(path).toUri, spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/_meta_tmp")
+    val out = fc.create(
+      tmp,
+      java.util.EnumSet.of(
+        org.apache.hadoop.fs.CreateFlag.CREATE, org.apache.hadoop.fs.CreateFlag.OVERWRITE),
+      org.apache.hadoop.fs.Options.CreateOpts.createParent())
+    try out.write(kv.map { case (a, b) => s"$a=$b" }.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    fc.rename(tmp, new org.apache.hadoop.fs.Path(s"$path/meta"),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  private def readMeta(
+      spark: org.apache.spark.sql.SparkSession, path: String): Map[String, String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/meta")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().flatMap { l =>
+      l.split("=", 2) match {
+        case Array(a, b) => Some(a -> b)
+        case _           => None
+      }
+    }.toMap
+    finally in.close()
   }
 
   /** Append one epoch's [[LayerDelta]]s to the delta LOG under `path` —
@@ -714,96 +773,118 @@ object Hnsw {
       part("nodes_add"), part("nodes_del"), part("graph_upsert"), part("src_del"))
   }
 
+  /** Fold `epochs` (id-ascending, captured ONCE by the caller) onto
+    * `base` via [[applyDelta]]. Capturing the list before folding is a
+    * correctness point, not style: a concurrent [[saveDelta]] landing
+    * between a caller's listing and the fold must NOT be folded by a
+    * [[compact]] that will stamp a watermark below it — fold exactly
+    * what was listed. */
+  private def foldEpochs(
+      spark: org.apache.spark.sql.SparkSession,
+      base: Seq[Layer],
+      epochs: Seq[(Long, String)]): Seq[Layer] = {
+    val fs = epochs.headOption.map { case (_, dir) =>
+      new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    }.orNull
+    epochs.foldLeft(base) { case (ls, (id, dir)) =>
+      // an epoch written against a different stack DEPTH (a deepen
+      // without an intervening compact/re-save) must fail loudly, not
+      // silently truncate — the zero-byte `layers_<L>` marker makes
+      // this a directory listing, not a Spark job
+      val nLayers = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+        .map(_.getPath.getName)
+        .collectFirst { case n if n.startsWith("layers_") => n.stripPrefix("layers_").toInt }
+        .getOrElse(-1)
+      require(nLayers == ls.length,
+        s"epoch $id carries $nLayers layers but the base stack has ${ls.length} — " +
+          "the stack was deepened/rebuilt after this log began; compact or re-save " +
+          "the base before logging further epochs")
+      ls.zipWithIndex.map { case (l, i) => applyDelta(l, readDelta(spark, dir, i)) }
+    }
+  }
+
   /** Load base + delta log: the [[save]]d base stack with every epoch
-    * past the meta's `compacted_through` watermark folded on via
+    * past the base's `compacted_through` watermark folded on via
     * [[applyDelta]], id-ascending. Pure plan construction over parquet
     * scans — but each folded epoch DEEPENS every consumer's plan by one
     * anti-join + union per layer, so a long-running log should be
-    * [[compact]]ed periodically (the classic LSM discipline); the
-    * watermark makes compaction crash-safe (a compact that dies between
-    * publishing the new base and deleting applied epoch dirs leaves
-    * stale dirs that the watermark skips — nothing double-applies). */
+    * [[compact]]ed periodically (the classic LSM discipline). */
   def loadLog(spark: org.apache.spark.sql.SparkSession, path: String): Stack = {
     val base = loadStack(spark, path)
-    val meta = spark.read.parquet(s"$path/meta")
-    val ct =
-      if (meta.columns.contains("compacted_through"))
-        meta.head().getAs[Long]("compacted_through")
-      else -1L
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val layers = epochDirs(spark, path).filter(_._1 > ct).foldLeft(base.layers) {
-      case (ls, (id, dir)) =>
-        // an epoch written against a different stack DEPTH (a deepen
-        // without an intervening compact/re-save) must fail loudly, not
-        // silently truncate — the zero-byte `layers_<L>` marker makes
-        // this a directory listing, not a Spark job
-        val nLayers = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
-          .map(_.getPath.getName)
-          .collectFirst { case n if n.startsWith("layers_") => n.stripPrefix("layers_").toInt }
-          .getOrElse(-1)
-        require(nLayers == ls.length,
-          s"epoch $id carries $nLayers layers but the base stack has ${ls.length} — " +
-            "the stack was deepened/rebuilt after this log began; compact or re-save " +
-            "the base before logging further epochs")
-        ls.zipWithIndex.map { case (l, i) => applyDelta(l, readDelta(spark, dir, i)) }
-    }
-    base.copy(layers = layers)
+    val pending = epochDirs(spark, path).filter(_._1 > base.compactedThrough)
+    base.copy(layers = foldEpochs(spark, base.layers, pending))
   }
 
-  /** Fold the log's pending epochs into a fresh base and drop them —
-    * bounds [[loadLog]]'s plan depth after many [[saveDelta]] epochs.
-    * The folded layers are materialized (localCheckpoint) BEFORE the
-    * base files they read from are overwritten — the self-overwrite
-    * trap — then the meta's `compacted_through` watermark advances to
-    * the last folded epoch and the applied epoch dirs are deleted
-    * (best-effort: a dir surviving a crash here is ≤ the watermark and
-    * ignored by every subsequent [[loadLog]]/[[compact]]). Returns the
-    * compacted stack (already materialized). No-op when no epoch is
-    * pending. */
+  /** Fold the log's pending epochs into a fresh base version and drop
+    * them — bounds [[loadLog]]'s plan depth after many [[saveDelta]]
+    * epochs. Crash-safe by construction (see [[saveBase]]): the folded
+    * layers are written to a NEW version dir while the old base and the
+    * epoch dirs stay untouched, the meta file's atomic rename advances
+    * the watermark, and only then are the applied epoch dirs and the
+    * superseded base version deleted — a crash at ANY point leaves
+    * either the old consistent state (debris new-version dir, cleared
+    * by the next compact) or the new consistent state (stale epoch
+    * dirs/base ≤ the watermark, skipped and cleared later). Epochs
+    * published CONCURRENTLY with the fold (a live [[saveDelta]] stream)
+    * carry ids above the stamped watermark and stay pending — nothing
+    * double-applies. Returns the compacted stack as plain scans of the
+    * new base. No-op when no epoch is pending.
+    *
+    * One caveat for in-process callers: lazy Stacks returned by earlier
+    * [[loadStack]]/[[loadLog]] calls reference the superseded version's
+    * files — materialize them (or reload) before compacting. */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String): Stack = {
-    val meta = spark.read.parquet(s"$path/meta")
-    val ct =
-      if (meta.columns.contains("compacted_through"))
-        meta.head().getAs[Long]("compacted_through")
-      else -1L
-    val (pending, stale) = epochDirs(spark, path).partition(_._1 > ct)
+    val base = loadStack(spark, path)
+    val curVer = base.compactedThrough + 1
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // stale dirs (≤ watermark) are debris from a compact that died
-    // between base publish and cleanup — already folded in, never read
-    // again; clear them whether or not anything is pending
+    // clear debris first: epoch dirs at/below the watermark (a compact
+    // that died between meta publish and cleanup) and base-version dirs
+    // other than the live one (a compact that died before meta publish)
+    val (pending, stale) = epochDirs(spark, path).partition(_._1 > base.compactedThrough)
     stale.foreach { case (_, dir) =>
       fs.delete(new org.apache.hadoop.fs.Path(dir), true)
     }
-    val st = loadLog(spark, path)
-    if (pending.isEmpty) st
+    fs.listStatus(new org.apache.hadoop.fs.Path(path)).toSeq
+      .filter { st =>
+        val n = st.getPath.getName
+        st.isDirectory && n.startsWith("v") && n.drop(1).forall(_.isDigit) &&
+          n.drop(1).toLong != curVer
+      }
+      .foreach(st => fs.delete(st.getPath, true))
+    if (pending.isEmpty) base
     else {
-      val mat = st.layers.map(l =>
-        Layer(l.nodes.localCheckpoint(), l.graph.localCheckpoint()))
-      saveBase(mat, st.k, path, st.shrink, st.topCap,
-        compactedThrough = pending.last._1)
+      val folded = foldEpochs(spark, base.layers, pending)
+      val newCt = pending.last._1
+      // writes v<newCt+1> from plans over the OLD base + epochs (no
+      // self-overwrite), then atomically publishes the watermark
+      saveBase(folded, base.k, path, base.shrink, base.topCap, compactedThrough = newCt)
       pending.foreach { case (_, dir) =>
         fs.delete(new org.apache.hadoop.fs.Path(dir), true)
       }
-      Stack(mat, st.k, st.shrink, st.topCap)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/v$curVer"), true)
+      loadStack(spark, path)
     }
   }
 
   /** Load a stack persisted by [[save]] together with its build
     * parameters, top-first. Nothing is collected or cached here beyond
-    * the one-row meta — each layer is a plain partitioned scan, so a
-    * thousand-executor consumer reads only the layers (and, through the
-    * walk's equality joins, only the src partitions) it touches. */
+    * the one small meta file — each layer is a plain partitioned scan,
+    * so a thousand-executor consumer reads only the layers (and,
+    * through the walk's equality joins, only the src partitions) it
+    * touches. */
   def loadStack(spark: org.apache.spark.sql.SparkSession, path: String): Stack = {
-    val meta = spark.read.parquet(s"$path/meta").head()
-    val n = meta.getAs[Int]("n_layers")
+    val meta = readMeta(spark, path)
+    val n = meta("n_layers").toInt
+    val ct = meta("compacted_through").toLong
+    val ver = ct + 1
     val layers = (0 until n).map { i =>
       Layer(
-        spark.read.parquet(s"$path/layer_$i/nodes"),
-        spark.read.parquet(s"$path/layer_$i/graph"))
+        spark.read.parquet(s"$path/v$ver/layer_$i/nodes"),
+        spark.read.parquet(s"$path/v$ver/layer_$i/graph"))
     }
-    Stack(layers, meta.getAs[Int]("k"), meta.getAs[Int]("shrink"), meta.getAs[Long]("top_cap"))
+    Stack(layers, meta("k").toInt, meta("shrink").toInt, meta("top_cap").toLong, ct)
   }
 
   /** [[loadStack]] when only the layers are needed (read-only search at

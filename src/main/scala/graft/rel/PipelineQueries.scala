@@ -203,15 +203,19 @@ object PipelineQueries {
     * once at build. Consumers MUTATE by deriving new stacks
     * (insert/delete return fresh lineage-truncated layers) — the shared
     * base is read-only. */
+  // per-key once-only memo: TrieMap.getOrElseUpdate does not guarantee the
+  // builder runs once under concurrent first access, and a double build
+  // here leaks a second set of deliberately-untracked cached upper-layer
+  // graphs. A lazy-val holder installed via putIfAbsent gives run-once
+  // semantics PER DIR without a global lock held across the minutes-long
+  // build (a coarse `synchronized` serialized unrelated dirs — exactly the
+  // concurrent-tests/notebooks scenario this guard exists for; same
+  // pattern on hnswArtifactsFor below)
+  private final class Memo[T](build: () => T) { lazy val value: T = build() }
   private val hnswStackCache =
-    scala.collection.concurrent.TrieMap.empty[String, Seq[graft.index.Hnsw.Layer]]
-  // synchronized: TrieMap.getOrElseUpdate does not guarantee the builder
-  // runs once under concurrent first access, and a double build here leaks
-  // a second set of deliberately-untracked cached upper-layer graphs (the
-  // driver contract is sequential, but tests/notebooks need not be; same
-  // guard on hnswArtifactsFor below)
-  def stackFor(s: SparkSession, dir: String): Seq[graft.index.Hnsw.Layer] =
-    hnswStackCache.synchronized { hnswStackCache.getOrElseUpdate(dir, {
+    scala.collection.concurrent.TrieMap.empty[String, Memo[Seq[graft.index.Hnsw.Layer]]]
+  def stackFor(s: SparkSession, dir: String): Seq[graft.index.Hnsw.Layer] = {
+    val fresh = new Memo(() => {
       val nodes = t(s, dir, "embeddings").select("vec_id", "embedding")
       val built = graft.index.Hnsw.build(
         nodes, HnswDegree, Some(indexFor(s, dir)),
@@ -224,19 +228,24 @@ object PipelineQueries {
           graft.index.Hnsw.Layer(l.nodes, g)
         }
       }
-    }) }
+    })
+    hnswStackCache.putIfAbsent(dir, fresh).getOrElse(fresh).value
+  }
 
   /** [[stackFor]]'s stack persisted ONCE per dir through the real
     * `Hnsw.save` path ([[residualCodesFor]]'s artifact pattern) — v40
     * reads it back with `Hnsw.load` and certifies the round-trip. */
-  private val hnswArtifactPath = scala.collection.concurrent.TrieMap.empty[String, String]
-  def hnswArtifactsFor(s: SparkSession, dir: String): String =
-    hnswArtifactPath.synchronized { hnswArtifactPath.getOrElseUpdate(dir, {
+  private val hnswArtifactPath =
+    scala.collection.concurrent.TrieMap.empty[String, Memo[String]]
+  def hnswArtifactsFor(s: SparkSession, dir: String): String = {
+    val fresh = new Memo(() => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_hnsw_")
       sys.addShutdownHook(deleteRecursively(tmp, verbose = false))
       graft.index.Hnsw.save(stackFor(s, dir), HnswDegree, tmp.toString)
       tmp.toString
-    }) }
+    })
+    hnswArtifactPath.putIfAbsent(dir, fresh).getOrElse(fresh).value
+  }
 
   private def embQueries(s: SparkSession, dir: String, n: Int): DataFrame =
     t(s, dir, "embeddings")

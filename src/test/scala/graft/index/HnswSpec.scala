@@ -395,6 +395,14 @@ class HnswSpec extends SparkSpec {
       assertStackEq(Hnsw.compact(spark, tmp).layers, afterDel, "compact over stale dir")
       assert(!new java.io.File(tmp).listFiles().map(_.getName).exists(_.startsWith("epoch_")),
         "second compact did not clear the stale epoch dir")
+      // a compact that died BEFORE its atomic meta publish leaves a
+      // half-written new-version dir: unreferenced debris — loads ignore
+      // it, the next compact clears it
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$tmp/v99"))
+      assertStackEq(Hnsw.loadLog(spark, tmp).layers, afterDel, "debris version ignored")
+      Hnsw.compact(spark, tmp)
+      assert(!new java.io.File(tmp).listFiles().map(_.getName).contains("v99"),
+        "compact did not clear the debris version dir")
       // an epoch whose layer count differs from the base (a deepen without
       // an intervening compact/re-save) must fail loudly, never truncate
       Hnsw.saveDelta(dIns ++ dIns.take(1), 10L, tmp)
