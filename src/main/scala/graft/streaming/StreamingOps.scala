@@ -110,7 +110,21 @@ object StreamingOps {
     * [[graft.index.Hnsw.compact]]. batchId is stable across restarts,
     * so a retried epoch re-publishes the same epoch dir idempotently
     * (certified by the v44 driver query + StreamingSpec's delta-log
-    * restart case). */
+    * restart case).
+    *
+    * SELF-DRIVING maintenance (s07's adaptive shape for the graph
+    * family — the LOAD decides the cadence, certified by s23):
+    * `maintainEvery = N` runs one [[graft.index.KnnJoin.nnDescentRound]]
+    * over layer 0 every N applied batches of THIS incarnation (the
+    * counter is per-incarnation, like any cadence timer), recovering
+    * the intra-batch edges insert defers; `autoDeepen = true` turns the
+    * topCap warning's condition into a trigger — when the hash trickle
+    * grows the top past `topCap`, one [[graft.index.Hnsw.deepen]]
+    * re-bounds it in-stream. `onMaintain` receives a tick per fired
+    * move. Maintenance is mutually exclusive with `onDelta` (enforced):
+    * both moves rewrite corpus-sized structure no batch-sized epoch can
+    * carry — a durable maintained stream re-bases via
+    * [[graft.index.Hnsw.save]] out-of-band instead. */
   def hnswIngest(
       stream: DataFrame,
       initial: Seq[graft.index.Hnsw.Layer],
@@ -122,9 +136,23 @@ object StreamingOps {
       shrink: Int = 16,
       topCap: Long = 256L,
       perLayerK: Int = 8,
-      onDelta: Option[(Long, Seq[graft.index.Hnsw.LayerDelta]) => Unit] = None): StreamingQuery = {
+      onDelta: Option[(Long, Seq[graft.index.Hnsw.LayerDelta]) => Unit] = None,
+      maintainEvery: Int = 0,
+      autoDeepen: Boolean = false,
+      onMaintain: HnswMaintainTick => Unit = _ => ()): StreamingQuery = {
+    // Maintenance rewrites corpus-sized structure (descent re-ranks every
+    // layer-0 adjacency; deepen changes the stack DEPTH) that no
+    // batch-sized LayerDelta can carry — an epoch logged after either
+    // would replay onto a base that never saw it. A caller that wants
+    // both runs maintenance out-of-band and re-bases with Hnsw.save
+    // (which bumps the fence token and restarts the log).
+    require(onDelta.isEmpty || (maintainEvery == 0 && !autoDeepen),
+      "hnswIngest: in-stream maintenance (maintainEvery/autoDeepen) cannot be " +
+        "combined with the onDelta log — maintenance changes are not batch-sized; " +
+        "rebase via Hnsw.save around out-of-band maintenance instead")
     val state =
       new java.util.concurrent.atomic.AtomicReference[Seq[graft.index.Hnsw.Layer]](initial)
+    val appliedBatches = new java.util.concurrent.atomic.AtomicLong(0L)
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
@@ -167,8 +195,193 @@ object StreamingOps {
                     validate = false)
                 }
             }
-            state.set(next)
-            onUpdate(next)
+            // SELF-DRIVING maintenance (s07's adaptive-maintain shape for
+            // the graph family): the LOAD decides the cadence, not an
+            // operator the caller remembers to run.
+            val applied = appliedBatches.incrementAndGet()
+            // (a) every `maintainEvery` applied batches, one NN-descent
+            // round over layer 0 recovers the intra-batch edges insert
+            // deliberately defers (insert's doc: candidates come from
+            // EXISTING members, so edges among one batch's rows appear
+            // only at maintenance — v41's measured fact). Insert-only
+            // streams ONLY: descent re-normalizes adjacencies to plain
+            // top-k and would strip delete's clique patches
+            // (Hnsw.delete's 0.69 → 0.47 measurement), which is why
+            // hnswApplyChangelog exposes no descent cadence.
+            val afterDescent =
+              if (maintainEvery > 0 && applied % maintainEvery == 0) {
+                val l0 = next.last
+                val refined = graft.CacheScope.scoped {
+                  graft.index.KnnJoin
+                    .nnDescentRound(l0.graph, l0.nodes, k)
+                    .localCheckpoint()
+                }
+                val st = next.init :+ graft.index.Hnsw.Layer(l0.nodes, refined)
+                onMaintain(HnswMaintainTick(batchId, "descent",
+                  st.head.nodes.count(), st.length))
+                st
+              } else next
+            // (b) the topCap warning's condition as a TRIGGER: when the
+            // hash-trickle of inserted ids has grown the top layer past
+            // its broadcast bound, one deepen re-bounds it in-stream —
+            // the wear-out trajectory (v42's composed story) made
+            // self-driving. The count is one tiny job over the
+            // localCheckpoint'd topCap-scale top layer.
+            val maintained =
+              if (autoDeepen && afterDescent.head.nodes.count() > topCap) {
+                val st = graft.CacheScope.scoped {
+                  graft.index.Hnsw.deepen(afterDescent, k = k, shrink = shrink)
+                }
+                onMaintain(HnswMaintainTick(batchId, "deepen",
+                  st.head.nodes.count(), st.length))
+                st
+              } else afterDescent
+            state.set(maintained)
+            onUpdate(maintained)
+          }
+        }
+      }
+      .start()
+  }
+
+  /** One in-stream HNSW maintenance event ([[hnswIngest]]'s
+    * `onMaintain`): which move fired (`"descent"` / `"deepen"`), at
+    * which batch, and the post-move top-layer size / stack depth. */
+  final case class HnswMaintainTick(
+      batch_id: Long, event: String, top_n: Long, n_layers: Int)
+
+  /** Streaming CDC into the HNSW stack — [[applyChangelogStream]]'s
+    * changelog contract (upserts + deletes, last-change-per-key wins
+    * batch-internally by `ordCol`, arrival order across batches) applied
+    * to the graph family, closing the loop [[hnswIngest]] leaves open:
+    * an insert-only ingest cannot serve GDPR-style erasure or rolling
+    * TTL, and a production vector index needs deletes to arrive on the
+    * SAME stream as the upserts that may re-use their keys. Rows carry
+    * `(vec_id, embedding, opCol, ordCol)`; `opCol` = `"D"` erases the
+    * key, anything else ("I"/"U" — [[graft.rel.Merge.applyChangelog]]'s
+    * exact rule, including its U > D > I equal-ord tie-break) upserts it.
+    *
+    * Per trigger, three bounded steps sharing the batch-mutation code
+    * paths (one semantics with [[graft.index.Hnsw.insert]]/
+    * [[graft.index.Hnsw.delete]], the s02/s08 discipline):
+    *
+    *  1. COLLAPSE the micro-batch to its final change per key
+    *     (batch-sized window) and localCheckpoint it once;
+    *  2. screen which of the batch's keys are PRESENT in the stack —
+    *     the trigger's ONE corpus-linear action ([[hnswIngest]]'s
+    *     anti-join discipline, flipped to a semi-join). Every present
+    *     key is deleted ([[graft.index.Hnsw.deleteWithDelta]]): erased
+    *     keys permanently, re-upserted keys so their old vector/edges
+    *     can't shadow the replacement. Absent-key deletes are dropped
+    *     here — O9's no-op contract at zero cost;
+    *  3. INSERT the surviving upserts (absent after step 2, deduped by
+    *     step 1 ⇒ `validate = false` skips insert's redundant
+    *     corpus-linear guards).
+    *
+    * Durability: with `onDelta` set, the trigger's delete and insert
+    * deltas are COMPOSED ([[graft.index.Hnsw.composeDeltas]]) into ONE
+    * epoch handed to the callback before the in-memory swap
+    * (offsets-commit-last ordering) — persist with
+    * [[graft.index.Hnsw.saveDelta]] keyed by the stable batchId (pass
+    * the fence token from the writer's own loadStack/loadLog), recover
+    * with [[graft.index.Hnsw.loadLog]]. Epoch retries converge: a
+    * replayed delete of an absent key is a no-op, a replayed upsert
+    * re-replaces the key with the same vector, and the re-published
+    * epoch dir overwrites its own id. Restart = [[hnswIngest]]'s
+    * contract: resume the checkpoint with the last persisted stack
+    * (loadLog) as `initial`.
+    *
+    * No in-stream descent cadence here BY DESIGN: NN-descent
+    * re-normalizes every adjacency to plain top-k and strips the clique
+    * patches delete's repair plants ([[graft.index.Hnsw.delete]]'s
+    * measured 0.69 → 0.47) — a delete-bearing stream maintains via
+    * out-of-band rebase instead. */
+  def hnswApplyChangelog(
+      changes: DataFrame,
+      initial: Seq[graft.index.Hnsw.Layer],
+      checkpointDir: String,
+      k: Int,
+      beam: Int,
+      rounds: Int,
+      onUpdate: Seq[graft.index.Hnsw.Layer] => Unit,
+      shrink: Int = 16,
+      topCap: Long = 256L,
+      perLayerK: Int = 8,
+      opCol: String = "op",
+      ordCol: String = "ord",
+      onDelta: Option[(Long, Seq[graft.index.Hnsw.LayerDelta]) => Unit] = None): StreamingQuery = {
+    val state =
+      new java.util.concurrent.atomic.AtomicReference[Seq[graft.index.Hnsw.Layer]](initial)
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val cur = state.get()
+          // final change per key — Merge.applyChangelog's exact window
+          // (ord desc, then the explicit U > D > I rank, then the raw op
+          // string: total order even on malformed op codes)
+          val opRank =
+            when(col("_op") === "U", 2).when(col("_op") === "D", 1).otherwise(0)
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("vec_id")
+            .orderBy(col("_ord").desc, opRank.desc, col("_op").desc)
+          val latest = batch
+            .select(
+              col("vec_id").cast("long").as("vec_id"), col("embedding"),
+              col(opCol).as("_op"), col(ordCol).as("_ord"))
+            .withColumn("_rn", row_number().over(w))
+            .filter(col("_rn") === 1)
+            .select("vec_id", "embedding", "_op")
+            .localCheckpoint()
+          // the trigger's one corpus-linear action: which keys exist now
+          val present = latest.select("vec_id")
+            .join(cur.last.nodes.select("vec_id"), Seq("vec_id"), "left_semi")
+            .localCheckpoint()
+          val upserts = latest.filter(col("_op") =!= "D").select("vec_id", "embedding")
+          val doDelete = !present.isEmpty
+          val doInsert = !upserts.isEmpty
+          if (doDelete || doInsert) {
+            onDelta match {
+              case Some(f) =>
+                val (afterDel, dDel) =
+                  if (doDelete)
+                    graft.CacheScope.scoped {
+                      val (st, d) = graft.index.Hnsw.deleteWithDelta(cur, present, k)
+                      (st, Some(d))
+                    }
+                  else (cur, None)
+                val (next, dIns) =
+                  if (doInsert)
+                    graft.CacheScope.scoped {
+                      val (st, d) = graft.index.Hnsw.insertWithDelta(
+                        afterDel, upserts, k = k, beam = beam, rounds = rounds,
+                        shrink = shrink, topCap = topCap, perLayerK = perLayerK,
+                        validate = false)
+                      (st, Some(d))
+                    }
+                  else (afterDel, None)
+                val epoch = (dDel, dIns) match {
+                  case (Some(a), Some(b)) => graft.index.Hnsw.composeDeltas(a, b)
+                  case (Some(a), None)    => a
+                  case (None, b)          => b.get
+                }
+                f(batchId, epoch)
+                state.set(next)
+                onUpdate(next)
+              case None =>
+                val next = graft.CacheScope.scoped {
+                  val afterDel =
+                    if (doDelete) graft.index.Hnsw.delete(cur, present, k) else cur
+                  if (doInsert)
+                    graft.index.Hnsw.insert(
+                      afterDel, upserts, k = k, beam = beam, rounds = rounds,
+                      shrink = shrink, topCap = topCap, perLayerK = perLayerK,
+                      validate = false)
+                  else afterDel
+                }
+                state.set(next)
+                onUpdate(next)
+            }
           }
         }
       }

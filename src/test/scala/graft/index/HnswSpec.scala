@@ -396,13 +396,19 @@ class HnswSpec extends SparkSpec {
       assert(!new java.io.File(tmp).listFiles().map(_.getName).exists(_.startsWith("epoch_")),
         "second compact did not clear the stale epoch dir")
       // a compact that died BEFORE its atomic meta publish leaves a
-      // half-written new-version dir: unreferenced debris — loads ignore
-      // it, the next compact clears it
+      // half-written new-version dir ABOVE the live one: unreferenced
+      // debris — loads ignore it, and the sweep deliberately does NOT
+      // delete above-live dirs (they could be a concurrent compactor's
+      // in-flight output — the round-17 advisor's clobber finding); the
+      // dir is harmlessly overwritten when its number comes up. Dirs
+      // BELOW the live version (superseded bases) are swept.
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$tmp/v99"))
       assertStackEq(Hnsw.loadLog(spark, tmp).layers, afterDel, "debris version ignored")
       Hnsw.compact(spark, tmp)
-      assert(!new java.io.File(tmp).listFiles().map(_.getName).contains("v99"),
-        "compact did not clear the debris version dir")
+      assert(new java.io.File(tmp).listFiles().map(_.getName).contains("v99"),
+        "compact must not clobber an above-live version dir (possible in-flight compactor)")
+      assertStackEq(Hnsw.loadLog(spark, tmp).layers, afterDel, "load unaffected by kept debris")
+      java.nio.file.Files.delete(java.nio.file.Paths.get(s"$tmp/v99"))
       // an epoch whose layer count differs from the base (a deepen without
       // an intervening compact/re-save) must fail loudly, never truncate
       Hnsw.saveDelta(dIns ++ dIns.take(1), 10L, tmp)
@@ -412,5 +418,105 @@ class HnswSpec extends SparkSpec {
       layers.foreach(_.graph.unpersist())
       graft.rel.PipelineQueries.deleteRecursively(java.nio.file.Paths.get(tmp))
     }
+  }
+
+  test("writer fence: a zombie's saveDelta fails loudly after a newer writer re-bases; re-save sweeps the log") {
+    val layers = Hnsw.build(emb, k = 6, shrink = 16, topCap = 256L)
+      .map(l => Hnsw.Layer(l.nodes, l.graph.cache()))
+    val tmp = java.nio.file.Files.createTempDirectory("hnsw_spec_fence_").toString
+    try {
+      Hnsw.save(layers, 6, tmp)
+      val st = Hnsw.loadStack(spark, tmp)
+      assert(st.version == 0L && st.writerToken == 0L, s"fresh save: $st")
+      val batch = emb.filter(col("vec_id") < 3)
+        .select(
+          (col("vec_id") + 910000000L).as("vec_id"),
+          transform(col("embedding"), x => x + lit(0.001f)).as("embedding"))
+      val (_, d) = Hnsw.insertWithDelta(layers, batch, k = 6, beam = 16, rounds = 6)
+      // a fenced publish under the live token lands
+      Hnsw.saveDelta(d, 0L, tmp, st.writerToken)
+      // a newer incarnation compacts: version and fence token advance
+      val compacted = Hnsw.compact(spark, tmp)
+      assert(compacted.version == st.version + 1, s"compact must advance the version: $compacted")
+      assert(compacted.writerToken == st.writerToken + 1, s"compact must bump the fence: $compacted")
+      // the zombie (old token) is fenced at its NEXT publish — loudly
+      val e = intercept[IllegalArgumentException](
+        Hnsw.saveDelta(d, 1L, tmp, st.writerToken))
+      assert(e.getMessage.contains("stale writer"), s"wrong failure: ${e.getMessage}")
+      assert(!new java.io.File(tmp).listFiles().map(_.getName).contains("epoch_000000000001"),
+        "the fenced epoch must not have been published")
+      // re-save (the out-of-band-maintenance REBASE): bumps the fence
+      // again and sweeps pending epochs + the superseded version — a
+      // fresh base already contains all state, so a leftover epoch
+      // would double-apply on the next loadLog. The rebasing writer
+      // must hold a MATERIALIZED stack (compact's documented caveat:
+      // lazy layers reference the about-to-be-swept version's files)
+      val snapshot = compacted.layers.map(l =>
+        Hnsw.Layer(l.nodes.localCheckpoint(), l.graph.localCheckpoint()))
+      Hnsw.saveDelta(d, 1L, tmp, compacted.writerToken) // a pending epoch to sweep
+      Hnsw.save(snapshot, 6, tmp)
+      val rebased = Hnsw.loadStack(spark, tmp)
+      assert(rebased.writerToken == compacted.writerToken + 1, s"re-save must bump the fence: $rebased")
+      assert(rebased.compactedThrough == -1L, "re-save must restart the log watermark")
+      val names = new java.io.File(tmp).listFiles().map(_.getName).toSet
+      assert(!names.exists(_.startsWith("epoch_")), s"re-save left pending epochs: $names")
+      assert(names.count(n => n.startsWith("v") && n.drop(1).forall(_.isDigit)) == 1,
+        s"re-save left superseded version dirs: $names")
+      assertStackEq(Hnsw.loadLog(spark, tmp).layers, snapshot, "rebased log replays the rebased base")
+      // the compact-era incarnation is in turn fenced off the rebased log
+      intercept[IllegalArgumentException](
+        Hnsw.saveDelta(d, 2L, tmp, compacted.writerToken))
+    } finally {
+      layers.foreach(_.graph.unpersist())
+      graft.rel.PipelineQueries.deleteRecursively(java.nio.file.Paths.get(tmp))
+    }
+  }
+
+  test("composeDeltas: one composed epoch replays exactly like applying the two deltas in sequence") {
+    val layers = Hnsw.build(emb, k = 6, shrink = 16, topCap = 256L)
+      .map(l => Hnsw.Layer(l.nodes, l.graph.cache()))
+    // the CDC trigger shape (hnswApplyChangelog): delete present keys,
+    // then insert the upserts — including key 920000003, which is
+    // inserted first so the second round can DELETE-and-REINSERT it (the
+    // upsert-of-present composition the algebra must get right)
+    val mk = (off: Long, bump: Float) => emb.filter(col("vec_id") < 4)
+      .select(
+        (col("vec_id") + off).as("vec_id"),
+        transform(col("embedding"), x => x + lit(bump)).as("embedding"))
+    val (withKeys, _) = Hnsw.insertWithDelta(layers, mk(920000000L, 0.001f), k = 6, beam = 16, rounds = 6)
+    // round under test: delete {corpus 0, planted 920000000..3}, then
+    // insert {planted 920000002 re-keyed... the re-upserts of 2 deleted
+    // planted keys with NEW vectors + 2 fresh keys}
+    val delIds = Seq(0L, 920000000L, 920000001L, 920000002L, 920000003L).toDF("vec_id")
+    val (afterDel, dDel) = Hnsw.deleteWithDelta(withKeys, delIds, k = 6)
+    val reinserts = mk(920000002L, 0.002f) // keys 920000002..5: two re-upserts, two fresh
+    val (afterIns, dIns) = Hnsw.insertWithDelta(afterDel, reinserts, k = 6, beam = 16, rounds = 6)
+    val composed = Hnsw.composeDeltas(dDel, dIns)
+    val folded = withKeys.zip(composed).map { case (l, dd) => Hnsw.applyDelta(l, dd) }
+    assertStackEq(folded, afterIns, "composed replay vs sequential mutations")
+    // and the reverse order (insert then delete) composes too
+    val (a1, d1) = Hnsw.insertWithDelta(layers, mk(930000000L, 0.001f), k = 6, beam = 16, rounds = 6)
+    val (a2, d2) = Hnsw.deleteWithDelta(a1, Seq(930000001L, 1L).toDF("vec_id"), k = 6)
+    val folded2 = layers.zip(Hnsw.composeDeltas(d1, d2)).map { case (l, dd) => Hnsw.applyDelta(l, dd) }
+    assertStackEq(folded2, a2, "insert-then-delete composition")
+    layers.foreach(_.graph.unpersist())
+  }
+
+  test("a legacy (pre-delta-log) artifact fails with a clear migration message; save migrates it in place") {
+    val tmp = java.nio.file.Files.createTempDirectory("hnsw_spec_legacy_").toString
+    try {
+      // the pre-round-17 layout persisted meta as a parquet DIRECTORY
+      spark.range(1).write.parquet(s"$tmp/meta")
+      val e = intercept[IllegalStateException](Hnsw.loadStack(spark, tmp))
+      assert(e.getMessage.contains("legacy"), s"wrong failure: ${e.getMessage}")
+      // re-persisting through save() IS the migration: the directory
+      // meta is replaced by the meta file and the artifact loads again
+      val layers = Hnsw.build(emb, k = 6, shrink = 16, topCap = 256L)
+        .map(l => Hnsw.Layer(l.nodes, l.graph.cache()))
+      Hnsw.save(layers, 6, tmp)
+      assertStackEq(Hnsw.loadStack(spark, tmp).layers, layers, "migrated artifact")
+      layers.foreach(_.graph.unpersist())
+    } finally
+      graft.rel.PipelineQueries.deleteRecursively(java.nio.file.Paths.get(tmp))
   }
 }

@@ -134,6 +134,66 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("hnswApplyChangelog: upserts replace, deletes erase, cross-batch changes resolve by arrival order") {
+    import graft.index.Hnsw
+    implicit val sqlCtx = spark.sqlContext
+    val initial = Hnsw.build(emb, k = 6, shrink = 16, topCap = 256L)
+      .map(l => Hnsw.Layer(l.nodes, l.graph.cache()))
+    def embOf(i: Long, bump: Float): Seq[Float] = emb.filter(col("vec_id") === i)
+      .select(transform(col("embedding"), x => x + lit(bump)))
+      .as[Seq[Float]].head()
+    val source = MemoryStream[(Long, Seq[Float], String, Long)]
+    val stream = source.toDF().toDF("vec_id", "embedding", "op", "ord")
+    val seen = new java.util.concurrent.atomic
+      .AtomicReference[Seq[Hnsw.Layer]](initial)
+    val ckpt = java.nio.file.Files.createTempDirectory("hnsw_cdc").toString
+    val query = StreamingOps.hnswApplyChangelog(
+      stream, initial, ckpt, k = 6, beam = 16, rounds = 6, seen.set)
+    try {
+      val x = 820000L
+      // batch 1: insert NEW key x; erase live corpus key 5; delete of an
+      // absent key is a no-op; an equal-key U-then-D pair resolves by ord
+      source.addData(
+        (x, embOf(0L, 0.001f), "U", 1L),
+        (5L, embOf(5L, 0f), "D", 2L),
+        (999999L, embOf(1L, 0f), "D", 3L),
+        (x + 1, embOf(1L, 0.001f), "U", 4L),
+        (x + 1, embOf(1L, 0.001f), "D", 5L))
+      query.processAllAvailable()
+      val after1 = seen.get()
+      val l0 = after1.last.nodes
+      assert(l0.filter(col("vec_id") === x).count() == 1, "upserted key did not land")
+      assert(l0.filter(col("vec_id").isin(5L, x + 1)).isEmpty,
+        "erased / U-then-D key survived the trigger")
+      // batch 2 (ARRIVAL order across batches): key x — inserted by the
+      // PREVIOUS batch — is now replaced with a new vector, then key 5
+      // returns; the state must reflect the latest arrival, not history
+      source.addData(
+        (x, embOf(0L, 0.002f), "U", 1L),
+        (5L, embOf(5L, 0.002f), "U", 2L))
+      query.processAllAvailable()
+      val fin = seen.get()
+      val finL0 = fin.last.nodes
+      assert(finL0.filter(col("vec_id") === x).count() == 1, "replaced key duplicated or lost")
+      val gotX = finL0.filter(col("vec_id") === x)
+        .select("embedding").as[Seq[Float]].head()
+      assert(gotX == embOf(0L, 0.002f), "replacement did not take the LATEST vector")
+      assert(finL0.filter(col("vec_id") === 5L).count() == 1, "re-upserted erased key missing")
+      // structural hygiene after the full history: no dangling edges
+      fin.foreach { l =>
+        val ids = l.nodes.select("vec_id")
+        assert(
+          l.graph.join(ids.withColumnRenamed("vec_id", "src"), Seq("src"), "left_anti").isEmpty &&
+            l.graph.join(ids.withColumnRenamed("vec_id", "dst"), Seq("dst"), "left_anti").isEmpty,
+          "edge references a non-member id after CDC history")
+      }
+    } finally {
+      query.stop()
+      graft.rel.PipelineQueries.deleteRecursively(java.nio.file.Paths.get(ckpt))
+      initial.foreach(_.graph.unpersist())
+    }
+  }
+
   test("applyChangelogStream folds key-disjoint micro-batches to the batch MERGE answer") {
     implicit val sqlCtx = spark.sqlContext
     val snapshot = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v")
