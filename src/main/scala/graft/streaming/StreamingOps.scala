@@ -121,10 +121,24 @@ object StreamingOps {
     * topCap warning's condition into a trigger — when the hash trickle
     * grows the top past `topCap`, one [[graft.index.Hnsw.deepen]]
     * re-bounds it in-stream. `onMaintain` receives a tick per fired
-    * move. Maintenance is mutually exclusive with `onDelta` (enforced):
-    * both moves rewrite corpus-sized structure no batch-sized epoch can
-    * carry — a durable maintained stream re-bases via
-    * [[graft.index.Hnsw.save]] out-of-band instead. */
+    * move.
+    *
+    * Maintenance + DURABILITY: both maintenance moves rewrite
+    * corpus-sized structure no batch-sized epoch can carry, so
+    * combining them with `onDelta` requires `onRebase` (enforced) —
+    * called with the maintained stack AFTER the batch's epoch was
+    * persisted and only on batches where a move actually fired. The
+    * callback re-bases the log with [[graft.index.Hnsw.save]] (which
+    * sweeps the now-superseded epochs and BUMPS the fence token — keep
+    * the token the `onDelta` closure passes to saveDelta in a mutable
+    * cell and refresh it here, or the writer fences itself out at its
+    * next epoch). Crash windows stay consistent: dying between the
+    * epoch publish and the rebase replays the log to the
+    * pre-maintenance state — semantically complete, just unmaintained;
+    * dying mid-save leaves the old base + epochs intact (save's
+    * crash-safety). Spec-pinned end-to-end in StreamingSpec (deepen
+    * fires mid-stream, rebase, kill, loadLog ≡ live, next incarnation
+    * logs onto the rebased base with the refreshed token). */
   def hnswIngest(
       stream: DataFrame,
       initial: Seq[graft.index.Hnsw.Layer],
@@ -139,17 +153,19 @@ object StreamingOps {
       onDelta: Option[(Long, Seq[graft.index.Hnsw.LayerDelta]) => Unit] = None,
       maintainEvery: Int = 0,
       autoDeepen: Boolean = false,
-      onMaintain: HnswMaintainTick => Unit = _ => ()): StreamingQuery = {
+      onMaintain: HnswMaintainTick => Unit = _ => (),
+      onRebase: Option[Seq[graft.index.Hnsw.Layer] => Unit] = None): StreamingQuery = {
     // Maintenance rewrites corpus-sized structure (descent re-ranks every
     // layer-0 adjacency; deepen changes the stack DEPTH) that no
     // batch-sized LayerDelta can carry — an epoch logged after either
-    // would replay onto a base that never saw it. A caller that wants
-    // both runs maintenance out-of-band and re-bases with Hnsw.save
-    // (which bumps the fence token and restarts the log).
-    require(onDelta.isEmpty || (maintainEvery == 0 && !autoDeepen),
-      "hnswIngest: in-stream maintenance (maintainEvery/autoDeepen) cannot be " +
-        "combined with the onDelta log — maintenance changes are not batch-sized; " +
-        "rebase via Hnsw.save around out-of-band maintenance instead")
+    // would replay onto a base that never saw it. Durability + in-stream
+    // maintenance therefore needs the rebase hook: Hnsw.save the
+    // maintained stack (sweeps superseded epochs, bumps the fence).
+    require(onDelta.isEmpty || (maintainEvery == 0 && !autoDeepen) || onRebase.nonEmpty,
+      "hnswIngest: in-stream maintenance (maintainEvery/autoDeepen) with the " +
+        "onDelta log requires onRebase — maintenance changes are not batch-sized; " +
+        "the hook must re-base the log (Hnsw.save) so later epochs fold onto a " +
+        "base that saw the maintenance")
     val state =
       new java.util.concurrent.atomic.AtomicReference[Seq[graft.index.Hnsw.Layer]](initial)
     val appliedBatches = new java.util.concurrent.atomic.AtomicLong(0L)
@@ -199,6 +215,7 @@ object StreamingOps {
             // the graph family): the LOAD decides the cadence, not an
             // operator the caller remembers to run.
             val applied = appliedBatches.incrementAndGet()
+            var maintenanceFired = false
             // (a) every `maintainEvery` applied batches, one NN-descent
             // round over layer 0 recovers the intra-batch edges insert
             // deliberately defers (insert's doc: candidates come from
@@ -219,6 +236,7 @@ object StreamingOps {
                 val st = next.init :+ graft.index.Hnsw.Layer(l0.nodes, refined)
                 onMaintain(HnswMaintainTick(batchId, "descent",
                   st.head.nodes.count(), st.length))
+                maintenanceFired = true
                 st
               } else next
             // (b) the topCap warning's condition as a TRIGGER: when the
@@ -234,8 +252,14 @@ object StreamingOps {
                 }
                 onMaintain(HnswMaintainTick(batchId, "deepen",
                   st.head.nodes.count(), st.length))
+                maintenanceFired = true
                 st
               } else afterDescent
+            // a maintenance move invalidates the batch-sized log (depth
+            // and/or corpus-sized adjacency changed after this batch's
+            // epoch was persisted) — the rebase hook re-bases it so the
+            // NEXT epoch folds onto a base that saw the maintenance
+            if (maintenanceFired && onDelta.nonEmpty) onRebase.foreach(_(maintained))
             state.set(maintained)
             onUpdate(maintained)
           }

@@ -134,6 +134,95 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("maintained ingest stays durable: an in-stream deepen re-bases the log, a kill recovers it, the next incarnation logs on") {
+    import graft.index.Hnsw
+    val initial = Hnsw.build(emb, k = 6, shrink = 2, topCap = 30L)
+      .map(l => Hnsw.Layer(l.nodes, l.graph.cache()))
+    val topN0 = initial.head.nodes.count()
+    var topMod = 1L
+    (0 until initial.length - 1).foreach(_ => topMod *= 2)
+    // planted ids drawn FROM the hash-clearing set, so the top grows by
+    // exactly 2 and the deepen trigger is deterministic — plus fillers
+    // that clear neither the old top modulus nor (by divisibility) the
+    // deepened one
+    def idsWhere(clear: Boolean, n: Int): Seq[Long] = {
+      val cond =
+        if (clear) pmod(xxhash64(col("id")), lit(topMod)) === 0
+        else pmod(xxhash64(col("id")), lit(topMod)) =!= 0
+      spark.range(840000L, 1840000L).select(col("id")).filter(cond)
+        .limit(n).as[Long].collect().toSeq
+    }
+    val baseEmb: Array[Seq[Float]] = emb.filter(col("vec_id") < 8)
+      .orderBy("vec_id")
+      .select(transform(col("embedding"), x => x + lit(0.001f)))
+      .as[Seq[Float]].collect()
+    val b1Ids = idsWhere(clear = true, 2) ++ idsWhere(clear = false, 3)
+    val b1 = b1Ids.zipWithIndex.map { case (id, i) => (id, baseEmb(i)) }
+      .toDF("vec_id", "embedding")
+    val b2 = idsWhere(clear = false, 6).drop(3).zipWithIndex
+      .map { case (id, i) => (id, baseEmb(5 + i)) }.toDF("vec_id", "embedding")
+    def stackEq(x: Seq[Hnsw.Layer], y: Seq[Hnsw.Layer], msg: String): Unit = {
+      assert(x.length == y.length, s"$msg: depth differs")
+      x.zip(y).foreach { case (p, q) =>
+        val np = p.nodes.select("vec_id"); val nq = q.nodes.select("vec_id")
+        assert(np.exceptAll(nq).isEmpty && nq.exceptAll(np).isEmpty, s"$msg: members differ")
+        val gp = p.graph.select("src", "dst", "rnk"); val gq = q.graph.select("src", "dst", "rnk")
+        assert(gp.exceptAll(gq).isEmpty && gq.exceptAll(gp).isEmpty, s"$msg: edges differ")
+      }
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("hnsw_maint_log").toString
+    val logDir = s"$tmp/log"; val ckpt = s"$tmp/ckpt"; val inDir = s"$tmp/in"
+    try {
+      Hnsw.save(initial, 6, logDir, shrink = 2, topCap = topN0)
+      // the writer's fence token lives in a mutable cell: the rebase
+      // hook refreshes it after save bumps the fence (the doc's pattern)
+      val tok = new java.util.concurrent.atomic.AtomicLong(
+        Hnsw.loadStack(spark, logDir).writerToken)
+      val ticks = scala.collection.mutable.ArrayBuffer.empty[StreamingOps.HnswMaintainTick]
+      def incarnation(
+          init: Seq[Hnsw.Layer], sink: Seq[Hnsw.Layer] => Unit): Unit = {
+        val q = StreamingOps.hnswIngest(
+          spark.readStream.schema(b1.schema).parquet(inDir),
+          init, ckpt, k = 6, beam = 16, rounds = 6, sink,
+          shrink = 2, topCap = topN0,
+          onDelta = Some((id, ds) => Hnsw.saveDelta(ds, id, logDir, tok.get())),
+          autoDeepen = true, onMaintain = ticks += _,
+          onRebase = Some { st =>
+            Hnsw.save(st, 6, logDir, shrink = 2, topCap = topN0)
+            tok.set(Hnsw.loadStack(spark, logDir).writerToken)
+          })
+        try q.processAllAvailable()
+        finally q.stop()
+      }
+      val live = new java.util.concurrent.atomic
+        .AtomicReference[Seq[Hnsw.Layer]](initial)
+      b1.write.mode("append").parquet(inDir)
+      incarnation(initial, live.set)
+      assert(ticks.map(_.event) == Seq("deepen"), s"expected one deepen tick, got $ticks")
+      val after1 = live.get()
+      assert(after1.length == initial.length + 1, "deepen did not deepen the live stack")
+      // the rebase IS the durability: the log alone reconstructs the
+      // MAINTAINED state, and the superseded epoch was swept
+      stackEq(Hnsw.loadLog(spark, logDir).layers, after1, "log recovery after maintained kill")
+      assert(!new java.io.File(logDir).listFiles().map(_.getName).exists(_.startsWith("epoch_")),
+        "rebase left the superseded epoch behind")
+      // a new incarnation resumes on the rebased base and logs a plain
+      // epoch under the REFRESHED token — no deepen (fillers clear
+      // neither modulus), no fence trip
+      val resumed = new java.util.concurrent.atomic
+        .AtomicReference[Seq[Hnsw.Layer]](after1)
+      b2.write.mode("append").parquet(inDir)
+      incarnation(Hnsw.loadLog(spark, logDir).layers, resumed.set)
+      assert(ticks.map(_.event) == Seq("deepen"), "the post-rebase batch must not re-deepen")
+      stackEq(Hnsw.loadLog(spark, logDir).layers, resumed.get(), "epoch folds onto the rebased base")
+      assert(new java.io.File(logDir).listFiles().map(_.getName).count(_.startsWith("epoch_")) == 1,
+        "the post-rebase batch must log exactly one epoch")
+    } finally {
+      graft.rel.PipelineQueries.deleteRecursively(java.nio.file.Paths.get(tmp))
+      initial.foreach(_.graph.unpersist())
+    }
+  }
+
   test("hnswApplyChangelog: upserts replace, deletes erase, cross-batch changes resolve by arrival order") {
     import graft.index.Hnsw
     implicit val sqlCtx = spark.sqlContext
