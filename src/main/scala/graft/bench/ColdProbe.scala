@@ -15,10 +15,16 @@ import org.apache.spark.sql.SparkSession
 object ColdProbe {
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 3, "usage: ColdProbe <dir1x> <dirKx> <k>")
+    require(args.length >= 3, "usage: ColdProbe <dir1x> <dirKx> <k> [rosterCsv]")
     val d1 = args(0)
     val dK = args(1)
     val k = args(2).toInt
+    // the parent's roster restriction must reach the child: re-building
+    // and timing BOTH cold queries to throw one away defeats the
+    // single-query re-adjudication the restriction exists for
+    val roster: Seq[String] =
+      if (args.length > 3 && args(3).nonEmpty) args(3).split(",").toSeq.filter(_.nonEmpty)
+      else ScaleProbe.ColdBuildQueries
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -27,7 +33,7 @@ object ColdProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val r = ScaleProbe.coldPoints(spark, d1, dK, k)
+    val r = ScaleProbe.coldPoints(spark, d1, dK, k, roster)
     println(s"COLD_PROBE ${ScaleProbe.toJson(k, r)}")
     spark.stop()
   }

@@ -218,11 +218,16 @@ object ScaleProbe {
   /** [[ColdBuildQueries]] timed against already-built probe dirs — the
     * body [[ColdProbe]] (a fresh child JVM) runs. Public so the child
     * main can reach it; same discipline as the in-bench passes. */
-  def coldPoints(spark: SparkSession, d1: String, dK: String, k: Int): Result = {
+  def coldPoints(
+      spark: SparkSession,
+      d1: String,
+      dK: String,
+      k: Int,
+      roster: Seq[String] = ColdBuildQueries): Result = {
     val warm = scala.collection.mutable.ArrayBuffer.empty[String]
-    val t1 = timeAt(spark, d1, "x1", ColdBuildQueries, warm)
-    val tK = timeAt(spark, dK, s"x$k", ColdBuildQueries, warm)
-    Result(toPoints(ColdBuildQueries, t1, tK, k), warm.toSeq)
+    val t1 = timeAt(spark, d1, "x1", roster, warm)
+    val tK = timeAt(spark, dK, s"x$k", roster, warm)
+    Result(toPoints(roster, t1, tK, k), warm.toSeq)
   }
 
   /** Run the cold-build queries in a FRESH child JVM (round-17 fix for
@@ -237,7 +242,8 @@ object ScaleProbe {
     * contends with it. Returns None on any failure — the caller falls
     * back to in-bench timing and stamps the mode in the record. */
   private def runColdChild(
-      d1: String, dK: String, k: Int): Option[(Seq[Point], Seq[String])] =
+      d1: String, dK: String, k: Int,
+      roster: Seq[String] = ColdBuildQueries): Option[(Seq[Point], Seq[String])] =
     try {
       import scala.jdk.CollectionConverters._
       val javaBin = java.nio.file.Paths.get(
@@ -249,7 +255,7 @@ object ScaleProbe {
         .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent"))
       val cmd = Seq(javaBin) ++ inherited ++ Seq(
         "-cp", System.getProperty("java.class.path"),
-        "graft.bench.ColdProbe", d1, dK, k.toString)
+        "graft.bench.ColdProbe", d1, dK, k.toString, roster.mkString(","))
       val pb = new ProcessBuilder(cmd.asJava)
       pb.redirectErrorStream(false)
       val proc = pb.start()
@@ -323,6 +329,14 @@ object ScaleProbe {
       only: Option[Set[String]] = None): Result = {
     val base = java.nio.file.Files.createTempDirectory("graft_scaleprobe_").toString
     val warmFailures = scala.collection.mutable.ArrayBuffer.empty[String]
+    // a typo'd restriction must fail loudly, not produce a green-looking
+    // probe that measured nothing (both scaled corpora still get built)
+    only.foreach { o =>
+      require(o.nonEmpty, "empty probe-query restriction")
+      val unknown = o.diff(ProbeQueries.toSet)
+      require(unknown.isEmpty,
+        s"unknown probe queries ${unknown.mkString(",")} — roster: ${ProbeQueries.mkString(",")}")
+    }
     val roster = only.map(o => ProbeQueries.filter(o.contains)).getOrElse(ProbeQueries)
     try {
       val d1 = buildDir(spark, sfDir, 1, base)
@@ -335,7 +349,7 @@ object ScaleProbe {
       val wantChild = sys.env.getOrElse("SPARK_GRAFT_COLD_PROBE_JVM", "1") != "0"
       val (coldPts, coldMode) =
         if (coldRoster.isEmpty) (Nil, "fresh_jvm")
-        else (if (wantChild) runColdChild(d1, dK, k) else None) match {
+        else (if (wantChild) runColdChild(d1, dK, k, coldRoster) else None) match {
           case Some((pts, childWarmFailures)) =>
             warmFailures ++= childWarmFailures
             (pts.filter(p => coldRoster.contains(p.name)), "fresh_jvm")

@@ -706,6 +706,15 @@ object Hnsw {
     }
     versionDirs(fs, path).filter(_._1 != ver)
       .foreach { case (_, p) => fs.delete(p, true) }
+    // legacy-layout debris: pre-round-17 artifacts kept layer data at
+    // top-level `path/layer_<i>` — without this sweep a migrated
+    // artifact carries a stale corpus-sized copy of its layers forever
+    fs.listStatus(new org.apache.hadoop.fs.Path(path)).toSeq
+      .filter { st =>
+        val n = st.getPath.getName
+        st.isDirectory && n.startsWith("layer_") && n.stripPrefix("layer_").forall(_.isDigit)
+      }
+      .foreach(st => fs.delete(st.getPath, true))
   }
 
   /** Base layout: layer data lands under a VERSIONED dir
@@ -770,17 +779,24 @@ object Hnsw {
     * replace a non-empty target, which is why the meta must be a file
     * to serve as a commit point). A pre-round-17 artifact left a meta
     * parquet DIRECTORY at this name — rename can't replace that, so a
-    * directory-shaped target is deleted first (safe: a caller reaching
-    * this point is publishing a complete new base, which supersedes the
-    * legacy artifact wholesale). */
+    * directory-shaped target is moved ASIDE (to `_legacy_meta`) first,
+    * keeping the atomic-commit invariant through the migration too: a
+    * crash between the move and the rename leaves the legacy dir intact
+    * under its aside name, and [[readMeta]] recognizes the remnants
+    * with a clear resume-the-migration message instead of a raw
+    * FileNotFound. The aside dir is cleared once the new meta has
+    * published. */
   private def writeMetaAtomic(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
       kv: Seq[(String, String)]): Unit = {
     val metaPath = new org.apache.hadoop.fs.Path(s"$path/meta")
+    val aside = new org.apache.hadoop.fs.Path(s"$path/_legacy_meta")
     val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(metaPath) && fs.getFileStatus(metaPath).isDirectory)
-      fs.delete(metaPath, true)
+    if (fs.exists(metaPath) && fs.getFileStatus(metaPath).isDirectory) {
+      fs.delete(aside, true)
+      require(fs.rename(metaPath, aside), s"could not move legacy meta dir aside at $metaPath")
+    }
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
       new org.apache.hadoop.fs.Path(path).toUri, spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(s"$path/_meta_tmp")
@@ -792,6 +808,7 @@ object Hnsw {
     try out.write(kv.map { case (a, b) => s"$a=$b" }.mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
     fc.rename(tmp, metaPath, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    fs.delete(aside, true)
   }
 
   private def readMeta(
@@ -803,7 +820,20 @@ object Hnsw {
         s"$path/meta is a directory — this artifact uses the legacy pre-delta-log " +
           "layout (parquet meta dir + path/layer_<i>), which this reader no longer " +
           "parses; re-persist the stack with Hnsw.save to migrate it")
-    val in = fs.open(p)
+    val in =
+      try fs.open(p)
+      catch {
+        case e: java.io.FileNotFoundException
+            if fs.exists(new org.apache.hadoop.fs.Path(s"$path/_legacy_meta")) ||
+              fs.exists(new org.apache.hadoop.fs.Path(s"$path/layer_0")) =>
+          // legacy remnants with no meta file = a migration that died
+          // between the aside move and the new meta publish (or a bare
+          // legacy artifact mid-flight) — say so instead of a raw miss
+          throw new IllegalStateException(
+            s"$path has legacy pre-delta-log remnants but no meta file — an " +
+              "in-place migration was interrupted; re-run Hnsw.save on this " +
+              "path to complete it", e)
+      }
     try scala.io.Source.fromInputStream(in, "UTF-8").getLines().flatMap { l =>
       l.split("=", 2) match {
         case Array(a, b) => Some(a -> b)
@@ -896,6 +926,24 @@ object Hnsw {
     fs.create(new org.apache.hadoop.fs.Path(tmp, s"layers_${deltas.length}")).close()
     fs.delete(fin, true)
     require(fs.rename(tmp, fin), s"could not publish epoch dir $fin")
+  }
+
+  /** Whether the log already holds a PUBLISHED epoch for `epochId` —
+    * one FS existence check, no job. This is the replay guard a
+    * changelog writer passes to
+    * [[graft.streaming.StreamingOps.hnswApplyChangelog]]'s
+    * `isEpochApplied`: [[saveDelta]]'s dir rename is the last mutating
+    * step of a trigger, so an existing epoch dir proves the batch was
+    * fully applied AND persisted — a restarted incarnation whose
+    * `initial` came from [[loadLog]] must SKIP it, not re-apply it (a
+    * re-application would recompute the deltas against the
+    * already-applied state and republish a WEAKER epoch over the same
+    * id — e.g. a delete of a now-absent key vanishes from the log and
+    * the base resurrects the erased key on the next fold). */
+  def epochExists(
+      spark: org.apache.spark.sql.SparkSession, path: String, epochId: Long): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(f"$path/epoch_$epochId%012d")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
   /** The log's epoch dirs under `path`, id-ascending. */

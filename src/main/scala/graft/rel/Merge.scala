@@ -45,6 +45,32 @@ object Merge {
     * @param opCol      operation column
     * @return the merged snapshot, same schema as `snapshot`
     */
+  /** The changelog's FINAL change per key — THE collapse rule every
+    * changelog consumer shares ([[applyChangelog]] here, the HNSW CDC
+    * path in [[graft.streaming.StreamingOps.hnswApplyChangelog]]), so
+    * the tie-break semantics live exactly once. Shuffles only the
+    * changelog. Equal-ord ties break on the explicit U > D > I rank
+    * (NOT opCol's string order, which would rank 'U' > 'I' > 'D'); the
+    * raw op string is the LAST tiebreak: any op code outside {U, D, I}
+    * falls into rank 0 with 'I', and without a total order row_number
+    * would pick whichever row the shuffle surfaced first —
+    * nondeterministic output on malformed input. Returns `changes`'
+    * own columns, one row per key. */
+  def latestChangePerKey(
+      changes: DataFrame,
+      keyCol: String,
+      ordCol: String,
+      opCol: String): DataFrame = {
+    val opRank =
+      when(col(opCol) === "U", 2).when(col(opCol) === "D", 1).otherwise(0)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(ordCol).desc, opRank.desc, col(opCol).desc)
+    changes
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+  }
+
   def applyChangelog(
       snapshot: DataFrame,
       changes: DataFrame,
@@ -52,19 +78,7 @@ object Merge {
       ordCol: String,
       opCol: String): DataFrame = {
     val payload = snapshot.columns.filterNot(_ == keyCol).toSeq
-    // latest op per key — shuffles ONLY the changelog. Equal-ord ties
-    // break on the explicit U > D > I rank (NOT opCol's string order,
-    // which would rank 'U' > 'I' > 'D'). The raw op string is the LAST
-    // tiebreak: any op code outside {U, D, I} falls into rank 0 with 'I',
-    // and without a total order row_number would pick whichever row the
-    // shuffle surfaced first — nondeterministic output on malformed input.
-    val opRank =
-      when(col(opCol) === "U", 2).when(col(opCol) === "D", 1).otherwise(0)
-    val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(ordCol).desc, opRank.desc, col(opCol).desc)
-    val latest = changes
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
+    val latest = latestChangePerKey(changes, keyCol, ordCol, opCol)
       .select(keyCol, (opCol +: payload): _*)
       .withColumnRenamed(opCol, "_op")
 

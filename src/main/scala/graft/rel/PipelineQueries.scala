@@ -7077,7 +7077,12 @@ object PipelineQueries {
               initial, ckpt, k = HnswDegree, beam = 32, rounds = 2,
               onUpdate = sink.set,
               shrink = SmallShrink, topCap = SmallTopCap,
-              onDelta = Some((id, d) => graft.index.Hnsw.saveDelta(d, id, logPath, token)))
+              onDelta = Some((id, d) => graft.index.Hnsw.saveDelta(d, id, logPath, token)),
+              // the replay guard every durable changelog writer passes:
+              // a re-delivered batch whose epoch already published is
+              // skipped, never re-applied (the erasure-resurrection
+              // story in hnswApplyChangelog's doc; spec-pinned)
+              isEpochApplied = Some(id => graft.index.Hnsw.epochExists(s, logPath, id)))
             try q.processAllAvailable()
             finally q.stop()
           }

@@ -250,10 +250,19 @@ object StreamingOps {
                 val st = graft.CacheScope.scoped {
                   graft.index.Hnsw.deepen(afterDescent, k = k, shrink = shrink)
                 }
-                onMaintain(HnswMaintainTick(batchId, "deepen",
-                  st.head.nodes.count(), st.length))
-                maintenanceFired = true
-                st
+                // deepen returns its argument UNCHANGED when the hash
+                // rule leaves the new top empty (it warns) — that is
+                // not a fired move: ticking/rebasing it would emit a
+                // misleading tick and, with onDelta set, a corpus-sized
+                // rebase on EVERY subsequent batch (the trigger stays
+                // over topCap forever)
+                if (st eq afterDescent) afterDescent
+                else {
+                  onMaintain(HnswMaintainTick(batchId, "deepen",
+                    st.head.nodes.count(), st.length))
+                  maintenanceFired = true
+                  st
+                }
               } else afterDescent
             // a maintenance move invalidates the batch-sized log (depth
             // and/or corpus-sized adjacency changed after this batch's
@@ -308,12 +317,28 @@ object StreamingOps {
     * (offsets-commit-last ordering) — persist with
     * [[graft.index.Hnsw.saveDelta]] keyed by the stable batchId (pass
     * the fence token from the writer's own loadStack/loadLog), recover
-    * with [[graft.index.Hnsw.loadLog]]. Epoch retries converge: a
-    * replayed delete of an absent key is a no-op, a replayed upsert
-    * re-replaces the key with the same vector, and the re-published
-    * epoch dir overwrites its own id. Restart = [[hnswIngest]]'s
+    * with [[graft.index.Hnsw.loadLog]]. Restart = [[hnswIngest]]'s
     * contract: resume the checkpoint with the last persisted stack
     * (loadLog) as `initial`.
+    *
+    * REPLAY GUARD — always pass `isEpochApplied` when `onDelta` is set
+    * (`Some(id => Hnsw.epochExists(spark, logPath, id))`): a restarted
+    * incarnation can be re-delivered a batch whose epoch already
+    * published (crash between the epoch publish and the offset commit).
+    * Unlike [[hnswIngest]]'s insert-only screen, a changelog replay is
+    * NOT data-detectable — recomputing it against the already-applied
+    * state would silently republish a WEAKER epoch over the same id
+    * (the original delete of a now-absent key vanishes from the log,
+    * and the next full fold resurrects the erased key from the base — a
+    * durably-acknowledged erasure undone). The guard skips the whole
+    * trigger instead: the epoch dir is the trigger's last mutating step,
+    * so its existence proves the batch is both applied in the loadLog'd
+    * `initial` and durable. (For that proof to hold, a custom `onDelta`
+    * must make the saveDelta publish its final action.) Without the
+    * guard — onDelta unset — a replay still converges in MEMBERSHIP
+    * (deletes of absent keys no-op, upserts re-replace), though the
+    * repaired adjacency around a replayed upsert may differ in
+    * edge-level detail from the uninterrupted run.
     *
     * No in-stream descent cadence here BY DESIGN: NN-descent
     * re-normalizes every adjacency to plain top-k and strips the clique
@@ -333,28 +358,28 @@ object StreamingOps {
       perLayerK: Int = 8,
       opCol: String = "op",
       ordCol: String = "ord",
-      onDelta: Option[(Long, Seq[graft.index.Hnsw.LayerDelta]) => Unit] = None): StreamingQuery = {
+      onDelta: Option[(Long, Seq[graft.index.Hnsw.LayerDelta]) => Unit] = None,
+      isEpochApplied: Option[Long => Boolean] = None): StreamingQuery = {
     val state =
       new java.util.concurrent.atomic.AtomicReference[Seq[graft.index.Hnsw.Layer]](initial)
     changes.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        if (!batch.isEmpty) {
+        // the replay guard: an already-published epoch proves this batch
+        // was fully applied AND persisted by a previous incarnation —
+        // re-applying it against the already-applied state would
+        // republish a weaker epoch (see the scaladoc's erasure story)
+        if (!isEpochApplied.exists(_(batchId)) && !batch.isEmpty) {
           val cur = state.get()
-          // final change per key — Merge.applyChangelog's exact window
-          // (ord desc, then the explicit U > D > I rank, then the raw op
-          // string: total order even on malformed op codes)
-          val opRank =
-            when(col("_op") === "U", 2).when(col("_op") === "D", 1).otherwise(0)
-          val w = org.apache.spark.sql.expressions.Window
-            .partitionBy("vec_id")
-            .orderBy(col("_ord").desc, opRank.desc, col("_op").desc)
-          val latest = batch
-            .select(
-              col("vec_id").cast("long").as("vec_id"), col("embedding"),
-              col(opCol).as("_op"), col(ordCol).as("_ord"))
-            .withColumn("_rn", row_number().over(w))
-            .filter(col("_rn") === 1)
+          // final change per key — ONE collapse rule shared with the
+          // relational CDC path (Merge.latestChangePerKey: ord desc,
+          // then the explicit U > D > I rank, then the raw op string)
+          val latest = graft.rel.Merge
+            .latestChangePerKey(
+              batch.select(
+                col("vec_id").cast("long").as("vec_id"), col("embedding"),
+                col(opCol).as("_op"), col(ordCol).as("_ord")),
+              "vec_id", "_ord", "_op")
             .select("vec_id", "embedding", "_op")
             .localCheckpoint()
           // the trigger's one corpus-linear action: which keys exist now

@@ -283,6 +283,63 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("changelog replay guard: a re-delivered trigger with a published epoch is skipped — erasures stay erased through compaction") {
+    import graft.index.Hnsw
+    val initial = Hnsw.build(emb, k = 6, shrink = 16, topCap = 256L)
+      .map(l => Hnsw.Layer(l.nodes, l.graph.cache()))
+    val tmp = java.nio.file.Files.createTempDirectory("hnsw_cdc_replay").toString
+    val logDir = s"$tmp/log"; val inDir = s"$tmp/in"
+    val x = 830000L
+    val batch = Seq(
+      (x, emb.filter(col("vec_id") === 0L)
+        .select(transform(col("embedding"), e => e + lit(0.001f))).as[Seq[Float]].head(), "U", 1L),
+      (7L, emb.filter(col("vec_id") === 7L)
+        .select(col("embedding")).as[Seq[Float]].head(), "D", 2L))
+      .toDF("vec_id", "embedding", "op", "ord")
+    def incarnation(
+        init: Seq[Hnsw.Layer], ckpt: String,
+        sink: Seq[Hnsw.Layer] => Unit): Unit = {
+      val q = StreamingOps.hnswApplyChangelog(
+        spark.readStream.schema(batch.schema).parquet(inDir),
+        init, ckpt, k = 6, beam = 16, rounds = 6, sink,
+        onDelta = Some((id, ds) => Hnsw.saveDelta(ds, id, logDir)),
+        isEpochApplied = Some(id => Hnsw.epochExists(spark, logDir, id)))
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    try {
+      Hnsw.save(initial, 6, logDir)
+      val live = new java.util.concurrent.atomic
+        .AtomicReference[Seq[Hnsw.Layer]](initial)
+      batch.write.mode("append").parquet(inDir)
+      incarnation(initial, s"$tmp/ckpt1", live.set)
+      val recovered = Hnsw.loadLog(spark, logDir)
+      assert(recovered.layers.last.nodes.filter(col("vec_id") === 7L).isEmpty,
+        "erasure did not land in the log")
+      // crash-between-publish-and-offset-commit stand-in: a FRESH
+      // checkpoint re-delivers the same file as batch 0, whose epoch 0
+      // is already published — the guard must skip it wholesale
+      val resumed = new java.util.concurrent.atomic
+        .AtomicReference[Seq[Hnsw.Layer]](recovered.layers)
+      incarnation(recovered.layers, s"$tmp/ckpt2", resumed.set)
+      assert(resumed.get() eq recovered.layers,
+        "a replayed trigger with a published epoch must be a wholesale no-op")
+      // the STRONG epoch survived (not a weaker recomputed one): after
+      // compaction folds the log into the base, the erased key must
+      // still be gone — this is exactly the resurrection the unguarded
+      // replay would cause (the recomputed epoch would lose the delete
+      // of the now-absent key 7, and the fold would revive it)
+      val compacted = Hnsw.compact(spark, logDir)
+      assert(compacted.layers.last.nodes.filter(col("vec_id") === 7L).isEmpty,
+        "compaction resurrected an erased key — the log lost the delete")
+      assert(compacted.layers.last.nodes.filter(col("vec_id") === x).count() == 1,
+        "compaction lost the upserted key")
+    } finally {
+      graft.rel.PipelineQueries.deleteRecursively(java.nio.file.Paths.get(tmp))
+      initial.foreach(_.graph.unpersist())
+    }
+  }
+
   test("applyChangelogStream folds key-disjoint micro-batches to the batch MERGE answer") {
     implicit val sqlCtx = spark.sqlContext
     val snapshot = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v")
