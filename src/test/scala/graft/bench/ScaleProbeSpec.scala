@@ -44,4 +44,29 @@ class ScaleProbeSpec extends SparkSpec {
       graft.rel.PipelineQueries.deleteRecursively(java.nio.file.Paths.get(base))
     }
   }
+
+  test("bounded-work rows publish the tag, never a fitted exponent; restrictions validate loudly") {
+    import ScaleProbe.{Point, Result}
+    // v31 is the registered bounded-work query: both probe points sit at
+    // the launch floor, so the JSON must carry bounded:true and NO exp
+    // (r17's record published a physically meaningless -0.448 for it)
+    val r = Result(Seq(
+      Point("v31_knn_graph", 1.2, 1.1, -0.038),
+      Point("d03_ngram_jaccard", 2.5, 5.0, 0.301)), Nil)
+    val js = ScaleProbe.toJson(10, r)
+    assert(js.contains(""""v31_knn_graph":{"t1":1.2,"tk":1.1,"bounded":true}"""),
+      s"bounded row must publish the tag: $js")
+    assert(!js.contains(""""v31_knn_graph":{"t1":1.2,"tk":1.1,"exp""""),
+      s"bounded row must not publish an exponent: $js")
+    assert(js.contains(""""d03_ngram_jaccard":{"t1":2.5,"tk":5.0,"exp":0.301}"""),
+      s"unbounded rows keep their exponent: $js")
+    // a typo'd single-query restriction must fail loudly, not produce a
+    // green-looking probe that measured nothing
+    val e = intercept[IllegalArgumentException](
+      ScaleProbe.run(spark, "/root/testdata/sf0.001", 2, Some(Set("d3_ngram_jaccard"))))
+    assert(e.getMessage.contains("unknown probe queries"), s"wrong failure: ${e.getMessage}")
+    val e2 = intercept[IllegalArgumentException](
+      ScaleProbe.run(spark, "/root/testdata/sf0.001", 2, Some(Set.empty[String])))
+    assert(e2.getMessage.contains("empty"), s"wrong failure: ${e2.getMessage}")
+  }
 }
