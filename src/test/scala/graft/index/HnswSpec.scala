@@ -519,4 +519,49 @@ class HnswSpec extends SparkSpec {
     } finally
       graft.rel.PipelineQueries.deleteRecursively(java.nio.file.Paths.get(tmp))
   }
+
+  test("composeDeltas algebra holds on randomized deltas, including re-adds, edgeless repairs, and empty components") {
+    import org.apache.spark.sql.DataFrame
+    val rnd = new scala.util.Random(42)
+    def idsDf(ids: Seq[Long], name: String): DataFrame =
+      if (name == "vec_id") ids.map(i => (i, Seq.fill(4)(i.toFloat))).toDF("vec_id", "embedding")
+      else ids.map(Tuple1(_)).toDF(name)
+    def keysDf(ids: Seq[Long]): DataFrame = ids.map(Tuple1(_)).toDF("vec_id")
+    def edges(srcs: Seq[Long], univ: Seq[Long]): DataFrame =
+      srcs.flatMap { s0 =>
+        Seq.fill(1 + rnd.nextInt(2))((s0, univ(rnd.nextInt(univ.length)), 1 + rnd.nextInt(3), rnd.nextDouble().toFloat))
+      }.toDF("src", "dst", "rnk", "dist2")
+    (1 to 5).foreach { trial =>
+      val baseIds = (0L until 20L).filter(_ => rnd.nextDouble() < 0.8)
+      val base = Hnsw.Layer(idsDf(baseIds, "vec_id"), edges(baseIds, 0L until 20L))
+      // delta A: remove a base subset, add fresh ids; arbitrary upserts
+      // and src removals over the union
+      val remA = baseIds.filter(_ => rnd.nextDouble() < 0.3)
+      val addA = (100L until 108L).filter(_ => rnd.nextDouble() < 0.6)
+      val liveA = baseIds.diff(remA) ++ addA
+      val a = Hnsw.LayerDelta(
+        idsDf(addA, "vec_id"), keysDf(remA),
+        edges(liveA.filter(_ => rnd.nextDouble() < 0.4), liveA),
+        idsDf(remA ++ liveA.filter(_ => rnd.nextDouble() < 0.2), "src"))
+      // delta B: removes from A's result INCLUDING some of A's adds, and
+      // RE-ADDS some ids A removed (the upsert-of-erased composition)
+      val remB = liveA.filter(_ => rnd.nextDouble() < 0.3)
+      val addB = (200L until 205L).filter(_ => rnd.nextDouble() < 0.6) ++
+        remA.filter(_ => rnd.nextDouble() < 0.5)
+      val liveB = liveA.diff(remB) ++ addB
+      val b = Hnsw.LayerDelta(
+        idsDf(addB, "vec_id"), keysDf(remB),
+        edges(liveB.filter(_ => rnd.nextDouble() < 0.4), liveB),
+        idsDf(liveB.filter(_ => rnd.nextDouble() < 0.2), "src"))
+      val seq2 = Hnsw.applyDelta(Hnsw.applyDelta(base, a), b)
+      val one = Hnsw.applyDelta(base, Hnsw.composeDeltas(Seq(a), Seq(b)).head)
+      val nDiff = seq2.nodes.select("vec_id").exceptAll(one.nodes.select("vec_id"))
+        .unionAll(one.nodes.select("vec_id").exceptAll(seq2.nodes.select("vec_id"))).count()
+      assert(nDiff == 0, s"trial $trial: node multisets diverge (diff $nDiff)")
+      val gl = seq2.graph.select("src", "dst", "rnk")
+      val gr = one.graph.select("src", "dst", "rnk")
+      val gDiff = gl.exceptAll(gr).unionAll(gr.exceptAll(gl)).count()
+      assert(gDiff == 0, s"trial $trial: edge multisets diverge (diff $gDiff)")
+    }
+  }
 }
