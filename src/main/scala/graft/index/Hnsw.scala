@@ -667,12 +667,13 @@ object Hnsw {
     *
     * Re-saving onto an existing artifact RE-BASES it: the new stack
     * lands under the NEXT version (never overwriting the live one in
-    * place — crash-safe like [[compact]]), the writer fence token bumps
-    * (any in-flight [[saveDelta]] holding the old token fails loudly),
-    * and once the meta publishes, every pending epoch dir and the
-    * superseded version are SWEPT — a fresh base already contains all
-    * state, so any epoch left pending would double-apply on the next
-    * [[loadLog]]. This is the rebase move the maintenance operators
+    * place — crash-safe like [[compact]]), the meta publishes with the
+    * watermark stamped to the HIGHEST epoch id present (so a crash
+    * before the sweep leaves only stale-and-skipped epochs, never a
+    * double-apply), the writer fence token bumps (any in-flight
+    * [[saveDelta]] holding the old token fails loudly), and once the
+    * meta publishes, every prior epoch dir and the superseded version
+    * are SWEPT as debris. This is the rebase move the maintenance operators
     * need: after a [[deepen]]/descent rewrote corpus-sized structure
     * that no batch-sized delta can carry, `save` restarts the log from
     * the new base. */
@@ -695,16 +696,33 @@ object Hnsw {
       }
     val ver = prior.map(m => metaVersion(m) + 1).getOrElse(0L)
     val token = prior.map(m => metaToken(m) + 1).getOrElse(0L)
+    // the rebase watermark covers every epoch dir that exists at publish
+    // time (compact's pattern): a crash between the meta rename and the
+    // sweep below would otherwise leave pending epochs above a -1
+    // watermark, and the next loadLog would fold them onto a base that
+    // already contains their state — silent double-apply (duplicate node
+    // rows, corrupt rebased adjacency). With the watermark stamped, the
+    // leftovers are stale-and-skipped and the sweep is pure debris
+    // cleanup. Epoch ids stay monotone across rebases by contract
+    // (saveDelta keys them by the streaming batchId / a monotone
+    // counter), so a post-rebase writer's next epoch always lands above.
+    val priorEpochs = epochDirs(spark, path)
+    val watermark = if (priorEpochs.isEmpty) -1L else priorEpochs.map(_._1).max
     saveBase(layers, k, path, shrink, topCap,
-      compactedThrough = -1L, version = ver, writerToken = token)
+      compactedThrough = watermark, version = ver, writerToken = token)
     // post-publish sweep: stale epoch dirs (they predate this base and
-    // must never fold onto it) and superseded/debris version dirs
+    // must never fold onto it — all at/below the watermark by
+    // construction) and superseded/debris version dirs. Version dirs
+    // ABOVE the new live one are left alone, matching compact's sweep
+    // rule: they are either a crashed writer's half-write (harmlessly
+    // overwritten when that number comes up) or a concurrent compactor's
+    // in-flight output, which a sweep must never clobber.
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    epochDirs(spark, path).foreach { case (_, dir) =>
+    priorEpochs.foreach { case (_, dir) =>
       fs.delete(new org.apache.hadoop.fs.Path(dir), true)
     }
-    versionDirs(fs, path).filter(_._1 != ver)
+    versionDirs(fs, path).filter(_._1 < ver)
       .foreach { case (_, p) => fs.delete(p, true) }
     // legacy-layout debris: pre-round-17 artifacts kept layer data at
     // top-level `path/layer_<i>` — without this sweep a migrated
@@ -866,14 +884,14 @@ object Hnsw {
     *
     * Crash safety: the epoch is written to a `_tmp` dir and RENAMED into
     * place (one FS metadata op), so a reader never sees a half-written
-    * epoch. Re-writing the same `epochId` (a foreachBatch epoch RETRY —
-    * batch ids are stable across restarts) is idempotent in OUTCOME but
-    * the replacement itself is delete-then-rename, not atomic: a
-    * concurrent reader listing during the gap can see the epoch missing
-    * or hit a transient FileNotFound. Under the streaming ordering
-    * contract no data is lost (no later epoch exists while an earlier
-    * one is still retrying), but concurrent `loadLog`/`compact` callers
-    * should expect a loud transient failure mid-retry, not silence. Key
+    * epoch. Publishing an `epochId` whose dir ALREADY EXISTS is a no-op
+    * (the dir can only exist complete — the rename is the last step of
+    * the original publish): a foreachBatch RETRY re-delivering a batch
+    * whose epoch published must not replace it — the retried deltas were
+    * recomputed against already-applied state and would be WEAKER (see
+    * [[epochExists]]'s erasure story) — and skipping also closes the
+    * delete-then-rename window in which a concurrent reader could see
+    * the epoch missing mid-retry. Key
     * the id by the streaming batchId (or any monotone counter):
     * [[loadLog]] applies epochs in increasing id order, which must match
     * apply order. After a [[deepen]] the layer count changes — compact
@@ -909,6 +927,13 @@ object Hnsw {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val fin = new org.apache.hadoop.fs.Path(f"$path/epoch_$epochId%012d")
+    if (fs.exists(fin)) {
+      log.warn(
+        s"Hnsw.saveDelta: epoch $epochId already published at $path — skipping " +
+          "(an existing epoch dir is complete by construction, and a retry's " +
+          "recomputed deltas must not replace the original)")
+      return
+    }
     val tmp = new org.apache.hadoop.fs.Path(f"$path/_tmp_epoch_$epochId%012d")
     fs.delete(tmp, true)
     def tagged(f: LayerDelta => DataFrame, cols: Seq[String]): DataFrame =
@@ -924,7 +949,6 @@ object Hnsw {
     tagged(_.srcsRemoved, Seq("src"))
       .write.mode("overwrite").parquet(s"$tmp/src_del")
     fs.create(new org.apache.hadoop.fs.Path(tmp, s"layers_${deltas.length}")).close()
-    fs.delete(fin, true)
     require(fs.rename(tmp, fin), s"could not publish epoch dir $fin")
   }
 
@@ -1113,13 +1137,14 @@ object Hnsw {
     * ef at the upper layers).
     *
     * Execution caveat (stacks of ≥ 3 layers only): the per-layer seed
-    * handoff is lineage-truncated via `localCheckpoint`, so building the
-    * search PLAN eagerly runs the mid-layer walks (the measured
-    * super-linear Catalyst re-analysis fix — [[insert]]'s tradeoff,
-    * shared here), and the checkpointed seed blocks are
-    * executor-resident and non-recomputable: a long-lived plan breaks
-    * if executors are lost. Construct the plan close to its action; a
-    * 1–2 layer stack stays pure plan construction. */
+    * handoff is lineage-truncated via a LAZY `localCheckpoint` — the
+    * plan is truncated at construction (the measured super-linear
+    * Catalyst re-analysis fix, [[insert]]'s tradeoff shared here) but
+    * the mid-layer walks run at the FIRST action, and the checkpointed
+    * seed blocks are then executor-resident and non-recomputable: a
+    * long-lived plan breaks if executors are lost. Construct the plan
+    * close to its action; a 1–2 layer stack stays pure plan
+    * construction. */
   def search(
       queries: DataFrame,
       layers: Seq[Layer],
@@ -1141,12 +1166,19 @@ object Hnsw {
       // truncate the per-layer seed handoff (queries·perLayerK rows):
       // same reasoning as insert's — without it a walk whose rounds
       // never hit searchFrom's internal even-hop truncation nests the
-      // full walk plan per layer and plan analysis grows super-linearly
+      // full walk plan per layer and plan analysis grows super-linearly.
+      // LAZY checkpoint (round-19, the r18 advisor's audit): eager=false
+      // still truncates the PLAN at construction (the returned Dataset
+      // is a LogicalRDD either way — the re-analysis fix is intact) but
+      // defers the walk's jobs to the first action, so constructing a
+      // search plan no longer eagerly runs every mid-layer walk — a
+      // caller that builds the plan and discards or partially consumes
+      // it pays nothing, and plan construction stays job-free.
       seeds = GraphSearch
         .searchFrom(q, layer.graph, layer.nodes, seeds,
           k = math.min(perLayerK, beam), beam = beam, rounds = rounds)
         .select("query_id", "vec_id")
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
     }
     val last = layers.last
     GraphSearch.searchFrom(q, last.graph, last.nodes, seeds, k, beam, rounds)

@@ -36,15 +36,6 @@ import org.apache.spark.sql.functions._
   */
 object Merge {
 
-  /** @param snapshot   current table state
-    * @param changes    changelog with `keyCol`, `ordCol`, `opCol`
-    *                   ('I' | 'U' | 'D') and the snapshot's payload
-    *                   columns (payload of 'D' rows is ignored)
-    * @param keyCol     merge key
-    * @param ordCol     changelog ordering (e.g. a change sequence number)
-    * @param opCol      operation column
-    * @return the merged snapshot, same schema as `snapshot`
-    */
   /** The changelog's FINAL change per key — THE collapse rule every
     * changelog consumer shares ([[applyChangelog]] here, the HNSW CDC
     * path in [[graft.streaming.StreamingOps.hnswApplyChangelog]]), so
@@ -71,6 +62,15 @@ object Merge {
       .drop("_rn")
   }
 
+  /** @param snapshot   current table state
+    * @param changes    changelog with `keyCol`, `ordCol`, `opCol`
+    *                   ('I' | 'U' | 'D') and the snapshot's payload
+    *                   columns (payload of 'D' rows is ignored)
+    * @param keyCol     merge key
+    * @param ordCol     changelog ordering (e.g. a change sequence number)
+    * @param opCol      operation column
+    * @return the merged snapshot, same schema as `snapshot`
+    */
   def applyChangelog(
       snapshot: DataFrame,
       changes: DataFrame,
@@ -82,20 +82,32 @@ object Merge {
       .select(keyCol, (opCol +: payload): _*)
       .withColumnRenamed(opCol, "_op")
 
+    // explicit match marker: a changelog row may carry a NULL op (rank-0
+    // in latestChangePerKey's tie rule — it classifies with 'I'), so
+    // "_op is null" cannot double as "no change for this key"
     val latestRe = latest.select(
-      col(keyCol) +: col("_op") +: payload.map(c => col(c).as(s"_c_$c")): _*)
+      col(keyCol) +: col("_op") +: lit(true).as("_matched") +:
+        payload.map(c => col(c).as(s"_c_$c")): _*)
 
-    // leg 1: snapshot keys — passthrough / replace / drop
+    // leg 1: snapshot keys — passthrough / replace / drop. Null-safe op
+    // comparison: a matched row whose op is anything but 'D' — null and
+    // unknown codes included — REPLACES the payload, the same upsert the
+    // rank-0 bucket implies.
     val existing = snapshot
       .join(latestRe, Seq(keyCol), "left")
-      .filter(col("_op").isNull || col("_op") =!= "D")
+      .filter(!coalesce(col("_matched"), lit(false)) || !(col("_op") <=> "D"))
       .select(
         col(keyCol) +: payload.map(c =>
-          when(col("_op").isNotNull, col(s"_c_$c")).otherwise(col(c)).as(c)): _*)
+          when(coalesce(col("_matched"), lit(false)), col(s"_c_$c")).otherwise(col(c)).as(c)): _*)
 
-    // leg 2: changelog keys the snapshot has never seen, surviving as I/U
+    // leg 2: changelog keys the snapshot has never seen, surviving as I/U.
+    // Null-safe not-equal: any op outside {U, D, I} — null included —
+    // ranks with 'I' in latestChangePerKey's tie rule, so it must UPSERT
+    // here too (a bare =!= would null-filter the row and silently drop a
+    // malformed-op new key, diverging from leg 1, which upserts a
+    // malformed op on an existing key).
     val fresh = latest
-      .filter(col("_op") =!= "D")
+      .filter(!(col("_op") <=> "D"))
       .join(snapshot.select(keyCol), Seq(keyCol), "left_anti")
       .select(col(keyCol) +: payload.map(col): _*)
 

@@ -386,7 +386,13 @@ object StreamingOps {
           val present = latest.select("vec_id")
             .join(cur.last.nodes.select("vec_id"), Seq("vec_id"), "left_semi")
             .localCheckpoint()
-          val upserts = latest.filter(col("_op") =!= "D").select("vec_id", "embedding")
+          // null-safe not-equal: a malformed row with a NULL op on a
+          // present key would otherwise be deleted by the presence screen
+          // but null-filtered out of the upserts — silently ERASING the
+          // key, where the relational path (Merge.latestChangePerKey's
+          // rank-0 bucket) treats any non-D op, null included, as an
+          // upsert. Unknown ops upsert here too, matching that rule.
+          val upserts = latest.filter(!(col("_op") <=> "D")).select("vec_id", "embedding")
           val doDelete = !present.isEmpty
           val doInsert = !upserts.isEmpty
           if (doDelete || doInsert) {

@@ -372,8 +372,14 @@ class HnswSpec extends SparkSpec {
       val (afterDel, dDel) = Hnsw.deleteWithDelta(afterIns, delIds, k = 6)
       Hnsw.saveDelta(dDel, 1L, tmp)
       assertStackEq(Hnsw.loadLog(spark, tmp).layers, afterDel, "base+log vs live")
-      // a foreachBatch epoch RETRY re-publishes the same epoch id — idempotent
-      Hnsw.saveDelta(dDel, 1L, tmp)
+      // a foreachBatch epoch RETRY re-publishes the same epoch id — a
+      // NO-OP: the original epoch wins. The retry here carries DIFFERENT
+      // content (the insert delta under the delete epoch's id — the
+      // recomputed-against-applied-state shape of a real retry); if the
+      // publish replaced the dir, the fold below would apply dIns twice
+      // and dDel never. Skipping also closes the delete-then-rename
+      // window a reader could race.
+      Hnsw.saveDelta(dIns, 1L, tmp)
       assertStackEq(Hnsw.loadLog(spark, tmp).layers, afterDel, "after epoch retry")
       // compaction folds the log into the base, keeps the build params,
       // and leaves no pending epoch dirs
@@ -454,15 +460,33 @@ class HnswSpec extends SparkSpec {
       val snapshot = compacted.layers.map(l =>
         Hnsw.Layer(l.nodes.localCheckpoint(), l.graph.localCheckpoint()))
       Hnsw.saveDelta(d, 1L, tmp, compacted.writerToken) // a pending epoch to sweep
+      // debris ABOVE the version the rebase will publish: save's sweep,
+      // like compact's, must never clobber an above-live dir (it could
+      // be a concurrent compactor's in-flight output)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$tmp/v99"))
       Hnsw.save(snapshot, 6, tmp)
       val rebased = Hnsw.loadStack(spark, tmp)
       assert(rebased.writerToken == compacted.writerToken + 1, s"re-save must bump the fence: $rebased")
-      assert(rebased.compactedThrough == -1L, "re-save must restart the log watermark")
+      // the rebase stamps the watermark AT the highest epoch it swept
+      // (epoch 1 here), compact's pattern: a crash between the meta
+      // publish and the sweep then leaves only stale-and-skipped epochs,
+      // never a double-apply onto a base that already contains them
+      assert(rebased.compactedThrough == 1L,
+        s"re-save must stamp the watermark at the swept epochs: $rebased")
       val names = new java.io.File(tmp).listFiles().map(_.getName).toSet
       assert(!names.exists(_.startsWith("epoch_")), s"re-save left pending epochs: $names")
-      assert(names.count(n => n.startsWith("v") && n.drop(1).forall(_.isDigit)) == 1,
+      assert(names.contains("v99"),
+        s"re-save clobbered an above-live version dir (possible in-flight compactor): $names")
+      java.nio.file.Files.delete(java.nio.file.Paths.get(s"$tmp/v99"))
+      assert(names.count(n => n.startsWith("v") && n.drop(1).forall(_.isDigit) && n != "v99") == 1,
         s"re-save left superseded version dirs: $names")
       assertStackEq(Hnsw.loadLog(spark, tmp).layers, snapshot, "rebased log replays the rebased base")
+      // the crash window the watermark exists for: an epoch dir left
+      // at/below it (the sweep died after the meta publish) must be
+      // SKIPPED by the next loadLog, not folded onto the fresh base
+      Hnsw.saveDelta(d, 1L, tmp, rebased.writerToken)
+      assertStackEq(Hnsw.loadLog(spark, tmp).layers, snapshot,
+        "rebase watermark skips a leftover at-watermark epoch")
       // the compact-era incarnation is in turn fenced off the rebased log
       intercept[IllegalArgumentException](
         Hnsw.saveDelta(d, 2L, tmp, compacted.writerToken))

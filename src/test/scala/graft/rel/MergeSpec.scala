@@ -56,6 +56,23 @@ class MergeSpec extends SparkSpec {
       (1L, "a2", 11.0), (3L, "c", 30.0), (4L, "d", 40.0)))
   }
 
+  test("malformed ops — null or unknown — upsert on BOTH legs, matching the rank-0 tie bucket") {
+    // key 1 (existing): null op replaces the payload (leg 1);
+    // key 9 (fresh): null op INSERTS (leg 2 — a bare =!= 'D' would
+    //   null-filter it into a silent drop, diverging from leg 1);
+    // key 10 (fresh): unknown op 'X' inserts the same way
+    val malformed = Seq(
+      (1L, 1L, null.asInstanceOf[String], "a9", 19.0),
+      (9L, 1L, null.asInstanceOf[String], "i", 90.0),
+      (10L, 1L, "X", "j", 100.0)
+    ).toDF("k", "ord", "op", "name", "v")
+    val out = Merge.applyChangelog(snapshot, malformed, "k", "ord", "op")
+      .orderBy("k").as[(Long, String, Double)].collect()
+    assert(out.toSeq == Seq(
+      (1L, "a9", 19.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0),
+      (9L, "i", 90.0), (10L, "j", 100.0)))
+  }
+
   test("randomized differential: applyChangelog equals an in-memory reference on seeded scenarios") {
     val rnd = new scala.util.Random(20260813L)
     (1 to 10).foreach { scenario =>
