@@ -6994,32 +6994,30 @@ object PipelineQueries {
     // SAME stream as the upserts that may re-use their keys). One
     // changelog stream (s08's upsert+delete contract, Merge
     // .applyChangelog's exact last-change-per-key rule) drives the
-    // graph family end-to-end on the shared small deep stack: trigger A
-    // streams 6 upserts of NEW keys with the delta log on (one fenced
-    // epoch, batch-sized); the stream is KILLED (s19/s21's technique)
-    // and a new incarnation resumes from the checkpoint with
-    // Hnsw.loadLog's fold as `initial` — recovery THROUGH the log, not
-    // a full save; trigger B then exercises every changelog verb at
-    // once: replacement upserts of two live corpus keys, erasure of two
-    // keys inserted by the PREVIOUS incarnation (the cross-restart
-    // erasure a TTL pipeline runs), a delete of an unknown key (O9's
-    // no-op, dropped at the screen for zero cost), and an equal-key
-    // U-then-D pair whose higher ord must win. Flags: epochs_ok (the
-    // log holds exactly one composed epoch per trigger — Hnsw
-    // .composeDeltas folded trigger B's delete+insert into ONE epoch
-    // keyed by the stable batchId); stream_batch_equiv_ok (the final
-    // stack LAYER-EQUALS the batch composition insert∘delete∘insert on
-    // the same collapsed changes — one code path, one semantics, both
-    // exceptAll directions over nodes AND edges); replay_ok (loadLog
-    // after everything layer-equals the live final stack — the delete
-    // epoch is durable: a THIRD incarnation would recover this exact
-    // state); erased_ok / replaced_ok (direct membership facts on
-    // layer 0, independent of the control: erased keys gone, replaced
-    // keys present exactly once with the NEW vector). Cost discipline:
-    // the v44 rules — 3-layer shared stack (no rebuild), beam 32 /
-    // 2 rounds (set facts, not walk quality), every equality evaluated
-    // once where strongest, flags localCheckpoint'd before the temp
-    // dirs die.
+    // shared small deep stack with the delta log on: ONE trigger
+    // exercises every changelog verb at once — replacement upserts of
+    // two live corpus keys, upserts of two NEW keys, erasure of two
+    // live corpus keys, a delete of an unknown key (O9's no-op,
+    // dropped at the screen for zero cost), and an equal-key U-then-D
+    // pair whose higher ord must win (the insert never lands). Flags:
+    // epochs_ok (exactly ONE composed epoch — Hnsw.composeDeltas
+    // folded the trigger's delete+insert into one fenced epoch keyed
+    // by the stable batchId); replay_nodes_ok (loadLog reproduces the
+    // live stack's per-layer MEMBERSHIP — the composed epoch is
+    // durable: a fresh consumer would recover this state); erased_ok /
+    // replaced_ok / inserted_ok (membership facts on layer 0: erased
+    // keys gone, replaced keys present exactly once with the NEW
+    // vector, new keys landed). Round-19 cost cut (the s20 fold,
+    // VERDICT r18 task 3): the two-trigger kill/restart recovery, the
+    // batch-composition control, and the edge-level layer equalities
+    // moved to StreamingSpec ("changelog stream equals the batch
+    // composition…" and the replay-guard test) — the registered row
+    // re-certified that integration machinery on every bench pass for
+    // ~55 s of suite cost; it keeps the cheap membership/epoch/
+    // durability flags of the OPERATOR itself. Cost discipline
+    // otherwise unchanged: v44 rules — 3-layer shared stack (no
+    // rebuild), beam 32 / 2 rounds (set facts, not walk quality),
+    // flags localCheckpoint'd before the temp dirs die.
     NamedQuery(
       "s22_hnsw_changelog_stream",
       (s, dir) => {
@@ -7031,32 +7029,16 @@ object PipelineQueries {
           .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
           .collect().toMap
         def bump(e: Seq[Float], d: Float): Seq[Float] = e.map(_ + d)
-        val batchA: Seq[(Long, Seq[Float], String, Long)] =
-          (0 until 6).map(i => (770000L + i, bump(byId(i.toLong), 0.001f), "U", i.toLong))
-        val batchB: Seq[(Long, Seq[Float], String, Long)] = Seq(
-          (30L, bump(byId(30L), 0.002f), "U", 10L),
-          (31L, bump(byId(31L), 0.002f), "U", 11L),
-          (770000L, byId(0L), "D", 12L),
-          (770001L, byId(1L), "D", 13L),
-          (9999999L, byId(2L), "D", 14L),
-          (770002L, bump(byId(2L), 0.003f), "U", 15L),
-          (770002L, bump(byId(2L), 0.003f), "D", 16L))
-        def eqFlag(
-            a: Seq[graft.index.Hnsw.Layer],
-            b: Seq[graft.index.Hnsw.Layer],
-            name: String): org.apache.spark.sql.DataFrame =
-          if (a.length != b.length) s.range(1).select(lit(0L).as(name))
-          else a.zip(b).map { case (x, y) =>
-            val nx = x.nodes.select("vec_id")
-            val ny = y.nodes.select("vec_id")
-            val gx = x.graph.select("src", "dst", "rnk")
-            val gy = y.graph.select("src", "dst", "rnk")
-            nx.exceptAll(ny).unionAll(ny.exceptAll(nx))
-              .select(col("vec_id").as("src"), col("vec_id").as("dst"), lit(0).as("rnk"))
-              .unionAll(gx.exceptAll(gy)).unionAll(gy.exceptAll(gx))
-          }.reduce(_.unionAll(_))
-            .agg(count(lit(1)).as("bad"))
-            .select(when(col("bad") === 0, 1L).otherwise(0L).as(name))
+        val batch: Seq[(Long, Seq[Float], String, Long)] = Seq(
+          (30L, bump(byId(30L), 0.002f), "U", 1L),
+          (31L, bump(byId(31L), 0.002f), "U", 2L),
+          (770000L, bump(byId(0L), 0.001f), "U", 3L),
+          (770001L, bump(byId(1L), 0.001f), "U", 4L),
+          (5L, byId(5L), "D", 5L),
+          (6L, byId(6L), "D", 6L),
+          (9999999L, byId(2L), "D", 7L),
+          (770002L, bump(byId(2L), 0.003f), "U", 8L),
+          (770002L, bump(byId(2L), 0.003f), "D", 9L))
         val tmp = java.nio.file.Files.createTempDirectory("s22_hnsw_cdc")
         try {
           val inDir = s"$tmp/in"
@@ -7066,63 +7048,43 @@ object PipelineQueries {
             built, HnswDegree, logPath, shrink = SmallShrink, topCap = SmallTopCap)
           def toDf(rows: Seq[(Long, Seq[Float], String, Long)]) =
             rows.toDF("vec_id", "embedding", "op", "ord")
-          val changeSchema = toDf(batchA).schema
-          def incarnation(
-              initial: Seq[graft.index.Hnsw.Layer],
-              token: Long,
-              sink: java.util.concurrent.atomic.AtomicReference[Seq[graft.index.Hnsw.Layer]])
-              : Unit = {
-            val q = graft.streaming.StreamingOps.hnswApplyChangelog(
-              s.readStream.schema(changeSchema).parquet(inDir),
-              initial, ckpt, k = HnswDegree, beam = 32, rounds = 2,
-              onUpdate = sink.set,
-              shrink = SmallShrink, topCap = SmallTopCap,
-              onDelta = Some((id, d) => graft.index.Hnsw.saveDelta(d, id, logPath, token)),
-              // the replay guard every durable changelog writer passes:
-              // a re-delivered batch whose epoch already published is
-              // skipped, never re-applied (the erasure-resurrection
-              // story in hnswApplyChangelog's doc; spec-pinned)
-              isEpochApplied = Some(id => graft.index.Hnsw.epochExists(s, logPath, id)))
-            try q.processAllAvailable()
-            finally q.stop()
-          }
-          // incarnation 1: trigger A (6 new-key upserts), then "kill"
           val tok0 = graft.index.Hnsw.loadStack(s, logPath).writerToken
-          val live1 = new java.util.concurrent.atomic
+          val live = new java.util.concurrent.atomic
             .AtomicReference[Seq[graft.index.Hnsw.Layer]](built)
-          toDf(batchA).write.mode("append").parquet(inDir)
-          incarnation(built, tok0, live1)
-          // recovery THROUGH the delta log (a fresh consumer has only
-          // the base + epoch 0), then trigger B in the new incarnation
-          val recovered = graft.index.Hnsw.loadLog(s, logPath)
-          val live2 = new java.util.concurrent.atomic
-            .AtomicReference[Seq[graft.index.Hnsw.Layer]](recovered.layers)
-          toDf(batchB).write.mode("append").parquet(inDir)
-          incarnation(recovered.layers, recovered.writerToken, live2)
-          val fin = live2.get()
-          // control: the batch composition of the SAME collapsed changes
-          val ctlA = graft.index.Hnsw.insert(
-            built, toDf(batchA).select("vec_id", "embedding"),
-            k = HnswDegree, beam = 32, rounds = 2,
-            shrink = SmallShrink, topCap = SmallTopCap, validate = false)
-          val delIds = Seq(30L, 31L, 770000L, 770001L, 770002L).toDF("vec_id")
-          val ctlDel = graft.index.Hnsw.delete(ctlA, delIds, HnswDegree)
-          val ctl = graft.index.Hnsw.insert(
-            ctlDel,
-            Seq((30L, bump(byId(30L), 0.002f)), (31L, bump(byId(31L), 0.002f)))
-              .toDF("vec_id", "embedding"),
-            k = HnswDegree, beam = 32, rounds = 2,
-            shrink = SmallShrink, topCap = SmallTopCap, validate = false)
+          // the source dir must exist before the stream starts
+          toDf(batch).write.mode("append").parquet(inDir)
+          val q = graft.streaming.StreamingOps.hnswApplyChangelog(
+            s.readStream.schema(toDf(batch).schema).parquet(inDir),
+            built, ckpt, k = HnswDegree, beam = 32, rounds = 2,
+            onUpdate = live.set,
+            shrink = SmallShrink, topCap = SmallTopCap,
+            onDelta = Some((id, d) => graft.index.Hnsw.saveDelta(d, id, logPath, tok0)),
+            // the replay guard every durable changelog writer passes:
+            // a re-delivered batch whose epoch already published is
+            // skipped, never re-applied (the erasure-resurrection
+            // story in hnswApplyChangelog's doc; spec-pinned)
+            isEpochApplied = Some(id => graft.index.Hnsw.epochExists(s, logPath, id)))
+          val fin =
+            try { q.processAllAvailable(); live.get() } finally q.stop()
           val epochNames = new java.io.File(logPath)
             .listFiles().map(_.getName).filter(_.startsWith("epoch_")).sorted
-          val epochsOk =
-            epochNames.sameElements(Array("epoch_000000000000", "epoch_000000000001"))
-          val equiv = eqFlag(fin, ctl, "stream_batch_equiv_ok")
-          val replay = eqFlag(
-            graft.index.Hnsw.loadLog(s, logPath).layers, fin, "replay_ok")
+          val epochsOk = epochNames.sameElements(Array("epoch_000000000000"))
+          // per-layer MEMBERSHIP equality of the log's fold vs the live
+          // stack (node sets are ≤ ~410 rows/layer — one cheap action;
+          // the edge-level equality is spec-pinned)
+          val replayed = graft.index.Hnsw.loadLog(s, logPath).layers
+          val replay =
+            if (replayed.length != fin.length) s.range(1).select(lit(0L).as("replay_nodes_ok"))
+            else replayed.zip(fin).map { case (a, b) =>
+              val na = a.nodes.select("vec_id")
+              val nb = b.nodes.select("vec_id")
+              na.exceptAll(nb).unionAll(nb.exceptAll(na))
+            }.reduce(_.unionAll(_))
+              .agg(count(lit(1)).as("bad"))
+              .select(when(col("bad") === 0, 1L).otherwise(0L).as("replay_nodes_ok"))
           val l0 = fin.last.nodes
           val erased = l0
-            .filter(col("vec_id").isin(770000L, 770001L, 770002L))
+            .filter(col("vec_id").isin(5L, 6L, 770002L))
             .agg(count(lit(1)).as("n"))
             .select(when(col("n") === 0, 1L).otherwise(0L).as("erased_ok"))
           val expected = Seq(
@@ -7134,21 +7096,26 @@ object PipelineQueries {
               sum(when(col("embedding") === col("exp_emb"), 1L).otherwise(0L)).as("m"))
             .select(
               when(col("n") === 2 && col("m") === 2, 1L).otherwise(0L).as("replaced_ok"))
+          val inserted = l0
+            .filter(col("vec_id").isin(770000L, 770001L))
+            .agg(count(lit(1)).as("n"))
+            .select(when(col("n") === 2, 1L).otherwise(0L).as("inserted_ok"))
           // materialize BEFORE the temp dirs die (the flag plans read
           // the log's parquet); the driver acts on the result later
-          toDf(batchA).unionByName(toDf(batchB)).agg(count(lit(1)).as("n_changes"))
+          toDf(batch).agg(count(lit(1)).as("n_changes"))
             .select(col("n_changes"), lit(if (epochsOk) 1L else 0L).as("epochs_ok"))
-            .crossJoin(equiv)
             .crossJoin(replay)
             .crossJoin(erased)
             .crossJoin(replaced)
+            .crossJoin(inserted)
             .localCheckpoint()
         } finally deleteRecursively(tmp)
       },
       Some(
-        "SELECT CAST(13 AS BIGINT) AS n_changes, CAST(1 AS BIGINT) AS epochs_ok, " +
-          "CAST(1 AS BIGINT) AS stream_batch_equiv_ok, CAST(1 AS BIGINT) AS replay_ok, " +
-          "CAST(1 AS BIGINT) AS erased_ok, CAST(1 AS BIGINT) AS replaced_ok")),
+        "SELECT CAST(9 AS BIGINT) AS n_changes, CAST(1 AS BIGINT) AS epochs_ok, " +
+          "CAST(1 AS BIGINT) AS replay_nodes_ok, " +
+          "CAST(1 AS BIGINT) AS erased_ok, CAST(1 AS BIGINT) AS replaced_ok, " +
+          "CAST(1 AS BIGINT) AS inserted_ok")),
 
     // SELF-DRIVING HNSW maintenance (streaming/StreamingOps.hnswIngest's
     // maintainEvery/autoDeepen — s07's adaptive-maintain shape for the
@@ -7158,29 +7125,36 @@ object PipelineQueries {
     // warning's own condition (Hnsw.warnIfTopOversized's bound) becomes
     // the deepen TRIGGER, and every `maintainEvery` applied batches one
     // NN-descent round recovers the intra-batch edges insert defers.
-    // Two micro-batches over the shared small stack, topCap pinned to
-    // the stack's own top size (94) so growth trips the bound
-    // deterministically: batch 1 inserts 12 planted rows of which
-    // exactly 3 hash into the mod-4 top (measured, hash-deterministic)
-    // -> 97 > 94 -> deepen fires IN-STREAM at batch 0; batch 2 trips
-    // the every-2-batches descent at batch 1 and must NOT re-deepen
-    // (the rebuilt mod-8 top of ~51 is back inside the bound). Flags:
-    // exactly one deepen tick at batch 0 and one descent tick at batch
-    // 1 (fired_ok), final depth = base + 1 (depth_ok), final top back
-    // inside the bound (top_bounded_ok), the new top's member set
-    // EQUALS the hash level rule at mod shrink^3 over the FINAL corpus
-    // (rule_ok — in-stream deepen + post-deepen level routing compose
-    // to exactly what a from-scratch build one level deeper would
-    // place), and all 24 planted rows are their own rank-1 hits through
-    // the maintained 4-layer stack (found_self_ok — maintenance cost
-    // the search nothing).
+    // Two micro-batches over a TWO-LAYER SLICE of the shared small
+    // stack (built.tail — top = the corpus's mod-2 level set, a valid
+    // stack under the same hash level rule; round-19 cost cut: every
+    // per-layer job in insert/descent/deepen scales with depth, and
+    // the 3-layer original priced the row at 26.7 s), topCap pinned to
+    // the slice's own top size so growth trips the bound
+    // deterministically: batch 1 inserts 12 planted rows of which a
+    // fixed hash-deterministic subset lands in the mod-2 top -> top >
+    // topCap -> deepen fires IN-STREAM at batch 0; batch 2 trips the
+    // every-2-batches descent at batch 1 and must NOT re-deepen (the
+    // rebuilt mod-4 top is ~half the bound). Flags: exactly one deepen
+    // tick at batch 0 and one descent tick at batch 1 (fired_ok),
+    // final depth = base + 1 (depth_ok), final top back inside the
+    // bound (top_bounded_ok), and the new top's member set EQUALS the
+    // hash level rule at mod shrink^2 over the FINAL corpus (rule_ok —
+    // in-stream deepen + post-deepen level routing compose to exactly
+    // what a from-scratch build one level deeper would place).
+    // Round-19 cost cut (VERDICT r18 task 3): the found-self search
+    // through the maintained stack moved to StreamingSpec's
+    // maintained-ingest test — a multi-layer descend-and-walk re-run on
+    // every bench pass priced the row at 26.7 s for a spec-shaped
+    // quality fact; the row keeps the cadence/depth/bound/rule flags
+    // that certify the OPERATOR's behavior.
     NamedQuery(
       "s23_hnsw_auto_maintain",
       (s, dir) => {
         import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
         implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
         import s.implicits._
-        val built = smallStackFor(s, dir)
+        val built = smallStackFor(s, dir).tail
         val topN0 = built.head.nodes.count()
         val planted: Array[(Long, Seq[Float])] = built.last.nodes
           .filter(col("vec_id") < 24)
@@ -7223,15 +7197,6 @@ object PipelineQueries {
         val rule = have.exceptAll(want).unionAll(want.exceptAll(have))
           .agg(count(lit(1)).as("bad"))
           .select(when(col("bad") === 0, 1L).otherwise(0L).as("rule_ok"))
-        val probes = planted.toSeq.toDF("query_id", "qvec")
-        val foundSelf = graft.index.Hnsw
-          .search(probes, fin, k = 3, beam = 64, rounds = 6)
-          .filter(col("rnk") === 1)
-          .agg(
-            count(lit(1)).as("n1"),
-            sum(when(col("query_id") === col("vec_id"), 1L).otherwise(0L)).as("hits"))
-          .select(
-            when(col("n1") === 24 && col("hits") === 24, 1L).otherwise(0L).as("found_self_ok"))
         planted.toSeq.toDF("vec_id", "embedding").agg(count(lit(1)).as("n_streamed"))
           .select(
             col("n_streamed"),
@@ -7239,12 +7204,11 @@ object PipelineQueries {
             lit(if (depthOk) 1L else 0L).as("depth_ok"),
             lit(if (topBoundedOk) 1L else 0L).as("top_bounded_ok"))
           .crossJoin(rule)
-          .crossJoin(foundSelf)
       },
       Some(
         "SELECT CAST(24 AS BIGINT) AS n_streamed, CAST(1 AS BIGINT) AS fired_ok, " +
           "CAST(1 AS BIGINT) AS depth_ok, CAST(1 AS BIGINT) AS top_bounded_ok, " +
-          "CAST(1 AS BIGINT) AS rule_ok, CAST(1 AS BIGINT) AS found_self_ok")),
+          "CAST(1 AS BIGINT) AS rule_ok")),
 
     // HNSW DEEPEN (index/Hnsw.deepen — the maintenance move the new
     // topCap warnings point at: when insert batches have grown the top
