@@ -7,6 +7,19 @@ import org.apache.spark.sql.SparkSession
   * the numbers BASELINE.md's reference figures compare against. */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // Wall-clock budget for the WHOLE run (round-18 fix: the official
+    // record shipped rc:124/parsed:null because the post-suite probes
+    // outlived the driver's kill window — measured at 60 minutes from
+    // the correctness gate to the kill). The suite passes are mandatory;
+    // every post-suite probe block declares an estimated cost and is
+    // SKIPPED (stamped in the record) when the remaining budget can't
+    // cover it — a complete record with a skipped probe beats a dead
+    // process with no record.
+    val benchStartNs = System.nanoTime()
+    val deadlineSec =
+      try sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE_SEC", "3300").toDouble
+      catch { case _: NumberFormatException => 3300.0 }
+    def remainingSec: Double = deadlineSec - (System.nanoTime() - benchStartNs) / 1e9
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -123,12 +136,15 @@ object Bench {
     // a quiet window instead of spending the suite on a contended hour.
     // Bounded tries — if the box never quiets down, the run proceeds and
     // the existing degraded/contended stamps still tell the reader.
+    // Gate waits spend the same budget the suite needs: stop waiting
+    // once the remaining deadline approaches two suite passes (~1200 s)
+    // — a contended-but-complete record beats a quiet-but-killed one.
     def preGate(): Unit =
       if (kind == "official" && histSent.nonEmpty) {
         val tries = sys.env.getOrElse("SPARK_GRAFT_SENTINEL_GATE_TRIES", "10").toInt
         var i = 0
         var s = sentinel()
-        while (i < tries && s > 1.2 * median(histSent)) {
+        while (i < tries && s > 1.2 * median(histSent) && remainingSec > 1500) {
           System.err.println(
             f"[bench] PRE-GATE: sentinel $s%.3f s > 1.2x history median " +
               f"${median(histSent)}%.3f s — waiting 60 s for a quiet window (${i + 1}/$tries)")
@@ -167,7 +183,14 @@ object Bench {
       try sys.env.getOrElse("SPARK_GRAFT_SUITE_RETRIES", "2").toInt
       catch { case _: NumberFormatException => 2 }
     val attempts = scala.collection.mutable.ArrayBuffer(runAttempt())
-    while (kind == "official" && attemptDegraded(attempts.last) && attempts.size <= maxRetries) {
+    // a retry re-spends one attempt's wall-clock — only affordable while
+    // the deadline still covers it (plus margin for the record writes)
+    def retryAffordable: Boolean = {
+      val attemptCost = attempts.last._1.map(_.map(_._2).sum).sum
+      remainingSec > attemptCost + 300
+    }
+    while (kind == "official" && attemptDegraded(attempts.last) &&
+        attempts.size <= maxRetries && retryAffordable) {
       System.err.println(
         f"[bench] attempt ${attempts.size} degraded (sentinel ${median(attempts.last._2)}%.3f s " +
           f"vs history median ${median(histSent)}%.3f s) — waiting for quiet and retrying " +
@@ -341,105 +364,50 @@ object Bench {
           java.nio.file.Paths.get("bench_history.json"), (lines :+ entry).mkString("", "\n", "\n"))
       } catch { case e: Throwable => System.err.println(s"[bench] history update failed: ${e.getMessage}") }
     }
-    // Replay rows get the same noise discipline as the suite: each block
-    // runs SPARK_GRAFT_REPLAY_PASSES times (default 2) and reports the
-    // per-metric min (Replay.minOver) — round 4's single-run replay_40k_b1
-    // over-stated p95 ~2× purely from co-tenant noise.
-    def replayBlock(flag: String)(run: () => bench.Replay.Summary): String =
-      if (sys.env.getOrElse(flag, "1") == "0") "null"
-      else
-        try {
-          val n = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPLAY_PASSES", "2").toInt)
-          bench.Replay.minOver((1 to n).map(_ => run())).toJson
-        } catch {
-          case e: Throwable => System.err.println(s"[bench] $flag failed: ${e.getMessage}"); "null"
-        }
-    val replayJson = replayBlock("SPARK_GRAFT_REPLAY") { () =>
-      val n = sys.env.getOrElse("SPARK_GRAFT_REPLAY_QUERIES", "500").toInt
-      bench.Replay.run(spark, sfDir, nQueries = n)
+    // ---- post-suite probe blocks: deadline-budgeted, persisted as they
+    // land (round-18 fix). Two r18 failures, one mechanism each:
+    //  (a) the probes outlived the driver's 60-minute kill window →
+    //      every block now declares an estimated cost and is skipped
+    //      (stamped in `deadline_skipped`) when the remaining budget
+    //      can't cover it;
+    //  (b) the baseline-comparison blocks (b1/replay/40k/husks) rode
+    //      ONLY the final stdout line and died with the kill → each
+    //      block is re-persisted into the durable record the moment it
+    //      completes, so a later kill can't erase an earlier block.
+    val deadlineSkipped = scala.collection.mutable.ArrayBuffer.empty[String]
+    val extras = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def persistExtras(): Unit = {
+      val skipped = deadlineSkipped.map(n => s""""$n"""").mkString("[", ",", "]")
+      val blocks = extras.map { case (k, v) => s""","$k":$v""" }.mkString
+      writeBenchQueries(
+        s""","deadline_sec":$deadlineSec,"deadline_skipped":$skipped$blocks""")
     }
-    // apples-to-apples row vs BASELINE.md: the reference's own published
-    // config (n=40000, d=64, 500 queries — run_demo.py:32-39)
-    val replay40kJson = replayBlock("SPARK_GRAFT_REPLAY40K")(() => bench.Replay.runSynthetic(spark))
-    // batchSize=1 pass at the same config: TRUE per-query p50/p95 latencies,
-    // key-for-key comparable with BASELINE.md's 12.11/24.43 ms (the batched
-    // rows only have per-batch means). Checkpoint cadence rescaled so
-    // lineage truncation stays once per 20 queries.
-    val replay40kB1Json = replayBlock("SPARK_GRAFT_REPLAY40K_B1")(
-      () => bench.Replay.runSynthetic(spark, batchSize = 1, checkpointEvery = 20))
-    // Husk-accumulation long-horizon row: the one reference quirk with
-    // unbounded growth (merged-away partitions linger as zero-row husks and
-    // get scored on every query forever, quake_min.py:209-210). A long
-    // replay with the engine-added compactHusks flag OFF (reference-faithful)
-    // vs ON quantifies the dead-metadata cost: husk count, extra nprobe,
-    // latency. Runs on the FIXTURE corpus at a 1000-query horizon (20
-    // maintain events): the 40k config's 40 maintains cost ~half an hour of
-    // grouped k-means for the same A/B signal — measured there once: 19 vs
-    // 0 husks, nprobe 41.1 vs 38.7, mean 0.857 vs 0.789 ms — and the
-    // fixture accumulates ~12 husks over 32 partitions (~40% dead
-    // metadata) by 2000 queries. Each arm gets the same min-of-N
-    // discipline as every other replay row, AND the row reports only
-    // structural fields (husk count, nprobe, scanned, total wall):
-    // round 5's single-pass arms produced a latency column that
-    // CONTRADICTED the row's own structural metrics, and at ~0.2 ms/query
-    // even min-of-2 leaves scheduler noise bigger than the real
-    // between-arm latency delta — a noise-sign flip in a published A/B
-    // reads as a contradiction, so the row doesn't publish that axis.
-    val huskJson =
-      if (sys.env.getOrElse("SPARK_GRAFT_REPLAY_HUSKS", "1") == "0") "null"
-      else
-        try {
-          val nq = sys.env.getOrElse("SPARK_GRAFT_HUSK_QUERIES", "1000").toInt
-          val n = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPLAY_PASSES", "2").toInt)
-          val off = bench.Replay.minOver(
-            (1 to n).map(_ => bench.Replay.run(spark, sfDir, nQueries = nq)))
-          val on = bench.Replay.minOver(
-            (1 to n).map(_ => bench.Replay.run(spark, sfDir, nQueries = nq, compactHusks = true)))
-          s"""{"compact_off":${off.toStructuralJson},"compact_on":${on.toStructuralJson}}"""
-        } catch {
-          case e: Throwable => System.err.println(s"[bench] husk replay failed: ${e.getMessage}"); "null"
-        }
-    // Row-level online-mutation latency (SURVEY §7.4 closure) and the
-    // 1×-vs-10× scale rehearsal — both on by default for official runs,
-    // env-gated off for fast builder iteration.
-    val rowLevelJson =
-      if (sys.env.getOrElse("SPARK_GRAFT_ROW_LEVEL", "1") == "0") "null"
-      else
-        try {
-          val ev = sys.env.getOrElse("SPARK_GRAFT_ROW_LEVEL_EVENTS", "50").toInt
-          bench.Replay.rowLevelProbe(spark, events = ev).toJson
-        } catch { case e: Throwable => System.err.println(s"[bench] row-level probe failed: ${e.getMessage}"); "null" }
-    // env parse INSIDE the try: a malformed K after the whole suite ran
-    // must not skip the record writes (the row-level events gate above
-    // has the same discipline)
-    val scaleK = try sys.env.getOrElse("SPARK_GRAFT_SCALE_PROBE_K", "10").toInt
-    catch { case _: NumberFormatException => 10 }
-    val scaleRes: Option[bench.ScaleProbe.Result] =
-      if (sys.env.getOrElse("SPARK_GRAFT_SCALE_PROBE", "1") == "0") None
-      else
-        try Some(bench.ScaleProbe.run(spark, sfDir, scaleK))
-        catch { case e: Throwable => System.err.println(s"[bench] scale probe failed: ${e.getMessage}"); None }
-    val scalePoints: Seq[bench.ScaleProbe.Point] = scaleRes.map(_.points).getOrElse(Nil)
-    val scaleJson = scaleRes.map(r => bench.ScaleProbe.toJson(scaleK, r)).getOrElse("null")
-    // re-write the durable record with the probe sections included
-    writeBenchQueries(s""","replay_row_level":$rowLevelJson,"scale_probe":$scaleJson""")
-
-    val qs = qjson(okResults)
-    val total = r3(okResults.map(_._2).sum)
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""contended":$contended,"degraded":$degraded,"sentinel_sec":$sentinelSec,"rerun":$rerunJson,""" +
-        s""""replay":$replayJson,"replay_40k_baseline_config":$replay40kJson,""" +
-        s""""replay_40k_b1":$replay40kB1Json,"replay_husks":$huskJson,""" +
-        s""""replay_row_level":$rowLevelJson,"scale_probe":$scaleJson,"sf":"$sfDir"}""")
+    persistExtras()
+    def budgeted(key: String, estSec: Double)(body: => String): String =
+      if (remainingSec < estSec) {
+        deadlineSkipped += key
+        System.err.println(
+          f"[bench] DEADLINE: skipping $key (~$estSec%.0f s estimated, " +
+            f"$remainingSec%.0f s of $deadlineSec%.0f s left)")
+        "null"
+      } else body
+    def landed(key: String, json: String): String = {
+      extras(key) = json
+      persistExtras()
+      json
+    }
     // The round driver keeps only the LAST ~2000 characters of stdout and
-    // json-parses what it finds there — the full record above has never
-    // fit (every BENCH_r*.json shipped `parsed: null` with a mid-line
-    // tail). So the final line is a compact digest guaranteed to fit the
-    // capture window: headline totals, per-family times, the slowest
-    // queries, replay/row-level/scale-probe headlines, and a pointer to
-    // the durable full record (bench_queries.json).
-    locally {
+    // json-parses what it finds there — the full per-query record has
+    // never fit (every BENCH_r*.json shipped `parsed: null` with a
+    // mid-line tail), so the digest is a compact line guaranteed to fit
+    // the capture window. It is printed TWICE: once right here, the
+    // moment the suite lands (a kill mid-probe then still leaves a
+    // parseable suite headline in the tail — the r18 record carried
+    // nothing at all), and once at the very end with the probe headlines
+    // filled in (the LAST line wins the driver's parse).
+    def printDigest(scaleRes: Option[bench.ScaleProbe.Result], scaleK: Int): Unit = {
+      val total = r3(okResults.map(_._2).sum)
+      val scalePoints = scaleRes.map(_.points).getOrElse(Nil)
       val fams = okResults
         .groupBy { case (name, _) => name.takeWhile(c => !c.isDigit) }
         .toSeq.sortBy(_._1)
@@ -447,7 +415,8 @@ object Bench {
         .mkString("{", ",", "}")
       val top = okResults.sortBy(-_._2).take(8)
         .map { case (n, v) => s""""$n":$v""" }.mkString("{", ",", "}")
-      val b1 = replay40kB1Json
+      val b1 = extras.getOrElse("replay_40k_b1", "null")
+      val rowLevel = extras.getOrElse("replay_row_level", "null")
       def pull(json: String, key: String): String = {
         // negative and scientific-notation numbers are legal here (an
         // exponent for a shrinking query is negative; Double.toString
@@ -466,13 +435,15 @@ object Bench {
             else p.exponent.toString
           s""""${p.name.takeWhile(_ != '_')}":$v"""
         }.mkString("{", ",", "}")
+      val skipped = deadlineSkipped.map(n => s""""$n"""").mkString("[", ",", "]")
       val compact =
         s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${okResults.size},""" +
           s""""families_sec":$fams,"slowest":$top,"sentinel_sec":$sentinelSec,""" +
           s""""contended":$contended,"degraded":$degraded,"rerun":$rerunJson,""" +
+          s""""deadline_skipped":$skipped,""" +
           s""""b1_mean_ms":${pull(b1, "mean_latency_ms")},"b1_p95_ms":${pull(b1, "p95_ms")},""" +
           s""""b1_recall":${pull(b1, "mean_recall")},"build_sec":${pull(b1, "build_sec")},""" +
-          s""""row_insert_ms":${pull(rowLevelJson, "insert_mean_ms")},"row_search_ms":${pull(rowLevelJson, "search_mean_ms")},""" +
+          s""""row_insert_ms":${pull(rowLevel, "insert_mean_ms")},"row_search_ms":${pull(rowLevel, "search_mean_ms")},""" +
           s""""scale_probe_k":${if (scalePoints.isEmpty) "null" else scaleK},"scale_exp":$scaleExp,""" +
           s""""scale_exp_caveat":${
             scaleRes.map(_.coldMode) match {
@@ -481,6 +452,8 @@ object Bench {
                 "\"v31,v33 cold in-query builds timed in a fresh child JVM (ProbeMain " +
                   "regime); v31 is bounded-work (constant node sample) so no exponent " +
                   "is fitted for it\""
+              case Some("skipped") =>
+                "\"no cold-build queries in the probe roster — no child JVM ran\""
               case Some(_) =>
                 "\"v31,v33 build in-query (cold) IN-BENCH — child JVM unavailable; " +
                   "cross-check ProbeMain; v31 is bounded-work (constant node sample) " +
@@ -490,6 +463,118 @@ object Bench {
           s""""full_record":"$benchOut"}"""
       println(compact)
     }
+    printDigest(None, 0)
+    // Replay rows get the same noise discipline as the suite: each block
+    // runs SPARK_GRAFT_REPLAY_PASSES times (default 2) and reports the
+    // per-metric min (Replay.minOver) — round 4's single-run replay_40k_b1
+    // over-stated p95 ~2× purely from co-tenant noise.
+    def replayBlock(flag: String)(run: () => bench.Replay.Summary): String =
+      if (sys.env.getOrElse(flag, "1") == "0") "null"
+      else
+        try {
+          val n = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPLAY_PASSES", "2").toInt)
+          bench.Replay.minOver((1 to n).map(_ => run())).toJson
+        } catch {
+          case e: Throwable => System.err.println(s"[bench] $flag failed: ${e.getMessage}"); "null"
+        }
+    // Blocks run in IMPORTANCE order (not dependency — they are
+    // independent): the BASELINE.md-comparable b1 row first (the number
+    // round 18 lost entirely), then the fixture replay, the batched 40k
+    // row, the row-level probe, the husk A/B, and the scale probe last —
+    // the most expensive block and the one the r18 kill landed on.
+    // batchSize=1 pass at the reference's own published config (n=40000,
+    // d=64, 500 queries — run_demo.py:32-39): TRUE per-query p50/p95
+    // latencies, key-for-key comparable with BASELINE.md's 12.11/24.43 ms
+    // (the batched rows only have per-batch means). Checkpoint cadence
+    // rescaled so lineage truncation stays once per 20 queries.
+    val replay40kB1Json = landed("replay_40k_b1", budgeted("replay_40k_b1", 300)(
+      replayBlock("SPARK_GRAFT_REPLAY40K_B1")(
+        () => bench.Replay.runSynthetic(spark, batchSize = 1, checkpointEvery = 20))))
+    val replayJson = landed("replay", budgeted("replay", 180)(
+      replayBlock("SPARK_GRAFT_REPLAY") { () =>
+        val n = sys.env.getOrElse("SPARK_GRAFT_REPLAY_QUERIES", "500").toInt
+        bench.Replay.run(spark, sfDir, nQueries = n)
+      }))
+    // apples-to-apples batched row vs BASELINE.md at the same 40k config
+    val replay40kJson = landed("replay_40k", budgeted("replay_40k", 240)(
+      replayBlock("SPARK_GRAFT_REPLAY40K")(() => bench.Replay.runSynthetic(spark))))
+    // Husk-accumulation long-horizon row: the one reference quirk with
+    // unbounded growth (merged-away partitions linger as zero-row husks and
+    // get scored on every query forever, quake_min.py:209-210). A long
+    // replay with the engine-added compactHusks flag OFF (reference-faithful)
+    // vs ON quantifies the dead-metadata cost: husk count, extra nprobe,
+    // latency. Runs on the FIXTURE corpus at a 1000-query horizon (20
+    // maintain events): the 40k config's 40 maintains cost ~half an hour of
+    // grouped k-means for the same A/B signal — measured there once: 19 vs
+    // 0 husks, nprobe 41.1 vs 38.7, mean 0.857 vs 0.789 ms — and the
+    // fixture accumulates ~12 husks over 32 partitions (~40% dead
+    // metadata) by 2000 queries. Each arm gets the same min-of-N
+    // discipline as every other replay row, AND the row reports only
+    // structural fields (husk count, nprobe, scanned, total wall):
+    // round 5's single-pass arms produced a latency column that
+    // CONTRADICTED the row's own structural metrics, and at ~0.2 ms/query
+    // even min-of-2 leaves scheduler noise bigger than the real
+    // between-arm latency delta — a noise-sign flip in a published A/B
+    // reads as a contradiction, so the row doesn't publish that axis.
+    // Row-level online-mutation latency (SURVEY §7.4 closure) — on by
+    // default for official runs, env-gated off for builder iteration.
+    val rowLevelJson = landed("replay_row_level", budgeted("replay_row_level", 150)(
+      if (sys.env.getOrElse("SPARK_GRAFT_ROW_LEVEL", "1") == "0") "null"
+      else
+        try {
+          val ev = sys.env.getOrElse("SPARK_GRAFT_ROW_LEVEL_EVENTS", "50").toInt
+          bench.Replay.rowLevelProbe(spark, events = ev).toJson
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] row-level probe failed: ${e.getMessage}"); "null"
+        }))
+    val huskJson = landed("replay_husks", budgeted("replay_husks", 480)(
+      if (sys.env.getOrElse("SPARK_GRAFT_REPLAY_HUSKS", "1") == "0") "null"
+      else
+        try {
+          val nq = sys.env.getOrElse("SPARK_GRAFT_HUSK_QUERIES", "1000").toInt
+          val n = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPLAY_PASSES", "2").toInt)
+          val off = bench.Replay.minOver(
+            (1 to n).map(_ => bench.Replay.run(spark, sfDir, nQueries = nq)))
+          val on = bench.Replay.minOver(
+            (1 to n).map(_ => bench.Replay.run(spark, sfDir, nQueries = nq, compactHusks = true)))
+          s"""{"compact_off":${off.toStructuralJson},"compact_on":${on.toStructuralJson}}"""
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] husk replay failed: ${e.getMessage}"); "null"
+        }))
+    // env parse INSIDE the try: a malformed K after the whole suite ran
+    // must not skip the record writes (the row-level events gate above
+    // has the same discipline). The 1×-vs-10× scale rehearsal runs LAST
+    // and its cold child JVM is capped by the remaining budget (≤ 5 min
+    // — ScaleProbe.scala's 30-minute wait is what the r18 kill landed
+    // on), so a slow child degrades to in-bench timing, never a dead run.
+    val scaleK = try sys.env.getOrElse("SPARK_GRAFT_SCALE_PROBE_K", "10").toInt
+    catch { case _: NumberFormatException => 10 }
+    val scaleRes: Option[bench.ScaleProbe.Result] =
+      if (sys.env.getOrElse("SPARK_GRAFT_SCALE_PROBE", "1") == "0") None
+      else if (budgeted("scale_probe", 700)("") == "null") None
+      else
+        try {
+          val childCap = math.max(60L, math.min(300L, remainingSec.toLong - 240L))
+          Some(bench.ScaleProbe.run(spark, sfDir, scaleK, childWaitSec = childCap))
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] scale probe failed: ${e.getMessage}"); None
+        }
+    val scalePoints: Seq[bench.ScaleProbe.Point] = scaleRes.map(_.points).getOrElse(Nil)
+    val scaleJson = scaleRes.map(r => bench.ScaleProbe.toJson(scaleK, r)).getOrElse("null")
+    landed("scale_probe", scaleJson)
+
+    // Full record on stdout for human eyes; the durable file and the
+    // digest below are the machine-read surfaces.
+    println(
+      s"""{"metric":"total","value":${r3(okResults.map(_._2).sum)},"unit":"sec","queries":${qjson(okResults)},""" +
+        s""""contended":$contended,"degraded":$degraded,"sentinel_sec":$sentinelSec,"rerun":$rerunJson,""" +
+        s""""replay":$replayJson,"replay_40k_baseline_config":$replay40kJson,""" +
+        s""""replay_40k_b1":$replay40kB1Json,"replay_husks":$huskJson,""" +
+        s""""replay_row_level":$rowLevelJson,"scale_probe":$scaleJson,"sf":"$sfDir"}""")
+    printDigest(scaleRes, scaleK)
     spark.stop()
   }
 }
