@@ -383,14 +383,23 @@ object Bench {
         s""","deadline_sec":$deadlineSec,"deadline_skipped":$skipped$blocks""")
     }
     persistExtras()
-    def budgeted(key: String, estSec: Double)(body: => String): String =
-      if (remainingSec < estSec) {
+    def overBudget(key: String, estSec: Double): Boolean = {
+      val over = remainingSec < estSec
+      if (over) {
         deadlineSkipped += key
         System.err.println(
           f"[bench] DEADLINE: skipping $key (~$estSec%.0f s estimated, " +
             f"$remainingSec%.0f s of $deadlineSec%.0f s left)")
-        "null"
-      } else body
+      }
+      over
+    }
+    // env-disabled blocks return null WITHOUT charging the budget or the
+    // deadline_skipped stamp — a deliberately-disabled block must not
+    // read as deadline starvation in the record
+    def budgeted(key: String, estSec: Double, envFlag: String = "")(body: => String): String =
+      if (envFlag.nonEmpty && sys.env.getOrElse(envFlag, "1") == "0") "null"
+      else if (overBudget(key, estSec)) "null"
+      else body
     def landed(key: String, json: String): String = {
       extras(key) = json
       persistExtras()
@@ -487,16 +496,16 @@ object Bench {
     // latencies, key-for-key comparable with BASELINE.md's 12.11/24.43 ms
     // (the batched rows only have per-batch means). Checkpoint cadence
     // rescaled so lineage truncation stays once per 20 queries.
-    val replay40kB1Json = landed("replay_40k_b1", budgeted("replay_40k_b1", 300)(
+    val replay40kB1Json = landed("replay_40k_b1", budgeted("replay_40k_b1", 300, "SPARK_GRAFT_REPLAY40K_B1")(
       replayBlock("SPARK_GRAFT_REPLAY40K_B1")(
         () => bench.Replay.runSynthetic(spark, batchSize = 1, checkpointEvery = 20))))
-    val replayJson = landed("replay", budgeted("replay", 180)(
+    val replayJson = landed("replay", budgeted("replay", 180, "SPARK_GRAFT_REPLAY")(
       replayBlock("SPARK_GRAFT_REPLAY") { () =>
         val n = sys.env.getOrElse("SPARK_GRAFT_REPLAY_QUERIES", "500").toInt
         bench.Replay.run(spark, sfDir, nQueries = n)
       }))
     // apples-to-apples batched row vs BASELINE.md at the same 40k config
-    val replay40kJson = landed("replay_40k", budgeted("replay_40k", 240)(
+    val replay40kJson = landed("replay_40k", budgeted("replay_40k", 240, "SPARK_GRAFT_REPLAY40K")(
       replayBlock("SPARK_GRAFT_REPLAY40K")(() => bench.Replay.runSynthetic(spark))))
     // Husk-accumulation long-horizon row: the one reference quirk with
     // unbounded growth (merged-away partitions linger as zero-row husks and
@@ -518,7 +527,7 @@ object Bench {
     // reads as a contradiction, so the row doesn't publish that axis.
     // Row-level online-mutation latency (SURVEY §7.4 closure) — on by
     // default for official runs, env-gated off for builder iteration.
-    val rowLevelJson = landed("replay_row_level", budgeted("replay_row_level", 150)(
+    val rowLevelJson = landed("replay_row_level", budgeted("replay_row_level", 150, "SPARK_GRAFT_ROW_LEVEL")(
       if (sys.env.getOrElse("SPARK_GRAFT_ROW_LEVEL", "1") == "0") "null"
       else
         try {
@@ -528,7 +537,7 @@ object Bench {
           case e: Throwable =>
             System.err.println(s"[bench] row-level probe failed: ${e.getMessage}"); "null"
         }))
-    val huskJson = landed("replay_husks", budgeted("replay_husks", 480)(
+    val huskJson = landed("replay_husks", budgeted("replay_husks", 480, "SPARK_GRAFT_REPLAY_HUSKS")(
       if (sys.env.getOrElse("SPARK_GRAFT_REPLAY_HUSKS", "1") == "0") "null"
       else
         try {
@@ -553,7 +562,7 @@ object Bench {
     catch { case _: NumberFormatException => 10 }
     val scaleRes: Option[bench.ScaleProbe.Result] =
       if (sys.env.getOrElse("SPARK_GRAFT_SCALE_PROBE", "1") == "0") None
-      else if (budgeted("scale_probe", 700)("") == "null") None
+      else if (overBudget("scale_probe", 700)) None
       else
         try {
           val childCap = math.max(60L, math.min(300L, remainingSec.toLong - 240L))

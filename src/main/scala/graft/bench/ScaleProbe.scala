@@ -176,9 +176,13 @@ object ScaleProbe {
       case e: Throwable =>
         // carry the CAUSE in the published entry, not just stderr — the
         // r18 record had warm_failures at both scales and no way to tell
-        // why (the stderr with the message was lost with the driver kill)
+        // why (the stderr with the message was lost with the driver kill).
+        // Commas and brackets are stripped too: the parent parses the
+        // child's warm_failures with a [^\]]* capture + a comma split,
+        // and Spark messages routinely carry both (e.g. "[PATH_NOT_FOUND]
+        // Path ...") — an unsanitized message would shred the merged list
         val why = (s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}")
-          .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(160).trim
+          .replaceAll("[\"\\\\\\n\\r\\t,\\[\\]{}]", " ").replaceAll(" +", " ").take(160).trim
         warmFailures += s"$scaleTag:v14_knn_backends:$why"
         System.err.println(s"[scale-probe] warm failed at $dir: ${e.getMessage}")
     }
@@ -249,7 +253,7 @@ object ScaleProbe {
   private def runColdChild(
       d1: String, dK: String, k: Int,
       roster: Seq[String] = ColdBuildQueries,
-      waitSec: Long = 300L): Option[(Seq[Point], Seq[String])] =
+      waitSec: Long = 1800L): Option[(Seq[Point], Seq[String])] =
     try {
       import scala.jdk.CollectionConverters._
       val javaBin = java.nio.file.Paths.get(
@@ -285,9 +289,9 @@ object ScaleProbe {
       })
       outDrain.setDaemon(true)
       outDrain.start()
-      // bounded wait (r18: a 30-minute allowance here is what the
-      // driver's 60-minute kill landed on — the caller passes a cap
-      // sized to ITS remaining deadline, default 5 min); a slow child
+      // bounded wait (r18: an unconditional 30-minute allowance here is
+      // what the driver's 60-minute kill landed on — Bench passes a cap
+      // sized to ITS remaining deadline, ≤ 5 min); a slow child
       // degrades to in-bench timing, stamped in the record
       val done = proc.waitFor(waitSec, java.util.concurrent.TimeUnit.SECONDS)
       if (!done) {
@@ -337,12 +341,18 @@ object ScaleProbe {
     * the record's `cold_build_mode` says so. `only` restricts the
     * roster (re-adjudicating ONE query's outlier point must not cost a
     * full-roster probe — the d03/d04/d07 noise-verdict discipline). */
+  /** `childWaitSec` bounds the cold child JVM's wall-clock. The default
+    * stays at the generous standalone bound (ProbeMain has no deadline
+    * pressure and exists precisely to measure the fresh-JVM regime —
+    * killing a slow cold build would degrade it to the in-bench timing
+    * it cross-checks); Bench passes an aggressive cap sized from ITS
+    * remaining driver-window budget (≤ 5 min). */
   def run(
       spark: SparkSession,
       sfDir: String,
       k: Int = 10,
       only: Option[Set[String]] = None,
-      childWaitSec: Long = 300L): Result = {
+      childWaitSec: Long = 1800L): Result = {
     val base = java.nio.file.Files.createTempDirectory("graft_scaleprobe_").toString
     val warmFailures = scala.collection.mutable.ArrayBuffer.empty[String]
     // a typo'd restriction must fail loudly, not produce a green-looking

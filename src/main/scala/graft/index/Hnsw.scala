@@ -719,7 +719,13 @@ object Hnsw {
     // in-flight output, which a sweep must never clobber.
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    priorEpochs.foreach { case (_, dir) =>
+    // re-list rather than sweep the pre-publish snapshot: an epoch a
+    // zombie writer slipped in DURING the corpus-sized base write would
+    // sit above the stamped watermark and double-apply on the next
+    // loadLog if left behind (the fence only trips that writer's NEXT
+    // publish). save is a stop-the-world rebase — every epoch present
+    // after the meta publish is superseded state, swept.
+    epochDirs(spark, path).foreach { case (_, dir) =>
       fs.delete(new org.apache.hadoop.fs.Path(dir), true)
     }
     versionDirs(fs, path).filter(_._1 < ver)
@@ -917,13 +923,26 @@ object Hnsw {
     require(deltas.nonEmpty, "empty delta list")
     require(epochId >= 0, s"epochId must be >= 0, got $epochId")
     val spark = deltas.head.graphUpserts.sparkSession
+    val meta = readMeta(spark, path)
     if (writerToken >= 0) {
-      val live = metaToken(readMeta(spark, path))
+      val live = metaToken(meta)
       require(live == writerToken,
         s"stale writer fenced: this writer holds token $writerToken but the log at " +
           s"$path is at token $live — a newer incarnation re-based (save/compact) it; " +
           "reload the stack and re-establish ownership before logging epochs")
     }
+    // an epoch at/below the live watermark would be SILENTLY dropped by
+    // every future loadLog — the one way a durably-acknowledged batch
+    // can vanish without a trace. This bites a writer whose epoch ids
+    // restarted from 0 against a rebased log (save stamps the watermark
+    // at the highest epoch it swept); fail loudly: key epoch ids by a
+    // counter that survives rebases, starting above the Stack's
+    // compactedThrough.
+    val watermark = meta.get("compacted_through").map(_.toLong).getOrElse(-1L)
+    require(epochId > watermark,
+      s"epoch $epochId is at/below the log's watermark $watermark at $path — loadLog " +
+        "would silently skip it (acknowledged data loss); epoch ids must be monotone " +
+        "ACROSS rebases — start above the loaded Stack's compactedThrough")
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val fin = new org.apache.hadoop.fs.Path(f"$path/epoch_$epochId%012d")

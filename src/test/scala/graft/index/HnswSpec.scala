@@ -391,11 +391,21 @@ class HnswSpec extends SparkSpec {
       val dirNames = new java.io.File(tmp).listFiles().map(_.getName).toSet
       assert(!dirNames.exists(_.startsWith("epoch_")),
         s"compaction left epoch dirs behind: $dirNames")
+      // publishing an epoch at/below the watermark must fail LOUDLY —
+      // loadLog would silently skip it forever (acknowledged data loss
+      // for a writer whose ids restarted against a compacted/rebased log)
+      val eWm = intercept[IllegalArgumentException](Hnsw.saveDelta(dIns, 0L, tmp))
+      assert(eWm.getMessage.contains("watermark"), s"wrong failure: ${eWm.getMessage}")
       // crash-safety of compact: a stale epoch dir AT OR BELOW the
       // watermark (a compact that died between base publish and dir
       // cleanup) must be skipped, not double-applied — epoch 0 is the
-      // INSERT delta, whose double-apply would duplicate 5 nodes
-      Hnsw.saveDelta(dIns, 0L, tmp)
+      // INSERT delta, whose double-apply would duplicate 5 nodes. The
+      // remnant is planted by publishing above the watermark and
+      // renaming the dir down (saveDelta itself refuses stale ids).
+      Hnsw.saveDelta(dIns, 5L, tmp)
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(f"$tmp/epoch_${5L}%012d"),
+        java.nio.file.Paths.get(f"$tmp/epoch_${0L}%012d"))
       assertStackEq(Hnsw.loadLog(spark, tmp).layers, afterDel, "stale epoch ignored")
       // and the next compact clears the stale dir without reapplying it
       assertStackEq(Hnsw.compact(spark, tmp).layers, afterDel, "compact over stale dir")
@@ -459,7 +469,7 @@ class HnswSpec extends SparkSpec {
       // lazy layers reference the about-to-be-swept version's files)
       val snapshot = compacted.layers.map(l =>
         Hnsw.Layer(l.nodes.localCheckpoint(), l.graph.localCheckpoint()))
-      Hnsw.saveDelta(d, 1L, tmp, compacted.writerToken) // a pending epoch to sweep
+      Hnsw.saveDelta(d, 2L, tmp, compacted.writerToken) // a pending epoch to sweep
       // debris ABOVE the version the rebase will publish: save's sweep,
       // like compact's, must never clobber an above-live dir (it could
       // be a concurrent compactor's in-flight output)
@@ -468,10 +478,10 @@ class HnswSpec extends SparkSpec {
       val rebased = Hnsw.loadStack(spark, tmp)
       assert(rebased.writerToken == compacted.writerToken + 1, s"re-save must bump the fence: $rebased")
       // the rebase stamps the watermark AT the highest epoch it swept
-      // (epoch 1 here), compact's pattern: a crash between the meta
+      // (epoch 2 here), compact's pattern: a crash between the meta
       // publish and the sweep then leaves only stale-and-skipped epochs,
       // never a double-apply onto a base that already contains them
-      assert(rebased.compactedThrough == 1L,
+      assert(rebased.compactedThrough == 2L,
         s"re-save must stamp the watermark at the swept epochs: $rebased")
       val names = new java.io.File(tmp).listFiles().map(_.getName).toSet
       assert(!names.exists(_.startsWith("epoch_")), s"re-save left pending epochs: $names")
@@ -483,8 +493,13 @@ class HnswSpec extends SparkSpec {
       assertStackEq(Hnsw.loadLog(spark, tmp).layers, snapshot, "rebased log replays the rebased base")
       // the crash window the watermark exists for: an epoch dir left
       // at/below it (the sweep died after the meta publish) must be
-      // SKIPPED by the next loadLog, not folded onto the fresh base
-      Hnsw.saveDelta(d, 1L, tmp, rebased.writerToken)
+      // SKIPPED by the next loadLog, not folded onto the fresh base —
+      // planted via publish-above-and-rename-down (saveDelta itself
+      // refuses at/below-watermark ids loudly)
+      Hnsw.saveDelta(d, 7L, tmp, rebased.writerToken)
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(f"$tmp/epoch_${7L}%012d"),
+        java.nio.file.Paths.get(f"$tmp/epoch_${2L}%012d"))
       assertStackEq(Hnsw.loadLog(spark, tmp).layers, snapshot,
         "rebase watermark skips a leftover at-watermark epoch")
       // the compact-era incarnation is in turn fenced off the rebased log
