@@ -463,6 +463,10 @@ object Bench {
                   "is fitted for it\""
               case Some("skipped") =>
                 "\"no cold-build queries in the probe roster — no child JVM ran\""
+              case Some("deadline_skipped") =>
+                "\"cold child JVM exceeded its budget cap and the remaining " +
+                  "deadline could not cover in-bench cold timing — no v31/v33 " +
+                  "points this record; cross-check ProbeMain\""
               case Some(_) =>
                 "\"v31,v33 build in-query (cold) IN-BENCH — child JVM unavailable; " +
                   "cross-check ProbeMain; v31 is bounded-work (constant node sample) " +
@@ -507,6 +511,46 @@ object Bench {
     // apples-to-apples batched row vs BASELINE.md at the same 40k config
     val replay40kJson = landed("replay_40k", budgeted("replay_40k", 240, "SPARK_GRAFT_REPLAY40K")(
       replayBlock("SPARK_GRAFT_REPLAY40K")(() => bench.Replay.runSynthetic(spark))))
+    // Row-level online-mutation latency (SURVEY §7.4 closure) — on by
+    // default for official runs, env-gated off for builder iteration.
+    val rowLevelJson = landed("replay_row_level", budgeted("replay_row_level", 150, "SPARK_GRAFT_ROW_LEVEL")(
+      if (sys.env.getOrElse("SPARK_GRAFT_ROW_LEVEL", "1") == "0") "null"
+      else
+        try {
+          val ev = sys.env.getOrElse("SPARK_GRAFT_ROW_LEVEL_EVENTS", "50").toInt
+          bench.Replay.rowLevelProbe(spark, events = ev).toJson
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] row-level probe failed: ${e.getMessage}"); "null"
+        }))
+    // env parse INSIDE the try: a malformed K after the whole suite ran
+    // must not skip the record writes (the row-level events gate above
+    // has the same discipline). The 1×-vs-10× scale rehearsal runs
+    // BEFORE the husk A/B (a fresh cold-probe point outranks another
+    // round of long-stable husk numbers when the budget covers only
+    // one); its cold child JVM is capped by the remaining budget (≤ 10
+    // min — ScaleProbe.scala's unconditional 30-minute wait is what the
+    // r18 kill landed on), and the probe's OWN in-bench fallback checks
+    // the budget too (the r19 validation run showed a killed child's
+    // fallback alone costing ~15 min — exactly the overrun the deadline
+    // exists to prevent).
+    val scaleK = try sys.env.getOrElse("SPARK_GRAFT_SCALE_PROBE_K", "10").toInt
+    catch { case _: NumberFormatException => 10 }
+    val scaleRes: Option[bench.ScaleProbe.Result] =
+      if (sys.env.getOrElse("SPARK_GRAFT_SCALE_PROBE", "1") == "0") None
+      else if (overBudget("scale_probe", 1100)) None
+      else
+        try {
+          val childCap = math.max(60L, math.min(600L, remainingSec.toLong - 240L))
+          Some(bench.ScaleProbe.run(spark, sfDir, scaleK, childWaitSec = childCap,
+            remainingBudgetSec = Some(() => remainingSec)))
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] scale probe failed: ${e.getMessage}"); None
+        }
+    val scalePoints: Seq[bench.ScaleProbe.Point] = scaleRes.map(_.points).getOrElse(Nil)
+    val scaleJson = scaleRes.map(r => bench.ScaleProbe.toJson(scaleK, r)).getOrElse("null")
+    landed("scale_probe", scaleJson)
     // Husk-accumulation long-horizon row: the one reference quirk with
     // unbounded growth (merged-away partitions linger as zero-row husks and
     // get scored on every query forever, quake_min.py:209-210). A long
@@ -525,18 +569,6 @@ object Bench {
     // even min-of-2 leaves scheduler noise bigger than the real
     // between-arm latency delta — a noise-sign flip in a published A/B
     // reads as a contradiction, so the row doesn't publish that axis.
-    // Row-level online-mutation latency (SURVEY §7.4 closure) — on by
-    // default for official runs, env-gated off for builder iteration.
-    val rowLevelJson = landed("replay_row_level", budgeted("replay_row_level", 150, "SPARK_GRAFT_ROW_LEVEL")(
-      if (sys.env.getOrElse("SPARK_GRAFT_ROW_LEVEL", "1") == "0") "null"
-      else
-        try {
-          val ev = sys.env.getOrElse("SPARK_GRAFT_ROW_LEVEL_EVENTS", "50").toInt
-          bench.Replay.rowLevelProbe(spark, events = ev).toJson
-        } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] row-level probe failed: ${e.getMessage}"); "null"
-        }))
     val huskJson = landed("replay_husks", budgeted("replay_husks", 480, "SPARK_GRAFT_REPLAY_HUSKS")(
       if (sys.env.getOrElse("SPARK_GRAFT_REPLAY_HUSKS", "1") == "0") "null"
       else
@@ -552,28 +584,6 @@ object Bench {
           case e: Throwable =>
             System.err.println(s"[bench] husk replay failed: ${e.getMessage}"); "null"
         }))
-    // env parse INSIDE the try: a malformed K after the whole suite ran
-    // must not skip the record writes (the row-level events gate above
-    // has the same discipline). The 1×-vs-10× scale rehearsal runs LAST
-    // and its cold child JVM is capped by the remaining budget (≤ 5 min
-    // — ScaleProbe.scala's 30-minute wait is what the r18 kill landed
-    // on), so a slow child degrades to in-bench timing, never a dead run.
-    val scaleK = try sys.env.getOrElse("SPARK_GRAFT_SCALE_PROBE_K", "10").toInt
-    catch { case _: NumberFormatException => 10 }
-    val scaleRes: Option[bench.ScaleProbe.Result] =
-      if (sys.env.getOrElse("SPARK_GRAFT_SCALE_PROBE", "1") == "0") None
-      else if (overBudget("scale_probe", 700)) None
-      else
-        try {
-          val childCap = math.max(60L, math.min(300L, remainingSec.toLong - 240L))
-          Some(bench.ScaleProbe.run(spark, sfDir, scaleK, childWaitSec = childCap))
-        } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] scale probe failed: ${e.getMessage}"); None
-        }
-    val scalePoints: Seq[bench.ScaleProbe.Point] = scaleRes.map(_.points).getOrElse(Nil)
-    val scaleJson = scaleRes.map(r => bench.ScaleProbe.toJson(scaleK, r)).getOrElse("null")
-    landed("scale_probe", scaleJson)
 
     // Full record on stdout for human eyes; the durable file and the
     // digest below are the machine-read surfaces.

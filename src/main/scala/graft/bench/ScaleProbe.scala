@@ -166,26 +166,36 @@ object ScaleProbe {
       dir: String,
       scaleTag: String,
       names: Seq[String],
-      warmFailures: scala.collection.mutable.ArrayBuffer[String]): Map[String, Double] = {
+      warmFailures: scala.collection.mutable.ArrayBuffer[String],
+      passes: Int = 2): Map[String, Double] = {
     val queries = graft.SparkEntry.queries
-    // artifact warm pass (untimed): index + codebooks for this dir. A
-    // warm failure means a timed query may absorb training cost — it is
-    // recorded in the published JSON, not just stderr.
-    try queries("v14_knn_backends")(spark, dir).write.mode("overwrite").format("noop").save()
-    catch {
-      case e: Throwable =>
-        // carry the CAUSE in the published entry, not just stderr — the
-        // r18 record had warm_failures at both scales and no way to tell
-        // why (the stderr with the message was lost with the driver kill).
-        // Commas and brackets are stripped too: the parent parses the
-        // child's warm_failures with a [^\]]* capture + a comma split,
-        // and Spark messages routinely carry both (e.g. "[PATH_NOT_FOUND]
-        // Path ...") — an unsanitized message would shred the merged list
-        val why = (s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}")
-          .replaceAll("[\"\\\\\\n\\r\\t,\\[\\]{}]", " ").replaceAll(" +", " ").take(160).trim
-        warmFailures += s"$scaleTag:v14_knn_backends:$why"
-        System.err.println(s"[scale-probe] warm failed at $dir: ${e.getMessage}")
+    // artifact warm pass (untimed), SIZED TO THE ROSTER: a roster that
+    // times v14 needs the full index+PQ+SQ+codes training off the timed
+    // path; the cold-build roster (v31/v33, the child JVM) consumes only
+    // the IVF index — warming v14 there trained ~2-4 min of codebooks
+    // nothing would read, which is what pushed the r19 child past its
+    // deadline cap and degraded the record to in-bench cold timing.
+    // A warm failure means a timed query may absorb training cost — it
+    // is recorded in the published JSON, not just stderr.
+    def recordWarmFailure(what: String, e: Throwable): Unit = {
+      // carry the CAUSE in the published entry, not just stderr — the
+      // r18 record had warm_failures at both scales and no way to tell
+      // why (the stderr with the message was lost with the driver kill).
+      // Commas and brackets are stripped too: the parent parses the
+      // child's warm_failures with a [^\]]* capture + a comma split,
+      // and Spark messages routinely carry both (e.g. "[PATH_NOT_FOUND]
+      // Path ...") — an unsanitized message would shred the merged list
+      val why = (s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}")
+        .replaceAll("[\"\\\\\\n\\r\\t,\\[\\]{}]", " ").replaceAll(" +", " ").take(160).trim
+      warmFailures += s"$scaleTag:$what:$why"
+      System.err.println(s"[scale-probe] warm ($what) failed at $dir: ${e.getMessage}")
     }
+    if (names.contains("v14_knn_backends"))
+      try queries("v14_knn_backends")(spark, dir).write.mode("overwrite").format("noop").save()
+      catch { case e: Throwable => recordWarmFailure("v14_knn_backends", e) }
+    else if (names.contains("v33_knn_graph_ivf"))
+      try graft.rel.PipelineQueries.indexFor(spark, dir)
+      catch { case e: Throwable => recordWarmFailure("index", e) }
     graft.CacheScope.clear()
     def onePass(order: Seq[String]): Map[String, Double] =
       order.flatMap { name =>
@@ -200,12 +210,14 @@ object ScaleProbe {
         graft.CacheScope.clear()
         if (ok) Some(name -> (System.nanoTime() - t0) / 1e9) else None
       }.toMap
-    val p1 = onePass(names)
-    val p2 = onePass(names.reverse)
-    // min over passes; a query missing from either pass threw there —
-    // drop it (both passes proved nothing reproducible about it)
+    val runs = (1 to math.max(1, passes)).map { i =>
+      onePass(if (i % 2 == 1) names else names.reverse)
+    }
+    // min over passes; a query missing from ANY pass threw there — drop
+    // it (the passes proved nothing reproducible about it)
     names.flatMap { name =>
-      for (a <- p1.get(name); b <- p2.get(name)) yield name -> math.min(a, b)
+      val ts = runs.map(_.get(name))
+      if (ts.exists(_.isEmpty)) None else Some(name -> ts.flatten.min)
     }.toMap
   }
 
@@ -226,7 +238,13 @@ object ScaleProbe {
 
   /** [[ColdBuildQueries]] timed against already-built probe dirs — the
     * body [[ColdProbe]] (a fresh child JVM) runs. Public so the child
-    * main can reach it; same discipline as the in-bench passes. */
+    * main can reach it. Two passes at ×1 (cheap — launch-floor noise is
+    * the risk there), ONE pass at ×K: a multi-minute cold build sits far
+    * above scheduler noise, and the second ×K pass was most of what
+    * pushed the r19 child past the bench's deadline-derived cap (a
+    * killed child degrades the record to the in-bench regime the child
+    * exists to avoid — one slightly-noisier fresh-JVM point beats a
+    * precise point from the wrong regime). */
   def coldPoints(
       spark: SparkSession,
       d1: String,
@@ -235,7 +253,7 @@ object ScaleProbe {
       roster: Seq[String] = ColdBuildQueries): Result = {
     val warm = scala.collection.mutable.ArrayBuffer.empty[String]
     val t1 = timeAt(spark, d1, "x1", roster, warm)
-    val tK = timeAt(spark, dK, s"x$k", roster, warm)
+    val tK = timeAt(spark, dK, s"x$k", roster, warm, passes = 1)
     Result(toPoints(roster, t1, tK, k), warm.toSeq)
   }
 
@@ -346,13 +364,20 @@ object ScaleProbe {
     * pressure and exists precisely to measure the fresh-JVM regime —
     * killing a slow cold build would degrade it to the in-bench timing
     * it cross-checks); Bench passes an aggressive cap sized from ITS
-    * remaining driver-window budget (≤ 5 min). */
+    * remaining driver-window budget. `remainingBudgetSec` (when given)
+    * also gates the IN-BENCH cold fallback after a killed/failed child:
+    * on the r19 corpus roll that fallback alone ran ~15 minutes, pushing
+    * the whole bench past the driver's kill window — the one failure
+    * mode the deadline machinery exists to prevent. A skipped fallback
+    * publishes NO cold points and stamps `cold_build_mode:
+    * "deadline_skipped"` (steady points are unaffected). */
   def run(
       spark: SparkSession,
       sfDir: String,
       k: Int = 10,
       only: Option[Set[String]] = None,
-      childWaitSec: Long = 1800L): Result = {
+      childWaitSec: Long = 1800L,
+      remainingBudgetSec: Option[() => Double] = None): Result = {
     val base = java.nio.file.Files.createTempDirectory("graft_scaleprobe_").toString
     val warmFailures = scala.collection.mutable.ArrayBuffer.empty[String]
     // a typo'd restriction must fail loudly, not produce a green-looking
@@ -383,13 +408,23 @@ object ScaleProbe {
             warmFailures ++= childWarmFailures
             (pts.filter(p => coldRoster.contains(p.name)), "fresh_jvm")
           case None =>
-            if (wantChild)
+            // in-bench cold timing costs minutes (one full ×K build per
+            // pass) — only affordable when the caller's budget covers it
+            val affordable = remainingBudgetSec.forall(_() > 700.0)
+            if (!affordable) {
               System.err.println(
-                "[scale-probe] falling back to in-bench cold-build timing " +
-                  "(child JVM unavailable) — cross-check ProbeMain")
-            val c1 = timeAt(spark, d1, "x1", coldRoster, warmFailures)
-            val cK = timeAt(spark, dK, s"x$k", coldRoster, warmFailures)
-            (toPoints(coldRoster, c1, cK, k), "in_bench")
+                "[scale-probe] child JVM unavailable AND the remaining deadline " +
+                  "cannot cover in-bench cold timing — cold points skipped, stamped")
+              (Nil, "deadline_skipped")
+            } else {
+              if (wantChild)
+                System.err.println(
+                  "[scale-probe] falling back to in-bench cold-build timing " +
+                    "(child JVM unavailable) — cross-check ProbeMain")
+              val c1 = timeAt(spark, d1, "x1", coldRoster, warmFailures)
+              val cK = timeAt(spark, dK, s"x$k", coldRoster, warmFailures, passes = 1)
+              (toPoints(coldRoster, c1, cK, k), "in_bench")
+            }
         }
       // publish in the roster's order, whatever the source JVM
       val byName = (steadyPoints ++ coldPts).map(p => p.name -> p).toMap
@@ -436,7 +471,8 @@ object ScaleProbe {
     val warm = r.warmFailures.map(w => s""""$w"""").mkString("[", ",", "]")
     val cold = ColdBuildQueries.map(q => s""""$q"""").mkString("[", ",", "]")
     val sep = if (r.points.isEmpty) "" else ","
-    s"""{"k":$k,"passes":2,"warm_failures":$warm,"cold_build":$cold,""" +
+    // cold ×K points take ONE pass (see coldPoints); everything else two
+    s"""{"k":$k,"passes":2,"cold_xk_passes":1,"warm_failures":$warm,"cold_build":$cold,""" +
       s""""cold_build_mode":"${r.coldMode}"$sep$pts}"""
   }
 
