@@ -186,7 +186,11 @@ object Bench {
     // a retry re-spends one attempt's wall-clock — only affordable while
     // the deadline still covers it (plus margin for the record writes)
     def retryAffordable: Boolean = {
-      val attemptCost = attempts.last._1.map(_.map(_._2).sum).sum
+      // a retry re-spends the queries AND the sentinel passes; the
+      // bounded preGate quiet-waits ride inside the +300 margin (preGate
+      // itself refuses to wait when remaining ≤ 1500)
+      val attemptCost =
+        attempts.last._1.map(_.map(_._2).sum).sum + attempts.last._2.sum
       remainingSec > attemptCost + 300
     }
     while (kind == "official" && attemptDegraded(attempts.last) &&
@@ -224,19 +228,32 @@ object Bench {
     // harmless because only CURRENT-code re-measurements ever enter the
     // record) gets exactly one more run, the better time wins, and the
     // record stamps which queries were re-run so a reader can weight them.
-    val histQueryMin: Map[String, Double] = {
-      val qRe = """"([A-Za-z0-9_]+)":([0-9.]+)""".r
+    // Bounded per-entry map parser: history entries carry BOTH
+    // `queries_min` and (since round 20) `queries_norm` — an unbounded
+    // substring regex sweeping from the field name to end-of-line would
+    // silently merge the two maps (toMap keeps whichever came last).
+    def qmapOf(line: String, field: String): Map[String, Double] = {
+      val tag = s""""$field":{"""
+      val i = line.indexOf(tag)
+      if (i < 0) Map.empty
+      else {
+        val start = i + tag.length
+        val end = line.indexOf("}", start)
+        if (end < 0) Map.empty
+        else {
+          val qRe = """"([A-Za-z0-9_]+)":([0-9.]+)""".r
+          qRe.findAllMatchIn(line.substring(start, end))
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
+      }
+    }
+    val histQueryMin: Map[String, Double] =
       histLines
         .filter(l =>
           l.contains(s""""sf":"$sfDir"""") && sameCpus(l) &&
             !l.contains(""""contended":true"""))
-        .flatMap { l =>
-          val i = l.indexOf("\"queries_min\":")
-          if (i < 0) Nil
-          else qRe.findAllMatchIn(l.substring(i)).map(m => m.group(1) -> m.group(2).toDouble).toSeq
-        }
+        .flatMap(l => qmapOf(l, "queries_min").toSeq)
         .groupMapReduce(_._1)(_._2)(math.min)
-    }
     val fnByName = names.toMap
     // Two triggers, one mechanism: (a) min-of-passes still >2.5× the
     // query's own history floor — the machine-pressure case; (b) the two
@@ -299,14 +316,32 @@ object Bench {
       System.err.println(
         f"[bench] DEGRADED: sentinel $sentinelSec%.3f s vs history median " +
           f"${median(histSent)}%.3f s (>1.2x) — record stamped degraded")
+    // SENTINEL-NORMALIZED trend line (round-20, VERDICT r19 what's-wrong
+    // #1): same-binary totals swung 377→500 s with sentinels 0.283→0.331
+    // purely on machine state, and each such swing cost a round of hand
+    // adjudication. The record now publishes, NEXT TO the raw mins, the
+    // per-query values rescaled to this machine's own historical speed
+    // (norm = raw · sentinel_ref / sentinel_run; sentinel_ref = the
+    // same-cpus history median the degraded stamp already compares
+    // against), and the round-over-round diff below reads the normalized
+    // column when the previous entry carries one — a uniformly slower box
+    // rescales away instead of firing 40 spurious regressions. The raw
+    // column stays the record of what actually ran; normalization is a
+    // LINEAR approximation (a CPU sentinel is blind to shuffle/page-cache
+    // pressure — the per-query history-floor re-run above still covers
+    // that class).
+    val sentRef = if (histSent.nonEmpty) r3(median(histSent)) else sentinelSec
+    val normFactor = if (sentinelSec > 0) sentRef / sentinelSec else 1.0
+    val okResultsNorm = okResults.map { case (n, v) => n -> r3(v * normFactor) }
     // body is kept open-ended ("}"-less) so the replay/probe sections can
     // be appended after they run; writeBenchQueries is called again then —
     // the durable record must carry everything the truncated stdout can't.
     val benchQueriesHead = locally {
       val passJson = passes.map(qjson).mkString("[", ",", "]")
       s"""{"sf":"$sfDir","kind":"$kind","cpus":$cpus,"contended":$contended,""" +
-        s""""degraded":$degraded,"sentinel_sec":$sentinelSec,"rerun":$rerunJson,""" +
-        s""""queries_min":${qjson(okResults)},"passes":$passJson"""
+        s""""degraded":$degraded,"sentinel_sec":$sentinelSec,"sentinel_ref":$sentRef,""" +
+        s""""norm_factor":${r3(normFactor)},"queries_min":${qjson(okResults)},""" +
+        s""""queries_norm":${qjson(okResultsNorm)},"rerun":$rerunJson,"passes":$passJson"""
     }
     // Durable-record filename override: the 10×-corpus roster run writes
     // its own sibling artifact instead of clobbering the official sf0.1
@@ -338,12 +373,17 @@ object Bench {
             l.contains(s""""sf":"$sfDir"""") && l.contains("\"queries_min\":") && sameCpus(l) &&
               (if (l.contains("\"kind\":")) l.contains(s""""kind":"$kind"""") else kind == "official"))
           .foreach { prev =>
-            val qm = prev.substring(prev.indexOf("\"queries_min\":"))
-            val re = """"([A-Za-z0-9_]+)":([0-9.]+)""".r
-            val prevMin = re.findAllMatchIn(qm).map(m => m.group(1) -> m.group(2).toDouble).toMap
-            val eligible = okResults.flatMap { case (name, sec) =>
+            // diff NORMALIZED against normalized when the previous entry
+            // carries the column (entries predating round 20 don't —
+            // fall back to raw-vs-raw rather than comparing mixed units)
+            val prevNorm = qmapOf(prev, "queries_norm")
+            val useNorm = prevNorm.nonEmpty
+            val prevMin = if (useNorm) prevNorm else qmapOf(prev, "queries_min")
+            val currSide = (if (useNorm) okResultsNorm else okResults).toMap
+            val eligible = okResults.flatMap { case (name, _) =>
               // sub-200ms queries are all scheduler noise — not a signal
-              prevMin.get(name).filter(_ >= 0.2).map(p => (name, p, sec))
+              prevMin.get(name).filter(_ >= 0.2)
+                .flatMap(p => currSide.get(name).map(sec => (name, p, sec)))
             }
             val regressed = eligible.filter { case (_, p, sec) => sec > 2.0 * p }
             if (eligible.nonEmpty && regressed.size * 3 > eligible.size)
@@ -359,7 +399,8 @@ object Bench {
         val entry =
           s"""{"epoch_ms":${System.currentTimeMillis()},"sf":"$sfDir","kind":"$kind","cpus":$cpus,""" +
             s""""contended":$contended,"degraded":$degraded,"sentinel_sec":$sentinelSec,""" +
-            s""""rerun":$rerunJson,"queries_min":${qjson(okResults)}}"""
+            s""""sentinel_ref":$sentRef,"norm_factor":${r3(normFactor)},"rerun":$rerunJson,""" +
+            s""""queries_min":${qjson(okResults)},"queries_norm":${qjson(okResultsNorm)}}"""
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get("bench_history.json"), (lines :+ entry).mkString("", "\n", "\n"))
       } catch { case e: Throwable => System.err.println(s"[bench] history update failed: ${e.getMessage}") }
@@ -448,6 +489,8 @@ object Bench {
       val compact =
         s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${okResults.size},""" +
           s""""families_sec":$fams,"slowest":$top,"sentinel_sec":$sentinelSec,""" +
+          s""""sentinel_ref":$sentRef,"norm_factor":${r3(normFactor)},""" +
+          s""""total_norm":${r3(okResultsNorm.map(_._2).sum)},""" +
           s""""contended":$contended,"degraded":$degraded,"rerun":$rerunJson,""" +
           s""""deadline_skipped":$skipped,""" +
           s""""b1_mean_ms":${pull(b1, "mean_latency_ms")},"b1_p95_ms":${pull(b1, "p95_ms")},""" +
@@ -458,17 +501,17 @@ object Bench {
             scaleRes.map(_.coldMode) match {
               case None => "null"
               case Some("fresh_jvm") =>
-                "\"v31,v33 cold in-query builds timed in a fresh child JVM (ProbeMain " +
+                "\"v31,v45 cold in-query builds timed in a fresh child JVM (ProbeMain " +
                   "regime); v31 is bounded-work (constant node sample) so no exponent " +
                   "is fitted for it\""
               case Some("skipped") =>
                 "\"no cold-build queries in the probe roster — no child JVM ran\""
               case Some("deadline_skipped") =>
                 "\"cold child JVM exceeded its budget cap and the remaining " +
-                  "deadline could not cover in-bench cold timing — no v31/v33 " +
+                  "deadline could not cover in-bench cold timing — no v31/v45 " +
                   "points this record; cross-check ProbeMain\""
               case Some(_) =>
-                "\"v31,v33 build in-query (cold) IN-BENCH — child JVM unavailable; " +
+                "\"v31,v45 build in-query (cold) IN-BENCH — child JVM unavailable; " +
                   "cross-check ProbeMain; v31 is bounded-work (constant node sample) " +
                   "so no exponent is fitted for it\""
             }

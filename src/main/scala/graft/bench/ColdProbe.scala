@@ -3,7 +3,7 @@ package graft.bench
 import org.apache.spark.sql.SparkSession
 
 /** [engine-added] Child-JVM runner for the scale probe's COLD-BUILD
-  * queries ([[ScaleProbe.ColdBuildQueries]] — v31/v33 build their k-NN
+  * queries ([[ScaleProbe.ColdBuildQueries]] — v31/v45 build their k-NN
   * graph in-query, so their probe timing IS a cold Ω(n) build): spawned
   * by [[ScaleProbe.run]] against the parent's already-built probe dirs,
   * it reproduces ProbeMain's fresh-JVM measurement regime inside the

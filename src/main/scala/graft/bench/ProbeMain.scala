@@ -11,7 +11,7 @@ import org.apache.spark.sql.SparkSession
   * official record; this main exists so stability can be measured without
   * paying for the full suite.
   *
-  * Cold-build rows (v31/v33) spawn a fresh child JVM PER REP by default
+  * Cold-build rows (v31/v45) spawn a fresh child JVM PER REP by default
   * — deliberate, not redundant: each rep then measures exactly the
   * regime the official record publishes (ScaleProbe's `fresh_jvm`
   * mode), where in-JVM timing would re-introduce the accumulated-state

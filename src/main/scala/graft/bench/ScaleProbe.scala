@@ -40,9 +40,12 @@ object ScaleProbe {
 
   /** The suite's heaviest batch queries (round-11 plan audit) plus the
     * round-12/13 additions whose growth the verdicts asked to measure:
-    * the BSP loop (p16), both k-NN-graph paths (v31 exact-capped, v33
-    * probed), the sketch-law pass (t19), recursion (q46), and the
-    * streaming sketch (s14). */
+    * the BSP loop (p16), all three k-NN-graph paths (v31 exact-capped,
+    * v33 probed — steady since round 20, its index warmed per
+    * [[timeAt]]'s dependency map, so its point measures the probed SCAN's
+    * growth; v45 NN-descent, the default cold construction), the
+    * sketch-law pass (t19), recursion (q46), and the streaming sketch
+    * (s14). */
   val ProbeQueries: Seq[String] = Seq(
     "d03_ngram_jaccard",
     "d07_ppjoin_jaccard",
@@ -51,6 +54,7 @@ object ScaleProbe {
     "v14_knn_backends",
     "v31_knn_graph",
     "v33_knn_graph_ivf",
+    "v45_knn_graph_descent",
     "p16_pagerank",
     "t19_cms_mergeability",
     "q46_recursive_hierarchy",
@@ -171,10 +175,11 @@ object ScaleProbe {
     val queries = graft.SparkEntry.queries
     // artifact warm pass (untimed), SIZED TO THE ROSTER: a roster that
     // times v14 needs the full index+PQ+SQ+codes training off the timed
-    // path; the cold-build roster (v31/v33, the child JVM) consumes only
-    // the IVF index — warming v14 there trained ~2-4 min of codebooks
-    // nothing would read, which is what pushed the r19 child past its
-    // deadline cap and degraded the record to in-bench cold timing.
+    // path; the cold-build roster (v31/v45, the child JVM) consumes NO
+    // session artifacts at all (that is the point of the descent path) —
+    // warming v14 there trained ~2-4 min of codebooks nothing would
+    // read, which is what pushed the r19 child past its deadline cap
+    // and degraded the record to in-bench cold timing.
     // A warm failure means a timed query may absorb training cost — it
     // is recorded in the published JSON, not just stderr.
     def recordWarmFailure(what: String, e: Throwable): Unit = {
@@ -190,12 +195,30 @@ object ScaleProbe {
       warmFailures += s"$scaleTag:$what:$why"
       System.err.println(s"[scale-probe] warm ($what) failed at $dir: ${e.getMessage}")
     }
-    if (names.contains("v14_knn_backends"))
-      try queries("v14_knn_backends")(spark, dir).write.mode("overwrite").format("noop").save()
-      catch { case e: Throwable => recordWarmFailure("v14_knn_backends", e) }
-    else if (names.contains("v33_knn_graph_ivf"))
-      try graft.rel.PipelineQueries.indexFor(spark, dir)
-      catch { case e: Throwable => recordWarmFailure("index", e) }
+    // warm PER ARTIFACT DEPENDENCY, not per roster shape: the prior
+    // if/else-if keyed on v14/v33 membership, so a restricted roster
+    // (via `only`) pairing v14 with another artifact consumer warmed
+    // only v14's chain, and a roster of just v33 relied on the else
+    // branch — any future artifact-consuming probe query added to the
+    // roster would silently absorb its training cost in the timed pass
+    // with no warm_failures stamp. Each entry maps the artifact to the
+    // roster queries that consume it; every matched artifact warms
+    // (re-warming one v14 already trained is a cheap saved-artifact
+    // read, so overlap is harmless).
+    val warmDeps: Seq[(String, Set[String], () => Unit)] = Seq(
+      // v14 consumes the full chain: IVF index + PQ codebook + residual
+      // codes + SQ model — warming IS running the query once untimed
+      ("v14_knn_backends", Set("v14_knn_backends"),
+        () => queries("v14_knn_backends")(spark, dir)
+          .write.mode("overwrite").format("noop").save()),
+      // the probed graph build consumes only the saved IVF index
+      ("index", Set("v33_knn_graph_ivf"),
+        () => { graft.rel.PipelineQueries.indexFor(spark, dir); () }))
+    warmDeps.foreach { case (what, consumers, warm) =>
+      if (names.exists(consumers.contains))
+        try warm()
+        catch { case e: Throwable => recordWarmFailure(what, e) }
+    }
     graft.CacheScope.clear()
     def onePass(order: Seq[String]): Map[String, Double] =
       order.flatMap { name =>
@@ -258,7 +281,7 @@ object ScaleProbe {
   }
 
   /** Run the cold-build queries in a FRESH child JVM (round-17 fix for
-    * the unstable official exponents): v31/v33 build their graph
+    * the unstable official exponents): v31/v45 build their graph
     * in-query, and timing that cold build in the END-OF-SUITE JVM
     * produced a 3× run-to-run swing (r16: driver-run exp 1.616 vs
     * same-binary builder-run 1.08 vs fresh-JVM ProbeMain 1.004–1.080) —
@@ -309,8 +332,9 @@ object ScaleProbe {
       outDrain.start()
       // bounded wait (r18: an unconditional 30-minute allowance here is
       // what the driver's 60-minute kill landed on — Bench passes a cap
-      // sized to ITS remaining deadline, ≤ 5 min); a slow child
-      // degrades to in-bench timing, stamped in the record
+      // sized to ITS remaining deadline via max(60, min(600,
+      // remaining-240)), i.e. ≤ 10 min); a slow child degrades to
+      // in-bench timing, stamped in the record
       val done = proc.waitFor(waitSec, java.util.concurrent.TimeUnit.SECONDS)
       if (!done) {
         System.err.println(
@@ -353,7 +377,7 @@ object ScaleProbe {
   /** Run every probe query at scale 1 and scale `k` and publish the
     * scaling exponents. The steady-state queries are timed in THIS JVM
     * (two alternating passes per scale, min); the cold-build queries
-    * (v31/v33) are timed in a fresh child JVM — see [[runColdChild]] —
+    * (v31/v45) are timed in a fresh child JVM — see [[runColdChild]] —
     * unless `SPARK_GRAFT_COLD_PROBE_JVM=0` (builder iteration) or the
     * child fails, in which case they fall back to in-bench timing and
     * the record's `cold_build_mode` says so. `only` restricts the
@@ -439,16 +463,22 @@ object ScaleProbe {
       graft.rel.PipelineQueries.deleteRecursively(java.nio.file.Paths.get(base))
   }
 
-  /** Probe queries that BUILD their index/graph structure in-query at the
-    * probe dirs (v31/v33 are the registered k-NN-graph build operators —
+  /** Probe queries that BUILD their graph structure in-query at the
+    * probe dirs (v31/v45 are the registered k-NN-graph build operators —
     * no session artifact exists for a freshly-generated probe corpus, so
     * their timed passes include a cold Ω(n) build). Measured in a FRESH
     * child JVM by default (see [[runColdChild]]): under end-of-suite JVM
     * state the same binary read exp 1.6 on one box and 1.08 on another
     * while fresh-JVM ProbeMain held 1.004–1.080 — the child reproduces
     * ProbeMain's regime inside the official record, and the JSON's
-    * `cold_build_mode` says which regime produced the numbers. */
-  val ColdBuildQueries: Seq[String] = Seq("v31_knn_graph", "v33_knn_graph_ivf")
+    * `cold_build_mode` says which regime produced the numbers.
+    * Round 20: v45 (NN-descent, index-free) replaced v33 here — descent
+    * is the default cold construction path, while v33's cold point
+    * (index training + probed scan) was both the slowest probe row
+    * (344 s at ×10, most of the child budget) and the corpus-roll-
+    * sensitive one; v33 now rides the steady roster with its index
+    * warmed, measuring the probed scan's growth instead. */
+  val ColdBuildQueries: Seq[String] = Seq("v31_knn_graph", "v45_knn_graph_descent")
 
   /** Probe queries whose measured work is BOUNDED by construction (v31's
     * exact path has been capped to a constant node sample since round

@@ -724,10 +724,30 @@ object Hnsw {
     // sit above the stamped watermark and double-apply on the next
     // loadLog if left behind (the fence only trips that writer's NEXT
     // publish). save is a stop-the-world rebase — every epoch present
-    // after the meta publish is superseded state, swept.
-    epochDirs(spark, path).foreach { case (_, dir) =>
-      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    // after the meta publish is superseded state, swept. Loop the
+    // re-list-and-sweep until a listing comes back empty: a single pass
+    // only NARROWS the window (an epoch renamed into place after the
+    // re-list would survive it); the loop closes everything a finite
+    // zombie can slip in, bounded so a pathological live writer racing
+    // the sweep forever still terminates — with a loud warning, because
+    // a leftover epoch above the watermark WILL double-apply on the next
+    // loadLog (full closure needs a lock or a post-rename fence re-check
+    // in saveDelta; callers must not run saveDelta concurrently with
+    // save by contract).
+    var sweepRounds = 0
+    var leftover = epochDirs(spark, path)
+    while (leftover.nonEmpty && sweepRounds < 8) {
+      leftover.foreach { case (_, dir) =>
+        fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      }
+      sweepRounds += 1
+      leftover = epochDirs(spark, path)
     }
+    if (leftover.nonEmpty)
+      System.err.println(
+        s"[hnsw] WARNING: ${leftover.size} epoch dir(s) survived $sweepRounds sweep rounds " +
+          s"at $path — a live writer is racing this rebase; these epochs sit above the " +
+          "stamped watermark and will double-apply on the next loadLog")
     versionDirs(fs, path).filter(_._1 < ver)
       .foreach { case (_, p) => fs.delete(p, true) }
     // legacy-layout debris: pre-round-17 artifacts kept layer data at

@@ -390,9 +390,33 @@ object KnnJoin {
     * joins against the vector table; per-src top-k rides the rank window
     * (WindowGroupLimit pushes the partial limit map-side). Output matches
     * [[knnGraph]]: `(src, dst, rnk, dist2)`. */
-  def nnDescentRound(graph: DataFrame, nodes: DataFrame, k: Int): DataFrame = {
+  def nnDescentRound(graph: DataFrame, nodes: DataFrame, k: Int): DataFrame =
+    nnDescentRound(graph, nodes, k, 1.0, 0L)
+
+  /** [[nnDescentRound]] with Dong et al.'s candidate SAMPLING lever
+    * (§2.3 "sampling", rate ρ): each undirected edge enters the
+    * neighbor-of-neighbor expansion with probability `rho`, cutting the
+    * expansion from (2k)² to (2ρk)² candidate pairs per node — the knob
+    * that makes multi-round construction affordable at corpus scale.
+    * The CURRENT edges always stay in the candidate set un-sampled, so
+    * the refined top-k still re-ranks a superset of what it had and
+    * per-node recall stays monotonically non-decreasing (the v34
+    * contract). Sampling is deterministic (edge-keyed hash, salted by
+    * `salt` so successive rounds thin DIFFERENT pairs — without the
+    * salt a dropped pair is dropped every round and convergence
+    * stalls). */
+  def nnDescentRound(
+      graph: DataFrame,
+      nodes: DataFrame,
+      k: Int,
+      rho: Double,
+      salt: Long): DataFrame = {
     val e = graph.select("src", "dst")
-    val und = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+    val undAll = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+    val und =
+      if (rho >= 1.0) undAll
+      else undAll.filter(
+        pmod(xxhash64(col("src"), col("dst"), lit(salt)), lit(1000L)) < lit((rho * 1000).toLong))
     val nn = und.as("a")
       .join(und.as("b"), col("a.dst") === col("b.src"))
       .select(col("a.src").as("src"), col("b.dst").as("dst"))
@@ -409,6 +433,105 @@ object KnnJoin {
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select("src", "dst", "rnk", "dist2")
+  }
+
+  /** Index-free k-NN GRAPH CONSTRUCTION via NN-descent (Dong et al.,
+    * WWW'11) — the DEFAULT scale path when no prebuilt IVF model exists:
+    * seed each node with cheap deterministic ladders, then iterate
+    * [[nnDescentRound]] (at a working degree above `k`, with candidate
+    * sampling) until quality converges. Replaces [[knnGraph]]'s probed
+    * path as the construction default because its cold cost is
+    * Θ(rounds·n·k²) candidate pairs through EQUALITY joins — no k-means
+    * training, no per-node probed scan whose cost rides the cell-size
+    * distribution (the fixture-roll sensitivity the probed build
+    * measured at 10×: same binary, same n, 1.6× swing from corpus
+    * structure alone). [[knnGraph]] with a model remains the right call
+    * when the deployment already maintains the IVF index; the exact
+    * path remains the oracle.
+    *
+    * Seeding: two k-successor LADDERS, both skew-free by construction —
+    *  (a) projection ladder: nodes ordered by a fixed random projection
+    *      inside balanced `repartitionByRange` buckets (locality-biased:
+    *      close in space ⇒ close in projection, the 1-D shadow of a
+    *      space-filling curve), each node → its `kd` successors;
+    *  (b) random ladder: hash-bucketed (~1k-member buckets), hash-ordered,
+    *      circular successors — guarantees every node ≥ 1 seed edge
+    *      (coverage) and injects the diversity pure locality seeding
+    *      lacks.
+    * Each descent round is localCheckpoint-materialized ([[Hnsw]]'s
+    * lineage rule): nnDescentRound consumes its input ~5×, so an
+    * unmaterialized 3-round fold re-evaluates the seed ~5³ times.
+    *
+    * Output matches [[knnGraph]]: `(src, dst, rnk, dist2)`, rnk ≤ k —
+    * the final round runs at the working degree and the top-k prefix is
+    * returned (the degree-prefix contract pinned in KnnJoinSpec).
+    * Approximate: recall vs the exact graph is pinned in KnnJoinSpec
+    * and measured per-run by the v45 driver query. */
+  def knnGraphDescent(
+      nodes: DataFrame,
+      k: Int,
+      rounds: Int = 3,
+      workDegree: Int = 0,
+      rho: Double = 1.0): DataFrame = {
+    val c = nodes.select("vec_id", "embedding")
+    // Working degree: the quality lever, measured on the fixture corpora
+    // (k=5, 3 rounds, exact-graph edge recall): kd=k+3 plateaus at
+    // 0.83-0.90 regardless of extra rounds (the classic small-K
+    // NN-descent local optimum), kd=12 reaches 0.95, kd=16 reaches
+    // 0.985-0.992 with convergence complete by round 3 — so the default
+    // works at max(16, k+3) and returns the top-k prefix. Candidate
+    // volume is n·(2·kd·rho)² per round; at corpus scale where that
+    // dominates, `rho` (Dong et al.'s sampling) trades measured recall
+    // for linear cost: rho=0.7 at kd=16 read 0.958 on the same sweep.
+    val kd = if (workDegree > 0) workDegree else math.max(16, k + 3)
+    val dim = c.select(size(col("embedding"))).head().getInt(0)
+    val n = c.count()
+    val planes = graft.text.Dedup.hyperplanes(dim, 2)
+    val bucketRows = 1024L
+
+    // (a) projection ladder — range-balanced buckets over a fixed random
+    // projection, kd successors in projection order within each bucket
+    val nParts = math.max(32L, n / bucketRows).toInt
+    val projected = c
+      .select(
+        col("vec_id"),
+        graft.vector.VectorOps.dot(col("embedding"), typedLit(planes.head)).as("proj"))
+      .repartitionByRange(nParts, col("proj"), col("vec_id"))
+      .withColumn("bkt", org.apache.spark.sql.functions.spark_partition_id().cast("long"))
+    // (b) random ladder — hash buckets, hash order, CIRCULAR successors
+    // (wraps via pmod below, so a bucket of size ≥ 2 covers every member)
+    val hashed = c.select(
+      col("vec_id"),
+      pmod(xxhash64(col("vec_id")), lit(math.max(1L, n / bucketRows))).as("bkt"),
+      xxhash64(col("vec_id"), lit(7L)).cast("double").as("proj"))
+
+    def ladder(df: DataFrame): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("bkt").orderBy(col("proj"), col("vec_id"))
+      val wc = org.apache.spark.sql.expressions.Window.partitionBy("bkt")
+      val ranked = df
+        .withColumn("r", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(wc))
+      ranked
+        .select(
+          col("vec_id").as("src"), col("bkt"), col("cnt"),
+          col("r"), explode(sequence(lit(1), lit(kd))).as("j"))
+        .withColumn("tr", pmod(col("r") - 1 + col("j"), col("cnt")) + 1)
+        .join(
+          ranked.select(col("vec_id").as("dst"), col("bkt"), col("r").as("tr")),
+          Seq("bkt", "tr"))
+        .filter(col("src") =!= col("dst"))
+        .select("src", "dst")
+    }
+    val seed = ladder(projected).unionByName(ladder(hashed)).distinct()
+
+    var g: DataFrame = seed.localCheckpoint()
+    var last: DataFrame = null
+    (1 to math.max(1, rounds)).foreach { i =>
+      last = nnDescentRound(g, c, kd, rho, i.toLong).localCheckpoint()
+      g = last.select("src", "dst")
+    }
+    last.filter(col("rnk") <= k)
   }
 
   private def normalizeQueries(queries: DataFrame): DataFrame =

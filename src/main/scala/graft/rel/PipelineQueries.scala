@@ -6317,6 +6317,76 @@ object PipelineQueries {
           "CAST(1 AS BIGINT) AS improved_ok, CAST(1 AS BIGINT) AS recall_ok, " +
           "CAST(1 AS BIGINT) AS shape_ok, CAST(1 AS BIGINT) AS member_ok")),
 
+    // NN-DESCENT k-NN graph CONSTRUCTION (KnnJoin.knnGraphDescent) — the
+    // DEFAULT index-free build path, and the registered cold-build
+    // operator the scale probe times in its fresh child JVM. v33's
+    // probed build needs a trained IVF model first and its cold cost
+    // rides the cell-size distribution (same binary, same n, 1.6× swing
+    // across corpus rolls at 10× — BENCH_NOTES r19); this path is pure
+    // equality-join algebra from a ladder seed: Θ(rounds·n·k²) candidate
+    // pairs whatever the corpus geometry, no k-means training anywhere.
+    // Flags are v33's oracle shape — coverage (every node emits edges,
+    // guaranteed by the circular random ladder), shape (≤ k rank-bounded
+    // out-edges, no self edges), corpus membership (seed and descent
+    // only ever reference node ids), and recall@5 vs the EXACT graph on
+    // the FIXED vec_id < 400 sample (constant at any corpus scale;
+    // observed ≥ 0.95 across sfs vs the 0.9 bar). The construction is
+    // deterministic up to repartitionByRange's sampled bucket
+    // boundaries, so the FLAGS (not the edge list) are the contract —
+    // exactly v02/v33's bound-flag pattern for non-SQL-portable
+    // operators.
+    NamedQuery(
+      "v45_knn_graph_descent",
+      (s, dir) => {
+        val k = 5
+        val nodes = t(s, dir, "embeddings").select("vec_id", "embedding")
+        // three consumers (shape, membership, recall) — CacheScope drops it
+        val graph = graft.CacheScope.track(
+          graft.index.KnnJoin.knnGraphDescent(nodes, k).cache())
+        val counts = nodes.agg(count(lit(1)).as("n_nodes"))
+        val shape = graph
+          .groupBy("src")
+          .agg(
+            count(lit(1)).as("deg"),
+            max("rnk").as("mr"),
+            sum(when(col("src") === col("dst"), 1L).otherwise(0L)).as("selfs"))
+          .agg(
+            count(lit(1)).as("n_src"),
+            min(when(col("deg") <= k && col("mr") <= k, 1L).otherwise(0L)).as("k_ok"),
+            sum("selfs").as("n_self"))
+        val member = graph
+          .select(col("dst").as("vec_id"))
+          .join(nodes.select("vec_id"), Seq("vec_id"), "left_anti")
+          .agg(count(lit(1)).as("bad"))
+          .select(when(col("bad") === 0, 1L).otherwise(0L).as("member_ok"))
+        val sample = nodes
+          .filter(col("vec_id") < 400)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+        val exactG = graft.index.KnnJoin.exact(sample, nodes, k + 1)
+          .filter(col("vec_id") =!= col("query_id"))
+        val descSample = graph
+          .filter(col("src") < 400)
+          .select(col("src").as("query_id"), col("dst").as("vec_id"))
+        val recall = IvfSearch
+          .recallAtK(descSample, exactG, k, sample)
+          .agg(avg("recall").as("m"))
+          .select(when(col("m") >= 0.9, 1L).otherwise(0L).as("recall_ok"))
+        counts
+          .crossJoin(shape)
+          .crossJoin(member)
+          .crossJoin(recall)
+          .select(
+            col("n_nodes"),
+            when(col("n_src") === col("n_nodes"), 1L).otherwise(0L).as("coverage_ok"),
+            when(col("k_ok") === 1 && col("n_self") === 0, 1L).otherwise(0L).as("shape_ok"),
+            col("member_ok"),
+            col("recall_ok"))
+      },
+      Some(
+        "SELECT CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS n_nodes, " +
+          "CAST(1 AS BIGINT) AS coverage_ok, CAST(1 AS BIGINT) AS shape_ok, " +
+          "CAST(1 AS BIGINT) AS member_ok, CAST(1 AS BIGINT) AS recall_ok")),
+
     // Graph-ANN BEAM SEARCH (index/GraphSearch) — the query-time half of
     // the graph index family and the full hierarchical stack every
     // production graph index runs (HNSW upper-layers→layer-0 / DiskANN
@@ -6876,32 +6946,36 @@ object PipelineQueries {
     // Streaming HNSW ingest RESTART RECOVERY (s19's kill-and-resume
     // certification for the graph family, closing hnswIngest's
     // documented-but-uncertified RESTART contract): batch A streams
-    // into the session stack through hnswIngest with `onUpdate`
-    // persisting every epoch via Hnsw.save (the durability hook the
-    // doc prescribes); the stream is STOPPED — the process-death
-    // stand-in, s19's technique — and a NEW incarnation starts from
-    // the SAME checkpoint with Hnsw.loadStack's layers as `initial`
-    // and the loaded meta's own shrink/topCap (the save-carries-its-
-    // build-parameters contract, exercised end-to-end); batch B
-    // streams into the resumed incarnation. Flags certify (a) meta_ok
-    // — the persisted parameters round-tripped (k/shrink/topCap);
-    // (b) resumed_equiv_ok — the resumed final stack LAYER-EQUALS the
-    // uninterrupted continuation (Hnsw.insert of batch B onto the
-    // live pre-kill stack): same layer count, every layer's member
-    // set and edge set equal in both exceptAll directions — kill +
-    // reload + resume loses nothing and double-applies nothing (the
-    // checkpoint skips batch A's committed offsets; even a replayed
-    // file is screened idempotent); (c) found_self_ok — all 10
+    // into the stack through hnswIngest with `onUpdate` persisting
+    // every epoch via Hnsw.save (the durability hook the doc
+    // prescribes); the stream is STOPPED — the process-death stand-in,
+    // s19's technique — and a NEW incarnation starts from the SAME
+    // checkpoint with Hnsw.loadStack's layers as `initial` and the
+    // loaded meta's own shrink/topCap (the save-carries-its-build-
+    // parameters contract, end-to-end); batch B streams into the
+    // resumed incarnation. Round-20 cost cut (the s22/s23 pattern,
+    // VERDICT r19 task 2 — this row was the suite's slowest at
+    // 27.7 s): the base is the SMALL deep lifecycle stack, not the
+    // full corpus (recovery semantics need a deep stack and a restart,
+    // not a big corpus — each per-epoch Hnsw.save was rewriting the
+    // corpus-sized stack), and the uninterrupted-continuation control
+    // (a second full insert + per-layer exceptAll equalities) moved to
+    // StreamingSpec ("hnswIngest resumes from a SAVED artifact…").
+    // The registered row keeps the operator's own recovery flags:
+    // meta_ok — the persisted parameters round-tripped
+    // (k/shrink/topCap); recovered_members_ok — layer-0 membership
+    // after the resumed incarnation is the base set + all 10 planted
+    // rows exactly once (the kill lost nothing, the replay-guard
+    // double-applied nothing, batch B landed); found_self_ok — all 10
     // planted rows, BOTH batches, are their own rank-1 hits through
-    // the resumed stack (pre-restart state survived the round-trip,
-    // post-restart ingestion landed).
+    // the resumed stack.
     NamedQuery(
       "s21_hnsw_restart_recovery",
       (s, dir) => {
         import s.implicits._
-        val nodes = t(s, dir, "embeddings").select("vec_id", "embedding")
-        val layers = stackFor(s, dir)
-        val planted: Array[(Long, Seq[Float])] = nodes
+        val built = smallStackFor(s, dir)
+        val baseN = built.last.nodes.count()
+        val planted: Array[(Long, Seq[Float])] = built.last.nodes
           .filter(col("vec_id") < 10)
           .select(
             (col("vec_id") + 700000L).as("vec_id"),
@@ -6924,22 +6998,22 @@ object PipelineQueries {
             onUpdate: Seq[graft.index.Hnsw.Layer] => Unit): Unit = {
           val q = graft.streaming.StreamingOps.hnswIngest(
             s.readStream.schema(batchSchema).parquet(inDir),
-            initial, ckpt, k = HnswDegree, beam = 64, rounds = 8, onUpdate,
+            initial, ckpt, k = HnswDegree, beam = 32, rounds = 4, onUpdate,
             shrink = shrink, topCap = topCap)
           try q.processAllAvailable()
           finally q.stop()
         }
-        val (fin, control, metaOk) =
+        val (fin, metaOk) =
           try {
             // incarnation 1: ingest batch A, persist every epoch
             val live = new java.util.concurrent.atomic
-              .AtomicReference[Seq[graft.index.Hnsw.Layer]](layers)
+              .AtomicReference[Seq[graft.index.Hnsw.Layer]](built)
             toDf(a).write.mode("append").parquet(inDir)
-            incarnation(layers, 16, 256L, st => {
+            incarnation(built, SmallShrink, SmallTopCap, st => {
               live.set(st)
-              graft.index.Hnsw.save(st, HnswDegree, saveDir)
+              graft.index.Hnsw.save(
+                st, HnswDegree, saveDir, shrink = SmallShrink, topCap = SmallTopCap)
             })
-            val liveAfterA = live.get()
             // "kill": q1 is stopped. Resume from the checkpoint with the
             // PERSISTED stack (a fresh consumer would have only this)
             val loaded = graft.index.Hnsw.loadStack(s, saveDir)
@@ -6947,31 +7021,24 @@ object PipelineQueries {
               .AtomicReference[Seq[graft.index.Hnsw.Layer]](loaded.layers)
             toDf(b).write.mode("append").parquet(inDir)
             incarnation(loaded.layers, loaded.shrink, loaded.topCap, resumed.set)
-            // uninterrupted control: batch B applied to the live pre-kill
-            // stack directly — what the stream would hold had it never died
-            val ctl = graft.index.Hnsw.insert(
-              liveAfterA, toDf(b), k = HnswDegree, beam = 64, rounds = 8)
-            (resumed.get(), ctl,
-              loaded.k == HnswDegree && loaded.shrink == 16 && loaded.topCap == 256L)
+            (resumed.get(),
+              loaded.k == HnswDegree && loaded.shrink == SmallShrink &&
+                loaded.topCap == SmallTopCap)
           } finally deleteRecursively(tmp)
-        val equiv =
-          if (fin.length != control.length)
-            s.range(1).select(lit(0L).as("resumed_equiv_ok"))
-          else
-            fin.zip(control).map { case (x, y) =>
-              val nx = x.nodes.select("vec_id")
-              val ny = y.nodes.select("vec_id")
-              val gx = x.graph.select("src", "dst", "rnk")
-              val gy = y.graph.select("src", "dst", "rnk")
-              nx.exceptAll(ny).unionAll(ny.exceptAll(nx))
-                .select(col("vec_id").as("src"), col("vec_id").as("dst"), lit(0).as("rnk"))
-                .unionAll(gx.exceptAll(gy)).unionAll(gy.exceptAll(gx))
-            }.reduce(_.unionAll(_))
-              .agg(count(lit(1)).as("bad"))
-              .select(when(col("bad") === 0, 1L).otherwise(0L).as("resumed_equiv_ok"))
+        val members = fin.last.nodes
+          .agg(
+            count(lit(1)).as("n"),
+            // exactly-once across the kill: distinct planted ids AND total
+            // planted rows must both be 10 — a double-applied replay shows
+            // up as n_planted 11+ even when the distinct count stays 10
+            countDistinct(when(col("vec_id") >= 700000L, col("vec_id"))).as("n_planted_ids"),
+            sum(when(col("vec_id") >= 700000L, 1L).otherwise(0L)).as("n_planted"))
+          .select(
+            when(col("n") === baseN + 10 && col("n_planted") === 10 && col("n_planted_ids") === 10, 1L)
+              .otherwise(0L).as("recovered_members_ok"))
         val probes = planted.toSeq.toDF("query_id", "qvec")
         val foundSelf = graft.index.Hnsw
-          .search(probes, fin, k = 3, beam = 64, rounds = 8)
+          .search(probes, fin, k = 3, beam = 32, rounds = 4)
           .filter(col("rnk") === 1)
           .agg(
             count(lit(1)).as("n1"),
@@ -6980,12 +7047,12 @@ object PipelineQueries {
             when(col("n1") === 10 && col("hits") === 10, 1L).otherwise(0L).as("found_self_ok"))
         planted.toSeq.toDF("vec_id", "embedding").agg(count(lit(1)).as("n_streamed"))
           .select(col("n_streamed"), lit(if (metaOk) 1L else 0L).as("meta_ok"))
-          .crossJoin(equiv)
+          .crossJoin(members)
           .crossJoin(foundSelf)
       },
       Some(
         "SELECT CAST(10 AS BIGINT) AS n_streamed, CAST(1 AS BIGINT) AS meta_ok, " +
-          "CAST(1 AS BIGINT) AS resumed_equiv_ok, CAST(1 AS BIGINT) AS found_self_ok")),
+          "CAST(1 AS BIGINT) AS recovered_members_ok, CAST(1 AS BIGINT) AS found_self_ok")),
 
     // Streaming CDC into the HNSW stack (streaming/StreamingOps
     // .hnswApplyChangelog — the round-17 verdict's #1 gap: an

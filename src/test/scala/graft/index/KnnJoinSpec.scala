@@ -228,4 +228,38 @@ class KnnJoinSpec extends SparkSpec {
     assert(derived.exceptAll(direct).isEmpty && direct.exceptAll(derived).isEmpty,
       "rnk<=5 view of the degree-16 probed graph differs from the direct degree-5 build")
   }
+
+  test("nn-descent construction: full coverage, contract shape, and exact-graph recall over the bar — no index anywhere") {
+    val k = 4
+    val g = KnnJoin.knnGraphDescent(emb, k).cache()
+    val n = emb.count()
+    // coverage: the circular random ladder guarantees every node seeds
+    // ≥ 1 edge, and descent re-ranks supersets — no node may go silent
+    val deg = g.groupBy("src").agg(
+      count(lit(1)).as("d"),
+      max("rnk").as("mr"),
+      sum(when(col("src") === col("dst"), 1L).otherwise(0L)).as("selfs"))
+    assert(deg.count() == n, "descent graph lost nodes (coverage)")
+    assert(deg.filter(col("d") > k || col("mr") > k || col("selfs") =!= 0L).isEmpty,
+      "descent graph violates the out-degree/self-edge contract")
+    // membership: both ladders and the descent expansion only ever
+    // reference node ids — dst must stay inside the node set
+    assert(
+      g.select(col("dst").as("vec_id"))
+        .join(emb.select("vec_id"), Seq("vec_id"), "left_anti").isEmpty,
+      "descent graph references a non-node id")
+    // rank order must follow distance within each node
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("src").orderBy("rnk")
+    val disordered = g
+      .withColumn("pd", lag("dist2", 1).over(w))
+      .filter(col("pd").isNotNull && col("pd") > col("dist2"))
+    assert(disordered.isEmpty, "rank order disagrees with distance order")
+    // quality: edge recall vs the exact graph clears the same bar the
+    // probed build is held to (the construction-default claim)
+    val exactE = KnnJoin.knnGraph(emb, k).select("src", "dst").as[(Long, Long)].collect().toSet
+    val gotE = g.select("src", "dst").as[(Long, Long)].collect().toSet
+    val recallG = (exactE & gotE).size.toDouble / exactE.size
+    assert(recallG >= 0.9, s"nn-descent construction edge recall $recallG below bar")
+    g.unpersist()
+  }
 }

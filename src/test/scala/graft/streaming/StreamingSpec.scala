@@ -134,6 +134,77 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("hnswIngest resumes from a SAVED artifact: loadStack's layers + its own meta parameters continue the stream, resumed = uninterrupted") {
+    // the s21 bench row's integration certification, moved here (round-20
+    // suite-cost cut, the s22/s23 pattern): kill-and-resume through the
+    // Hnsw.save/loadStack path — onUpdate persists every epoch via save,
+    // the resumed incarnation runs under the LOADED meta's own
+    // shrink/topCap (the save-carries-its-build-parameters contract,
+    // end-to-end), and the resumed final stack must LAYER-EQUAL the
+    // uninterrupted continuation. The registered s21 row keeps the cheap
+    // recovery/membership/meta flags.
+    import graft.index.Hnsw
+    val initial = Hnsw.build(emb, k = 6, shrink = 2, topCap = 30L)
+      .map(l => Hnsw.Layer(l.nodes, l.graph.cache()))
+    val tmp = java.nio.file.Files.createTempDirectory("hnsw_save_resume").toString
+    val saveDir = s"$tmp/stack"; val ckpt = s"$tmp/ckpt"; val inDir = s"$tmp/in"
+    def planted(i: Long): (Long, Seq[Float]) = (820000L + i, emb.filter(col("vec_id") === i)
+      .select(transform(col("embedding"), x => x + lit(0.001f)))
+      .as[Seq[Float]].head())
+    val a = Seq(planted(0L), planted(1L)).toDF("vec_id", "embedding")
+    val b = Seq(planted(2L), planted(3L)).toDF("vec_id", "embedding")
+    def stackEq(x: Seq[Hnsw.Layer], y: Seq[Hnsw.Layer], msg: String): Unit = {
+      assert(x.length == y.length, s"$msg: depth differs")
+      x.zip(y).foreach { case (p, q) =>
+        val np = p.nodes.select("vec_id"); val nq = q.nodes.select("vec_id")
+        assert(np.exceptAll(nq).isEmpty && nq.exceptAll(np).isEmpty, s"$msg: members differ")
+        val gp = p.graph.select("src", "dst", "rnk"); val gq = q.graph.select("src", "dst", "rnk")
+        assert(gp.exceptAll(gq).isEmpty && gq.exceptAll(gp).isEmpty, s"$msg: edges differ")
+      }
+    }
+    try {
+      def incarnation(
+          init: Seq[Hnsw.Layer],
+          shrink: Int,
+          topCap: Long,
+          onUpd: Seq[Hnsw.Layer] => Unit): Unit = {
+        val q = StreamingOps.hnswIngest(
+          spark.readStream.schema(a.schema).parquet(inDir),
+          init, ckpt, k = 6, beam = 16, rounds = 6, onUpd,
+          shrink = shrink, topCap = topCap)
+        try q.processAllAvailable()
+        finally q.stop()
+      }
+      val live = new java.util.concurrent.atomic
+        .AtomicReference[Seq[Hnsw.Layer]](initial)
+      a.write.mode("append").parquet(inDir)
+      incarnation(initial, 2, 30L, st => {
+        live.set(st)
+        Hnsw.save(st, 6, saveDir, shrink = 2, topCap = 30L)
+      })
+      val liveAfterA = live.get()
+      // "kill": incarnation 1 stopped. A fresh consumer holds only the
+      // saved artifact — loadStack must carry the build parameters back
+      val loaded = Hnsw.loadStack(spark, saveDir)
+      assert(loaded.k == 6 && loaded.shrink == 2 && loaded.topCap == 30L,
+        s"meta round-trip lost the build parameters: k=${loaded.k} shrink=${loaded.shrink} topCap=${loaded.topCap}")
+      stackEq(loaded.layers, liveAfterA, "saved-artifact recovery after kill")
+      val resumed = new java.util.concurrent.atomic
+        .AtomicReference[Seq[Hnsw.Layer]](loaded.layers)
+      b.write.mode("append").parquet(inDir)
+      incarnation(loaded.layers, loaded.shrink, loaded.topCap, resumed.set)
+      // control: what an uninterrupted stream would hold — same
+      // shrink/topCap as the stream's inserts (the level rule reads
+      // them; a mismatched control diverges on upper-layer membership)
+      val control = Hnsw.insert(liveAfterA, b, k = 6, beam = 16, rounds = 6,
+        shrink = 2, topCap = 30L)
+      stackEq(resumed.get(), control, "resumed vs uninterrupted")
+    } finally {
+      graft.rel.PipelineQueries.deleteRecursively(java.nio.file.Paths.get(tmp))
+      initial.foreach(_.graph.unpersist())
+    }
+  }
+
   test("maintained ingest stays durable: an in-stream deepen re-bases the log, a kill recovers it, the next incarnation logs on") {
     import graft.index.Hnsw
     val initial = Hnsw.build(emb, k = 6, shrink = 2, topCap = 30L)
