@@ -18,12 +18,20 @@ object QueryTimer {
     val passes = sys.env.getOrElse("SPARK_GRAFT_TIMER_PASSES", "2").toInt
     val planDir = sys.env.get("SPARK_GRAFT_PLAN_DIR")
     val planTag = sys.env.getOrElse("SPARK_GRAFT_PLAN_TAG", "before")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // A/B hook for session-conf experiments, e.g.
+    // SPARK_GRAFT_TIMER_CONF="spark.sql.join.preferSortMergeJoin=false,..."
+    sys.env.get("SPARK_GRAFT_TIMER_CONF").foreach { kvs =>
+      kvs.split(',').filter(_.contains("=")).foreach { kv =>
+        val Array(a, b) = kv.split("=", 2)
+        builder.config(a.trim, b.trim)
+      }
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     locally {
       val tables = Seq("region", "nation", "customer", "supplier", "part",
@@ -38,6 +46,13 @@ object QueryTimer {
     val jobs = new java.util.concurrent.atomic.AtomicLong
     val stages = new java.util.concurrent.atomic.AtomicLong
     val tasks = new java.util.concurrent.atomic.AtomicLong
+    // where the wall time goes: stage wall (submission→completion, includes
+    // scheduling + codegen at first task), executor run time (real compute),
+    // and the scheduler/deser overhead — the evidence separating
+    // compute-bound from launch-floor-bound queries
+    val stageWallMs = new java.util.concurrent.atomic.AtomicLong
+    val runMs = new java.util.concurrent.atomic.AtomicLong
+    val gapMs = new java.util.concurrent.atomic.AtomicLong // job submit → first stage submit etc.
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
         jobs.incrementAndGet()
@@ -45,6 +60,11 @@ object QueryTimer {
           s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
         stages.incrementAndGet()
         tasks.addAndGet(s.stageInfo.numTasks.toLong)
+        for (a <- s.stageInfo.submissionTime; b <- s.stageInfo.completionTime)
+          stageWallMs.addAndGet(b - a)
+        runMs.addAndGet(s.stageInfo.taskMetrics.executorRunTime)
+        gapMs.addAndGet(
+          s.stageInfo.taskMetrics.executorDeserializeTime)
       }
     })
     val all = graft.SparkEntry.queries.toSeq.sortBy(_._1)
@@ -71,7 +91,9 @@ object QueryTimer {
         }
       }
       val counts = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      val walls = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
       val times = (1 to passes).map { _ =>
+        val (w0, r0, g0) = (stageWallMs.get(), runMs.get(), gapMs.get())
         val (j0, s0, t0c) = (jobs.get(), stages.get(), tasks.get())
         val t0 = System.nanoTime()
         val ok =
@@ -84,11 +106,14 @@ object QueryTimer {
         val sec = (System.nanoTime() - t0) / 1e9
         graft.CacheScope.clear()
         counts += ((jobs.get() - j0, stages.get() - s0, tasks.get() - t0c))
+        walls += ((stageWallMs.get() - w0, runMs.get() - r0, gapMs.get() - g0))
         if (ok) sec else Double.NaN
       }
       val fmt = times.map(t => f"$t%.2f").mkString(" ")
       val (j, st, tk) = counts.last
-      println(f"[timer] $name%-34s min=${times.min}%.2f  passes=[$fmt]  jobs=$j stages=$st tasks=$tk")
+      val (sw, rn, gp) = walls.last
+      println(f"[timer] $name%-34s min=${times.min}%.2f  passes=[$fmt]  " +
+        f"jobs=$j stages=$st tasks=$tk stageWallMs=$sw execRunMs=$rn deserMs=$gp")
     }
     spark.stop()
   }

@@ -147,6 +147,22 @@ object Hnsw {
     * build cost (upper layers are geometrically smaller), so a cached or
     * saved artifact should be reused rather than rebuilt. Returned
     * top-first. */
+  /** Size-derived partition count for a layer relation of `rows` rows —
+    * the guide's "make partitioning scale-adaptive (derive from input
+    * size) rather than a constant" rule, applied to the geometric layer
+    * stack: a 100-node top layer cached/checkpointed at the session's
+    * shuffle-partition count (32 on the bench box, thousands on a
+    * cluster) pays that many near-empty tasks on EVERY downstream scan —
+    * measured at sf0.1 as the dominant cost of the mutation/lifecycle
+    * queries (launch floor, not compute). ~64k rows per partition,
+    * clamped to the session's default parallelism so corpus-sized
+    * layer-0 relations keep full-cluster width. */
+  private def sizedParts(
+      spark: org.apache.spark.sql.SparkSession, rows: Long): Int =
+    math.max(1, math.min(
+      spark.sparkContext.defaultParallelism.toLong,
+      (rows + 65535L) / 65536L).toInt)
+
   def build(
       nodes: DataFrame,
       k: Int,
@@ -156,14 +172,27 @@ object Hnsw {
       layer0Graph: Option[DataFrame] = None): Seq[Layer] = {
     require(k >= 1 && shrink >= 2 && topCap >= 1,
       s"bad k=$k shrink=$shrink topCap=$topCap")
+    val spark = nodes.sparkSession
     val layers = Seq.newBuilder[Layer]
     var cur = nodes.select(col("vec_id"), col("embedding"))
     var mod = 1L
     var n = cur.count()
     var done = false
     while (!done) {
+      // every built graph (and upper-layer node set) is repartitioned to
+      // a SIZE-DERIVED count (sizedParts) before callers cache or
+      // checkpoint it: the build loop is the one place the layer's row
+      // count is already known (no extra job), and an upper layer left
+      // at the session shuffle-partition count costs that many
+      // near-empty tasks per downstream scan forever. Hash-on-src is the
+      // partitioning every walk hop's equality join wants (GraphSearch's
+      // contract). Layer 0 keeps its supplied/probed shape when a shared
+      // `layer0Graph` artifact is passed — adding an exchange on a
+      // corpus-sized shared cache would cost, not save.
       val g =
-        if (mod == 1L) layer0Graph.getOrElse(KnnJoin.knnGraph(cur, k, model))
+        if (mod == 1L)
+          layer0Graph.getOrElse(
+            KnnJoin.knnGraph(cur, k, model).repartition(sizedParts(spark, n * k), col("src")))
         else {
           // Upper layers need an index over their OWN members, not the
           // shared corpus model: knnGraph's closure semi-join keeps only
@@ -175,9 +204,10 @@ object Hnsw {
           // restores real degree-k upper graphs; geometric layer sizes
           // make its cost a vanishing fraction of layer-0's.
           val local = model.map(m => IvfBuild.build(cur, m.dim, nRowsHint = Some(n)))
-          KnnJoin.knnGraph(cur, k, local)
+          KnnJoin.knnGraph(cur, k, local).repartition(sizedParts(spark, n * k), col("src"))
         }
-      layers += Layer(cur, g)
+      layers += Layer(
+        if (mod == 1L) cur else cur.repartition(sizedParts(spark, n)), g)
       val nextMod = mod * shrink
       val next = nodes
         .filter(pmod(xxhash64(col("vec_id")), lit(nextMod)) === 0)
@@ -404,6 +434,16 @@ object Hnsw {
       // consumer see a plain scan. The repartition on src bounds the
       // three-way union's partition count (measured 192 tiny partitions)
       // and is the partitioning every walk hop's equality join wants.
+      // the grown graph is a batch-sized mutation of the old one, so the
+      // OLD graph's partition count is the right size-derived target for
+      // the post-union repartition (a constant — the session's 32-way
+      // shuffle setting — left a 100-row top-layer graph checkpointed
+      // across 32 near-empty partitions, paying 32 tasks per downstream
+      // scan; the parent count inherits whatever size-aware layout the
+      // build chose, at any scale). getNumPartitions on a built/loaded/
+      // mutated layer is plan metadata — caches, checkpoints and parquet
+      // scans all answer without running a job.
+      val gp = math.max(1, layer.graph.rdd.getNumPartitions)
       if (wantDelta) {
         // the delta's upserts ARE the layer's changed rows — materialize
         // them once (batch-sized: |batch|·k attach rows + the touched
@@ -414,7 +454,7 @@ object Hnsw {
           .localCheckpoint()
         (Layer(
           allNodes.localCheckpoint(),
-          untouched.unionByName(ups).repartition(col("src")).localCheckpoint()),
+          untouched.unionByName(ups).repartition(gp, col("src")).localCheckpoint()),
           Some(LayerDelta(
             nodesAdded = joiners.select("vec_id", "embedding"),
             nodesRemoved = emptyIdsDf(spark, "vec_id"),
@@ -424,7 +464,7 @@ object Hnsw {
         (Layer(
           allNodes.localCheckpoint(),
           untouched.unionByName(touchedPruned).unionByName(newOut)
-            .repartition(col("src"))
+            .repartition(gp, col("src"))
             .localCheckpoint()),
           None)
     }
@@ -565,11 +605,14 @@ object Hnsw {
         .select("src", "dst", "rnk", "dist2")
         .join(delSrc, Seq("src"), "left_anti")
         .join(touched, Seq("src"), "left_anti")
+      // parent partition count as the size-derived repartition target —
+      // insertImpl's reasoning (a delete only shrinks the layer)
+      val gp = math.max(1, layer.graph.rdd.getNumPartitions)
       if (wantDelta) {
         val ups = repaired.localCheckpoint()
         (Layer(
           survivors.localCheckpoint(),
-          untouched.unionByName(ups).repartition(col("src")).localCheckpoint()),
+          untouched.unionByName(ups).repartition(gp, col("src")).localCheckpoint()),
           Some(LayerDelta(
             nodesAdded = emptyNodesDf(layer.nodes.sparkSession),
             nodesRemoved = del.select("vec_id"),
@@ -578,7 +621,7 @@ object Hnsw {
       } else
         (Layer(
           survivors.localCheckpoint(),
-          untouched.unionByName(repaired).repartition(col("src")).localCheckpoint()),
+          untouched.unionByName(repaired).repartition(gp, col("src")).localCheckpoint()),
           None)
     }
     (outWithDelta.map(_._1), if (wantDelta) Some(outWithDelta.map(_._2.get)) else None)
@@ -619,16 +662,23 @@ object Hnsw {
     val next = top.nodes
       .filter(pmod(xxhash64(col("vec_id")), lit(mod)) === 0)
       .select(col("vec_id"), col("embedding"))
-    if (next.isEmpty) {
+    // count, not isEmpty: the same one job also yields the size the new
+    // top's relations should be partitioned at (build's sizedParts rule)
+    val nextN = next.count()
+    if (nextN == 0L) {
       log.warn(
         s"Hnsw.deepen: the level rule at mod $mod leaves no new top above the " +
           s"current ${layers.length}-layer stack — returning it unchanged " +
           "(a top this sparse is already broadcast-bounded)")
       layers
-    } else
+    } else {
+      val spark = next.sparkSession
       Layer(
-        next.localCheckpoint(),
-        KnnJoin.knnGraph(next, k, None).localCheckpoint()) +: layers
+        next.repartition(sizedParts(spark, nextN)).localCheckpoint(),
+        KnnJoin.knnGraph(next, k, None)
+          .repartition(sizedParts(spark, nextN * k), col("src"))
+          .localCheckpoint()) +: layers
+    }
   }
 
   /** A loaded stack WITH the parameters it was built under — a loaded
@@ -789,7 +839,10 @@ object Hnsw {
         .write.mode("overwrite").parquet(s"$path/v$version/layer_$i/nodes")
       l.graph
         .select(col("src"), col("dst"), col("rnk"), col("dist2"))
-        .repartition(col("src"))
+        // the layer's own (size-derived) partition count, not the session
+        // shuffle setting: a 100-row top graph written 32-way costs 32
+        // near-empty files per save — s21 pays a save per streaming epoch
+        .repartition(math.max(1, l.graph.rdd.getNumPartitions), col("src"))
         .write.mode("overwrite").parquet(s"$path/v$version/layer_$i/graph")
     }
     writeMetaAtomic(spark, path, Seq(

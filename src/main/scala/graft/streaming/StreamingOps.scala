@@ -231,6 +231,13 @@ object StreamingOps {
                 val refined = graft.CacheScope.scoped {
                   graft.index.KnnJoin
                     .nnDescentRound(l0.graph, l0.nodes, k)
+                    // parent partition count, not the session shuffle
+                    // setting: descent's rank window leaves the refined
+                    // graph at spark.sql.shuffle.partitions, and a small
+                    // layer checkpointed 32-way pays 32 near-empty tasks
+                    // on every downstream scan (Hnsw.insertImpl's rule)
+                    .repartition(
+                      math.max(1, l0.graph.rdd.getNumPartitions), col("src"))
                     .localCheckpoint()
                 }
                 val st = next.init :+ graft.index.Hnsw.Layer(l0.nodes, refined)
